@@ -1,0 +1,93 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+Generalizes the reference's grouped first-aggs (etl.py:169-180), its
+Race pivot (etl.py:183), per-country averages (etl.py:355-358) and
+full-row distinct (etl.py:289,310).
+
+Scale notes baked in:
+- Spark always does partial (map-side) aggregation before the shuffle
+  for hash aggregates — declaring ``groupBy().agg()`` is enough; never
+  hand-roll combiners.
+- ``first()`` without ordering is nondeterministic (the reference
+  relies on it); ``grouped_agg`` therefore offers ``min``/``max`` and a
+  deterministic ``first_by`` (min_by/max_by) instead.
+- ``pivot`` without an explicit value list costs an extra distinct-scan
+  job AND is unsafe at scale (unbounded output columns); ``pivot_agg``
+  requires the list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_AGG_FNS = {
+    "sum": F.sum,
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+    "first": F.first,
+    "count_distinct": F.count_distinct,
+    "stddev": F.stddev,
+}
+
+
+def grouped_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: list[tuple[str, str, str]],
+) -> DataFrame:
+    """groupBy(keys).agg(...) from a declarative spec.
+
+    ``aggs``: list of (fn, column, alias); fn ∈ _AGG_FNS or
+    'min_by:<ord_col>' / 'max_by:<ord_col>' for deterministic firsts.
+    """
+    exprs: list[Column] = []
+    for fn, col, alias in aggs:
+        if fn.startswith("min_by:"):
+            exprs.append(F.min_by(col, fn.split(":", 1)[1]).alias(alias))
+        elif fn.startswith("max_by:"):
+            exprs.append(F.max_by(col, fn.split(":", 1)[1]).alias(alias))
+        else:
+            exprs.append(_AGG_FNS[fn](col).alias(alias))
+    return df.groupBy(*keys).agg(*exprs)
+
+
+def pivot_agg(
+    df: DataFrame,
+    keys: list[str],
+    pivot_col: str,
+    values: list[str],
+    agg: Column,
+) -> DataFrame:
+    """Pivot with a REQUIRED explicit value list (etl.py:183 omits it
+    and pays a distinct-scan; unbounded pivots are unsafe at 100 TB —
+    SURVEY.md §7)."""
+    return df.groupBy(*keys).pivot(pivot_col, values).agg(agg)
+
+
+def dedup_exact(
+    df: DataFrame,
+    keys: list[str] | None = None,
+    keep_order_col: str | None = None,
+) -> DataFrame:
+    """Exact dedup.
+
+    - keys=None: full-row distinct (etl.py:289,310) — a hash aggregate
+      on all columns; Catalyst plans partial+final HashAggregate.
+    - keys given without order col: ``dropDuplicates(keys)`` —
+      nondeterministic survivor, cheapest.
+    - keys + keep_order_col: deterministic survivor = row with the MIN
+      order value per key, planned as a single aggregate (min_by on a
+      packed struct), not a window — one shuffle, no sort.
+    """
+    if keys is None:
+        return df.dropDuplicates()
+    if keep_order_col is None:
+        return df.dropDuplicates(keys)
+    others = [c for c in df.columns if c not in keys]
+    packed = df.groupBy(*keys).agg(
+        *[F.min_by(c, keep_order_col).alias(c) for c in others]
+    )
+    return packed.select(*df.columns)

@@ -1,0 +1,577 @@
+"""Query registry: every operator from SURVEY.md §2 as a (Spark plan,
+DuckDB oracle) pair, runnable by the driver harness.
+
+Oracle-parity design rules (learned constraints, applied everywhere):
+
+1. Never SUM/AVG raw doubles. Double addition is non-associative and
+   Spark's partial-aggregate order is nondeterministic, so two runs
+   (or Spark vs DuckDB) differ in the last ULPs. Instead integer-ize
+   per row — ``CAST(ROUND(expr * 100) AS BIGINT)`` — which is a
+   deterministic IEEE-754 computation both engines execute identically,
+   then SUM exactly as bigint. Averages are exact-int sums divided by
+   exact counts (one double division of identical operands → identical
+   bits).
+2. Cast int-ish computed columns to BIGINT on the Spark side: DuckDB's
+   date parts / date_diff / counts are all BIGINT, Spark's are INT.
+3. DuckDB ``SUM(BIGINT)`` returns HUGEINT → always CAST back to BIGINT
+   in the oracle.
+4. ``dayofweek``: Spark is 1=Sunday..7, DuckDB 0=Sunday..6 → +1 in SQL.
+5. Timestamps never cross the compare boundary raw: group keys become
+   DATE or formatted strings (UTC session timezone, set per query).
+6. Deterministic top-k only: every ORDER BY ends with a unique key.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from us_immigration_data_lake_spark.functions.dates import season_expr, SAS_EPOCH
+from us_immigration_data_lake_spark.functions.text import normalized_text
+from us_immigration_data_lake_spark.operators.joins import dim_join, semi_join, anti_join
+from us_immigration_data_lake_spark.operators.windows import top_k_per_group
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    bench: bool = False  # include in bench.py headline set
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def _register(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = False):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, tags=tags, bench=bench)
+        return fn
+    return deco
+
+
+def _tune(spark: SparkSession) -> None:
+    """Deterministic runtime confs — safe on a session we don't own."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+    reader rejects; read nanos as long (legacy conf, runtime-settable)
+    and convert with exact integer division — NOT ``/1000`` (double
+    division loses precision above 2^53; epoch-nanos ≈ 1.7e18)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _cents(col) -> F.Column:
+    """Per-row deterministic money→bigint-cents (rule 1)."""
+    return F.round(col * 100).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Q01 — pricing summary (TPC-H Q1 shape; flagship).
+# Re-expresses the reference's grouped-aggregate pattern (etl.py:169-183,
+# 355-358) over the fact table: filter → groupBy → partial+final hash agg.
+# Scale: single shuffle on 2 low-cardinality keys; filter + 7-col pruning
+# pushed to the parquet scan.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)                        AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)        AS sum_base_price_c,
+           CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_price_c,
+           CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*(1+l_tax)*100) AS BIGINT)) AS BIGINT) AS sum_charge_c,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*)             AS avg_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_price_c,
+           CAST(SUM(CAST(ROUND(l_discount*100) AS BIGINT)) AS DOUBLE) / COUNT(*)  AS avg_disc_pct,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "filter", "scan"),
+    bench=True,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("long")
+    base_c = _cents(F.col("l_extendedprice"))
+    disc_c = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    charge_c = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")))
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.filter(F.to_date("l_shipdate") <= F.lit("2001-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            F.sum(base_c).alias("sum_base_price_c"),
+            F.sum(disc_c).alias("sum_disc_price_c"),
+            F.sum(charge_c).alias("sum_charge_c"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(base_c).cast("double") / F.count(F.lit(1))).alias("avg_price_c"),
+            (F.sum(disc_pct).cast("double") / F.count(F.lit(1))).alias("avg_disc_pct"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q02 — date dimension (the reference's richest single pipeline: the
+# ARRIVALDATE build, etl.py:292-336 — SAS day-number, ISO date, date
+# parts, season CASE, distinct). Native expressions replace UDFs U1/U4.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q02_date_dim",
+    oracle=f"""
+    SELECT DISTINCT
+           date_diff('day', DATE '{SAS_EPOCH}', CAST(l_shipdate AS DATE)) AS sasdate,
+           CAST(l_shipdate AS DATE)                  AS iso_date,
+           dayofmonth(CAST(l_shipdate AS DATE))      AS date_day,
+           month(CAST(l_shipdate AS DATE))           AS date_month,
+           year(CAST(l_shipdate AS DATE))            AS date_year,
+           dayofweek(CAST(l_shipdate AS DATE)) + 1   AS day_of_week,
+           weekofyear(CAST(l_shipdate AS DATE))      AS date_weekofyear,
+           CASE WHEN month(CAST(l_shipdate AS DATE)) IN (12,1,2) THEN 'winter'
+                WHEN month(CAST(l_shipdate AS DATE)) IN (3,4,5)  THEN 'spring'
+                WHEN month(CAST(l_shipdate AS DATE)) IN (6,7,8)  THEN 'summer'
+                ELSE 'autumn' END                    AS date_season
+    FROM lineitem
+    """,
+    tags=("dates", "distinct", "case"),
+    bench=True,
+)
+def q02_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    d = F.to_date("l_shipdate")
+    return (
+        li.select(
+            F.datediff(d, F.lit(SAS_EPOCH).cast("date")).cast("long").alias("sasdate"),
+            d.alias("iso_date"),
+            F.dayofmonth(d).cast("long").alias("date_day"),
+            F.month(d).cast("long").alias("date_month"),
+            F.year(d).cast("long").alias("date_year"),
+            F.dayofweek(d).cast("long").alias("day_of_week"),
+            F.weekofyear(d).cast("long").alias("date_weekofyear"),
+            season_expr(F.month(d)).alias("date_season"),
+        )
+        .dropDuplicates()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q03 — fact build (IMMIGRATION analog, etl.py:224-273): project+cast the
+# fact, derive `stay` via native datediff (replaces UDF U2, etl.py:76-90),
+# join the order dim. Broadcast is wrong here (orders ~ fact/4 rows) so it
+# shuffles on the join key — the canonical large-large sort-merge join.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q03_fact_stay",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber,
+           CAST(l.l_quantity AS BIGINT) AS quantity,
+           CAST(ROUND(l.l_extendedprice*100) AS BIGINT) AS price_c,
+           CAST(l.l_shipdate AS DATE) AS ship_date,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS stay_days,
+           o.o_orderpriority
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    """,
+    tags=("join", "project", "dates"),
+    bench=True,
+)
+def q03_fact_stay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+    return joined.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.col("l_quantity").cast("long").alias("quantity"),
+        _cents(F.col("l_extendedprice")).alias("price_c"),
+        F.to_date("l_shipdate").alias("ship_date"),
+        F.to_date("o_orderdate").alias("order_date"),
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).cast("long").alias("stay_days"),
+        "o_orderpriority",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q04 — top revenue orders (TPC-H Q3 shape): 3-way join, grouped agg,
+# deterministic global top-10 → TakeOrderedAndProject, no full sort.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q04_top_revenue_orders",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice*(1-l.l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+           CAST(o.o_orderdate AS DATE) AS order_date
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1998-03-15'
+      AND CAST(l.l_shipdate AS DATE)  > DATE '1996-03-15'
+    GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)
+    ORDER BY revenue_c DESC, o.o_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "topk"),
+    bench=True,
+)
+def q04_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.to_date("o_orderdate") < F.lit("1998-03-15").cast("date")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate") > F.lit("1996-03-15").cast("date")
+    )
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", F.to_date("o_orderdate").alias("order_date"))
+        .agg(F.sum(rev).alias("revenue_c"))
+        .select("o_orderkey", "revenue_c", "order_date")
+        .orderBy(F.desc("revenue_c"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q05 — semi join: order-priority counts for orders having ≥1 heavy line
+# (LeftSemi — right side never materializes; SURVEY.md §2.3 extension).
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q05_priority_semi",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("semi-join", "agg"),
+)
+def q05_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    orders = _t(spark, sf_dir, "orders")
+    heavy = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        semi_join(orders, heavy, orders.o_orderkey == heavy.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q06 — anti join: customers with no finished ('F') orders (NOT EXISTS).
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q06_customers_no_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+    tags=("anti-join",),
+)
+def q06_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return anti_join(cust, orders, cust.c_custkey == orders.o_custkey).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q07 — pivot (DEMOGRAPHICS race-pivot analog, etl.py:183): nation ×
+# market-segment matrix with EXPLICIT value list (no distinct pre-scan;
+# unbounded pivots are unsafe at scale — SURVEY.md §7).
+# ---------------------------------------------------------------------------
+
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+@_register(
+    "q07_segment_pivot",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CASE WHEN c.c_mktsegment='AUTOMOBILE' THEN CAST(ROUND(c.c_acctbal*100) AS BIGINT) END) AS BIGINT) AS AUTOMOBILE,
+           CAST(SUM(CASE WHEN c.c_mktsegment='BUILDING'   THEN CAST(ROUND(c.c_acctbal*100) AS BIGINT) END) AS BIGINT) AS BUILDING,
+           CAST(SUM(CASE WHEN c.c_mktsegment='FURNITURE'  THEN CAST(ROUND(c.c_acctbal*100) AS BIGINT) END) AS BIGINT) AS FURNITURE,
+           CAST(SUM(CASE WHEN c.c_mktsegment='HOUSEHOLD'  THEN CAST(ROUND(c.c_acctbal*100) AS BIGINT) END) AS BIGINT) AS HOUSEHOLD,
+           CAST(SUM(CASE WHEN c.c_mktsegment='MACHINERY'  THEN CAST(ROUND(c.c_acctbal*100) AS BIGINT) END) AS BIGINT) AS MACHINERY
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("pivot", "broadcast-join"),
+)
+def q07_segment_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        dim_join(cust, nation, cust.c_nationkey == nation.n_nationkey, how="inner")
+        .groupBy("n_name")
+        .pivot("c_mktsegment", _SEGMENTS)
+        .agg(F.sum(_cents(F.col("c_acctbal"))))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q08 — dim enrichment (COUNTRY analog, etl.py:338-396): nation ⋈ region
+# (broadcast), left join aggregated supplier stats, coalesce fallback for
+# nations with no suppliers (replaces the when(isnull) at etl.py:389-390).
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q08_nation_enrich",
+    oracle="""
+    SELECT n.n_nationkey, lower(n.n_name) AS nation_name, r.r_name AS region_name,
+           COALESCE(s.cnt, 0) AS supplier_cnt,
+           COALESCE(s.bal_c, 0) AS supplier_bal_c
+    FROM nation n
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    LEFT JOIN (SELECT s_nationkey, COUNT(*) AS cnt,
+                      CAST(SUM(CAST(ROUND(s_acctbal*100) AS BIGINT)) AS BIGINT) AS bal_c
+               FROM supplier GROUP BY s_nationkey) s
+      ON s.s_nationkey = n.n_nationkey
+    """,
+    tags=("broadcast-join", "left-join", "coalesce"),
+)
+def q08_nation_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(_cents(F.col("s_acctbal"))).alias("bal_c"),
+        )
+    )
+    return (
+        dim_join(nation, region, nation.n_regionkey == region.r_regionkey, how="inner")
+        .join(F.broadcast(supp), F.col("s_nationkey") == F.col("n_nationkey"), "left")
+        .select(
+            "n_nationkey",
+            F.lower("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+            F.coalesce("cnt", F.lit(0)).alias("supplier_cnt"),
+            F.coalesce("bal_c", F.lit(0)).alias("supplier_bal_c"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q09 — window ranking (SURVEY.md §2.5): top-2 orders per customer,
+# deterministic tiebreak on the unique key.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q09_top_orders_per_customer",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey,
+             CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+      FROM orders)
+    WHERE rn <= 2
+    """,
+    tags=("window",),
+    bench=True,
+)
+def q09_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    orders = _t(spark, sf_dir, "orders")
+    ranked = top_k_per_group(
+        orders,
+        ["o_custkey"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        k=2,
+        rank_col="rn",
+    )
+    return ranked.select(
+        "o_custkey",
+        "o_orderkey",
+        _cents(F.col("o_totalprice")).alias("total_c"),
+        F.col("rn").cast("long").alias("rn"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 — rollup (SURVEY.md §2.4 extension): customer counts by region/nation
+# with subtotal + grand-total rows.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q10_rollup_customers",
+    oracle="""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           COUNT(*) AS customer_cnt,
+           CAST(SUM(CAST(ROUND(c.c_acctbal*100) AS BIGINT)) AS BIGINT) AS bal_c
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    tags=("rollup",),
+)
+def q10_rollup_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"),
+                _cents(F.col("c_acctbal")).alias("bal_c"))
+    )
+    return joined.rollup("region_name", "nation_name").agg(
+        F.count(F.lit(1)).alias("customer_cnt"),
+        F.sum("bal_c").alias("bal_c"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — set ops (SURVEY.md §2.5): tagged union of intersect/except results.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q11_setops_custkeys",
+    oracle="""
+    SELECT 'with_orders' AS tag, c_custkey FROM
+      (SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'no_orders' AS tag, c_custkey FROM
+      (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders)
+    """,
+    tags=("setops",),
+)
+def q11_setops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    cust_keys = _t(spark, sf_dir, "customer").select("c_custkey")
+    order_keys = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    with_orders = cust_keys.intersect(order_keys).select(
+        F.lit("with_orders").alias("tag"), "c_custkey"
+    )
+    no_orders = cust_keys.exceptAll(order_keys.distinct()).distinct().select(
+        F.lit("no_orders").alias("tag"), "c_custkey"
+    )
+    return with_orders.unionByName(no_orders)
+
+
+# ---------------------------------------------------------------------------
+# Q12 — distinct aggregation (SURVEY.md §2.4 extension).
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q12_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS distinct_customers,
+           COUNT(*) AS order_cnt,
+           MIN(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS min_total_c,
+           MAX(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS max_total_c
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("agg", "distinct-agg"),
+)
+def q12_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    orders = _t(spark, sf_dir, "orders")
+    total_c = _cents(F.col("o_totalprice"))
+    return orders.groupBy("o_orderstatus").agg(
+        F.count_distinct(F.col("o_custkey")).alias("distinct_customers"),
+        F.count(F.lit(1)).alias("order_cnt"),
+        F.min(total_c).alias("min_total_c"),
+        F.max(total_c).alias("max_total_c"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 — JSON extraction over events (SURVEY.md §2.6 extension; props is a
+# JSON string column).
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q13_events_json",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("json", "agg"),
+)
+def q13_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(k).cast("double") / F.count(F.lit(1))).alias("avg_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 — hourly event aggregation (batch form of the streaming slice;
+# SURVEY.md §2.9). Hour bucket exported as a formatted UTC string so no
+# timestamp crosses the compare boundary.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q14_events_hourly",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_c
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("dates", "agg", "events"),
+    bench=True,
+)
+def q14_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents(F.col("value"))).alias("value_c"),
+        )
+    )
