@@ -1,0 +1,108 @@
+"""Behavioral tests for the LLM-pipeline operators: planted duplicates
+must be found by MinHash-LSH, SimHash must separate near/far docs, SRP
+LSH must agree with exact brute force on its candidates, multimodal
+plumbing must round-trip bytes through Arrow batches."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from us_immigration_data_lake_spark.operators import dedup as dd
+from us_immigration_data_lake_spark.operators import multimodal as mm
+from us_immigration_data_lake_spark.operators import similarity as sim
+from us_immigration_data_lake_spark.operators import textstats as ts
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    far = "completely different content about databases and distributed query engines"
+    far2 = "unrelated words describing mountains rivers valleys and weather patterns"
+    rows = [(1, base), (2, near), (3, far), (4, far2), (5, base)]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_minhash_finds_planted_dups(planted):
+    pairs = dd.near_dup_pairs(
+        planted, "doc_id", "text", shingle_n=3, num_hashes=32, bands=16, threshold=0.5
+    )
+    got = {(r.id1, r.id2) for r in pairs.collect()}
+    assert (1, 5) in got  # exact dup
+    assert (1, 2) in got or (2, 5) in got  # near dup
+    assert (3, 4) not in got
+
+
+def test_minhash_exact_dup_jaccard_is_one(planted):
+    pairs = dd.near_dup_pairs(
+        planted, "doc_id", "text", shingle_n=3, num_hashes=32, bands=16, threshold=0.5
+    )
+    j = {(r.id1, r.id2): r.jaccard for r in pairs.collect()}
+    assert j[(1, 5)] == 1.0
+
+
+def test_simhash_near_docs_have_small_hamming(spark, planted):
+    sig = dd.simhash(planted, "doc_id", "text")
+    s = {r.doc_id: r.simhash for r in sig.collect()}
+    assert s[1] == s[5]  # identical text → identical simhash
+    near = (
+        spark.createDataFrame([(s[1], s[2]), (s[1], s[3])], ["a", "b"])
+        .select(dd.hamming64("a", "b").alias("d"))
+        .collect()
+    )
+    assert near[0].d < near[1].d  # near pair closer than far pair
+
+
+def test_srp_lsh_subset_of_exact_scores(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = sim.cosine_knn(emb, queries, "vec_id", "embedding", k=3)
+    approx = sim.srp_lsh_knn(
+        emb, queries, "vec_id", "embedding", k=3, dim=dim, num_bits=4
+    )
+    exact_scores = {(r.query_id, r.neighbor_id): r.cosine_sim for r in exact.collect()}
+    for r in approx.collect():
+        # every approx hit's score must equal the exact computation
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_scores:
+            assert abs(exact_scores[key] - r.cosine_sim) < 1e-9
+
+
+def test_cosine_knn_self_excluded_and_k(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = sim.cosine_knn(emb, queries, "vec_id", "embedding", k=3).collect()
+    assert len(out) == 15
+    assert all(r.neighbor_id != r.query_id for r in out)
+    assert all(-1.0 <= r.cosine_sim <= 1.0 for r in out)
+
+
+def test_multimodal_feature_extraction_roundtrip(spark, planted):
+    media = mm.text_as_media(planted, "doc_id", "text")
+    feats = mm.extract_features(media, num_features=4)
+    rows = {r.media_id: r for r in feats.collect()}
+    assert rows[1].byte_len == len(
+        "the quick brown fox jumps over the lazy dog again and again today".encode()
+    )
+    assert rows[1].features == rows[5].features  # deterministic
+    assert len(rows[1].features) == 4
+
+
+def test_decode_image_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x89PNG")
+
+
+def test_lang_id_deterministic_tiebreak(spark):
+    df = spark.createDataFrame([(1, "xyz qqq www")], ["doc_id", "text"])
+    out = ts.lang_id(df, "doc_id", "text").collect()[0]
+    assert out.predicted_lang == "en"  # all-zero scores → first profile wins
+
+
+def test_quality_score_bounds(spark, planted):
+    feats = ts.text_features(planted, "doc_id", "text")
+    scored = ts.quality_score(feats)
+    for r in scored.collect():
+        assert 0.0 <= r.quality_score <= 1.0

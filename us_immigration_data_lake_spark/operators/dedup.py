@@ -1,0 +1,181 @@
+"""Deduplication operators (SURVEY.md §2.10): exact, MinHash+LSH,
+SimHash, n-gram Jaccard.
+
+All hashing is JVM-side ``xxhash64`` (seeded, deterministic across
+runs/partitions) — no Python in the hot path. The MinHash family of k
+hash functions is derived from ONE base shingle hash by re-hashing
+``h0 + i`` (splitmix-style mixing via xxhash64), so each row pays one
+string hash + k long hashes instead of k string hashes.
+
+Scale design (100 TB):
+- signatures: one explode + one partial-aggregated groupBy (map-side
+  combine on doc_id) — a single shuffle of (doc_id, k longs).
+- candidate generation: shuffle on (band_idx, band_hash) only; bucket
+  skew is capped by ``max_bucket_size`` (a mega-bucket of near-identical
+  boilerplate would otherwise produce O(n²) pairs on one task — cap,
+  count, and report instead).
+- verification: exact Jaccard via array_intersect on the two shingle
+  arrays, joined by id — no re-tokenization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from us_immigration_data_lake_spark.functions.text import normalized_text, tokens
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document. Documents shorter
+    than n tokens contribute their whole normalized text as the single
+    shingle (so they can still be exact-matched)."""
+    tok = tokens(normalized_text(F.col(text_col)))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(tok) - n),
+        lambda i: F.array_join(F.slice(tok, i + 1, n), " "),
+    )
+    sh = F.when(F.size(tok) >= n, grams).otherwise(
+        F.array(normalized_text(F.col(text_col)))
+    )
+    return df.select(F.col(id_col), F.array_distinct(sh).alias("shingles"))
+
+
+def minhash_signatures(
+    shingle_df: DataFrame, id_col: str, num_hashes: int = 64
+) -> DataFrame:
+    """MinHash signature per document: sig[i] = min over shingles of
+    xxhash64(xxhash64(shingle) + i)."""
+    exploded = shingle_df.select(
+        F.col(id_col), F.explode("shingles").alias("s")
+    ).withColumn("h0", F.xxhash64("s"))
+    aggs = [
+        F.min(F.xxhash64(F.col("h0") + F.lit(i))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    sig = exploded.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("signature"),
+    )
+
+
+def lsh_bands(sig_df: DataFrame, id_col: str, bands: int, rows: int) -> DataFrame:
+    """Band the signature: band_hash = xxhash64 of the band's slice
+    (stringified — array args hash element-wise fine via concat_ws)."""
+    out = sig_df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.xxhash64(
+                        F.concat_ws(",", *[
+                            F.element_at("signature", b * rows + r + 1).cast("string")
+                            for r in range(rows)
+                        ])
+                    ).alias("band_hash"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("band"),
+    )
+    return out.select(id_col, "band.band_idx", "band.band_hash")
+
+
+def candidate_pairs(
+    band_df: DataFrame, id_col: str, max_bucket_size: int = 1000
+) -> DataFrame:
+    """Self-join on (band_idx, band_hash) with id1 < id2; mega-buckets
+    are dropped (boilerplate clusters — report separately, don't
+    quadratically explode one reducer). Bucket sizes come from a
+    grouped count re-joined on the band key: the count, the filter
+    join, and the pair self-join all share one hash partitioning on
+    (band_idx, band_hash), so AQE reuses the shuffle."""
+    ok_buckets = (
+        band_df.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n") <= max_bucket_size)
+        .select("band_idx", "band_hash")
+    )
+    sized = band_df.join(ok_buckets, on=["band_idx", "band_hash"])
+    a = sized.select(
+        F.col(id_col).alias("id1"), "band_idx", "band_hash"
+    )
+    b = sized.select(
+        F.col(id_col).alias("id2"), "band_idx", "band_hash"
+    )
+    return (
+        a.join(b, on=["band_idx", "band_hash"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .dropDuplicates()
+    )
+
+
+def verify_jaccard(
+    pairs: DataFrame, shingle_df: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact Jaccard on shingle arrays for candidate pairs; ratio is
+    int/int → deterministic double."""
+    s1 = shingle_df.select(F.col(id_col).alias("id1"), F.col("shingles").alias("sh1"))
+    s2 = shingle_df.select(F.col(id_col).alias("id2"), F.col("shingles").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2")).cast("long")
+    union = F.size(F.array_union("sh1", "sh2")).cast("long")
+    return (
+        pairs.join(s1, "id1").join(s2, "id2")
+        .select(
+            "id1", "id2",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-duplicate detection."""
+    rows = num_hashes // bands
+    sh = shingles(df, id_col, text_col, shingle_n)
+    sh.cache()  # reused by signatures and verification
+    sig = minhash_signatures(sh, id_col, num_hashes)
+    band_df = lsh_bands(sig, id_col, bands, rows)
+    cand = candidate_pairs(band_df, id_col)
+    return verify_jaccard(cand, sh, id_col, threshold)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over token hashes: bit b of the result is the
+    sign of sum over tokens of ±1 at bit b (count-weighted). One
+    explode + one aggregate; the 64 per-bit sums are partial-aggregated
+    map-side."""
+    tok_df = df.select(
+        F.col(id_col), F.explode(tokens(normalized_text(F.col(text_col)))).alias("t")
+    ).withColumn("h", F.xxhash64("t"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = tok_df.groupBy(id_col).agg(*bit_sums)
+    sim = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, b)
+        sim = term if sim is None else sim.bitwiseOR(term)
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def hamming64(a, b) -> F.Column:
+    """Hamming distance of two 64-bit signatures (bit_count of XOR)."""
+    return F.bit_count(F.col(a).bitwiseXOR(F.col(b)))

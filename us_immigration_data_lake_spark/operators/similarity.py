@@ -1,0 +1,145 @@
+"""Embedding similarity search (SURVEY.md §2.10): brute-force cosine
+top-k as the exact baseline, and a random-hyperplane (SRP) LSH bucketed
+variant as the 100 TB path.
+
+The float32 embedding arrays are cast to double FIRST so both the dot
+product and the norms accumulate in double — bitwise-reproducible and
+comparable to external oracles computing in double.
+
+Scale design:
+- brute-force: broadcast the (small) query set against the corpus —
+  embarrassingly parallel map + per-query top-k (window). Correct but
+  O(|corpus|·|queries|): the baseline only.
+- SRP-LSH: each vector gets a b-bit signature (sign of dot with b
+  fixed random hyperplanes, seed-deterministic); search joins only
+  vectors sharing the signature bucket (optionally multi-probe with
+  Hamming-1 neighbors). Shuffles on the bucket key instead of
+  broadcasting the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _as_double(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact brute-force cosine top-k: broadcast queries × corpus →
+    score → per-query window top-k (deterministic tiebreak on corpus
+    id). Returns (query_id, neighbor_id, cosine_sim)."""
+    qid = query_id_col or id_col
+    q = F.broadcast(
+        queries.select(
+            F.col(qid).alias("query_id"), _as_double(vec_col).alias("qv")
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+def srp_signature(vec_col: Column, planes: np.ndarray) -> Column:
+    """b-bit sign signature: bit i = 1 iff dot(v, planes[i]) > 0.
+    Planes are literal arrays (seed-fixed), so the expression is pure
+    JVM arithmetic — no UDF, no nondeterminism."""
+    bits = None
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot(vec_col, p) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        bits = term if bits is None else bits.bitwiseOR(term)
+    return bits
+
+
+def srp_planes(dim: int, num_bits: int = 12, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(num_bits, dim)
+
+
+def srp_lsh_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    dim: int,
+    num_bits: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share the SRP bucket; exact cosine
+    re-rank within bucket. At 100 TB the bucket join replaces the
+    corpus broadcast; recall is tuned by num_bits (fewer bits → bigger
+    buckets → higher recall, more compute)."""
+    planes = srp_planes(dim, num_bits, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("cv"),
+    ).withColumn("bucket", srp_signature(F.col("cv"), planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("qv"),
+    ).withColumn("bucket", srp_signature(F.col("qv"), planes))
+    scored = (
+        c.join(q, on="bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )

@@ -1,0 +1,109 @@
+"""Text-analysis operators (SURVEY.md §2.10): token statistics, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+Everything is native Spark SQL expressions (JVM-side, codegen'd) — no
+Python UDFs anywhere in the hot path. All ratios are exact-integer
+numerators/denominators divided once in double, so results are
+bitwise-reproducible and oracle-comparable (see plans/queries.py rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from us_immigration_data_lake_spark.functions.text import normalized_text, tokens
+
+# public, conventional stopword markers per language (tiny profiles —
+# the heuristic is a count-argmax over these; real pipelines would use
+# full profiles, same plan shape).
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "es": ("el", "la", "los", "que", "y", "por"),
+    "fr": ("le", "les", "et", "des", "une", "dans"),
+    "zh": ("的", "了", "是", "在", "我", "有"),
+}
+
+_STOPWORDS = ("the", "a", "and", "of", "to", "is", "in", "it")
+
+
+def _count_in(tok: Column, words: tuple[str, ...]) -> Column:
+    """# tokens ∈ words — exact integer, single array pass."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tok, lambda t: F.array_contains(arr, t))).cast("long")
+
+
+def text_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document feature bundle: char/token counts, distinct-token
+    count, stopword count, punctuation count — all exact integers."""
+    tok = tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).cast("long").alias("n_chars_obs"),
+        F.size(tok).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(tok)).cast("long").alias("n_distinct_tokens"),
+        _count_in(tok, _STOPWORDS).alias("n_stopwords"),
+        F.length(F.regexp_replace(text_col, r"[^\.\,\!\?\;\:]", "")).cast("long")
+        .alias("n_punct"),
+        F.aggregate(
+            F.transform(tok, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_token_len"),
+    )
+
+
+def quality_score(features: DataFrame) -> DataFrame:
+    """Composite quality score from exact-integer features — the
+    length/stopword/uniqueness heuristic family used to filter LLM
+    training corpora. One double expression at the end (deterministic:
+    same operands, same op order on both engines)."""
+    nt = F.col("n_tokens").cast("double")
+    uniq = F.col("n_distinct_tokens") / nt
+    stop = F.col("n_stopwords") / nt
+    meanlen = F.col("sum_token_len") / nt
+    length_score = F.least(nt / F.lit(100.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * uniq
+        + F.lit(0.2) * F.least(stop * 5.0, F.lit(1.0))
+        + F.lit(0.2) * length_score
+        + F.lit(0.2) * F.least(meanlen / 8.0, F.lit(1.0))
+    )
+    return features.withColumn("quality_score", F.round(score, 6))
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-profile language ID: count profile hits per language on
+    the token array; argmax with first-profile-wins ties (deterministic).
+    Comparisons are on raw integer counts (same denominator), so no
+    float ordering ambiguity exists."""
+    tok = tokens(F.lower(F.col(text_col)))
+    out = df.select(F.col(id_col), *[c for c in df.columns if c != id_col])
+    for lang, words in LANG_PROFILES.items():
+        out = out.withColumn(f"score_{lang}", _count_in(tok, words))
+    langs = list(LANG_PROFILES)
+    pred = None
+    for i, lang in enumerate(langs):
+        cond = None
+        for other in langs[i + 1:]:
+            c = F.col(f"score_{lang}") >= F.col(f"score_{other}")
+            cond = c if cond is None else (cond & c)
+        branch = F.lit(lang)
+        if pred is None:
+            pred = F.when(cond, branch)
+        elif cond is not None:
+            pred = pred.when(cond, branch)
+        else:
+            pred = pred.otherwise(branch)
+    return out.withColumn("predicted_lang", pred)
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic document fingerprint: md5 of whitespace-normalized
+    lowercase text (etl.py's capitalize/normalize family generalized to
+    content addressing for dedup)."""
+    return df.select(
+        F.col(id_col),
+        F.md5(normalized_text(F.col(text_col))).alias("fingerprint"),
+    )

@@ -33,6 +33,10 @@ from us_immigration_data_lake_spark.functions.dates import season_expr, SAS_EPOC
 from us_immigration_data_lake_spark.functions.text import normalized_text
 from us_immigration_data_lake_spark.operators.joins import dim_join, semi_join, anti_join
 from us_immigration_data_lake_spark.operators.windows import top_k_per_group
+from us_immigration_data_lake_spark.operators import dedup as dedup_ops
+from us_immigration_data_lake_spark.operators import multimodal as mm_ops
+from us_immigration_data_lake_spark.operators import similarity as sim_ops
+from us_immigration_data_lake_spark.operators import textstats as ts_ops
 
 
 @dataclass
@@ -574,4 +578,374 @@ def q14_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum(_cents(F.col("value"))).alias("value_c"),
         )
+    )
+
+
+# ===========================================================================
+# LLM-data-pipeline operators (SURVEY.md §2.10) over documents/embeddings.
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Q15 — exact dedup by content fingerprint: survivor = min doc_id per
+# normalized text (deterministic, one hash-aggregate — dedup_exact's
+# keyed form, operators/aggregate.py).
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q15_dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_cnt,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    GROUP BY 3
+    """,
+    tags=("dedup", "fingerprint"),
+    bench=True,
+)
+def q15_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(normalized_text(F.col("text"))).alias("fingerprint"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("dup_cnt"))
+        .select("doc_id", "dup_cnt", "fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — text statistics per language: exact-integer token/char/stopword
+# counts (operators/textstats.py) rolled up with deterministic averages.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q16_text_stats",
+    oracle="""
+    WITH feat AS (
+      SELECT lang,
+             length(text) AS n_chars_obs,
+             array_length(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             array_length(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_distinct
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS docs,
+           CAST(SUM(n_chars_obs) AS BIGINT) AS total_chars,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           CAST(SUM(n_distinct) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE) AS distinct_ratio
+    FROM feat GROUP BY lang
+    """,
+    tags=("textstats", "agg"),
+    bench=True,
+)
+def q16_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    tok = F.split(F.trim(F.col("text")), r"\s+")
+    feat = docs.select(
+        "lang",
+        F.length("text").cast("long").alias("n_chars_obs"),
+        F.size(tok).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(tok)).cast("long").alias("n_distinct"),
+    )
+    return feat.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_chars_obs").alias("total_chars"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        (F.sum("n_distinct").cast("double") / F.sum("n_tokens").cast("double")).alias("distinct_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 — quality scoring (textstats.quality_score): per-doc composite from
+# exact-integer features; deterministic double formula, rounded.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q17_quality_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source,
+             string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    ), feat AS (
+      SELECT doc_id, source,
+             CAST(array_length(toks) AS BIGINT) AS n_tokens,
+             CAST(array_length(list_distinct(toks)) AS BIGINT) AS n_distinct,
+             CAST(len(list_filter(toks, t -> list_contains(['the','a','and','of','to','is','in','it'], t))) AS BIGINT) AS n_stop,
+             CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len
+      FROM tok
+    )
+    SELECT doc_id, source,
+           ROUND(
+             0.4 * (n_distinct / CAST(n_tokens AS DOUBLE))
+             + 0.2 * LEAST((n_stop / CAST(n_tokens AS DOUBLE)) * 5.0, 1.0)
+             + 0.2 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+             + 0.2 * LEAST((sum_len / CAST(n_tokens AS DOUBLE)) / 8.0, 1.0)
+           , 6) AS quality_score
+    FROM feat
+    """,
+    tags=("textstats", "quality"),
+)
+def q17_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    feats = ts_ops.text_features(docs, "doc_id", "text")
+    scored = ts_ops.quality_score(feats)
+    src = docs.select("doc_id", "source")
+    return scored.join(src, "doc_id").select("doc_id", "source", "quality_score")
+
+
+# ---------------------------------------------------------------------------
+# Q18 — language-ID heuristic (textstats.lang_id): stopword-profile
+# argmax, confusion-matrix rollup. Integer-count comparisons only.
+# ---------------------------------------------------------------------------
+
+_LANG_CASES_SQL = """
+      CASE
+        WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        WHEN s_fr >= s_zh THEN 'fr'
+        ELSE 'zh' END
+"""
+
+@_register(
+    "q18_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang,
+        len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+            t -> list_contains(['the','a','and','of','to','is'], t))) AS s_en,
+        len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+            t -> list_contains(['der','die','das','und','ist','nicht'], t))) AS s_de,
+        len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+            t -> list_contains(['el','la','los','que','y','por'], t))) AS s_es,
+        len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+            t -> list_contains(['le','les','et','des','une','dans'], t))) AS s_fr,
+        len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+            t -> list_contains(['的','了','是','在','我','有'], t))) AS s_zh
+      FROM documents
+    )
+    SELECT lang, {_LANG_CASES_SQL} AS predicted_lang, COUNT(*) AS n
+    FROM scored GROUP BY 1, 2
+    """,
+    tags=("textstats", "lang-id"),
+)
+def q18_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    pred = ts_ops.lang_id(docs, "doc_id", "text")
+    return pred.groupBy("lang", "predicted_lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Q19 — exact n-gram Jaccard similarity for candidate pairs (restricted
+# pair space: same lang, doc_id bucket) — the verification stage of the
+# near-dup pipeline, fully SQL-expressible so it gets a real oracle.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q19_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, lang,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, len(toks)-1)]) AS shingles
+      FROM (SELECT doc_id, lang,
+                   string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM documents WHERE doc_id < 100)
+      WHERE len(toks) >= 3
+    )
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
+             AS jaccard
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+    """,
+    tags=("dedup", "jaccard"),
+)
+def q19_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    tok = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    sh = docs.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(tok) - 3),
+                lambda i: F.array_join(F.slice(tok, i + 1, 3), " "),
+            )
+        ).alias("shingles"),
+    ).filter(F.size(tok) >= 3)
+    a = sh.select(F.col("doc_id").alias("id1"), F.col("lang"), F.col("shingles").alias("sh1"))
+    b = sh.select(F.col("doc_id").alias("id2"), F.col("lang"), F.col("shingles").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2")).cast("long")
+    union = (F.size("sh1") + F.size("sh2")).cast("long") - inter
+    return (
+        a.join(b, on="lang")
+        .filter(F.col("id1") < F.col("id2"))
+        .select(
+            "id1", "id2",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(inter > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — MinHash-LSH near-duplicate pairs (operators/dedup.py). The LSH
+# banding depends on xxhash64, which DuckDB lacks → rows-only check;
+# exactness of the verification stage is covered by Q19's oracle and
+# tests/test_llm_ops.py's planted-duplicate assertions.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q20_minhash_near_dups",
+    oracle=None,
+    tags=("dedup", "minhash", "lsh"),
+    bench=True,
+)
+def q20_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    # the synthetic corpus has no planted duplicates, so the jaccard
+    # threshold is set where shared-vocabulary 2-gram overlap still
+    # yields pairs (verifies the full pipeline: shingle → signature →
+    # band → bucket join → exact verify) without the quadratic pair
+    # explosion a 0.02-threshold run produces at sf0.1.
+    return dedup_ops.near_dup_pairs(
+        docs, "doc_id", "text", shingle_n=2, num_hashes=32, bands=16, threshold=0.055
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — SimHash signatures (operators/dedup.py): 64-bit sign-sum over
+# token hashes. xxhash64-dependent → rows-only.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q21_simhash",
+    oracle=None,
+    tags=("dedup", "simhash"),
+)
+def q21_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedup_ops.simhash(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Q22 — brute-force cosine top-3 neighbors for the first 10 vectors
+# (operators/similarity.py). Double-cast arrays; DuckDB oracle computes
+# the same cosine (rounded to 6dp so last-ulp formula differences in
+# norm order cannot flip the hash).
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q22_knn_cosine",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+               FROM embeddings),
+         scored AS (
+           SELECT q.query_id, c.neighbor_id,
+                  ROUND(list_cosine_similarity(q.qv, c.cv), 6) AS cosine_sim
+           FROM q JOIN c ON q.query_id != c.neighbor_id),
+         ranked AS (
+           SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cosine_sim DESC, neighbor_id) AS BIGINT) AS rn
+           FROM scored)
+    SELECT query_id, neighbor_id, cosine_sim, rn FROM ranked WHERE rn <= 3
+    """,
+    tags=("similarity", "knn"),
+    bench=True,
+)
+def q22_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim_ops.cosine_knn(emb, queries, "vec_id", "embedding", k=3)
+
+
+# ---------------------------------------------------------------------------
+# Q23 — embedding stats per label: norms via double fold; per-row
+# integer-ization before the sum (oracle rule 1).
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q23_embedding_stats",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * 10000) AS BIGINT)) AS BIGINT) AS sum_norm_e4,
+           CAST(SUM(CAST(len(embedding) AS BIGINT)) AS BIGINT) AS total_dims
+    FROM embeddings
+    GROUP BY label
+    """,
+    tags=("similarity", "agg"),
+)
+def q23_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(norm * 10000).cast("long")).alias("sum_norm_e4"),
+        F.sum(F.size("embedding").cast("long")).alias("total_dims"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q24 — SRP-LSH approximate nearest neighbors (the 100 TB scale path for
+# Q22): bucketed join instead of corpus broadcast. Seeded hyperplanes →
+# deterministic; xxhash-free but plane literals are not SQL-portable →
+# rows-only (recall vs exact is asserted in tests/test_llm_ops.py).
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q24_srp_lsh_knn",
+    oracle=None,
+    tags=("similarity", "lsh"),
+)
+def q24_srp_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim_ops.srp_lsh_knn(
+        emb, queries, "vec_id", "embedding", k=3, dim=dim, num_bits=6
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q25 — multimodal plumbing (operators/multimodal.py): binary payload
+# column + byte length + content hash. The decode step is stubbed
+# (no codecs in container); the binary/metadata schema and byte ops are
+# real and oracle-checked.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q25_multimodal_bytes",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           sha256(text) AS content_sha
+    FROM documents
+    """,
+    tags=("multimodal", "binary"),
+)
+def q25_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    media = mm_ops.text_as_media(docs, "doc_id", "text")
+    return media.select(
+        "media_id",
+        F.octet_length("content").cast("long").alias("byte_len"),
+        F.sha2("content", 256).alias("content_sha"),
     )
