@@ -1,0 +1,64 @@
+"""Streaming slice: tumbling/session windows and the custom stateful
+operator must agree with batch-computed equivalents on the finite
+events source."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from us_immigration_data_lake_spark.plans.queries import load_events
+from us_immigration_data_lake_spark.streaming import (
+    read_event_stream,
+    run_to_memory,
+    running_user_stats,
+    session_agg,
+    tumbling_agg,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_tumbling_matches_batch(spark):
+    stream = read_event_stream(spark, SF)
+    got = run_to_memory(tumbling_agg(stream, "1 hour"), "t_tumble")
+    batch = (
+        load_events(spark, SF)
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_c"),
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_session_windows_merge_and_count(spark):
+    stream = read_event_stream(spark, SF)
+    got = run_to_memory(session_agg(stream, "10 minutes"), "t_sessions")
+    rows = got.collect()
+    total_events = load_events(spark, SF).count()
+    assert sum(r.n_events for r in rows) == total_events  # partition of events
+    assert all(r.session_end_us - r.session_start_us >= 600_000_000 for r in rows)
+
+
+def test_stateful_running_totals_final_state(spark):
+    stream = read_event_stream(spark, SF)
+    got = run_to_memory(running_user_stats(stream), "t_stateful", mode="update")
+    # update-mode memory sink appends every emission; last one per user
+    # is the final state — compare against batch totals
+    final = (
+        got.groupBy("user_id")
+        .agg(F.max("n_events").alias("n"), F.max("total_value_c").alias("c"))
+    )
+    batch = (
+        load_events(spark, SF)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"),
+        )
+    )
+    assert sorted(map(tuple, final.collect())) == sorted(map(tuple, batch.collect()))

@@ -60,6 +60,13 @@ def _register(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: 
 def _tune(spark: SparkSession) -> None:
     """Deterministic runtime confs — safe on a session we don't own."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        # a foreign session's default 200 shuffle partitions is pure
+        # overhead at bench scale (AQE coalesces batch shuffles, but
+        # streaming state shuffles use the raw value)
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    except Exception:
+        pass
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -948,4 +955,110 @@ def q25_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         F.octet_length("content").cast("long").alias("byte_len"),
         F.sha2("content", 256).alias("content_sha"),
+    )
+
+
+# ===========================================================================
+# Structured Streaming slice (SURVEY.md §2.9) — streaming/ module.
+# Each query executes a real streaming job (availableNow → memory sink)
+# and returns the materialized result, so the driver's batch-style
+# compare still applies.
+# ===========================================================================
+
+from us_immigration_data_lake_spark.streaming.windows import (  # noqa: E402
+    read_event_stream,
+    run_to_memory,
+    session_agg,
+    tumbling_agg,
+)
+from us_immigration_data_lake_spark.streaming.stateful import (  # noqa: E402
+    running_user_stats,
+)
+
+_STREAM_SEQ = [0]  # memory-sink names must be unique per run
+
+
+def _sink_name(base: str) -> str:
+    _STREAM_SEQ[0] += 1
+    return f"{base}_{_STREAM_SEQ[0]}"
+
+
+# ---------------------------------------------------------------------------
+# Q26 — streaming tumbling-window hourly aggregation; oracle is the
+# equivalent batch SQL (finite source ⇒ identical results).
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q26_stream_hourly",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_c
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window"),
+)
+def q26_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    stream = read_event_stream(spark, sf_dir)
+    return run_to_memory(tumbling_agg(stream, "1 hour"), _sink_name("q26_hourly"))
+
+
+# ---------------------------------------------------------------------------
+# Q27 — streaming session windows (10-min gap per user). Oracle:
+# lag-based sessionization over exact epoch-micros — new session iff
+# gap ≥ 10 min; session end = last event + gap (Spark session_window
+# semantics).
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q27_stream_sessions",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+    ), flagged AS (
+      SELECT user_id, ts_us,
+             CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                       >= 600000000 OR
+                       LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+    ), sessions AS (
+      SELECT user_id, ts_us,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) + 600000000 AS session_end_us,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "session-window"),
+)
+def q27_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    stream = read_event_stream(spark, sf_dir)
+    return run_to_memory(session_agg(stream, "10 minutes"), _sink_name("q27_sessions"))
+
+
+# ---------------------------------------------------------------------------
+# Q28 — custom stateful operator (applyInPandasWithState): running
+# per-user totals. Update-mode emissions depend on batch boundaries →
+# rows-only check; final-state values are asserted in tests.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q28_stream_stateful",
+    oracle=None,
+    tags=("streaming", "stateful"),
+)
+def q28_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    stream = read_event_stream(spark, sf_dir)
+    return run_to_memory(
+        running_user_stats(stream), _sink_name("q28_stateful"), mode="update"
     )

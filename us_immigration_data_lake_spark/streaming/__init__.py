@@ -1,0 +1,15 @@
+from us_immigration_data_lake_spark.streaming.windows import (
+    read_event_stream,
+    tumbling_agg,
+    session_agg,
+    run_to_memory,
+)
+from us_immigration_data_lake_spark.streaming.stateful import running_user_stats
+
+__all__ = [
+    "read_event_stream",
+    "tumbling_agg",
+    "session_agg",
+    "run_to_memory",
+    "running_user_stats",
+]

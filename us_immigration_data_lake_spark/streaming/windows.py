@@ -1,0 +1,100 @@
+"""Structured Streaming slice (SURVEY.md §2.9 — a planned extension;
+the reference has zero streaming code, its README only aspires to
+"real-time decision making").
+
+File-source streams over the events table: tumbling windows, session
+windows, watermarks, memory-sink materialization. In a finite
+(availableNow) run, append mode strands every window newer than
+[max event time - watermark] in state — so the batch-equivalent
+correctness queries use COMPLETE mode, and watermark+append semantics
+are exercised separately in tests.
+
+Scale notes: streaming aggregation state lives in the state store,
+keyed by (window, group keys) — at 100 TB/day the state key space must
+be bounded (hour buckets × event types is fine; never user_id × minute
+for unbounded users without TTL). Session windows shuffle on the
+session key; watermark bounds state size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# explicit schema — a streaming source cannot infer; ts arrives as raw
+# nanos (see plans/queries.py:load_events for why long-nanos)
+EVENTS_SCHEMA = StructType([
+    StructField("event_id", LongType(), True),
+    StructField("ts", LongType(), True),
+    StructField("user_id", LongType(), True),
+    StructField("event_type", StringType(), True),
+    StructField("value", DoubleType(), True),
+    StructField("props", StringType(), True),
+])
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file-stream source requires a directory (or glob) — a bare
+    # file path fails with "Option 'basePath' must be a directory"
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(f"{sf_dir.rstrip('/')}/events*.parquet")
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_agg(stream: DataFrame, duration: str = "1 hour") -> DataFrame:
+    """Tumbling-window counts/sums per event type; value integer-ized
+    per row (oracle rule 1, plans/queries.py)."""
+    return (
+        stream.groupBy(F.window("ts", duration).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_c"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "value_c",
+        )
+    )
+
+
+def session_agg(stream: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Session windows per user: a session extends while consecutive
+    events are < gap apart; exported as exact epoch-micros bigints."""
+    return (
+        stream.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, mode: str = "complete"
+) -> DataFrame:
+    """Execute the streaming query to completion (availableNow) into a
+    memory sink and return the materialized table."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
