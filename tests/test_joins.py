@@ -1,0 +1,36 @@
+"""as_of_join semantics: most recent right row ≤ left ts, per key."""
+
+from __future__ import annotations
+
+from us_immigration_data_lake_spark.operators.joins import as_of_join
+
+
+def test_asof_basic(spark):
+    trades = spark.createDataFrame(
+        [(1, 100, "t1"), (1, 205, "t2"), (2, 150, "t3")],
+        ["k", "ts", "trade"],
+    )
+    quotes = spark.createDataFrame(
+        [(1, 90, 10.0), (1, 200, 11.0), (1, 205, 12.0), (2, 160, 99.0)],
+        ["k", "qts", "px"],
+    )
+    out = as_of_join(
+        trades, quotes, keys=["k"], left_ts="ts", right_ts="qts",
+        right_vals=["px", "qts"], tiebreak="qts",
+    )
+    got = {r.trade: (r.px, r.qts) for r in out.collect()}
+    assert got["t1"] == (10.0, 90)      # most recent quote ≤ 100
+    assert got["t2"] == (12.0, 205)     # tie (equal ts) included
+    assert got["t3"] == (None, None)    # no quote ≤ 150 for key 2
+
+
+def test_asof_multiple_right_same_ts_latest_tiebreak_wins(spark):
+    left = spark.createDataFrame([(1, 100, "x")], ["k", "ts", "tag"])
+    right = spark.createDataFrame(
+        [(1, 50, 1, "a"), (1, 50, 2, "b")], ["k", "qts", "seq", "v"]
+    )
+    out = as_of_join(
+        left, right, keys=["k"], left_ts="ts", right_ts="qts",
+        right_vals=["v"], tiebreak="seq",
+    )
+    assert out.collect()[0].v == "b"

@@ -1,0 +1,91 @@
+"""Physical-plan audits: correctness tests prove the answer is right;
+these prove the PLAN is the one we'd want at 100 TB (SURVEY.md §4).
+
+Each assertion is a property that must survive a scale-up:
+- filters/column-pruning pushed into the parquet scan,
+- dim joins broadcast (no shuffle of the fact side's join key),
+- global top-k planned as TakeOrderedAndProject (no full sort),
+- no row-wise Python UDFs anywhere (BatchEvalPython),
+- single-pass aggregation for the demographics pivot (no self-join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from us_immigration_data_lake_spark.plans.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name].fn(spark, SF)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q01_filter_and_pruning_pushed(spark):
+    plan = _plan(spark, "q01_pricing_summary")
+    assert "PushedFilters: [" in plan
+    # projection pruned to the 7 needed columns — shipdate filter pushed
+    assert "l_shipdate" in plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_q07_dim_join_broadcasts(spark):
+    plan = _plan(spark, "q07_segment_pivot")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q04_topk_is_take_ordered(spark):
+    plan = _plan(spark, "q04_top_revenue_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_python_udfs_in_batch_queries(spark):
+    # every batch query must stay JVM-side; the only sanctioned Python
+    # is mapInPandas in multimodal (not part of compare queries) and
+    # applyInPandasWithState in streaming (q28)
+    for name, spec in QUERIES.items():
+        if "streaming" in spec.tags:
+            continue
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, f"{name} uses a row-wise Python UDF"
+
+
+def test_whole_stage_codegen_active(spark):
+    # AQE wraps the plan and hides codegen spans until runtime; check
+    # the non-adaptive physical plan, where codegen stages are static
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = QUERIES["q01_pricing_summary"].fn(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # codegen stages render as "*(n) Operator" in plan toString
+        assert "*(1)" in plan and "*(2)" in plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_demographics_pivot_is_single_aggregate(spark):
+    # the reference joins two aggregates of one source (etl.py:186);
+    # ours must be ONE aggregate — no join operator in the plan
+    from us_immigration_data_lake_spark.pipelines import build_demographics
+
+    raw = spark.createDataFrame(
+        [("A", "S", "SC", "1.0", "1", "2", "3", "4", "5", "2.0", "White", "7")],
+        ["City", "State", "State Code", "Median Age", "Male Population",
+         "Female Population", "Total Population", "Number of Veterans",
+         "Foreign-born", "Average Household Size", "Race", "Count"],
+    )
+    plan = build_demographics(raw)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    plan = _plan(spark, "q29_asof_purchase_view")
+    # merge-pattern as-of join: union + one window sort, never a
+    # broadcast-nested-loop or cartesian plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -44,6 +44,62 @@ def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
 def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
     """Rows of left with NO match in right (NOT EXISTS)."""
     return left.join(right, on=on, how="left_anti")
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_vals: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, the most recent right row with
+    right_ts <= left_ts on the same keys (ties included).
+
+    Implemented as the scalable merge pattern — tag and union both
+    sides, one shuffle+sort on (keys, ts), then a running last-non-null
+    window carries the latest right values forward onto left rows. No
+    range cross-product, no broadcast: cost is one sort-shuffle of
+    |left|+|right|, which survives 100× scale-up (the naive
+    inequality-join plan is a broadcast-nested-loop that does not).
+
+    ``tiebreak``: extra right-side ordering column so multiple right
+    rows at one timestamp resolve deterministically (latest wins).
+    """
+    lcols = left.columns
+    lpayload = [c for c in lcols if c not in keys]
+    struct_fields = [F.col(v).alias(v) for v in right_vals]
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).cast("long").alias("__tb"),
+        F.struct(*struct_fields).alias("__rv"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lpayload],
+    )
+    l = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(2**63 - 1).alias("__tb"),
+        F.lit(None).cast(r.schema["__rv"].dataType).alias("__rv"),
+        *lpayload,
+    )
+    merged = r.unionByName(l)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.asc("__ts"), F.asc("__side"), F.asc("__tb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.withColumn(
+        "__last_rv", F.last("__rv", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("__side") == 1).select(
+        *lcols, *[F.col("__last_rv")[v].alias(v) for v in right_vals]
+    )
+    return out
 
 
 def range_join(

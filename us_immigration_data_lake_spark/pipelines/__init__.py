@@ -1,0 +1,15 @@
+from us_immigration_data_lake_spark.pipelines.immigration import (
+    build_demographics,
+    build_demographics_state_rollup,
+    build_immigration_fact,
+    build_arrival_date_dim,
+    build_country,
+)
+
+__all__ = [
+    "build_demographics",
+    "build_demographics_state_rollup",
+    "build_immigration_fact",
+    "build_arrival_date_dim",
+    "build_country",
+]

@@ -1062,3 +1062,163 @@ def q28_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         running_user_stats(stream), _sink_name("q28_stateful"), mode="update"
     )
+
+
+# ===========================================================================
+# Extended relational surface: as-of join, cube, scalar functions, raw SQL.
+# ===========================================================================
+
+from us_immigration_data_lake_spark.operators.joins import as_of_join  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# Q29 — as-of join (operators/joins.py:as_of_join): each purchase event
+# matched to the user's most recent prior-or-equal view event. Spark
+# side is the merge pattern (one sort-shuffle, scale-safe); oracle uses
+# DuckDB's native ASOF JOIN.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q29_asof_purchase_view",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+               FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT event_id AS view_event_id, user_id,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS view_ts_us
+               FROM events WHERE event_type = 'view')
+    SELECT p.event_id, p.user_id, p.ts_us,
+           v.view_event_id, v.view_ts_us
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND p.ts_us >= v.view_ts_us
+    """,
+    tags=("asof-join", "events"),
+)
+def q29_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    ev = load_events(spark, sf_dir).withColumn("ts_us", F.unix_micros("ts"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"),
+        "user_id",
+        F.col("ts_us").alias("view_ts_us"),
+    )
+    return as_of_join(
+        purchases,
+        views,
+        keys=["user_id"],
+        left_ts="ts_us",
+        right_ts="view_ts_us",
+        right_vals=["view_event_id", "view_ts_us"],
+        tiebreak="view_event_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q30 — cube (SURVEY.md §2.4 extension): all grouping-set combinations
+# of (status, priority).
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q30_cube_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("cube",),
+)
+def q30_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_cents(F.col("o_totalprice"))).alias("total_c"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q31 — scalar function surface (SURVEY.md §2.6): string/math/array
+# functions chosen for cross-engine bit-exactness (sqrt is IEEE
+# exact-rounded; no libm-divergent fns like ln/pow in compare columns).
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q31_scalar_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand)                      AS brand_upper,
+           lower(p_type)                       AS type_lower,
+           substring(p_name, 1, 8)             AS name_prefix,
+           length(p_name)                      AS name_len,
+           reverse(p_brand)                    AS brand_rev,
+           replace(p_type, ' ', '_')           AS type_snake,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+           concat_ws('|', p_brand, p_type)     AS brand_type,
+           abs(p_retailprice - 1000.0)         AS price_dev,
+           CAST(ceil(p_retailprice) AS BIGINT)  AS price_ceil,
+           CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+           ROUND(sqrt(p_retailprice), 6)       AS price_sqrt,
+           CAST(p_size % 7 AS BIGINT)          AS size_mod,
+           CAST(len(string_split(p_name, ' ')) AS BIGINT) AS name_words,
+           array_to_string(list_sort(string_split(p_name, ' ')), ',') AS name_sorted
+    FROM part
+    """,
+    tags=("functions", "strings", "arrays"),
+)
+def q31_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    part = _t(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ")
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.abs(F.col("p_retailprice") - 1000.0).alias("price_dev"),
+        F.ceil("p_retailprice").cast("long").alias("price_ceil"),
+        F.floor("p_retailprice").cast("long").alias("price_floor"),
+        F.round(F.sqrt("p_retailprice"), 6).alias("price_sqrt"),
+        (F.col("p_size") % 7).cast("long").alias("size_mod"),
+        F.size(words).cast("long").alias("name_words"),
+        F.array_join(F.sort_array(words), ",").alias("name_sorted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q32 — raw SQL path (SURVEY.md §2.7): every table registered as a temp
+# view (sources/catalog.py), query written in Spark SQL with a
+# correlated scalar subquery — exercising parser → analyzer → catalog
+# resolution, the reference's etl.py:313-330 path generalized.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q32_sql_above_avg_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(ROUND(o.o_totalprice*100) AS BIGINT) AS total_c
+    FROM orders o
+    WHERE o.o_totalprice > 2 * (SELECT AVG(o2.o_totalprice) FROM orders o2
+                                WHERE o2.o_custkey = o.o_custkey)
+    """,
+    tags=("sql", "subquery"),
+)
+def q32_sql_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    from us_immigration_data_lake_spark.sources.catalog import Catalog
+
+    Catalog(spark, sf_dir, tables=("orders",)).register_views(prefix="q32_")
+    return spark.sql("""
+        SELECT o.o_orderkey, o.o_custkey,
+               CAST(ROUND(o.o_totalprice*100) AS BIGINT) AS total_c
+        FROM q32_orders o
+        WHERE o.o_totalprice > 2 * (SELECT AVG(o2.o_totalprice) FROM q32_orders o2
+                                    WHERE o2.o_custkey = o.o_custkey)
+    """)
