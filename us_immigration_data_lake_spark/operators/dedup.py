@@ -41,19 +41,34 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     return df.select(F.col(id_col), F.array_distinct(sh).alias("shingles"))
 
 
+def shingle_hash_table(shingle_df: DataFrame, id_col: str) -> DataFrame:
+    """Exploded (id, shingle-hash) rows — the working form for both
+    signature aggregation and hashed-set verification. Hashing shingles
+    to longs once keeps every downstream compare/intersect on 8-byte
+    values instead of re-shipping shingle strings (the dominant cost of
+    a naive verify join)."""
+    return shingle_df.select(
+        F.col(id_col), F.explode("shingles").alias("s")
+    ).select(F.col(id_col), F.xxhash64("s").alias("h"))
+
+
 def minhash_signatures(
     shingle_df: DataFrame, id_col: str, num_hashes: int = 64
 ) -> DataFrame:
     """MinHash signature per document: sig[i] = min over shingles of
-    xxhash64(xxhash64(shingle) + i)."""
-    exploded = shingle_df.select(
-        F.col(id_col), F.explode("shingles").alias("s")
-    ).withColumn("h0", F.xxhash64("s"))
+    xxhash64(shingle_hash + i)."""
+    exploded = shingle_hash_table(shingle_df, id_col)
+    return _signatures_from_hashes(exploded, id_col, num_hashes)
+
+
+def _signatures_from_hashes(
+    hash_df: DataFrame, id_col: str, num_hashes: int
+) -> DataFrame:
     aggs = [
-        F.min(F.xxhash64(F.col("h0") + F.lit(i))).alias(f"mh{i}")
+        F.min(F.xxhash64(F.col("h") + F.lit(i))).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
-    sig = exploded.groupBy(id_col).agg(*aggs)
+    sig = hash_df.groupBy(id_col).agg(*aggs)
     return sig.select(
         F.col(id_col),
         F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("signature"),
@@ -132,6 +147,27 @@ def verify_jaccard(
     )
 
 
+def verify_jaccard_hashed(
+    pairs: DataFrame, hashset_df: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact Jaccard on hashed shingle SETS (array<long>) for candidate
+    pairs — same semantics as verify_jaccard modulo 64-bit hash
+    collisions (~2^-64 per shingle pair, negligible), at a fraction of
+    the shuffle width."""
+    s1 = hashset_df.select(F.col(id_col).alias("id1"), F.col("hs").alias("hs1"))
+    s2 = hashset_df.select(F.col(id_col).alias("id2"), F.col("hs").alias("hs2"))
+    inter = F.size(F.array_intersect("hs1", "hs2")).cast("long")
+    union = (F.size("hs1") + F.size("hs2")).cast("long") - inter
+    return (
+        pairs.join(s1, "id1").join(s2, "id2")
+        .select(
+            "id1", "id2",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -141,14 +177,22 @@ def near_dup_pairs(
     bands: int = 16,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """End-to-end MinHash-LSH near-duplicate detection."""
+    """End-to-end MinHash-LSH near-duplicate detection, entirely on
+    hashed shingles: one explode + hash, then signature agg, banding,
+    bucket self-join, and a hashed-set exact-Jaccard verify."""
     rows = num_hashes // bands
-    sh = shingles(df, id_col, text_col, shingle_n)
-    sh.cache()  # reused by signatures and verification
-    sig = minhash_signatures(sh, id_col, num_hashes)
+    # single-file parquet sources arrive as ONE scan task (a parquet
+    # row group cannot split); shingle generation is the CPU-heavy step
+    # so spread it across the cluster first — at 100 TB the source is
+    # many files and this is a no-op-cost hash exchange on the id
+    sh = shingles(df.repartition(F.col(id_col)), id_col, text_col, shingle_n)
+    hashes = shingle_hash_table(sh, id_col)
+    hashes.cache()  # reused by signature agg and hashed-set collection
+    sig = _signatures_from_hashes(hashes, id_col, num_hashes)
     band_df = lsh_bands(sig, id_col, bands, rows)
     cand = candidate_pairs(band_df, id_col)
-    return verify_jaccard(cand, sh, id_col, threshold)
+    hashsets = hashes.groupBy(id_col).agg(F.collect_set("h").alias("hs"))
+    return verify_jaccard_hashed(cand, hashsets, id_col, threshold)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
