@@ -13,8 +13,15 @@ SF_ORACLE = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark("tests", extra_conf={"spark.driver.memory": "6g"})
+def spark(tmp_path_factory):
+    wh = tmp_path_factory.mktemp("spark-warehouse")
+    s = get_spark(
+        "tests",
+        extra_conf={
+            "spark.driver.memory": "6g",
+            "spark.sql.warehouse.dir": str(wh),
+        },
+    )
     s.sparkContext.setLogLevel("ERROR")
     yield s
 

@@ -115,3 +115,24 @@ def test_token_count(spark):
 def test_normalized_text(spark):
     df = spark.createDataFrame([("  Hello   WORLD ",)], ["s"])
     assert df.select(normalized_text("s").alias("x")).collect()[0].x == "hello world"
+
+
+def test_fk_coverage(spark):
+    from us_immigration_data_lake_spark.quality import fk_coverage
+
+    fact = spark.createDataFrame([(1,), (2,), (None,)], ["k"])
+    dim_ok = spark.createDataFrame([(1,), (2,), (3,)], ["pk"])
+    dim_bad = spark.createDataFrame([(1,)], ["pk"])
+    assert fk_coverage(fact, "k", dim_ok, "pk").passed
+    r = fk_coverage(fact, "k", dim_bad, "pk")
+    assert not r.passed and "missing=1" in r.detail
+
+
+def test_read_sas_stub_raises_helpfully(spark, tmp_path):
+    from us_immigration_data_lake_spark.sources.sas import read_sas
+
+    p = tmp_path / "x.sas7bdat"
+    p.write_bytes(b"\x00" * 10)
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        read_sas(spark, str(p))

@@ -106,3 +106,17 @@ def test_quality_score_bounds(spark, planted):
     scored = ts.quality_score(feats)
     for r in scored.collect():
         assert 0.0 <= r.quality_score <= 1.0
+
+
+def test_cosine_knn_pandas_matches_native(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    native = sim.cosine_knn(emb, queries, "vec_id", "embedding", k=3)
+    qrows = [(r.vec_id, list(r.embedding)) for r in queries.collect()]
+    pandas_v = sim.cosine_knn_pandas(emb, qrows, "vec_id", "embedding", k=3)
+    a = sorted((r.query_id, r.neighbor_id, r.cosine_sim) for r in native.collect())
+    b = sorted((r.query_id, r.neighbor_id, r.cosine_sim) for r in pandas_v.collect())
+    # numpy dot accumulates in a different order than the sequential
+    # fold — equal to 1e-6 after rounding, identical neighbor sets
+    assert [(q, n) for q, n, _ in a] == [(q, n) for q, n, _ in b]
+    assert all(abs(x[2] - y[2]) <= 1e-6 for x, y in zip(a, b))

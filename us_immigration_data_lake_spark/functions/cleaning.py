@@ -56,6 +56,14 @@ def recode_via_broadcast_map(
     return joined.withColumn(out_col, F.coalesce("__rv", col)).drop("__rk", "__rv")
 
 
+def rename_columns(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """Bulk rename (reference does 14 withColumnRenamed calls,
+    etl.py:187-197,356-358); one select keeps it a single projection."""
+    return df.select(
+        *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+    )
+
+
 def fill_nulls(df: DataFrame, value, subset: list[str] | None = None) -> DataFrame:
     """fillna wrapper (etl.py:215 fills 12 numeric cols with 0)."""
     return df.fillna(value, subset=subset)

@@ -83,6 +83,65 @@ def cosine_knn(
     )
 
 
+def cosine_knn_pandas(
+    corpus: DataFrame,
+    queries_pdf_rows: list[tuple],
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Arrow-batched pandas variant of brute-force KNN — the sanctioned
+    shape for Python in the hot path (SURVEY.md §2.8: pandas_udf beats
+    row-at-a-time by 10-100×; native expressions beat both, so this
+    exists as the escape hatch for numpy-only math, exercised in tests
+    against the native implementation).
+
+    ``queries_pdf_rows``: [(query_id, vector-list), ...] — shipped to
+    executors via closure (small query sets only, same constraint as
+    the broadcast in cosine_knn).
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    qids = np.array([q[0] for q in queries_pdf_rows])
+    qvecs = np.array([q[1] for q in queries_pdf_rows], dtype=np.float64)
+    qnorm = np.sqrt((qvecs * qvecs).sum(axis=1))
+
+    out_schema = StructType([
+        StructField("query_id", LongType()),
+        StructField("neighbor_id", LongType()),
+        StructField("cosine_sim", DoubleType()),
+    ])
+
+    def _batches(it):
+        for pdf in it:
+            ids = pdf[id_col].to_numpy()
+            vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            norms = np.sqrt((vecs * vecs).sum(axis=1))
+            sims = (vecs @ qvecs.T) / np.outer(norms, qnorm)
+            rows = []
+            for ci, cid in enumerate(ids):
+                for qi, qid in enumerate(qids):
+                    if cid != qid:
+                        rows.append((int(qid), int(cid), round(float(sims[ci, qi]), 6)))
+            yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine_sim"])
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(_batches, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+
+
 def srp_signature(vec_col: Column, planes: np.ndarray) -> Column:
     """b-bit sign signature: bit i = 1 iff dot(v, planes[i]) > 0.
     Planes are literal arrays (seed-fixed), so the expression is pure

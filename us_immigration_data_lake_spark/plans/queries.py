@@ -1227,3 +1227,47 @@ def q32_sql_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o.o_totalprice > 2 * (SELECT AVG(o2.o_totalprice) FROM q32_orders o2
                                     WHERE o2.o_custkey = o.o_custkey)
     """)
+
+
+# ---------------------------------------------------------------------------
+# Q33 — window frames + lag (SURVEY.md §2.5): running revenue per
+# customer in order-date order, previous order's total, frame =
+# rows unbounded-preceding..current. All sums on bigint cents.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q33_window_frames",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c,
+           CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_total_c,
+           LAG(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev_total_c,
+           CAST(ROW_NUMBER() OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS BIGINT) AS order_seq
+    FROM orders
+    """,
+    tags=("window", "frames", "lag"),
+)
+def q33_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    _tune(spark)
+    orders = _t(spark, sf_dir, "orders")
+    total_c = _cents(F.col("o_totalprice"))
+    order_cols = [F.to_date("o_orderdate"), F.col("o_orderkey")]
+    w = Window.partitionBy("o_custkey").orderBy(*order_cols)
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        total_c.alias("total_c"),
+        F.sum(total_c).over(frame).alias("running_total_c"),
+        F.lag(total_c).over(w).alias("prev_total_c"),
+        F.row_number().over(w).cast("long").alias("order_seq"),
+    )
