@@ -34,3 +34,14 @@ def test_asof_multiple_right_same_ts_latest_tiebreak_wins(spark):
         right_vals=["v"], tiebreak="seq",
     )
     assert out.collect()[0].v == "b"
+
+
+def test_salted_join_equals_plain_join(spark):
+    from us_immigration_data_lake_spark.operators.joins import salted_join
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet") \
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+    plain = li.join(orders, on="l_orderkey").count()
+    salted = salted_join(li, orders, "l_orderkey", salt=4).count()
+    assert salted == plain

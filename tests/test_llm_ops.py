@@ -120,3 +120,19 @@ def test_cosine_knn_pandas_matches_native(spark):
     # fold — equal to 1e-6 after rounding, identical neighbor sets
     assert [(q, n) for q, n, _ in a] == [(q, n) for q, n, _ in b]
     assert all(abs(x[2] - y[2]) <= 1e-6 for x, y in zip(a, b))
+
+
+def test_ivf_knn_scores_match_exact(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    cents = [list(r.embedding) for r in emb.filter(F.col("vec_id") % 97 == 0).collect()][:4]
+    approx = sim.ivf_knn(emb, queries, "vec_id", "embedding", k=3,
+                         centroids=cents, nprobe=2)
+    exact = sim.cosine_knn(emb, queries, "vec_id", "embedding", k=50)
+    exact_scores = {(r.query_id, r.neighbor_id): r.cosine_sim for r in exact.collect()}
+    rows = approx.collect()
+    assert rows, "ivf returned no candidates"
+    for r in rows:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_scores:
+            assert abs(exact_scores[key] - r.cosine_sim) < 1e-9

@@ -101,29 +101,33 @@ def lsh_bands(sig_df: DataFrame, id_col: str, bands: int, rows: int) -> DataFram
 def candidate_pairs(
     band_df: DataFrame, id_col: str, max_bucket_size: int = 1000
 ) -> DataFrame:
-    """Self-join on (band_idx, band_hash) with id1 < id2; mega-buckets
-    are dropped (boilerplate clusters — report separately, don't
-    quadratically explode one reducer). Bucket sizes come from a
-    grouped count re-joined on the band key: the count, the filter
-    join, and the pair self-join all share one hash partitioning on
-    (band_idx, band_hash), so AQE reuses the shuffle."""
-    ok_buckets = (
+    """Pairs of ids sharing a band bucket, id1 < id2; mega-buckets are
+    dropped (boilerplate clusters — report separately, don't
+    quadratically explode one reducer).
+
+    ONE shuffle on the band key: collect each bucket's id list, expand
+    pairs inside the array (bucket size is capped so the array is
+    small), then a final distinct on the pair itself. The naive
+    count + filter-join + self-join costs three band-key shuffles for
+    the same answer."""
+    buckets = (
         band_df.groupBy("band_idx", "band_hash")
-        .agg(F.count(F.lit(1)).alias("bucket_n"))
-        .filter(F.col("bucket_n") <= max_bucket_size)
-        .select("band_idx", "band_hash")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
+        .select(F.array_sort("ids").alias("ids"))
     )
-    sized = band_df.join(ok_buckets, on=["band_idx", "band_hash"])
-    a = sized.select(
-        F.col(id_col).alias("id1"), "band_idx", "band_hash"
-    )
-    b = sized.select(
-        F.col(id_col).alias("id2"), "band_idx", "band_hash"
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+            ),
+        )
     )
     return (
-        a.join(b, on=["band_idx", "band_hash"])
-        .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
+        buckets.select(F.explode(pairs_arr).alias("p"))
+        .select("p.id1", "p.id2")
         .dropDuplicates()
     )
 

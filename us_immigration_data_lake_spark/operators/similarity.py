@@ -142,6 +142,34 @@ def cosine_knn_pandas(
     )
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: exact all-pairs on the
+    given frame (the verification-grade baseline — restrict the input
+    or use srp_lsh buckets as the candidate generator at scale; an
+    unrestricted all-pairs over 100 TB of vectors is O(n²) by
+    definition, no engine saves you)."""
+    a = df.select(
+        F.col(id_col).alias("id1"), _as_double(vec_col).alias("v1")
+    )
+    b = df.select(
+        F.col(id_col).alias("id2"), _as_double(vec_col).alias("v2")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id1") < F.col("id2"))
+        .select(
+            "id1", "id2",
+            F.round(cosine(F.col("v1"), F.col("v2")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def srp_signature(vec_col: Column, planes: np.ndarray) -> Column:
     """b-bit sign signature: bit i = 1 iff dot(v, planes[i]) > 0.
     Planes are literal arrays (seed-fixed), so the expression is pure
@@ -160,6 +188,63 @@ def srp_signature(vec_col: Column, planes: np.ndarray) -> Column:
 def srp_planes(dim: int, num_bits: int = 12, seed: int = 42) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.randn(num_bits, dim)
+
+
+def ivf_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    centroids: list[list[float]],
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style approximate KNN: vectors are assigned to their nearest
+    centroid (the inverted-file cell); a query probes its ``nprobe``
+    nearest cells and re-ranks exactly within them.
+
+    Centroids are caller-provided (e.g. k-means trained offline, or a
+    deterministic sample) and ship as literals — the assignment is pure
+    JVM expression arithmetic. Scale shape: corpus shuffles once on
+    cell id; queries replicate ×nprobe; the join is cell-id equi, never
+    a corpus broadcast.
+    """
+    cents = [F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+
+    def best_cells(vec: Column, n: int) -> Column:
+        scored = F.array(*[
+            F.struct(
+                (-cosine(vec, c)).alias("neg"), F.lit(i).cast("long").alias("cell")
+            )
+            for i, c in enumerate(cents)
+        ])
+        return F.slice(F.array_sort(scored), 1, n)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    ).withColumn("cell", best_cells(F.col("cv"), 1)[0]["cell"])
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    ).withColumn(
+        "cell", F.explode(F.transform(best_cells(F.col("qv"), nprobe), lambda s: s["cell"]))
+    )
+    scored = (
+        c.join(q, on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
 
 
 def srp_lsh_knn(

@@ -1271,3 +1271,107 @@ def q33_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag(total_c).over(w).alias("prev_total_c"),
         F.row_number().over(w).cast("long").alias("order_seq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q34 — embedding-cosine near-duplicate pairs (similarity.py): the
+# embedding-space analog of Q19/Q20, exact on a restricted id range
+# (all-pairs is the verification stage; SRP buckets generate candidates
+# at scale).
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q34_embedding_near_dups",
+    oracle="""
+    WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id < 300)
+    SELECT x.vec_id AS id1, y.vec_id AS id2,
+           ROUND(list_cosine_similarity(x.v, y.v), 6) AS cosine_sim
+    FROM a x JOIN a y ON x.vec_id < y.vec_id
+    WHERE ROUND(list_cosine_similarity(x.v, y.v), 6) >= 0.35
+    """,
+    tags=("similarity", "dedup"),
+)
+def q34_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return sim_ops.cosine_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# Q35 — regex token profiling (SURVEY.md §2.10 token counting): word /
+# number / punctuation match counts via regexp_extract_all — the
+# BPE-style pre-tokenization census used to budget LLM training data.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q35_token_profile",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS docs,
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+'))) AS BIGINT) AS word_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT) AS number_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))) AS BIGINT) AS other_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+'))) AS DOUBLE) / COUNT(*) AS words_per_doc
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("textstats", "tokenize"),
+)
+def q35_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    words = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+"), 0)).cast("long")
+    nums = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[0-9]+"), 0)).cast("long")
+    other = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"), 0)).cast("long")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(words).alias("word_tokens"),
+        F.sum(nums).alias("number_tokens"),
+        F.sum(other).alias("other_tokens"),
+        (F.sum(words).cast("double") / F.count(F.lit(1))).alias("words_per_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q36 — sliding windows over events (streaming/windows semantics in
+# batch form): 1-hour windows sliding every 30 minutes — each event in
+# exactly 2 windows; oracle materializes both buckets via UNION ALL.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q36_sliding_windows",
+    oracle="""
+    WITH both_windows AS (
+      SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS w, event_type,
+             CAST(ROUND(value*100) AS BIGINT) AS v_c
+      FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) - INTERVAL '30 minutes',
+             event_type, CAST(ROUND(value*100) AS BIGINT)
+      FROM events
+    )
+    SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(v_c) AS BIGINT) AS value_c
+    FROM both_windows
+    GROUP BY 1, 2
+    """,
+    tags=("window", "sliding", "events"),
+)
+def q36_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents(F.col("value"))).alias("value_c"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "value_c",
+        )
+    )
