@@ -1375,3 +1375,167 @@ def q36_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_c",
         )
     )
+
+
+# ===========================================================================
+# Reference-operator queries: the remaining SURVEY §2.2/§2.6/§2.8 rows
+# (cast/recode/fillna, title-case, SAS-date round trip) and exact
+# percentiles, each with its own oracle entry.
+# ===========================================================================
+
+from us_immigration_data_lake_spark.functions.cleaning import (  # noqa: E402
+    cast_types,
+    recode,
+)
+from us_immigration_data_lake_spark.functions.dates import (  # noqa: E402
+    date_diff_days,
+    sas_to_iso_string,
+)
+from us_immigration_data_lake_spark.functions.text import title_case  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# Q37 — conditional recode + null fallback + typed cast (SURVEY §2.2
+# P6/P7/P8/P9; the reference's country-name normalization shape,
+# etl.py:92-103,389-390): region names recoded, supplier balance
+# coalesced to 0 for nations without suppliers.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q37_recode_fillna",
+    oracle="""
+    SELECT n.n_nationkey,
+           CASE WHEN r.r_name = 'AMERICA' THEN 'AMERICAS'
+                WHEN r.r_name = 'MIDDLE EAST' THEN 'MENA'
+                ELSE r.r_name END AS region_recoded,
+           COALESCE(s.bal_c, 0) AS bal_c_filled,
+           CAST(n.n_regionkey AS BIGINT) AS region_key
+    FROM nation n
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    LEFT JOIN (SELECT s_nationkey,
+                      CAST(SUM(CAST(ROUND(s_acctbal*100) AS BIGINT)) AS BIGINT) AS bal_c
+               FROM supplier GROUP BY s_nationkey) s
+      ON s.s_nationkey = n.n_nationkey
+    """,
+    tags=("recode", "fillna", "cast"),
+)
+def q37_recode_fillna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.sum(_cents(F.col("s_acctbal"))).alias("bal_c"))
+    )
+    out = (
+        dim_join(nation, region, nation.n_regionkey == region.r_regionkey, how="inner")
+        .join(F.broadcast(supp), F.col("s_nationkey") == F.col("n_nationkey"), "left")
+        .select(
+            "n_nationkey",
+            recode("r_name", {"AMERICA": "AMERICAS", "MIDDLE EAST": "MENA"})
+            .alias("region_recoded"),
+            F.coalesce("bal_c", F.lit(0)).alias("bal_c_filled"),
+            F.col("n_regionkey").alias("region_key"),
+        )
+    )
+    return cast_types(out, {"region_key": "long"})
+
+
+# ---------------------------------------------------------------------------
+# Q38 — title-case (SURVEY §2.8 U3: the reference's capitalize_udf was
+# a row-wise Python str.title(); ours is a native expression). Oracle
+# reconstructs Python title() semantics with DuckDB list ops (inputs
+# here are single-space-separated lowercase words, where per-word
+# capitalization ≡ title()).
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q38_title_case",
+    oracle="""
+    SELECT p_partkey,
+           array_to_string(
+             list_transform(string_split(p_name, ' '),
+                            w -> upper(w[1]) || lower(w[2:])),
+             ' ') AS name_title
+    FROM part
+    """,
+    tags=("text", "udf-replacement"),
+)
+def q38_title_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    part = _t(spark, sf_dir, "part")
+    return part.select("p_partkey", title_case("p_name").alias("name_title"))
+
+
+# ---------------------------------------------------------------------------
+# Q39 — SAS-date round trip (SURVEY §2.8 U1/U2/U4): day-numbers since
+# 1960-01-01 decoded to ISO strings and differenced — the IMMIGRATION
+# fact's arrdate/depdate/stay computation as a standalone query.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q39_sas_dates",
+    oracle=f"""
+    WITH sas AS (
+      SELECT l_orderkey, l_linenumber,
+             date_diff('day', DATE '{SAS_EPOCH}', CAST(l_shipdate AS DATE)) AS ship_sas,
+             date_diff('day', DATE '{SAS_EPOCH}', CAST(l_shipdate AS DATE)) + CAST(l_quantity AS BIGINT) AS ret_sas
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, ship_sas,
+           strftime(DATE '{SAS_EPOCH}' + CAST(ship_sas AS INTEGER), '%Y-%m-%d') AS ship_iso,
+           strftime(DATE '{SAS_EPOCH}' + CAST(ret_sas AS INTEGER), '%Y-%m-%d') AS return_iso,
+           CAST(ret_sas - ship_sas AS BIGINT) AS stay_days
+    FROM sas
+    """,
+    tags=("dates", "udf-replacement"),
+)
+def q39_sas_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    ship_sas = F.datediff(F.to_date("l_shipdate"), F.lit(SAS_EPOCH).cast("date")).cast("long")
+    sas = li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        ship_sas.alias("ship_sas"),
+        (ship_sas + F.col("l_quantity").cast("long")).alias("ret_sas"),
+    )
+    return sas.select(
+        "l_orderkey",
+        "l_linenumber",
+        "ship_sas",
+        sas_to_iso_string("ship_sas").alias("ship_iso"),
+        sas_to_iso_string("ret_sas").alias("return_iso"),
+        date_diff_days(sas_to_iso_string("ret_sas"), sas_to_iso_string("ship_sas"))
+        .cast("long").alias("stay_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q40 — exact percentiles per group (SURVEY §2.4 extension): median and
+# p95 of order totals in cents; both engines do linear interpolation on
+# the sorted exact integers.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q40_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_cont(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.5)  AS median_c,
+           quantile_cont(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.95) AS p95_c,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("percentile", "agg"),
+)
+def q40_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    orders = _t(spark, sf_dir, "orders")
+    total_c = _cents(F.col("o_totalprice"))
+    return orders.groupBy("o_orderstatus").agg(
+        F.percentile(total_c, F.lit(0.5)).alias("median_c"),
+        F.percentile(total_c, F.lit(0.95)).alias("p95_c"),
+        F.count(F.lit(1)).alias("n"),
+    )

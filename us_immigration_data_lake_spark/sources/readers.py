@@ -15,6 +15,7 @@ caller asks for it.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -50,6 +51,41 @@ def read_parquet(
     if columns:
         df = df.select(*columns)
     return df
+
+
+def read_csv_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    sep: str = ",",
+    header: bool = True,
+    corrupt_col: str = "_corrupt_record",
+    **options: str,
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE CSV read that splits clean rows from quarantined ones.
+
+    At lake scale a malformed row must never kill a 10-hour job
+    (FAILFAST) or silently vanish (DROPMALFORMED): it lands in a
+    quarantine frame the caller writes next to the output. Returns
+    (clean, quarantined).
+    """
+    from pyspark.sql.types import StringType, StructField, StructType as ST
+
+    base = schema if not isinstance(schema, str) else None
+    if base is None:
+        df0 = spark.read.options(header=header, sep=sep).schema(schema).csv(path)
+        base = df0.schema
+    full = ST([*base.fields, StructField(corrupt_col, StringType(), True)])
+    df = (
+        spark.read.options(header=header, sep=sep, mode="PERMISSIVE",
+                           columnNameOfCorruptRecord=corrupt_col, **options)
+        .schema(full)
+        .csv(path)
+        .cache()  # one scan serves both filters
+    )
+    clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    quarantined = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    return clean, quarantined
 
 
 def read_json(

@@ -22,6 +22,65 @@ import posixpath
 from pyspark.sql import DataFrame
 
 
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_mb: int = 256,
+    compression: str = "snappy",
+) -> int:
+    """Rewrite a parquet dataset into ~target-sized files.
+
+    The small-files problem (a streaming sink or over-parallel write
+    leaving thousands of KB-sized objects) degrades every later scan:
+    per-file open cost, footer reads, and scheduler overhead dominate.
+    Compaction = read → repartition to ceil(bytes/target) → atomic
+    swap via temp dir. Returns the new file-partition count.
+    """
+    import math
+    import shutil
+    import uuid
+
+    df = spark.read.parquet(path)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(jvm_path).getLength()
+    n = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
+    df.repartition(n).write.mode("overwrite").option(
+        "compression", compression
+    ).parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return n
+
+
+def write_table(
+    df: DataFrame,
+    base_path: str,
+    table: str,
+    fmt: str = "parquet",
+    **kwargs,
+) -> str:
+    """Format-dispatching sink. Delta is supported when the delta-spark
+    package is on the classpath; otherwise a clear error instead of a
+    cryptic ClassNotFound at executor time."""
+    if fmt == "parquet":
+        return write_parquet(df, base_path, table, **kwargs)
+    if fmt == "delta":
+        try:
+            import delta  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "delta-spark is not installed in this environment; "
+                "install delta-spark and configure "
+                "spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension"
+            ) from exc
+        path = posixpath.join(base_path.rstrip("/"), table)
+        df.write.format("delta").mode(kwargs.get("mode", "overwrite")).save(path)
+        return path
+    raise ValueError(f"unsupported format: {fmt}")
+
+
 def write_parquet(
     df: DataFrame,
     base_path: str,
