@@ -136,3 +136,22 @@ def test_ivf_knn_scores_match_exact(spark):
         key = (r.query_id, r.neighbor_id)
         if key in exact_scores:
             assert abs(exact_scores[key] - r.cosine_sim) < 1e-9
+
+
+def test_winnow_fingerprints_robust_to_local_edit(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    edited = base.replace("jumps", "leaps")
+    df = spark.createDataFrame([(1, base), (2, edited)], ["doc_id", "text"])
+    fps = ts.winnow_fingerprints(df, "doc_id", "text", k=8, window=4)
+    s1 = {r.fingerprint for r in fps.filter(F.col("doc_id") == 1).collect()}
+    s2 = {r.fingerprint for r in fps.filter(F.col("doc_id") == 2).collect()}
+    overlap = len(s1 & s2) / len(s1 | s2)
+    assert overlap > 0.5  # local edit perturbs only nearby windows
+
+
+def test_winnow_fingerprints_short_doc_fallback(spark):
+    df = spark.createDataFrame([(1, "tiny"), (2, "tiny")], ["doc_id", "text"])
+    fps = ts.winnow_fingerprints(df, "doc_id", "text", k=8, window=4)
+    rows = fps.collect()
+    assert len(rows) == 2
+    assert rows[0].fingerprint == rows[1].fingerprint  # same text, same hash

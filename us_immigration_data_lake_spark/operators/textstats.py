@@ -99,6 +99,83 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return out.withColumn("predicted_lang", pred)
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    window: int = 4,
+    base: int = 257,
+    mod: int = 1_000_000_007,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    polynomial rolling hash over character k-grams, keep each sliding
+    window's minimum, distinct. The standard chunk-level fingerprint
+    for plagiarism/near-dup detection — robust to insertions because a
+    local edit only perturbs nearby windows.
+
+    Entirely native expression arithmetic (fold inside F.aggregate) —
+    the hash values are plain modular bigint math, reproducible in any
+    engine. Documents shorter than k+window-1 chars fall back to one
+    whole-text hash.
+    """
+    from pyspark.sql.window import Window
+
+    def poly(arr):
+        return F.aggregate(
+            arr, F.lit(0).cast("long"), lambda acc, x: (acc * base + x) % mod
+        )
+
+    # Explode + window-function pipeline rather than nested
+    # arrays-of-arrays: a nested HOF expression (grams built from
+    # codes built from chars, each referenced multiple times)
+    # duplicates its subtree at every reference and Catalyst's
+    # CollapseProject re-inlines any staging columns — the optimizer
+    # then walks an exponentially large tree and never finishes. Here
+    # every per-row expression is small; the per-doc ordering is a
+    # (doc, pos) window — one shuffle, linear work, and the same shape
+    # scales to billion-document corpora.
+    txt = normalized_text(F.col(text_col))
+    codes = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.filter(F.split(txt, ""), lambda c: c != F.lit("")),
+                lambda c: F.ascii(c).cast("long"),
+            )
+        ).alias("pos", "code"),
+    )
+    w_gram = (
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, k - 1)
+    )
+    grams = (
+        codes.withColumn("gram_codes", F.collect_list("code").over(w_gram))
+        .filter(F.size("gram_codes") == k)
+        .select(F.col(id_col), "pos", poly(F.col("gram_codes")).alias("gh"))
+    )
+    w_min = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    mins = (
+        grams.withColumn("win", F.collect_list("gh").over(w_min))
+        .filter(F.size("win") == window)
+        .select(F.col(id_col), F.array_min("win").alias("fingerprint"))
+        .dropDuplicates()
+    )
+    # documents too short for a full k-gram window fall back to one
+    # whole-text hash so they remain fingerprintable
+    short = (
+        df.select(
+            F.col(id_col),
+            F.transform(
+                F.filter(F.split(txt, ""), lambda c: c != F.lit("")),
+                lambda c: F.ascii(c).cast("long"),
+            ).alias("codes"),
+        )
+        .filter(F.size("codes") < k + window - 1)
+        .select(F.col(id_col), poly(F.col("codes")).alias("fingerprint"))
+    )
+    return mins.unionByName(short)
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Deterministic document fingerprint: md5 of whitespace-normalized
     lowercase text (etl.py's capitalize/normalize family generalized to

@@ -1539,3 +1539,41 @@ def q40_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile(total_c, F.lit(0.95)).alias("p95_c"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q41 — winnowing rolling-hash fingerprints (textstats.py): character
+# 8-gram polynomial hashes, window-4 minima, distinct — the chunk-level
+# dedup fingerprint. Oracle reproduces the identical modular fold with
+# DuckDB list comprehensions (verified fold-equivalent: Spark's
+# 0-seeded aggregate ≡ DuckDB's first-element-seeded list_reduce).
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q41_winnow_fingerprints",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS txt
+      FROM documents WHERE doc_id < 100
+    ), c AS (
+      SELECT doc_id,
+             list_transform(string_split(txt, ''), ch -> CAST(unicode(ch) AS BIGINT)) AS codes
+      FROM t
+    ), h AS (
+      SELECT doc_id,
+             [list_reduce(codes[i:i+7], (acc, x) -> (acc*257 + x) % 1000000007)
+              for i in range(1, len(codes) - 6)] AS ghs
+      FROM c
+    ), w AS (
+      SELECT doc_id,
+             list_distinct([list_min(ghs[i:i+3]) for i in range(1, len(ghs) - 2)]) AS fps
+      FROM h
+    )
+    SELECT doc_id, unnest(fps) AS fingerprint FROM w
+    """,
+    tags=("fingerprint", "rolling-hash", "dedup"),
+)
+def q41_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return ts_ops.winnow_fingerprints(docs, "doc_id", "text", k=8, window=4)
