@@ -1,0 +1,83 @@
+"""Property-based tests (hypothesis): each property generates a batch
+of adversarial inputs and runs them through the engine in ONE Spark
+job, comparing against the pure-Python reference semantics."""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from us_immigration_data_lake_spark.functions.dates import sas_to_date, date_diff_days
+from us_immigration_data_lake_spark.functions.text import (
+    normalized_text,
+    title_case,
+    token_count,
+)
+
+SETTINGS = settings(max_examples=5, deadline=None)
+
+# alphabet where title_case guarantees str.title() equivalence
+_TITLE_ALPHA = st.text(
+    alphabet="abcdefghijklm NOPQRSTUVWXYZ'-.(,/éàü", min_size=0, max_size=30
+)
+
+
+@SETTINGS
+@given(st.lists(st.integers(min_value=-365000, max_value=365000), min_size=1, max_size=200))
+def test_sas_date_roundtrip(spark, days_list):
+    df = spark.createDataFrame([(float(d),) for d in days_list], ["d"])
+    out = df.select(
+        F.col("d"),
+        sas_to_date("d").alias("dt"),
+        F.datediff(sas_to_date("d"), F.lit("1960-01-01").cast("date")).alias("back"),
+    ).collect()
+    epoch = datetime.date(1960, 1, 1)
+    for r in out:
+        assert r.back == int(r.d)
+        assert (r.dt - epoch).days == int(r.d)
+
+
+@SETTINGS
+@given(st.lists(_TITLE_ALPHA, min_size=1, max_size=100))
+def test_title_case_matches_python(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "s: string")
+    out = [r.t for r in df.select(title_case("s").alias("t")).collect()]
+    assert out == [t.title() for t in texts]
+
+
+@SETTINGS
+@given(st.lists(st.text(alphabet="ab \t\n", max_size=30), min_size=1, max_size=100))
+def test_token_count_matches_python_split(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "s: string")
+    out = [r.n for r in df.select(token_count("s").alias("n")).collect()]
+    assert out == [len(t.split()) for t in texts]
+
+
+@SETTINGS
+@given(st.lists(st.text(alphabet="ab C \t", max_size=30), min_size=1, max_size=100))
+def test_normalized_text_idempotent(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "s: string")
+    once = df.select(normalized_text("s").alias("x"))
+    twice = once.select(normalized_text("x").alias("x"))
+    assert [r.x for r in once.collect()] == [r.x for r in twice.collect()]
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.dates(min_value=datetime.date(1950, 1, 1), max_value=datetime.date(2100, 1, 1)),
+            st.dates(min_value=datetime.date(1950, 1, 1), max_value=datetime.date(2100, 1, 1)),
+        ),
+        min_size=1,
+        max_size=100,
+    )
+)
+def test_date_diff_matches_python(spark, pairs):
+    df = spark.createDataFrame(
+        [(a.isoformat(), b.isoformat()) for a, b in pairs], ["a", "b"]
+    )
+    out = [r.d for r in df.select(date_diff_days("b", "a").alias("d")).collect()]
+    assert out == [(b - a).days for a, b in pairs]

@@ -22,8 +22,15 @@ _WORD_RE = r"[A-Za-zÀ-ÖØ-öø-ÿ]+"
 def title_case(col: Column | str) -> Column:
     """Python ``str.title()`` semantics as a native expression:
     uppercase the first letter of every alphabetic run, lowercase the
-    rest. Uses regexp_replace with a callback-free trick: initcap on
-    segments split at non-alpha boundaries."""
+    rest.
+
+    Exactness domain: whitespace plus the separator classes the
+    reference's data actually contains (' - . ( / , and apostrophes —
+    country/city names, etl.py:364). Outside that domain (e.g. a digit
+    immediately followed by a letter, "abc1def") Python title() also
+    capitalizes and this expression does not; swap in an Arrow pandas
+    UDF if that exactness ever matters (SURVEY.md §7). Property-tested
+    against str.title() over the supported alphabet."""
     c = F.col(col) if isinstance(col, str) else col
     # lower everything, then uppercase any letter that follows a
     # non-letter (or string start). Spark regexp_replace cannot do
@@ -60,17 +67,24 @@ def _upper_after(col: Column, sep: str) -> Column:
     return F.array_join(fixed, sep)
 
 
+def _strip_ws(c: Column) -> Column:
+    # F.trim strips SPACES only; Python str.split()/strip() treat all
+    # whitespace — strip \s at both ends so the two agree on tabs/newlines
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokens, empty-safe (no empty-string tokens)."""
+    """Whitespace tokens, empty-safe (no empty-string tokens);
+    matches Python ``str.split()`` including tab/newline handling."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.trim(c), r"\s+")
+    return F.split(_strip_ws(c), r"\s+")
 
 
 def token_count(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    trimmed = F.trim(c)
-    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
-        F.size(F.split(trimmed, r"\s+"))
+    stripped = _strip_ws(c)
+    return F.when(F.length(stripped) == 0, F.lit(0)).otherwise(
+        F.size(F.split(stripped, r"\s+"))
     )
 
 

@@ -192,6 +192,10 @@ def near_dup_pairs(
     sh = shingles(df.repartition(F.col(id_col)), id_col, text_col, shingle_n)
     hashes = shingle_hash_table(sh, id_col)
     hashes.cache()  # reused by signature agg and hashed-set collection
+    # NOTE deliberately TWO aggregation passes: the 32 min-aggs stay in
+    # codegen'd HashAggregate, while collect_set is a typed aggregate —
+    # fusing them forces the whole pass into ObjectHashAggregate and is
+    # measurably slower than shuffling the cached frame twice
     sig = _signatures_from_hashes(hashes, id_col, num_hashes)
     band_df = lsh_bands(sig, id_col, bands, rows)
     cand = candidate_pairs(band_df, id_col)
