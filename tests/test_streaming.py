@@ -62,3 +62,34 @@ def test_stateful_running_totals_final_state(spark):
         )
     )
     assert sorted(map(tuple, final.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    from us_immigration_data_lake_spark.streaming.windows import (
+        purchase_view_interval_join,
+    )
+
+    stream = read_event_stream(spark, SF)
+    got = run_to_memory(
+        purchase_view_interval_join(stream, "30 minutes"), "t_ssj", mode="append"
+    )
+    ev = load_events(spark, SF)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("u2"),
+        F.unix_micros("ts").alias("v_us"),
+    )
+    batch = p.join(
+        v,
+        (p.user_id == v.u2)
+        & (v.v_us >= p.p_us - 1_800_000_000)
+        & (v.v_us <= p.p_us),
+    )
+    assert sorted((r.purchase_id, r.view_id) for r in got.collect()) == sorted(
+        (r.purchase_id, r.view_id) for r in batch.collect()
+    )

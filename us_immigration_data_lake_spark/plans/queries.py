@@ -1577,3 +1577,39 @@ def q41_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tune(spark)
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return ts_ops.winnow_fingerprints(docs, "doc_id", "text", k=8, window=4)
+
+
+# ---------------------------------------------------------------------------
+# Q42 — stream-stream interval join (streaming/windows.py): purchases
+# joined to same-user views within a 30-minute lookback, both sides
+# watermarked (bounded state). Inner joins emit on match, so the
+# finite availableNow run equals the batch time-range join the oracle
+# computes.
+# ---------------------------------------------------------------------------
+
+from us_immigration_data_lake_spark.streaming.windows import (  # noqa: E402
+    purchase_view_interval_join,
+)
+
+
+@_register(
+    "q42_stream_stream_join",
+    oracle="""
+    WITH p AS (SELECT event_id AS purchase_id, user_id,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS purchase_ts_us
+               FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT event_id AS view_id, user_id,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS view_ts_us
+               FROM events WHERE event_type = 'view')
+    SELECT p.purchase_id, p.user_id, p.purchase_ts_us, v.view_id, v.view_ts_us
+    FROM p JOIN v ON p.user_id = v.user_id
+     AND v.view_ts_us >= p.purchase_ts_us - 1800000000
+     AND v.view_ts_us <= p.purchase_ts_us
+    """,
+    tags=("streaming", "stream-stream-join"),
+)
+def q42_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    stream = read_event_stream(spark, sf_dir)
+    joined = purchase_view_interval_join(stream, "30 minutes")
+    return run_to_memory(joined, _sink_name("q42_ssj"), mode="append")

@@ -98,3 +98,52 @@ def run_to_memory(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def purchase_view_interval_join(
+    stream, lookback: str = "30 minutes"
+):
+    """Stream-stream inner interval join: each purchase matched to the
+    same user's view events within [purchase - lookback, purchase].
+
+    Both sides carry watermarks so the join state is bounded: a view
+    older than the watermark minus the interval can never match a
+    future purchase and is evicted. Inner joins emit on match, so a
+    finite availableNow run produces the complete batch-equivalent
+    result in append mode.
+    """
+    from pyspark.sql import functions as F
+
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    joined = purchases.join(
+        views,
+        F.expr(
+            f"p_user = v_user AND v_ts >= p_ts - interval {lookback} "
+            "AND v_ts <= p_ts"
+        ),
+        "inner",
+    )
+    return joined.select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        F.unix_micros("p_ts").alias("purchase_ts_us"),
+        "view_id",
+        F.unix_micros("v_ts").alias("view_ts_us"),
+    )
