@@ -155,3 +155,23 @@ def test_winnow_fingerprints_short_doc_fallback(spark):
     rows = fps.collect()
     assert len(rows) == 2
     assert rows[0].fingerprint == rows[1].fingerprint  # same text, same hash
+
+
+def test_connected_components_merges_chains(spark):
+    # chain 1-2-3, pair 10-11, singleton 99 untouched
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id1", "id2"]
+    )
+    comps = dd.connected_components(pairs)
+    got = {r.id: r.cluster for r in comps.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dedup_survivors_keep_flags(spark):
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)], ["doc_id"])
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["id1", "id2"])
+    out = {r.doc_id: (r.cluster, r.keep) for r in
+           dd.dedup_survivors(docs, pairs, "doc_id").collect()}
+    assert out[1] == (1, True) and out[2] == (1, False) and out[3] == (1, False)
+    assert out[10] == (10, True) and out[11] == (10, False)
+    assert out[99] == (99, True)  # singleton survives

@@ -56,3 +56,18 @@ def test_write_parquet_partitioned_roundtrip(spark, tmp_path):
     assert os.path.isdir(os.path.join(path, "yr=2024"))
     back = spark.read.parquet(path)
     assert back.filter(F.col("yr") == "2025").count() == 1
+
+
+def test_partition_pruning_in_plan(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, str(2020 + i % 3), float(i)) for i in range(100)], ["id", "yr", "v"]
+    )
+    path = write_parquet(df, str(tmp_path), "pp", partition_by=["yr"])
+    back = spark.read.parquet(path).filter(F.col("yr") == "2021")
+    plan = back._sc._jvm.PythonSQLUtils.explainString(
+        back._jdf.queryExecution(), "formatted"
+    )
+    # the partition filter must reach the scan (read-side pruning), and
+    # the pruned scan reads only the matching directory
+    assert "PartitionFilters" in plan and "2021" in plan
+    assert back.count() == sum(1 for i in range(100) if 2020 + i % 3 == 2021)

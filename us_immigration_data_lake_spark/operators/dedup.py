@@ -231,3 +231,79 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def hamming64(a, b) -> F.Column:
     """Hamming distance of two 64-bit signatures (bit_count of XOR)."""
     return F.bit_count(F.col(a).bitwiseXOR(F.col(b)))
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_cols: tuple[str, str] = ("id1", "id2"),
+    max_iter: int = 15,
+) -> DataFrame:
+    """Duplicate clustering: connected components over the near-dup
+    pair graph via iterative min-label propagation. Returns
+    (id, cluster) where cluster = smallest id reachable.
+
+    The iterative loop is driver-coordinated but every step is a
+    DataFrame job; lineage is truncated each round with an eager
+    localCheckpoint so the plan doesn't grow with iterations (the
+    classic iterative-algorithm trap). Converges in O(diameter)
+    rounds — near-dup clusters are shallow, so max_iter=15 is
+    generous. At extreme scale swap in the large-star/small-star
+    optimization (Kiveris et al.) — same DataFrame primitives.
+    """
+    a, b = id_cols
+    edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct()
+        .withColumn("cluster", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("cluster").alias("n_cluster"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, on="id", how="left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster"), F.coalesce("n_cluster", F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.select("id", F.col("cluster").alias("old")), on="id")
+            .filter(F.col("cluster") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    max_iter: int = 15,
+) -> DataFrame:
+    """Keep-one-per-cluster dedup decision: every doc gets its cluster
+    (docs in no pair form singleton clusters) and a keep flag — the
+    smallest id in each cluster survives, the LLM-corpus convention."""
+    comps = connected_components(pairs, max_iter=max_iter)
+    out = (
+        df.select(F.col(id_col).alias("id"))
+        .join(comps, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("cluster", F.col("id")).alias("cluster"),
+        )
+    )
+    return out.withColumn("keep", (F.col(id_col) == F.col("cluster")))

@@ -1613,3 +1613,72 @@ def q42_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_event_stream(spark, sf_dir)
     joined = purchase_view_interval_join(stream, "30 minutes")
     return run_to_memory(joined, _sink_name("q42_ssj"), mode="append")
+
+
+# ---------------------------------------------------------------------------
+# Q43 — duplicate clustering + survivor selection (operators/dedup.py):
+# near-dup pairs → connected components (iterative min-label
+# propagation) → keep-smallest-per-cluster. Iterative fixpoint is not
+# SQL-expressible → rows-only; component semantics are tested with
+# planted chains in tests/test_llm_ops.py.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q43_dup_clusters",
+    oracle=None,
+    tags=("dedup", "clustering", "iterative"),
+)
+def q43_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = dedup_ops.near_dup_pairs(
+        docs, "doc_id", "text", shingle_n=2, num_hashes=32, bands=8, threshold=0.055
+    )
+    return dedup_ops.dedup_survivors(docs, pairs, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q44 — struct/map construction and field access (SURVEY §2.6 extension;
+# the engine's nested-type surface): events props parsed via from_json
+# into a typed struct, re-nested into an output struct and a map,
+# fields projected back out.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q44_nested_types",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           event_type AS meta_type,
+           CAST(ROUND(value*100) AS BIGINT) AS meta_value_c,
+           concat(event_type, ':', CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR)) AS tagged
+    FROM events
+    """,
+    tags=("struct", "map", "json"),
+)
+def q44_nested_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    _tune(spark)
+    ev = load_events(spark, sf_dir)
+    props_schema = StructType([StructField("k", LongType(), True)])
+    nested = ev.select(
+        "event_id",
+        F.from_json("props", props_schema).alias("p"),
+        F.struct(
+            F.col("event_type").alias("type"),
+            _cents(F.col("value")).alias("value_c"),
+        ).alias("meta"),
+        F.create_map(
+            F.lit("type"), F.col("event_type"),
+        ).alias("m"),
+    )
+    return nested.select(
+        "event_id",
+        F.col("p.k").alias("k_value"),
+        F.col("meta.type").alias("meta_type"),
+        F.col("meta.value_c").alias("meta_value_c"),
+        F.concat(
+            F.element_at("m", "type"), F.lit(":"), F.col("p.k").cast("string")
+        ).alias("tagged"),
+    )
