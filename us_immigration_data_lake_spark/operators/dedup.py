@@ -31,10 +31,23 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     than n tokens contribute their whole normalized text as the single
     shingle (so they can still be exact-matched)."""
     tok = tokens(normalized_text(F.col(text_col)))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(tok) - n),
-        lambda i: F.array_join(F.slice(tok, i + 1, n), " "),
-    )
+    if n == 2:
+        # bigram fast path: one zip_with pass; the generic form pays a
+        # per-gram slice (O(n·k) array copies per document)
+        # NB slice length must stay well under int32 max: Spark computes
+        # start+length in int, so a 2^31-1 length overflows and yields
+        # an empty slice (degrading every shingle to a unigram)
+        grams = F.zip_with(
+            tok,
+            F.slice(tok, 2, F.size(tok)),
+            lambda x, y: F.concat_ws(" ", x, y),
+        )
+        grams = F.slice(grams, 1, F.greatest(F.size(tok) - 1, F.lit(1)))
+    else:
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size(tok) - n),
+            lambda i: F.array_join(F.slice(tok, i + 1, n), " "),
+        )
     sh = F.when(F.size(tok) >= n, grams).otherwise(
         F.array(normalized_text(F.col(text_col)))
     )
