@@ -1682,3 +1682,102 @@ def q44_nested_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("m", "type"), F.lit(":"), F.col("p.k").cast("string")
         ).alias("tagged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q45 — keyword search with term-frequency ranking: tf as exact integer
+# (array filter count), deterministic top-20. The retrieval primitive
+# for corpus exploration; exact ints so the ranking is oracle-stable.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q45_keyword_search",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                t -> t = 'spark')) AS BIGINT) AS tf,
+           n_chars
+    FROM documents
+    WHERE len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t = 'spark')) > 0
+    ORDER BY tf DESC, doc_id
+    LIMIT 20
+    """,
+    tags=("search", "textstats", "topk"),
+)
+def q45_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    tok = F.split(F.trim(F.col("text")), r"\s+")
+    tf = F.size(F.filter(tok, lambda t: t == F.lit("spark"))).cast("long")
+    return (
+        docs.select("doc_id", "lang", tf.alias("tf"), "n_chars")
+        .filter(F.col("tf") > 0)
+        .orderBy(F.desc("tf"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q46 — customer order-count distribution (TPC-H Q13 shape): LEFT join
+# so zero-order customers count, aggregate twice (per-customer then
+# histogram) — the double-aggregation pattern.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q46_order_count_histogram",
+    oracle="""
+    SELECT order_cnt, COUNT(*) AS customers
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS order_cnt
+      FROM customer c LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey)
+    GROUP BY order_cnt
+    """,
+    tags=("left-join", "double-agg", "histogram"),
+)
+def q46_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+    )
+    return per_cust.groupBy("order_cnt").agg(F.count(F.lit(1)).alias("customers"))
+
+
+# ---------------------------------------------------------------------------
+# Q47 — large-volume orders (TPC-H Q18 shape): HAVING over a grouped
+# subquery feeding an IN-style semi join back to the fact.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q47_large_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, CAST(o.o_orderdate AS DATE) AS order_date,
+           CAST(t.total_qty AS BIGINT) AS total_qty
+    FROM orders o
+    JOIN (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS BIGINT)) > 150) t
+      ON t.l_orderkey = o.o_orderkey
+    """,
+    tags=("having", "subquery", "semi-join"),
+)
+def q47_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    orders = _t(spark, sf_dir, "orders")
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return orders.join(big, orders.o_orderkey == big.l_orderkey).select(
+        "o_orderkey",
+        "o_custkey",
+        F.to_date("o_orderdate").alias("order_date"),
+        "total_qty",
+    )
