@@ -9,7 +9,9 @@ from us_immigration_data_lake_spark.functions.cleaning import (
     cast_types,
     recode,
     recode_via_broadcast_map,
+    rename_columns,
     fill_nulls,
+    coalesce_fallback,
 )
 from us_immigration_data_lake_spark.functions.text import (
     title_case,
@@ -27,7 +29,9 @@ __all__ = [
     "cast_types",
     "recode",
     "recode_via_broadcast_map",
+    "rename_columns",
     "fill_nulls",
+    "coalesce_fallback",
     "title_case",
     "token_count",
     "tokens",

@@ -7,8 +7,30 @@ from us_immigration_data_lake_spark.operators.joins import (
     dim_join,
     semi_join,
     anti_join,
+    as_of_join,
+    range_join,
+    salted_join,
 )
 from us_immigration_data_lake_spark.operators.windows import ranked, top_k
+from us_immigration_data_lake_spark.operators.dedup import (
+    near_dup_pairs,
+    simhash,
+    connected_components,
+    dedup_survivors,
+)
+from us_immigration_data_lake_spark.operators.similarity import (
+    cosine_knn,
+    srp_lsh_knn,
+    ivf_knn,
+    cosine_near_dup_pairs,
+)
+from us_immigration_data_lake_spark.operators.textstats import (
+    text_features,
+    quality_score,
+    lang_id,
+    fingerprint,
+    winnow_fingerprints,
+)
 
 __all__ = [
     "grouped_agg",
@@ -17,6 +39,22 @@ __all__ = [
     "dim_join",
     "semi_join",
     "anti_join",
+    "as_of_join",
+    "range_join",
+    "salted_join",
     "ranked",
     "top_k",
+    "near_dup_pairs",
+    "simhash",
+    "connected_components",
+    "dedup_survivors",
+    "cosine_knn",
+    "srp_lsh_knn",
+    "ivf_knn",
+    "cosine_near_dup_pairs",
+    "text_features",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "winnow_fingerprints",
 ]

@@ -1781,3 +1781,42 @@ def q47_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("o_orderdate").alias("order_date"),
         "total_qty",
     )
+
+
+# ---------------------------------------------------------------------------
+# Q48 — deterministic hash-based train/test split: assignment is a pure
+# function of the id (content-stable, leakage-free, reproducible across
+# runs and engines) — the split primitive for training-corpus builds.
+# Bucket = first 4 hex digits of md5(id) parsed as an integer, mod 100
+# (uniform over 65536 values; char-code arithmetic would be hex-digit
+# biased and land far from the target ratio).
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q48_train_test_split",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER) % 100 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train' ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS docs
+    FROM b GROUP BY 1, 2
+    """,
+    tags=("sampling", "split"),
+)
+def q48_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    bucket = F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 100
+    return (
+        docs.select(
+            F.when(bucket < 80, "train").otherwise("test").alias("split"),
+            "lang",
+        )
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("docs"))
+    )
