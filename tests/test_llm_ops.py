@@ -175,3 +175,25 @@ def test_dedup_survivors_keep_flags(spark):
     assert out[1] == (1, True) and out[2] == (1, False) and out[3] == (1, False)
     assert out[10] == (10, True) and out[11] == (10, False)
     assert out[99] == (99, True)  # singleton survives
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    text = " ".join(f"w{i}" for i in range(120))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    chunks = sorted(
+        ts.chunk_documents(df, "doc_id", "text", chunk_tokens=50, overlap=10).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    assert len(chunks) == 3  # ceil((120-10)/40) = 3
+    assert chunks[0].chunk_text.startswith("w0 ") and chunks[0].n_tokens == 50
+    assert chunks[1].chunk_start_token == 40
+    # overlap: last 10 tokens of chunk0 == first 10 of chunk1
+    assert chunks[0].chunk_text.split()[-10:] == chunks[1].chunk_text.split()[:10]
+    # full coverage: last chunk reaches the final token
+    assert chunks[-1].chunk_text.split()[-1] == "w119"
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(1, "only three tokens")], ["doc_id", "text"])
+    rows = ts.chunk_documents(df, "doc_id", "text", 50, 10).collect()
+    assert len(rows) == 1 and rows[0].n_tokens == 3

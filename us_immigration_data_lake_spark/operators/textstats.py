@@ -176,6 +176,53 @@ def winnow_fingerprints(
     return mins.unionByName(short)
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 50,
+    overlap: int = 10,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    context-window preparation step of a training/RAG corpus build.
+
+    Output: (id, chunk_idx, chunk_start_token, chunk_text, n_tokens).
+    Stride = chunk_tokens - overlap; the final chunk may be short but
+    is never empty; single-short-doc → one chunk. Pure expression
+    arithmetic (sequence + slice inside ONE transform level — flat,
+    see the nested-HOF hazard note on winnow_fingerprints)."""
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    tok = tokens(normalized_text(F.col(text_col)))
+    staged = df.select(F.col(id_col), tok.alias("__tok"))
+    n = F.size("__tok")
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / stride).cast("int"), F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_idx"),
+            (i * stride).cast("long").alias("chunk_start_token"),
+            F.array_join(
+                F.slice(F.col("__tok"), i * stride + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+            F.least(n - i * stride, F.lit(chunk_tokens)).cast("long").alias("n_tokens"),
+        ),
+    )
+    return (
+        staged.select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            "c.chunk_idx",
+            "c.chunk_start_token",
+            "c.chunk_text",
+            "c.n_tokens",
+        )
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Deterministic document fingerprint: md5 of whitespace-normalized
     lowercase text (etl.py's capitalize/normalize family generalized to

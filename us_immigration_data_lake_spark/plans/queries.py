@@ -1820,3 +1820,38 @@ def q48_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", "lang")
         .agg(F.count(F.lit(1)).alias("docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q49 — document chunking (textstats.chunk_documents): overlapping
+# 50-token windows with 10-token overlap — context-window prep for
+# training/RAG corpora. Oracle reproduces the stride arithmetic with
+# DuckDB list comprehensions.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q49_chunk_documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+') AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id, len(toks) AS n,
+             GREATEST(CAST(ceil((len(toks) - 10) / 40.0) AS BIGINT), 1) AS n_chunks,
+             toks
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(i * 40 AS BIGINT) AS chunk_start_token,
+           array_to_string(toks[i*40 + 1 : i*40 + 50], ' ') AS chunk_text,
+           CAST(LEAST(n - i*40, 50) AS BIGINT) AS n_tokens
+    FROM c, UNNEST(range(0, n_chunks)) AS u(i)
+    """,
+    tags=("chunking", "textstats"),
+)
+def q49_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return ts_ops.chunk_documents(docs, "doc_id", "text", chunk_tokens=50, overlap=10)
