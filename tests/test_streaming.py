@@ -93,3 +93,28 @@ def test_stream_stream_interval_join_matches_batch(spark):
     assert sorted((r.purchase_id, r.view_id) for r in got.collect()) == sorted(
         (r.purchase_id, r.view_id) for r in batch.collect()
     )
+
+
+def test_checkpoint_incremental_ingest(spark, tmp_path):
+    import shutil
+
+    from us_immigration_data_lake_spark.streaming.windows import incremental_ingest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src / "batch1.parquet")
+    target = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    n1 = incremental_ingest(spark, f"{src}/*.parquet", target, ckpt)
+    assert n1 == 1000  # sf0.001 events
+
+    # second run, no new files → nothing reprocessed
+    n2 = incremental_ingest(spark, f"{src}/*.parquet", target, ckpt)
+    assert n2 == 0
+
+    # drop in a new file → ONLY the new file is processed
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src / "batch2.parquet")
+    n3 = incremental_ingest(spark, f"{src}/*.parquet", target, ckpt)
+    assert n3 == 1000
+    assert spark.read.parquet(target).count() == 2000
