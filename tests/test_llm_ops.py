@@ -197,3 +197,22 @@ def test_chunk_documents_short_doc_single_chunk(spark):
     df = spark.createDataFrame([(1, "only three tokens")], ["doc_id", "text"])
     rows = ts.chunk_documents(df, "doc_id", "text", 50, 10).collect()
     assert len(rows) == 1 and rows[0].n_tokens == 3
+
+
+def test_resize_media_exact_shape(spark, planted):
+    media = mm.text_as_media(planted, "doc_id", "text")
+    out = {r.media_id: r for r in mm.resize_media(media, 8, 4).collect()}
+    assert all(len(r.content) == 32 for r in out.values())
+    assert out[1].meta_width == 8 and out[1].meta_height == 4
+    assert out[1].content == out[5].content  # deterministic
+
+
+def test_sample_frames_stride(spark, planted):
+    media = mm.text_as_media(planted, "doc_id", "text")
+    frames = mm.sample_frames(media, frame_bytes=8, every_nth=2).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.media_id, []).append(r.frame_idx)
+    # doc 1 text is 66 bytes → 8 frames → sampled 0,2,4,6
+    assert sorted(by_doc[1]) == [0, 2, 4, 6]
+    assert all(len(r.frame) <= 8 for r in frames)

@@ -69,6 +69,66 @@ def decode_image(content: bytes):
     )
 
 
+RESIZED_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("content", BinaryType(), True),
+    StructField("meta_width", LongType(), True),
+    StructField("meta_height", LongType(), True),
+])
+
+FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("frame_idx", LongType(), False),
+    StructField("frame", BinaryType(), True),
+])
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Arrow-batched resize over the binary column. The pixel resample
+    itself is STUBBED (no image libs in this container): the fake
+    transform deterministically truncates/pads the payload to
+    width*height bytes so tests can assert exact shapes; the batch
+    iteration, schema, and metadata update are the real pipeline. Swap
+    the marked line for PIL's ``Image.resize`` in production."""
+    target = width * height
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(blob) if blob is not None else b""
+                # STUB: real impl decodes + resamples; fake keeps shape
+                resized = (b * (target // max(len(b), 1) + 1))[:target]
+                rows.append((int(mid), resized, width, height))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "content", "meta_width", "meta_height"]
+            )
+
+    return media.mapInPandas(_batches, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, frame_bytes: int = 64, every_nth: int = 4) -> DataFrame:
+    """Frame sampling for video payloads: split the binary into
+    fixed-size frames, keep every n-th — one output row per sampled
+    frame. The codec is STUBBED (frames = fixed-size byte chunks); the
+    explode-shaped mapInPandas output, frame indexing, and stride are
+    the real structure a decoder drops into."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(blob) if blob is not None else b""
+                n_frames = max(len(b) // frame_bytes, 1)
+                for i in range(0, n_frames, every_nth):
+                    rows.append(
+                        (int(mid), i, b[i * frame_bytes:(i + 1) * frame_bytes])
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
+
+    return media.mapInPandas(_batches, schema=FRAME_SCHEMA)
+
+
 def extract_features(media: DataFrame, num_features: int = 8) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 

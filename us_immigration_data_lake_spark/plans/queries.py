@@ -1855,3 +1855,73 @@ def q49_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tune(spark)
     docs = _t(spark, sf_dir, "documents")
     return ts_ops.chunk_documents(docs, "doc_id", "text", chunk_tokens=50, overlap=10)
+
+
+# ---------------------------------------------------------------------------
+# Q50 — sessionized conversion funnel: lag-based sessionization (the
+# batch twin of q27's session windows), then per-session view→purchase
+# conversion — a session has converted when a view precedes a purchase
+# inside it. All exact-integer micros.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q50_session_funnel",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN ts_us - LAG(ts_us) OVER w >= 600000000
+                       OR LAG(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+    ), sess AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), per_session AS (
+      SELECT user_id, sid,
+             MIN(CASE WHEN event_type = 'view' THEN ts_us END) AS first_view_us,
+             MAX(CASE WHEN event_type = 'purchase' THEN ts_us END) AS last_purchase_us
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT COUNT(*) AS total_sessions,
+           CAST(SUM(CASE WHEN first_view_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS sessions_with_view,
+           CAST(SUM(CASE WHEN last_purchase_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS sessions_with_purchase,
+           CAST(SUM(CASE WHEN first_view_us IS NOT NULL AND last_purchase_us > first_view_us
+                    THEN 1 ELSE 0 END) AS BIGINT) AS converted_sessions
+    FROM per_session
+    """,
+    tags=("funnel", "sessionization", "window"),
+)
+def q50_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    _tune(spark)
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(
+            (F.col("ts_us") - F.lag("ts_us").over(w) >= 600_000_000)
+            | F.lag("ts_us").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sid",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    per_session = sess.groupBy("user_id", "sid").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).alias("first_view_us"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts_us"))).alias("last_purchase_us"),
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).alias("total_sessions"),
+        F.sum(F.col("first_view_us").isNotNull().cast("long")).alias("sessions_with_view"),
+        F.sum(F.col("last_purchase_us").isNotNull().cast("long")).alias("sessions_with_purchase"),
+        F.sum(
+            (F.col("first_view_us").isNotNull()
+             & (F.col("last_purchase_us") > F.col("first_view_us"))).cast("long")
+        ).alias("converted_sessions"),
+    )
