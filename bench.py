@@ -28,10 +28,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     names = [n for n, s in QUERIES.items() if s.bench]
-    # JVM/codegen warm-up on the smallest sf so headline numbers measure
-    # the plan, not first-query session initialization.
-    warm = QUERIES[names[0]].fn(spark, "/root/testdata/sf0.001")
-    warm.write.mode("overwrite").format("noop").save()
+    # JVM/codegen warm-up: run every headline query once at the
+    # smallest sf so the timed runs measure steady-state execution,
+    # not per-query whole-stage-codegen compilation (1-2s each).
+    for name in names:
+        QUERIES[name].fn(spark, "/root/testdata/sf0.001").write.mode(
+            "overwrite"
+        ).format("noop").save()
 
     timings: dict[str, float] = {}
     for name in names:
