@@ -154,3 +154,37 @@ def test_country_with_temperatures(spark, lookup_raw):
     # temperature row is null → no Temperature, name fallback applies
     can = [r for r in dim.collect() if r.Country == "Canada"]
     assert can and can[0].Temperature is None
+
+
+def test_build_training_corpus_end_to_end(spark, tmp_path):
+    from us_immigration_data_lake_spark.pipelines.corpus import build_training_corpus
+
+    base = "the quick brown fox jumps over the lazy dog and runs away today again"
+    docs = spark.createDataFrame(
+        [
+            (1, base),                                   # survivor
+            (2, base),                                   # exact dup of 1
+            (3, base.replace("today", "tomorrow")),      # near dup of 1
+            (4, "completely different text about mountains rivers and valleys here"),
+            (5, "x"),                                    # fails quality gate
+        ],
+        ["doc_id", "text"],
+    )
+    # gate at 0.5: a single-token doc scores ~0.43 (uniqueness ratio
+    # dominates degenerate docs), real sentences score ~0.6-0.7
+    corpus, stats = build_training_corpus(
+        docs, min_quality=0.5, jaccard_threshold=0.5, chunk_tokens=8,
+        overlap=2, out_dir=str(tmp_path),
+    )
+    assert stats.input_docs == 5
+    assert stats.after_quality == 4          # doc 5 gated out
+    assert stats.after_exact_dedup == 3      # doc 2 removed
+    assert stats.after_near_dedup == 2       # doc 3 clustered under 1
+    rows = corpus.collect()
+    assert {r.doc_id for r in rows} == {1, 4}
+    assert all(r.split in ("train", "test") for r in rows)
+    assert all(r.predicted_lang for r in rows)
+    # partitioned layout on disk
+    import os
+    parts = os.listdir(os.path.join(str(tmp_path), "corpus"))
+    assert any(p.startswith("split=") for p in parts)

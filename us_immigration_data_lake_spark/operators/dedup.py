@@ -246,6 +246,21 @@ def hamming64(a, b) -> F.Column:
     return F.bit_count(F.col(a).bitwiseXOR(F.col(b)))
 
 
+def dedup_exact_by_content(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Exact content dedup keeping the smallest id per normalized
+    text: groupBy the 16-byte md5 fingerprint (never the raw text —
+    shuffling full documents to dedup them doubles the I/O), then a
+    semi-join back to the original rows."""
+    survivors = (
+        df.groupBy(F.md5(normalized_text(F.col(text_col))).alias("__fp"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(survivors, on=id_col, how="left_semi")
+
+
 def connected_components(
     pairs: DataFrame,
     id_cols: tuple[str, str] = ("id1", "id2"),

@@ -1,0 +1,106 @@
+"""End-to-end LLM training-corpus build — the composition that turns
+the engine's individual operators into the product (BASELINE.json
+north star: "add the LLM-data-pipeline operators … design every
+operator for 100 TB scale").
+
+Stages, in the order a real corpus build runs them:
+
+1. language-ID + quality scoring  (operators/textstats.py)
+2. quality-gate filter
+3. exact dedup on content fingerprint — cheapest, run first
+4. MinHash-LSH near-dup pairs → connected components → survivors
+   (operators/dedup.py)
+5. chunking into context windows  (textstats.chunk_documents)
+6. deterministic train/test split (hash of doc id)
+7. partitioned parquet write (split / predicted lang)
+
+Every stage is declarative DataFrame work; the only iteration is the
+component loop (checkpointed). At 100 TB the stage order matters:
+exact dedup removes byte-identical mass before the quadratic-ish
+near-dup machinery sees it, and the quality gate shrinks everything
+downstream.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from us_immigration_data_lake_spark.operators import dedup as dd
+from us_immigration_data_lake_spark.operators import textstats as ts
+from us_immigration_data_lake_spark.sources.writers import write_parquet
+
+
+@dataclass
+class CorpusStats:
+    input_docs: int
+    after_quality: int
+    after_exact_dedup: int
+    after_near_dedup: int
+    chunks: int
+
+
+def build_training_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    jaccard_threshold: float = 0.5,
+    chunk_tokens: int = 50,
+    overlap: int = 10,
+    train_pct: int = 80,
+    out_dir: str | None = None,
+) -> tuple[DataFrame, CorpusStats]:
+    """Run the full corpus build; returns (chunked corpus, stage stats).
+
+    Output columns: doc_id, predicted_lang, quality_score, split,
+    chunk_idx, chunk_start_token, chunk_text, n_tokens.
+    """
+    n_in = docs.count()
+
+    # 1-2: score and gate
+    feats = ts.quality_score(ts.text_features(docs, id_col, text_col))
+    lang = ts.lang_id(docs, id_col, text_col).select(id_col, "predicted_lang")
+    scored = (
+        docs.join(feats.select(id_col, "quality_score"), id_col)
+        .join(lang, id_col)
+        .filter(F.col("quality_score") >= min_quality)
+    )
+    scored.cache()
+    n_quality = scored.count()
+
+    # 3: exact dedup — smallest doc id survives per normalized content
+    exact = dd.dedup_exact_by_content(scored, id_col, text_col)
+    exact.cache()
+    n_exact = exact.count()
+
+    # 4: near-dup clustering — keep one survivor per cluster
+    pairs = dd.near_dup_pairs(
+        exact, id_col, text_col, shingle_n=3, num_hashes=32, bands=8,
+        threshold=jaccard_threshold,
+    )
+    survivors = dd.dedup_survivors(exact, pairs, id_col).filter(F.col("keep"))
+    deduped = exact.join(survivors.select(id_col), id_col)
+    deduped.cache()
+    n_near = deduped.count()
+
+    # 5: chunk
+    chunks = ts.chunk_documents(deduped, id_col, text_col, chunk_tokens, overlap)
+
+    # 6: deterministic split (same bucket formula as q48)
+    h = F.md5(F.col(id_col).cast("string"))
+    bucket = F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 100
+    meta = deduped.select(
+        id_col, "predicted_lang", "quality_score",
+        F.when(bucket < train_pct, "train").otherwise("test").alias("split"),
+    )
+    corpus = chunks.join(meta, id_col)
+    n_chunks = corpus.count()
+
+    # 7: partitioned write
+    if out_dir is not None:
+        write_parquet(corpus, out_dir, "corpus", partition_by=["split", "predicted_lang"])
+
+    return corpus, CorpusStats(n_in, n_quality, n_exact, n_near, n_chunks)
