@@ -136,3 +136,44 @@ def test_read_sas_stub_raises_helpfully(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(Exception):
         read_sas(spark, str(p))
+
+
+def test_dedup_exact_coherent_row_on_order_ties(spark):
+    from us_immigration_data_lake_spark.operators.aggregate import dedup_exact
+
+    # two rows tie on the order col with different payloads: the
+    # survivor must be ONE of the input rows, never a column mix
+    rows = [(1, 10, "a", "left"), (1, 10, "b", "right")]
+    df = spark.createDataFrame(rows, ["k", "ord", "x", "y"])
+    out = dedup_exact(df, keys=["k"], keep_order_col="ord").collect()
+    assert len(out) == 1
+    assert (out[0].x, out[0].y) in {("a", "left"), ("b", "right")}
+
+
+def test_tokens_empty_input_yields_empty_array(spark):
+    from us_immigration_data_lake_spark.functions.text import tokens
+
+    df = spark.createDataFrame([("",), ("  \t ",), ("a b",)], "s: string")
+    out = [r.t for r in df.select(tokens("s").alias("t")).collect()]
+    assert out == [[], [], ["a", "b"]]
+
+
+def test_quality_score_empty_doc_is_zero(spark):
+    from us_immigration_data_lake_spark.operators.textstats import (
+        quality_score,
+        text_features,
+    )
+
+    df = spark.createDataFrame([(1, ""), (2, "real text here")], ["doc_id", "text"])
+    out = {r.doc_id: r.quality_score for r in
+           quality_score(text_features(df, "doc_id", "text")).collect()}
+    assert out[1] == 0.0
+    assert out[2] > 0.0
+
+
+def test_compact_parquet_rejects_uri(spark):
+    from us_immigration_data_lake_spark.sources.writers import compact_parquet
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="local"):
+        compact_parquet(spark, "s3a://bucket/ds")

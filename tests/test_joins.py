@@ -45,3 +45,12 @@ def test_salted_join_equals_plain_join(spark):
     plain = li.join(orders, on="l_orderkey").count()
     salted = salted_join(li, orders, "l_orderkey", salt=4).count()
     assert salted == plain
+
+
+def test_salted_join_rejects_right_outer(spark):
+    from us_immigration_data_lake_spark.operators.joins import salted_join
+
+    import pytest as _pytest
+    a = spark.createDataFrame([(1, "x")], ["k", "v"])
+    with _pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(a, a, "k", how="right")

@@ -216,3 +216,14 @@ def test_sample_frames_stride(spark, planted):
     # doc 1 text is 66 bytes → 8 frames → sampled 0,2,4,6
     assert sorted(by_doc[1]) == [0, 2, 4, 6]
     assert all(len(r.frame) <= 8 for r in frames)
+
+
+def test_oversized_buckets_reports_dropped(spark):
+    band = spark.createDataFrame(
+        [(0, 7, i) for i in range(5)] + [(0, 9, 100), (0, 9, 101)],
+        ["band_idx", "band_hash", "doc_id"],
+    )
+    dropped = dd.oversized_buckets(band, "doc_id", max_bucket_size=3).collect()
+    assert len(dropped) == 1 and dropped[0].bucket_n == 5
+    pairs = dd.candidate_pairs(band, "doc_id", max_bucket_size=3).collect()
+    assert {(r.id1, r.id2) for r in pairs} == {(100, 101)}

@@ -118,3 +118,21 @@ def test_checkpoint_incremental_ingest(spark, tmp_path):
     n3 = incremental_ingest(spark, f"{src}/*.parquet", target, ckpt)
     assert n3 == 1000
     assert spark.read.parquet(target).count() == 2000
+
+
+def test_incremental_ingest_totals_across_micro_batches(spark, tmp_path):
+    import shutil
+
+    from us_immigration_data_lake_spark.streaming.windows import incremental_ingest
+
+    src = tmp_path / "src2"
+    src.mkdir()
+    # two input files; cap one file per micro-batch to force multiple
+    # batches in a single availableNow run
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src / "a.parquet")
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src / "b.parquet")
+    n = incremental_ingest(
+        spark, f"{src}/*.parquet", str(tmp_path / "o2"), str(tmp_path / "c2"),
+        max_files_per_trigger=1,
+    )
+    assert n == 2000  # sum over BOTH micro-batches, not just the last

@@ -75,9 +75,12 @@ def _strip_ws(c: Column) -> Column:
 
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens, empty-safe (no empty-string tokens);
-    matches Python ``str.split()`` including tab/newline handling."""
+    matches Python ``str.split()`` including tab/newline handling —
+    ''.split() == [], so empty/whitespace-only input yields an empty
+    array, not [''] (Spark's split of '' produces one empty token)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(_strip_ws(c), r"\s+")
+    raw = F.split(_strip_ws(c), r"\s+")
+    return F.filter(raw, lambda t: t != F.lit(""))
 
 
 def token_count(col: Column | str) -> Column:

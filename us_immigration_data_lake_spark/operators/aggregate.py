@@ -78,9 +78,12 @@ def dedup_exact(
       on all columns; Catalyst plans partial+final HashAggregate.
     - keys given without order col: ``dropDuplicates(keys)`` —
       nondeterministic survivor, cheapest.
-    - keys + keep_order_col: deterministic survivor = row with the MIN
-      order value per key, planned as a single aggregate (min_by on a
-      packed struct), not a window — one shuffle, no sort.
+    - keys + keep_order_col: survivor = row with the MIN order value
+      per key, planned as a single aggregate — one shuffle, no sort.
+      All non-key columns are packed into ONE struct before min_by so
+      the surviving row is a coherent input row even when two rows tie
+      on the order column (per-column min_by would otherwise mix
+      columns from different tied rows).
     """
     if keys is None:
         return df.dropDuplicates()
@@ -88,6 +91,7 @@ def dedup_exact(
         return df.dropDuplicates(keys)
     others = [c for c in df.columns if c not in keys]
     packed = df.groupBy(*keys).agg(
-        *[F.min_by(c, keep_order_col).alias(c) for c in others]
+        F.min_by(F.struct(*others), F.col(keep_order_col)).alias("__row")
     )
-    return packed.select(*df.columns)
+    return packed.select(*keys, *[F.col("__row")[c].alias(c) for c in others]) \
+        .select(*df.columns)

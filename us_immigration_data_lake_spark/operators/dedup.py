@@ -111,12 +111,29 @@ def lsh_bands(sig_df: DataFrame, id_col: str, bands: int, rows: int) -> DataFram
     return out.select(id_col, "band.band_idx", "band.band_hash")
 
 
+def oversized_buckets(
+    band_df: DataFrame, id_col: str, max_bucket_size: int = 1000
+) -> DataFrame:
+    """The band buckets candidate_pairs DROPS (size > cap): one row per
+    mega-bucket with its size and member ids. Run this alongside
+    candidate_pairs so the truncation is observable — a >cap bucket is
+    usually a boilerplate cluster worth handling as a group (e.g. keep
+    one member) rather than pairwise."""
+    return (
+        band_df.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bucket_n"),
+             F.collect_list(id_col).alias("ids"))
+        .filter(F.col("bucket_n") > max_bucket_size)
+    )
+
+
 def candidate_pairs(
     band_df: DataFrame, id_col: str, max_bucket_size: int = 1000
 ) -> DataFrame:
     """Pairs of ids sharing a band bucket, id1 < id2; mega-buckets are
-    dropped (boilerplate clusters — report separately, don't
-    quadratically explode one reducer).
+    dropped (boilerplate clusters would quadratically explode one
+    reducer) — detect them with ``oversized_buckets`` on the same
+    band frame.
 
     ONE shuffle on the band key: collect each bucket's id list, expand
     pairs inside the array (bucket size is capped so the array is
@@ -204,7 +221,12 @@ def near_dup_pairs(
     # many files and this is a no-op-cost hash exchange on the id
     sh = shingles(df.repartition(F.col(id_col)), id_col, text_col, shingle_n)
     hashes = shingle_hash_table(sh, id_col)
-    hashes.cache()  # reused by signature agg and hashed-set collection
+    # cached because both the signature agg and hashed-set collection
+    # consume it; cannot be unpersisted here (the returned frame is
+    # lazy). Bounded: Spark's cache manager dedupes by logical plan,
+    # so repeated calls over the same input reuse one entry, and
+    # distinct inputs evict LRU under memory pressure.
+    hashes.cache()
     # NOTE deliberately TWO aggregation passes: the 32 min-aggs stay in
     # codegen'd HashAggregate, while collect_set is a typed aggregate —
     # fusing them forces the whole pass into ObjectHashAggregate and is

@@ -64,7 +64,16 @@ def salted_join(
     Cost: right side inflates ×salt — use for small/medium right sides
     or pre-filter to the hot keys (hybrid: salt only rows whose key is
     in the known-hot set).
+
+    Only left-side-preserving joins are valid: an unmatched RIGHT row
+    exists once per salt replica, so right/full outer joins would
+    duplicate it ``salt`` times — rejected up front.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, not {how!r}: "
+            "unmatched right rows are replicated per salt"
+        )
     l = left.withColumn(
         "__salt", F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(salt))
     )

@@ -70,6 +70,8 @@ def quality_score(features: DataFrame) -> DataFrame:
         + F.lit(0.2) * length_score
         + F.lit(0.2) * F.least(meanlen / 8.0, F.lit(1.0))
     )
+    # empty documents (n_tokens=0) score 0, not null/NaN from 0/0
+    score = F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(score)
     return features.withColumn("quality_score", F.round(score, 6))
 
 

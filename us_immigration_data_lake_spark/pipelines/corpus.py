@@ -103,4 +103,10 @@ def build_training_corpus(
     if out_dir is not None:
         write_parquet(corpus, out_dir, "corpus", partition_by=["split", "predicted_lang"])
 
+    # release the stage caches: the returned frame recomputes if
+    # re-executed, but a long-lived session (driver loops, repeated
+    # builds) doesn't accumulate pinned storage blocks per call
+    for frame in (scored, exact, deduped):
+        frame.unpersist()
+
     return corpus, CorpusStats(n_in, n_quality, n_exact, n_near, n_chunks)

@@ -33,24 +33,44 @@ def compact_parquet(
     The small-files problem (a streaming sink or over-parallel write
     leaving thousands of KB-sized objects) degrades every later scan:
     per-file open cost, footer reads, and scheduler overhead dominate.
-    Compaction = read → repartition to ceil(bytes/target) → atomic
-    swap via temp dir. Returns the new file-partition count.
+    Compaction = read → repartition to ceil(bytes/target) → swap.
+    Returns the new file-partition count.
+
+    LOCAL FILESYSTEM ONLY (same-device renames): the swap is
+    new-written-to-temp → original renamed aside → temp renamed in →
+    backup deleted, so a crash at any point leaves a complete copy of
+    the data on disk (possibly under the ``__old`` name — recoverable,
+    never lost). Object stores need a table format (Delta/Iceberg
+    rewrite+commit) instead; URIs are rejected up front.
     """
     import math
+    import os
     import shutil
     import uuid
 
+    if "://" in path:
+        raise ValueError(
+            "compact_parquet only supports local paths (atomic renames); "
+            "use a table format's compaction on object storage"
+        )
     df = spark.read.parquet(path)
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
     total_bytes = fs.getContentSummary(jvm_path).getLength()
     n = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
-    tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
+    token = uuid.uuid4().hex[:8]
+    tmp = f"{path.rstrip('/')}__compact_{token}"
+    backup = f"{path.rstrip('/')}__old_{token}"
     df.repartition(n).write.mode("overwrite").option(
         "compression", compression
     ).parquet(tmp)
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    os.rename(path, backup)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        os.rename(backup, path)  # restore; tmp left for inspection
+        raise
+    shutil.rmtree(backup)
     return n
 
 

@@ -155,6 +155,7 @@ def incremental_ingest(
     target_dir: str,
     checkpoint_dir: str,
     schema=EVENTS_SCHEMA,
+    max_files_per_trigger: int | None = None,
 ):
     """Checkpointed incremental file ingestion: each availableNow run
     processes ONLY files unseen by the checkpoint — the restart/resume
@@ -165,8 +166,11 @@ def incremental_ingest(
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = (
-        spark.readStream.schema(schema).parquet(source_glob)
+        reader.parquet(source_glob)
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     q = (
@@ -178,5 +182,6 @@ def incremental_ingest(
         .start()
     )
     q.awaitTermination()
-    progress = q.lastProgress
-    return int(progress["numInputRows"]) if progress else 0
+    # an availableNow run may split the backlog into several micro
+    # batches; lastProgress is only the final one — sum the run
+    return sum(int(p["numInputRows"]) for p in q.recentProgress)
