@@ -89,3 +89,38 @@ def test_asof_join_single_shuffle(spark):
     # broadcast-nested-loop or cartesian plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew handling: a join where one key holds most of the rows
+    must complete without a single straggler partition dominating —
+    the OptimizeSkewedJoin rule splits the hot partition at runtime."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # 95% of left rows share key 0; right is uniform
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 20 != 0, 0).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("v"),
+        )
+        right = spark.range(0, 200_000).select(
+            F.col("id").alias("k"), F.lit("dim").alias("d")
+        )
+        joined = left.join(right, on="k")
+        # collect() executes THIS frame's queryExecution so AQE
+        # finalizes it (count() would spawn a separate execution)
+        n = len(joined.collect())
+        assert n == 200_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        # the hot partition is recorded as split in the final plan
+        assert "skew=true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
