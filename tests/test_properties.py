@@ -81,3 +81,27 @@ def test_date_diff_matches_python(spark, pairs):
     )
     out = [r.d for r in df.select(date_diff_days("b", "a").alias("d")).collect()]
     assert out == [(b - a).days for a, b in pairs]
+
+
+@SETTINGS
+@given(
+    st.lists(st.integers(min_value=1, max_value=200), min_size=1, max_size=30),
+    st.integers(min_value=2, max_value=60),
+    st.integers(min_value=0, max_value=20),
+)
+def test_chunking_covers_every_token(spark, doc_lens, chunk_tokens, overlap):
+    from us_immigration_data_lake_spark.operators.textstats import chunk_documents
+
+    if overlap >= chunk_tokens:
+        overlap = chunk_tokens - 1
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{j}" for j in range(n))) for i, n in enumerate(doc_lens)],
+        ["doc_id", "text"],
+    )
+    chunks = chunk_documents(docs, "doc_id", "text", chunk_tokens, overlap).collect()
+    per_doc: dict[int, set] = {}
+    for r in chunks:
+        per_doc.setdefault(r.doc_id, set()).update(r.chunk_text.split())
+    for i, n in enumerate(doc_lens):
+        # every token of every document appears in at least one chunk
+        assert per_doc[i] == {f"t{i}_{j}" for j in range(n)}, (i, n, chunk_tokens, overlap)

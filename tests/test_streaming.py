@@ -136,3 +136,21 @@ def test_incremental_ingest_totals_across_micro_batches(spark, tmp_path):
         max_files_per_trigger=1,
     )
     assert n == 2000  # sum over BOTH micro-batches, not just the last
+
+
+def test_streaming_dedup_with_watermark(spark):
+    """Streaming exactly-once event dedup: dropDuplicates on the event
+    id inside the watermark window — duplicates injected by unioning
+    the stream with itself must collapse back to the original rows."""
+    s1 = read_event_stream(spark, SF)
+    s2 = read_event_stream(spark, SF)
+    doubled = s1.unionByName(s2)
+    deduped = (
+        doubled.withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .groupBy()
+        .count()
+    )
+    got = run_to_memory(deduped, "t_sdedup", mode="complete")
+    n_unique = load_events(spark, SF).count()
+    assert got.collect()[0]["count"] == n_unique
