@@ -1925,3 +1925,48 @@ def q50_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
              & (F.col("last_purchase_us") > F.col("first_view_us"))).cast("long")
         ).alias("converted_sessions"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q51 — data-quality profile (quality.py:profile_table): the quality
+# framework's single-pass metrics surfaced as a gate-checked query —
+# row count, null counts, key distinctness, value ranges over the fact.
+# ---------------------------------------------------------------------------
+
+from us_immigration_data_lake_spark.quality import profile_table  # noqa: E402
+
+
+@_register(
+    "q51_quality_profile",
+    oracle="""
+    SELECT COUNT(*) AS row_count,
+           CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_l_orderkey,
+           CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_l_shipdate,
+           COUNT(DISTINCT l_orderkey) AS distinct_l_orderkey,
+           COUNT(DISTINCT l_returnflag) AS distinct_l_returnflag,
+           CAST(MIN(l_quantity) AS BIGINT) AS min_qty,
+           CAST(MAX(l_quantity) AS BIGINT) AS max_qty
+    FROM lineitem
+    """,
+    tags=("quality", "profile"),
+)
+def q51_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "l_qty_long", F.col("l_quantity").cast("long")
+    )
+    prof = profile_table(
+        li,
+        null_cols=["l_orderkey", "l_shipdate"],
+        distinct_cols=["l_orderkey", "l_returnflag"],
+        minmax_cols=["l_qty_long"],
+    )
+    return prof.select(
+        "row_count",
+        "nulls_l_orderkey",
+        "nulls_l_shipdate",
+        "distinct_l_orderkey",
+        "distinct_l_returnflag",
+        F.col("min_l_qty_long").alias("min_qty"),
+        F.col("max_l_qty_long").alias("max_qty"),
+    )

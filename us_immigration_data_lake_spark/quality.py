@@ -77,6 +77,29 @@ class QualitySuite:
         return results
 
 
+def profile_table(
+    df: DataFrame,
+    null_cols: list[str] | None = None,
+    distinct_cols: list[str] | None = None,
+    minmax_cols: list[str] | None = None,
+) -> DataFrame:
+    """Single-pass data profile as a DataFrame (the queryable form of
+    QualitySuite — one aggregate job, one output row): row count,
+    per-column null counts, distinct counts, min/max. Feed it to
+    dashboards or the correctness gate instead of collect()ing."""
+    aggs = [F.count(F.lit(1)).alias("row_count")]
+    for c in null_cols or []:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}")
+        )
+    for c in distinct_cols or []:
+        aggs.append(F.count_distinct(F.col(c)).alias(f"distinct_{c}"))
+    for c in minmax_cols or []:
+        aggs.append(F.min(F.col(c)).alias(f"min_{c}"))
+        aggs.append(F.max(F.col(c)).alias(f"max_{c}"))
+    return df.agg(*aggs)
+
+
 def fk_coverage(fact: DataFrame, fk: str, dim: DataFrame, pk: str) -> CheckResult:
     """Fraction of non-null fact FKs present in the dim (anti-join —
     broadcast when dim is small)."""
