@@ -1975,3 +1975,69 @@ def q51_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_l_qty_long").alias("min_qty"),
         F.col("max_l_qty_long").alias("max_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q52 — calendar arithmetic (SURVEY §2.6 date family beyond parts):
+# add_months (end-of-month clamping), last_day, month truncation,
+# quarter — per-row deterministic dates, no aggregation.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q52_calendar_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS due_date,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
+           quarter(CAST(o_orderdate AS DATE)) AS q,
+           CAST(CAST(o_orderdate AS DATE) + 30 AS DATE) AS plus_30d
+    FROM orders
+    """,
+    tags=("dates", "calendar"),
+)
+def q52_calendar_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    orders = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        d.alias("order_date"),
+        F.add_months(d, 3).alias("due_date"),
+        F.last_day(d).alias("month_end"),
+        F.trunc(d, "month").alias("month_start"),
+        F.quarter(d).cast("long").alias("q"),
+        F.date_add(d, 30).alias("plus_30d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q53 — collection aggregation (SURVEY §2.4/§2.6): per-nation sorted
+# distinct market segments, exported as a joined string so the compare
+# never depends on engine-internal array ordering.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q53_collect_segments",
+    oracle="""
+    SELECT n.n_name,
+           array_to_string(list_sort(list(DISTINCT c.c_mktsegment)), ',') AS segments,
+           COUNT(DISTINCT c.c_mktsegment) AS n_segments
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("collect", "agg"),
+)
+def q53_collect_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias("segments"),
+            F.count_distinct("c_mktsegment").alias("n_segments"),
+        )
+    )
