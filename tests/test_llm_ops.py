@@ -227,3 +227,42 @@ def test_oversized_buckets_reports_dropped(spark):
     assert len(dropped) == 1 and dropped[0].bucket_n == 5
     pairs = dd.candidate_pairs(band, "doc_id", max_bucket_size=3).collect()
     assert {(r.id1, r.id2) for r in pairs} == {(100, 101)}
+
+
+def test_oversized_bucket_star_pairs_linear_recovery(spark):
+    # mega-bucket of 5 ids with cap 3: all-pairs would be 10 rows,
+    # anchor-star recovery is 4 (each member paired with the min id)
+    band = spark.createDataFrame(
+        [(0, 7, i) for i in range(5)] + [(0, 9, 100), (0, 9, 101)],
+        ["band_idx", "band_hash", "doc_id"],
+    )
+    stars = dd.oversized_bucket_star_pairs(band, "doc_id", max_bucket_size=3)
+    assert {(r.id1, r.id2) for r in stars.collect()} == {
+        (0, 1), (0, 2), (0, 3), (0, 4)
+    }
+
+
+def test_near_dup_frames_recovers_mega_bucket(spark):
+    # four byte-identical docs → identical signatures → one bucket of 4
+    # in every band, over the cap of 2. Without recovery the cluster is
+    # invisible; with it, anchor-star pairs survive Jaccard verification
+    # and connect all four through doc 1.
+    text = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [(i, text) for i in (1, 2, 3, 4)] + [(9, "something about rivers "
+         "and mountains entirely unrelated to the rest here")],
+        ["doc_id", "text"],
+    )
+    kw = dict(shingle_n=3, num_hashes=16, bands=4, threshold=0.5,
+              max_bucket_size=2)
+    silent = dd.near_dup_frames(docs, "doc_id", "text", **kw)
+    assert silent["pairs"].count() == 0
+    assert silent["oversized"].count() > 0
+    recovered = dd.near_dup_frames(
+        docs, "doc_id", "text", recover_oversized=True, **kw
+    )
+    got = {(r.id1, r.id2) for r in recovered["pairs"].collect()}
+    assert got == {(1, 2), (1, 3), (1, 4)}
+    survivors = dd.dedup_survivors(docs, recovered["pairs"], "doc_id")
+    kept = {r.doc_id for r in survivors.filter("keep").collect()}
+    assert kept == {1, 9}

@@ -180,6 +180,7 @@ def test_build_training_corpus_end_to_end(spark, tmp_path):
     assert stats.after_quality == 4          # doc 5 gated out
     assert stats.after_exact_dedup == 3      # doc 2 removed
     assert stats.after_near_dedup == 2       # doc 3 clustered under 1
+    assert stats.oversized_lsh_buckets == 0  # no mega-bucket in this corpus
     rows = corpus.collect()
     assert {r.doc_id for r in rows} == {1, 4}
     assert all(r.split in ("train", "test") for r in rows)
@@ -188,3 +189,25 @@ def test_build_training_corpus_end_to_end(spark, tmp_path):
     import os
     parts = os.listdir(os.path.join(str(tmp_path), "corpus"))
     assert any(p.startswith("split=") for p in parts)
+
+
+def test_build_training_corpus_mega_bucket_observable(spark):
+    from us_immigration_data_lake_spark.pipelines.corpus import build_training_corpus
+
+    # three near-dup (not exact-dup, so they survive stage 3) docs that
+    # share LSH buckets; with max_bucket_size=1 every shared bucket is a
+    # "mega" bucket. The pipeline must report it AND still collapse the
+    # cluster via anchor-star recovery instead of leaking duplicates.
+    base = "the quick brown fox jumps over the lazy dog and runs away {} again"
+    docs = spark.createDataFrame(
+        [(i, base.format(w)) for i, w in ((1, "today"), (2, "tonight"), (3, "tomorrow"))]
+        + [(4, "completely different text about mountains rivers and valleys here")],
+        ["doc_id", "text"],
+    )
+    corpus, stats = build_training_corpus(
+        docs, min_quality=0.4, jaccard_threshold=0.5, chunk_tokens=8,
+        overlap=2, max_bucket_size=1,
+    )
+    assert stats.oversized_lsh_buckets > 0
+    assert stats.after_near_dedup == 2
+    assert {r.doc_id for r in corpus.select("doc_id").distinct().collect()} == {1, 4}

@@ -127,6 +127,28 @@ def oversized_buckets(
     )
 
 
+def oversized_bucket_star_pairs(
+    band_df: DataFrame, id_col: str, max_bucket_size: int = 1000
+) -> DataFrame:
+    """Linear-cost candidate recovery for the buckets candidate_pairs
+    drops: pair every member of a mega-bucket with the bucket's
+    smallest id (the anchor) instead of all-pairs. O(bucket) rows per
+    bucket, not O(bucket²), so a million-doc boilerplate cluster costs
+    a million candidate rows on one key — shuffleable, not explosive.
+    Downstream Jaccard verification still applies, so false-positive
+    bucket members are discarded; true boilerplate clusters end up
+    connected through the anchor and collapse to one survivor in
+    connected-components dedup."""
+    return (
+        band_df.groupBy("band_idx", "band_hash")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") > max_bucket_size)
+        .select(F.array_min("ids").alias("id1"), F.explode("ids").alias("id2"))
+        .filter(F.col("id1") < F.col("id2"))
+        .dropDuplicates()
+    )
+
+
 def candidate_pairs(
     band_df: DataFrame, id_col: str, max_bucket_size: int = 1000
 ) -> DataFrame:
@@ -202,7 +224,7 @@ def verify_jaccard_hashed(
     )
 
 
-def near_dup_pairs(
+def near_dup_frames(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -210,10 +232,23 @@ def near_dup_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
-) -> DataFrame:
-    """End-to-end MinHash-LSH near-duplicate detection, entirely on
-    hashed shingles: one explode + hash, then signature agg, banding,
-    bucket self-join, and a hashed-set exact-Jaccard verify."""
+    max_bucket_size: int = 1000,
+    recover_oversized: bool = False,
+) -> dict[str, DataFrame]:
+    """MinHash-LSH near-duplicate detection with its intermediate
+    frames exposed, so callers (the corpus pipeline) can observe the
+    truncation candidate_pairs applies instead of inheriting it
+    silently. Returns:
+
+    - ``pairs``: verified near-dup pairs (id1, id2, jaccard)
+    - ``oversized``: the >max_bucket_size band buckets that all-pairs
+      generation skipped (band_idx, band_hash, bucket_n, ids)
+
+    With ``recover_oversized=True``, each mega-bucket additionally
+    contributes anchor-star candidates (member ↔ bucket-min, linear in
+    bucket size) that flow through the same Jaccard verification — a
+    boilerplate mega-cluster then still collapses to one survivor in
+    connected-components dedup rather than leaking wholesale."""
     rows = num_hashes // bands
     # single-file parquet sources arrive as ONE scan task (a parquet
     # row group cannot split); shingle generation is the CPU-heavy step
@@ -233,9 +268,34 @@ def near_dup_pairs(
     # measurably slower than shuffling the cached frame twice
     sig = _signatures_from_hashes(hashes, id_col, num_hashes)
     band_df = lsh_bands(sig, id_col, bands, rows)
-    cand = candidate_pairs(band_df, id_col)
+    cand = candidate_pairs(band_df, id_col, max_bucket_size)
+    if recover_oversized:
+        cand = cand.unionByName(
+            oversized_bucket_star_pairs(band_df, id_col, max_bucket_size)
+        ).dropDuplicates()
     hashsets = hashes.groupBy(id_col).agg(F.collect_set("h").alias("hs"))
-    return verify_jaccard_hashed(cand, hashsets, id_col, threshold)
+    return {
+        "pairs": verify_jaccard_hashed(cand, hashsets, id_col, threshold),
+        "oversized": oversized_buckets(band_df, id_col, max_bucket_size),
+    }
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-duplicate detection, entirely on
+    hashed shingles: one explode + hash, then signature agg, banding,
+    bucket self-join, and a hashed-set exact-Jaccard verify."""
+    return near_dup_frames(
+        df, id_col, text_col, shingle_n=shingle_n, num_hashes=num_hashes,
+        bands=bands, threshold=threshold,
+    )["pairs"]
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

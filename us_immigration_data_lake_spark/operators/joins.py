@@ -76,8 +76,15 @@ def salted_join(
             f"salted_join supports inner/left/semi/anti joins, not {how!r}: "
             "unmatched right rows are replicated per salt"
         )
+    # Salt from a per-row unique id, NOT a hash of the row's columns:
+    # byte-identical duplicate rows on the hot key are exactly the
+    # pathological-skew case, and a content hash would send them all to
+    # one reducer. The join result is salt-value-independent (the right
+    # side is replicated across every salt), so nondeterministic ids
+    # are safe here.
     l = left.withColumn(
-        "__salt", F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(salt))
+        "__salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)),
     )
     r = right.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))

@@ -41,6 +41,12 @@ class CorpusStats:
     after_exact_dedup: int
     after_near_dedup: int
     chunks: int
+    # LSH band buckets larger than max_bucket_size. These would have
+    # been silently truncated by candidate_pairs; the pipeline instead
+    # recovers them via anchor-star candidates (linear cost) AND counts
+    # them here so a boilerplate mega-cluster is observable, never a
+    # silent duplicate leak.
+    oversized_lsh_buckets: int = 0
 
 
 def build_training_corpus(
@@ -53,6 +59,7 @@ def build_training_corpus(
     overlap: int = 10,
     train_pct: int = 80,
     out_dir: str | None = None,
+    max_bucket_size: int = 1000,
 ) -> tuple[DataFrame, CorpusStats]:
     """Run the full corpus build; returns (chunked corpus, stage stats).
 
@@ -77,11 +84,17 @@ def build_training_corpus(
     exact.cache()
     n_exact = exact.count()
 
-    # 4: near-dup clustering — keep one survivor per cluster
-    pairs = dd.near_dup_pairs(
+    # 4: near-dup clustering — keep one survivor per cluster.
+    # recover_oversized: mega-buckets (boilerplate clusters) contribute
+    # anchor-star candidates instead of being dropped, so they still
+    # collapse to one survivor; the bucket count lands in CorpusStats.
+    frames = dd.near_dup_frames(
         exact, id_col, text_col, shingle_n=3, num_hashes=32, bands=8,
-        threshold=jaccard_threshold,
+        threshold=jaccard_threshold, max_bucket_size=max_bucket_size,
+        recover_oversized=True,
     )
+    pairs = frames["pairs"]
+    n_oversized = frames["oversized"].count()
     survivors = dd.dedup_survivors(exact, pairs, id_col).filter(F.col("keep"))
     deduped = exact.join(survivors.select(id_col), id_col)
     deduped.cache()
@@ -110,4 +123,6 @@ def build_training_corpus(
     for frame in (scored, exact, deduped, corpus):
         frame.unpersist()
 
-    return corpus, CorpusStats(n_in, n_quality, n_exact, n_near, n_chunks)
+    return corpus, CorpusStats(
+        n_in, n_quality, n_exact, n_near, n_chunks, n_oversized
+    )

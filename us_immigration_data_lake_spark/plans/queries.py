@@ -673,8 +673,12 @@ def q16_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q17_quality_score",
     oracle="""
     WITH tok AS (
+      -- drop empty tokens to mirror the engine's tokens() helper, which
+      -- filters '' so an empty/whitespace-only document has n_tokens=0
+      -- (string_split_regex on '' yields [''] otherwise)
       SELECT doc_id, source,
-             string_split_regex(trim(text), '\\s+') AS toks
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         t -> t <> '') AS toks
       FROM documents
     ), feat AS (
       SELECT doc_id, source,
@@ -685,12 +689,12 @@ def q16_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tok
     )
     SELECT doc_id, source,
-           ROUND(
+           CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE) ELSE ROUND(
              0.4 * (n_distinct / CAST(n_tokens AS DOUBLE))
              + 0.2 * LEAST((n_stop / CAST(n_tokens AS DOUBLE)) * 5.0, 1.0)
              + 0.2 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
              + 0.2 * LEAST((sum_len / CAST(n_tokens AS DOUBLE)) / 8.0, 1.0)
-           , 6) AS quality_score
+           , 6) END AS quality_score
     FROM feat
     """,
     tags=("textstats", "quality"),
