@@ -70,6 +70,34 @@ def test_srp_lsh_subset_of_exact_scores(spark):
             assert abs(exact_scores[key] - r.cosine_sim) < 1e-9
 
 
+def test_srp_multiprobe_improves_recall(spark):
+    """At fixed num_bits, probing the Hamming-1 buckets must recover
+    strictly more of the exact top-k than the single-bucket join, and
+    never lose a hit the single bucket already had (the exact bucket is
+    always among the probes)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.cosine_knn(emb, queries, "vec_id", "embedding", k=5).collect()
+    }
+    kw = dict(k=5, dim=64, num_bits=6)
+    single = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.srp_lsh_knn(emb, queries, "vec_id", "embedding", **kw).collect()
+    }
+    multi = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.srp_lsh_knn(
+            emb, queries, "vec_id", "embedding", multiprobe=True, **kw
+        ).collect()
+    }
+    recall_single = len(single & exact) / len(exact)
+    recall_multi = len(multi & exact) / len(exact)
+    assert recall_multi > recall_single
+    assert single & exact <= multi  # multiprobe keeps every single-bucket hit
+
+
 def test_cosine_knn_self_excluded_and_k(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 5)

@@ -138,6 +138,42 @@ def test_incremental_ingest_totals_across_micro_batches(spark, tmp_path):
     assert n == 2000  # sum over BOTH micro-batches, not just the last
 
 
+def test_committed_sink_files_manifest_semantics(spark, tmp_path):
+    """rows-processed is derived from the sink's _spark_metadata
+    manifest (O(new files)), never a full-sink scan; a missing sink is
+    the empty set, a corrupt manifest raises instead of silently
+    yielding a wrong delta."""
+    import shutil
+
+    from us_immigration_data_lake_spark.streaming.windows import (
+        _committed_sink_files,
+        incremental_ingest,
+    )
+
+    # missing sink → empty set, no error
+    assert _committed_sink_files(spark, str(tmp_path / "nope")) == set()
+
+    src = tmp_path / "src3"
+    src.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src / "a.parquet")
+    target = str(tmp_path / "o3")
+    incremental_ingest(spark, f"{src}/*.parquet", target, str(tmp_path / "c3"))
+    files = _committed_sink_files(spark, target)
+    assert files and all(f.endswith(".parquet") for f in files)
+    # the manifest's committed files alone hold every ingested row
+    assert spark.read.parquet(*sorted(files)).count() == 1000
+
+    # corrupt manifest → propagate, don't return a wrong answer
+    import json
+
+    import pytest as _pytest
+
+    meta = tmp_path / "o3" / "_spark_metadata"
+    (meta / "1").write_text("{not json")
+    with _pytest.raises(json.JSONDecodeError):
+        _committed_sink_files(spark, target)
+
+
 def test_streaming_dedup_with_watermark(spark):
     """Streaming exactly-once event dedup: dropDuplicates on the event
     id inside the watermark window — duplicates injected by unioning

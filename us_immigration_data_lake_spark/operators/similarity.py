@@ -12,9 +12,9 @@ Scale design:
   O(|corpus|·|queries|): the baseline only.
 - SRP-LSH: each vector gets a b-bit signature (sign of dot with b
   fixed random hyperplanes, seed-deterministic); search joins only
-  vectors sharing the signature bucket (optionally multi-probe with
-  Hamming-1 neighbors). Shuffles on the bucket key instead of
-  broadcasting the corpus.
+  vectors sharing the signature bucket, optionally multi-probing the
+  Hamming-1 neighbor buckets (``multiprobe=True``). Shuffles on the
+  bucket key instead of broadcasting the corpus.
 """
 
 from __future__ import annotations
@@ -256,11 +256,22 @@ def srp_lsh_knn(
     dim: int,
     num_bits: int = 12,
     seed: int = 42,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates share the SRP bucket; exact cosine
     re-rank within bucket. At 100 TB the bucket join replaces the
     corpus broadcast; recall is tuned by num_bits (fewer bits → bigger
-    buckets → higher recall, more compute)."""
+    buckets → higher recall, more compute).
+
+    ``multiprobe=True`` additionally probes every Hamming-1 neighbor of
+    the query's bucket (a near neighbor that landed barely on the other
+    side of ONE hyperplane is the dominant miss mode). Each query then
+    hits 1 + num_bits buckets, so candidate volume grows ~(1+b)× — the
+    recall/compute knob that doesn't change the corpus-side layout
+    (only the QUERY side replicates; the corpus still shuffles once on
+    its single bucket key). Candidate pairs stay unique: a corpus
+    vector lives in exactly one bucket and the probed buckets are
+    pairwise distinct."""
     planes = srp_planes(dim, num_bits, seed)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -270,6 +281,15 @@ def srp_lsh_knn(
         F.col(id_col).alias("query_id"),
         _as_double(vec_col).alias("qv"),
     ).withColumn("bucket", srp_signature(F.col("qv"), planes))
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(num_bits)
+            ],
+        )
+        q = q.withColumn("bucket", F.explode(probes))
     scored = (
         c.join(q, on="bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -924,6 +924,14 @@ def q23_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rows-only (recall vs exact is asserted in tests/test_llm_ops.py).
 # ---------------------------------------------------------------------------
 
+# embeddings.parquet vector width — a fixed property of the dataset
+# (every sf dir is generated at dim 64), treated like schema width.
+# Parquet's list<float> type does not carry the length, and probing it
+# with .first() would cost a driver-side job + scan before the real
+# query starts.
+EMBEDDING_DIM = 64
+
+
 @_register(
     "q24_srp_lsh_knn",
     oracle=None,
@@ -932,10 +940,10 @@ def q23_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q24_srp_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tune(spark)
     emb = _t(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
     queries = emb.filter(F.col("vec_id") < 10)
     return sim_ops.srp_lsh_knn(
-        emb, queries, "vec_id", "embedding", k=3, dim=dim, num_bits=6
+        emb, queries, "vec_id", "embedding", k=3, dim=EMBEDDING_DIM,
+        num_bits=6,
     )
 
 
@@ -1092,9 +1100,15 @@ from us_immigration_data_lake_spark.operators.joins import as_of_join  # noqa: E
     oracle="""
     WITH p AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
                FROM events WHERE event_type = 'purchase'),
-         v AS (SELECT event_id AS view_event_id, user_id,
-                      epoch_us(CAST(ts AS TIMESTAMP)) AS view_ts_us
-               FROM events WHERE event_type = 'view')
+         -- dedupe views to MAX(event_id) per (user, ts) BEFORE the ASOF:
+         -- DuckDB's ASOF picks an arbitrary row among equal timestamps,
+         -- while the engine's as_of_join tie-breaks on max view_event_id;
+         -- collapsing ties first makes both picks identical.
+         v AS (SELECT user_id,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS view_ts_us,
+                      MAX(event_id) AS view_event_id
+               FROM events WHERE event_type = 'view'
+               GROUP BY user_id, epoch_us(CAST(ts AS TIMESTAMP)))
     SELECT p.event_id, p.user_id, p.ts_us,
            v.view_event_id, v.view_ts_us
     FROM p ASOF LEFT JOIN v
@@ -2044,4 +2058,37 @@ def q53_collect_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias("segments"),
             F.count_distinct("c_mktsegment").alias("n_segments"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q54 — generic GROUPING SETS (SURVEY §2.4 extension; completes the
+# rollup (q10) / cube (q30) family with an arbitrary set list neither
+# can express: the two one-column marginals plus the grand total,
+# WITHOUT the (status, priority) cross cells). Same partial+final
+# hash-agg shape as cube — the Expand node emits one copy of each row
+# per grouping set, so cost scales with |sets|, not the 2^k cube
+# lattice.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q54_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("grouping-sets",),
+)
+def q54_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_cents(F.col("o_totalprice"))).alias("total_c"),
     )

@@ -166,7 +166,7 @@ def incremental_ingest(
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    _rows_before = _count_if_exists(spark, target_dir)
+    files_before = _committed_sink_files(spark, target_dir)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -183,17 +183,60 @@ def incremental_ingest(
         .start()
     )
     q.awaitTermination()
-    # rows processed this run = sink growth. Counting via progress
-    # events is lossy (lastProgress is only the final micro-batch and
-    # recentProgress is capped at ~100 entries, so a large backlog
-    # under maxFilesPerTrigger undercounts); the sink delta is exact
-    # for any number of batches.
-    after = spark.read.parquet(target_dir).count()
-    return after - _rows_before
+    # rows processed this run = rows in the files THIS run committed to
+    # the sink manifest. Counting via progress events is lossy
+    # (lastProgress is only the final micro-batch and recentProgress is
+    # capped at ~100 entries, so a large backlog under
+    # maxFilesPerTrigger undercounts); counting the whole sink before
+    # and after is exact but scans 100 TB twice per incremental tick.
+    # The manifest diff is exact AND O(new data): parquet count() on
+    # just the new files is satisfied from their footers.
+    new_files = sorted(_committed_sink_files(spark, target_dir) - files_before)
+    if not new_files:
+        return 0
+    return spark.read.parquet(*new_files).count()
 
 
-def _count_if_exists(spark, target_dir: str) -> int:
-    try:
-        return spark.read.parquet(target_dir).count()
-    except Exception:
-        return 0  # first run: sink does not exist yet
+def _committed_sink_files(spark, target_dir: str) -> set[str]:
+    """Data files the FileStreamSink has committed to ``target_dir``,
+    read from its ``_spark_metadata`` manifest — a metadata listing,
+    never a data scan. Missing manifest (first run, sink not created
+    yet) returns the empty set; any OTHER failure (corrupt manifest,
+    permissions) propagates — swallowing it would silently corrupt the
+    rows-processed delta.
+
+    Read driver-side through the Hadoop FileSystem API (works on any
+    sink the JVM can reach: local, HDFS, s3a). ``spark.read`` cannot do
+    this: Spark's file index treats everything under a ``_``-prefixed
+    directory as hidden metadata, even when the path is named
+    explicitly, and silently yields zero rows."""
+    import json
+
+    jvm = spark._jvm
+    meta_path = jvm.org.apache.hadoop.fs.Path(
+        f"{target_dir.rstrip('/')}/_spark_metadata"
+    )
+    fs = meta_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(meta_path):
+        return set()
+    out: set[str] = set()
+    for status in fs.listStatus(meta_path):
+        name = status.getPath().getName()
+        if name.startswith("."):  # checksum files
+            continue
+        stream = fs.open(status.getPath())
+        try:
+            text = jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        # each batch manifest is a version header ("v1") followed by one
+        # JSON SinkFileStatus per line; compacted manifests repeat prior
+        # entries, the set dedups them
+        for line in text.splitlines():
+            if line.startswith("{"):
+                entry = json.loads(line)
+                if entry.get("action", "add") == "add":
+                    out.add(entry["path"])
+    return out
