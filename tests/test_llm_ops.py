@@ -42,6 +42,32 @@ def test_minhash_exact_dup_jaccard_is_one(planted):
     assert j[(1, 5)] == 1.0
 
 
+def test_minhash_portable_finds_planted_dups(planted):
+    """portable=True (md5_long hashing, the oracle-checkable mode) must
+    behave like the xxhash64 path on planted duplicates: different hash
+    family, same LSH semantics."""
+    pairs = dd.near_dup_pairs(
+        planted, "doc_id", "text", shingle_n=3, num_hashes=32, bands=16,
+        threshold=0.5, portable=True,
+    )
+    j = {(r.id1, r.id2): r.jaccard for r in pairs.collect()}
+    assert j[(1, 5)] == 1.0  # exact dup, exact-Jaccard verified
+    assert (3, 4) not in j
+
+
+def test_simhash_portable_separates_near_far(spark, planted):
+    sig = dd.simhash(planted, "doc_id", "text", portable=True)
+    s = {r.doc_id: r.simhash for r in sig.collect()}
+    assert s[1] == s[5]
+    assert all(0 <= v < (1 << 60) for v in s.values())  # 60-bit range
+    near = (
+        spark.createDataFrame([(s[1], s[2]), (s[1], s[3])], ["a", "b"])
+        .select(dd.hamming64("a", "b").alias("d"))
+        .collect()
+    )
+    assert near[0].d < near[1].d
+
+
 def test_simhash_near_docs_have_small_hamming(spark, planted):
     sig = dd.simhash(planted, "doc_id", "text")
     s = {r.doc_id: r.simhash for r in sig.collect()}

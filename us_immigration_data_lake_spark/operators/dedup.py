@@ -54,33 +54,54 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     return df.select(F.col(id_col), F.array_distinct(sh).alias("shingles"))
 
 
-def shingle_hash_table(shingle_df: DataFrame, id_col: str) -> DataFrame:
+def shingle_hash_table(
+    shingle_df: DataFrame, id_col: str, portable: bool = False
+) -> DataFrame:
     """Exploded (id, shingle-hash) rows — the working form for both
     signature aggregation and hashed-set verification. Hashing shingles
     to longs once keeps every downstream compare/intersect on 8-byte
     values instead of re-shipping shingle strings (the dominant cost of
-    a naive verify join)."""
+    a naive verify join).
+
+    ``portable=True`` swaps xxhash64 for ``md5_long``
+    (functions/hashing.py) so an external SQL engine can reproduce the
+    table — the correctness-gate mode; xxhash64 stays the perf path."""
+    from us_immigration_data_lake_spark.functions.hashing import md5_long
+
+    h = md5_long("s") if portable else F.xxhash64("s")
     return shingle_df.select(
         F.col(id_col), F.explode("shingles").alias("s")
-    ).select(F.col(id_col), F.xxhash64("s").alias("h"))
+    ).select(F.col(id_col), h.alias("h"))
 
 
 def minhash_signatures(
-    shingle_df: DataFrame, id_col: str, num_hashes: int = 64
+    shingle_df: DataFrame, id_col: str, num_hashes: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash signature per document: sig[i] = min over shingles of
-    xxhash64(shingle_hash + i)."""
-    exploded = shingle_hash_table(shingle_df, id_col)
-    return _signatures_from_hashes(exploded, id_col, num_hashes)
+    a per-i rehash of the shingle hash (xxhash64(h + i), or portably
+    md5_long(i || '|' || h))."""
+    exploded = shingle_hash_table(shingle_df, id_col, portable)
+    return _signatures_from_hashes(exploded, id_col, num_hashes, portable)
 
 
 def _signatures_from_hashes(
-    hash_df: DataFrame, id_col: str, num_hashes: int
+    hash_df: DataFrame, id_col: str, num_hashes: int, portable: bool = False
 ) -> DataFrame:
-    aggs = [
-        F.min(F.xxhash64(F.col("h") + F.lit(i))).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
+    from us_immigration_data_lake_spark.functions.hashing import md5_long
+
+    def _mix(i: int):
+        if portable:
+            # string-domain mixing: BIGINT renders identically in every
+            # engine, so md5('i|h') is reproducible where arithmetic
+            # mixing (h+i overflow wraps in Spark, errors in DuckDB)
+            # is not
+            return md5_long(
+                F.concat_ws("|", F.lit(i).cast("string"), F.col("h").cast("string"))
+            )
+        return F.xxhash64(F.col("h") + F.lit(i))
+
+    aggs = [F.min(_mix(i)).alias(f"mh{i}") for i in range(num_hashes)]
     sig = hash_df.groupBy(id_col).agg(*aggs)
     return sig.select(
         F.col(id_col),
@@ -88,21 +109,28 @@ def _signatures_from_hashes(
     )
 
 
-def lsh_bands(sig_df: DataFrame, id_col: str, bands: int, rows: int) -> DataFrame:
+def lsh_bands(
+    sig_df: DataFrame, id_col: str, bands: int, rows: int,
+    portable: bool = False,
+) -> DataFrame:
     """Band the signature: band_hash = xxhash64 of the band's slice
-    (stringified — array args hash element-wise fine via concat_ws)."""
+    (stringified — array args hash element-wise fine via concat_ws).
+    Portable mode keeps the raw comma-joined slice as the band key
+    (string): no hash at all, so any engine reproduces the buckets."""
+    def _band_key(b: int):
+        joined = F.concat_ws(",", *[
+            F.element_at("signature", b * rows + r + 1).cast("string")
+            for r in range(rows)
+        ])
+        return joined if portable else F.xxhash64(joined)
+
     out = sig_df.select(
         F.col(id_col),
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band_idx"),
-                    F.xxhash64(
-                        F.concat_ws(",", *[
-                            F.element_at("signature", b * rows + r + 1).cast("string")
-                            for r in range(rows)
-                        ])
-                    ).alias("band_hash"),
+                    _band_key(b).alias("band_hash"),
                 )
                 for b in range(bands)
             ])
@@ -234,6 +262,7 @@ def near_dup_frames(
     threshold: float = 0.5,
     max_bucket_size: int = 1000,
     recover_oversized: bool = False,
+    portable: bool = False,
 ) -> dict[str, DataFrame]:
     """MinHash-LSH near-duplicate detection with its intermediate
     frames exposed, so callers (the corpus pipeline) can observe the
@@ -248,14 +277,19 @@ def near_dup_frames(
     contributes anchor-star candidates (member ↔ bucket-min, linear in
     bucket size) that flow through the same Jaccard verification — a
     boilerplate mega-cluster then still collapses to one survivor in
-    connected-components dedup rather than leaking wholesale."""
+    connected-components dedup rather than leaking wholesale.
+
+    ``portable=True`` runs the whole pipeline on md5-based hashes
+    (functions/hashing.py) so an external SQL engine can replay it
+    hash-for-hash (q55's oracle does); xxhash64 remains the default
+    perf path."""
     rows = num_hashes // bands
     # single-file parquet sources arrive as ONE scan task (a parquet
     # row group cannot split); shingle generation is the CPU-heavy step
     # so spread it across the cluster first — at 100 TB the source is
     # many files and this is a no-op-cost hash exchange on the id
     sh = shingles(df.repartition(F.col(id_col)), id_col, text_col, shingle_n)
-    hashes = shingle_hash_table(sh, id_col)
+    hashes = shingle_hash_table(sh, id_col, portable)
     # cached because both the signature agg and hashed-set collection
     # consume it; cannot be unpersisted here (the returned frame is
     # lazy). Bounded: Spark's cache manager dedupes by logical plan,
@@ -266,8 +300,8 @@ def near_dup_frames(
     # codegen'd HashAggregate, while collect_set is a typed aggregate —
     # fusing them forces the whole pass into ObjectHashAggregate and is
     # measurably slower than shuffling the cached frame twice
-    sig = _signatures_from_hashes(hashes, id_col, num_hashes)
-    band_df = lsh_bands(sig, id_col, bands, rows)
+    sig = _signatures_from_hashes(hashes, id_col, num_hashes, portable)
+    band_df = lsh_bands(sig, id_col, bands, rows, portable)
     cand = candidate_pairs(band_df, id_col, max_bucket_size)
     if recover_oversized:
         cand = cand.unionByName(
@@ -288,33 +322,49 @@ def near_dup_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    portable: bool = False,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-duplicate detection, entirely on
     hashed shingles: one explode + hash, then signature agg, banding,
     bucket self-join, and a hashed-set exact-Jaccard verify."""
     return near_dup_frames(
         df, id_col, text_col, shingle_n=shingle_n, num_hashes=num_hashes,
-        bands=bands, threshold=threshold,
+        bands=bands, threshold=threshold, portable=portable,
     )["pairs"]
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash over token hashes: bit b of the result is the
-    sign of sum over tokens of ±1 at bit b (count-weighted). One
-    explode + one aggregate; the 64 per-bit sums are partial-aggregated
-    map-side."""
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, portable: bool = False
+) -> DataFrame:
+    """SimHash over token hashes: bit b of the result is the sign of
+    sum over tokens of ±1 at bit b (count-weighted). One explode + one
+    aggregate; the per-bit sums are partial-aggregated map-side.
+
+    Default: 64-bit signatures from xxhash64 (the perf path).
+    ``portable=True``: 60-bit signatures from ``md5_long``
+    (functions/hashing.py) — bit-identical reproducible in any engine
+    with md5, so the result can be checked by an external SQL oracle
+    (q21). Signature width differs, Hamming-distance semantics don't.
+    """
+    from us_immigration_data_lake_spark.functions.hashing import (
+        MD5_LONG_BITS,
+        md5_long,
+    )
+
+    n_bits = MD5_LONG_BITS if portable else 64
+    hash_col = md5_long("t") if portable else F.xxhash64("t")
     tok_df = df.select(
         F.col(id_col), F.explode(tokens(normalized_text(F.col(text_col)))).alias("t")
-    ).withColumn("h", F.xxhash64("t"))
+    ).withColumn("h", hash_col)
     bit_sums = [
         F.sum(
             F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{b}")
-        for b in range(64)
+        for b in range(n_bits)
     ]
     agg = tok_df.groupBy(id_col).agg(*bit_sums)
     sim = None
-    for b in range(64):
+    for b in range(n_bits):
         bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )

@@ -839,19 +839,50 @@ def q20_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q21 — SimHash signatures (operators/dedup.py): 64-bit sign-sum over
-# token hashes. xxhash64-dependent → rows-only.
+# Q21 — SimHash signatures (operators/dedup.py) in PORTABLE mode:
+# 60-bit sign-sum over md5_long token hashes (functions/hashing.py), so
+# the full signature value is reproducible in DuckDB and hash-checked —
+# upgraded from the r1 rows-only xxhash64 variant (the xxhash64 perf
+# path is unchanged and covered by tests). The oracle replicates the
+# exact bit arithmetic: per-token 60-bit hash, per-bit ±1 sums, sign →
+# bit reassembly.
 # ---------------------------------------------------------------------------
+
+_Q21_BIT_SUMS = ",\n             ".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+    for b in range(60)
+)
+_Q21_BIT_TERMS = "\n             + ".join(
+    f"CASE WHEN b{b} > 0 THEN (1::BIGINT << {b}) ELSE 0::BIGINT END"
+    for b in range(60)
+)
+
 
 @_register(
     "q21_simhash",
-    oracle=None,
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                t -> t <> '')) AS t
+      FROM documents WHERE doc_id < 200
+    ), h AS (
+      SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok
+    ), sums AS (
+      SELECT doc_id,
+             {_Q21_BIT_SUMS}
+      FROM h GROUP BY doc_id
+    )
+    SELECT doc_id,
+           ({_Q21_BIT_TERMS}) AS simhash
+    FROM sums
+    """,
     tags=("dedup", "simhash"),
 )
 def q21_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tune(spark)
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return dedup_ops.simhash(docs, "doc_id", "text")
+    return dedup_ops.simhash(docs, "doc_id", "text", portable=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1644,22 +1675,70 @@ def q42_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Q43 — duplicate clustering + survivor selection (operators/dedup.py):
 # near-dup pairs → connected components (iterative min-label
-# propagation) → keep-smallest-per-cluster. Iterative fixpoint is not
-# SQL-expressible → rows-only; component semantics are tested with
-# planted chains in tests/test_llm_ops.py.
+# propagation + pointer jumping) → keep-smallest-per-cluster.
+# Upgraded from the r1 rows-only variant: pairs now come from EXACT
+# 2-gram Jaccard (verification-grade all-pairs on the restricted
+# doc_id < 200 set — the LSH candidate generator stays the scale path
+# in q20/q55), so the whole thing is portable and the iterative
+# fixpoint is hash-checked against a DuckDB WITH RECURSIVE transitive
+# closure. Spark's O(log d)-round algorithm and the oracle's
+# edge-at-a-time recursion must agree on every cluster label.
 # ---------------------------------------------------------------------------
 
 @_register(
     "q43_dup_clusters",
-    oracle=None,
+    oracle="""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         t -> t <> '') AS toks
+      FROM documents WHERE doc_id < 200
+    ), sh AS (
+      -- mirror operators/dedup.py:shingles — distinct 2-grams; a doc
+      -- shorter than 2 tokens contributes its whole normalized text
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 2
+                  THEN list_distinct([array_to_string(toks[i:i+1], ' ')
+                                      for i in range(1, len(toks))])
+                  ELSE [array_to_string(toks, ' ')] END AS shingles
+      FROM tok
+    ), pairs AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))) >= 0.08
+    ), edges AS (
+      SELECT id1 AS src, id2 AS dst FROM pairs
+      UNION SELECT id2, id1 FROM pairs
+    ), reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      WHERE e.dst <> r.src
+    ), labels AS (
+      SELECT src AS id, LEAST(src, MIN(dst)) AS cluster
+      FROM reach GROUP BY src
+    )
+    SELECT d.doc_id,
+           COALESCE(l.cluster, d.doc_id) AS cluster,
+           d.doc_id = COALESCE(l.cluster, d.doc_id) AS keep
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+    LEFT JOIN labels l ON d.doc_id = l.id
+    """,
     tags=("dedup", "clustering", "iterative"),
 )
 def q43_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tune(spark)
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    pairs = dedup_ops.near_dup_pairs(
-        docs, "doc_id", "text", shingle_n=2, num_hashes=32, bands=8, threshold=0.055
+    sh = dedup_ops.shingles(docs, "doc_id", "text", n=2)
+    ids = sh.select("doc_id")
+    cand = (
+        ids.select(F.col("doc_id").alias("id1"))
+        .crossJoin(ids.select(F.col("doc_id").alias("id2")))
+        .filter(F.col("id1") < F.col("id2"))
     )
+    pairs = dedup_ops.verify_jaccard(cand, sh, "doc_id", threshold=0.08)
     return dedup_ops.dedup_survivors(docs, pairs, "doc_id")
 
 
@@ -2091,4 +2170,87 @@ def q54_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(_cents(F.col("o_totalprice"))).alias("total_c"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q55 — MinHash-LSH near-dup pipeline in PORTABLE mode (operators/
+# dedup.py near_dup_pairs(portable=True)): every stage — shingle hash,
+# per-function minhash mixing, band keys, bucket join, hashed-set
+# Jaccard verify — runs on md5_long (functions/hashing.py) and is
+# replayed hash-for-hash by the DuckDB oracle. This closes the r1 gap
+# where the LSH pipeline itself (q20) could only be rows-checked: q20
+# keeps xxhash64 at bench scale; q55 proves the identical dataflow
+# against an external engine on the restricted doc_id < 100 set.
+# Small-n caveat: the oracle models no bucket cap (buckets here can't
+# exceed 100 members, far under max_bucket_size).
+# ---------------------------------------------------------------------------
+
+# rows = 1 per band: on this no-planted-duplicates corpus a 2-row band
+# admits almost nothing through verification (1 pair at sf0.01), which
+# would make the hash check vacuous — single-hash bands flood the
+# verify stage instead, exercising candidate dedup + verification on a
+# meaningful pair volume
+_Q55_HASHES, _Q55_BANDS = 8, 8
+_Q55_MH_COLS = ",\n             ".join(
+    f"MIN(('0x' || substr(md5('{i}|' || CAST(h AS VARCHAR)), 1, 15))::BIGINT) AS mh{i}"
+    for i in range(_Q55_HASHES)
+)
+_Q55_BAND_SELECTS = "\n      UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, "
+    f"CAST(mh{b} AS VARCHAR) AS band_key FROM sig"
+    for b in range(_Q55_BANDS)
+)
+
+
+@_register(
+    "q55_minhash_portable",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         t -> t <> '') AS toks
+      FROM documents WHERE doc_id < 100
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 2
+                  THEN list_distinct([array_to_string(toks[i:i+1], ' ')
+                                      for i in range(1, len(toks))])
+                  ELSE [array_to_string(toks, ' ')] END AS shingles
+      FROM tok
+    ), hx AS (
+      SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+      FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+    ), sig AS (
+      SELECT doc_id,
+             {_Q55_MH_COLS}
+      FROM hx GROUP BY doc_id
+    ), bnd AS (
+      {_Q55_BAND_SELECTS}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM bnd a JOIN bnd b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ), hs AS (
+      SELECT doc_id, list(h) AS hs FROM hx GROUP BY doc_id
+    )
+    SELECT * FROM (
+      SELECT c.id1, c.id2,
+             CAST(len(list_intersect(h1.hs, h2.hs)) AS DOUBLE)
+               / (len(h1.hs) + len(h2.hs) - len(list_intersect(h1.hs, h2.hs)))
+               AS jaccard
+      FROM cand c
+      JOIN hs h1 ON c.id1 = h1.doc_id
+      JOIN hs h2 ON c.id2 = h2.doc_id
+    ) WHERE jaccard >= 0.055
+    """,
+    tags=("dedup", "minhash", "lsh", "portable"),
+)
+def q55_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return dedup_ops.near_dup_pairs(
+        docs, "doc_id", "text", shingle_n=2, num_hashes=_Q55_HASHES,
+        bands=_Q55_BANDS, threshold=0.055, portable=True,
     )
