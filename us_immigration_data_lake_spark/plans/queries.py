@@ -1018,6 +1018,7 @@ from us_immigration_data_lake_spark.streaming.windows import (  # noqa: E402
     run_to_memory,
     session_agg,
     tumbling_agg,
+    tumbling_agg_append,
 )
 from us_immigration_data_lake_spark.streaming.stateful import (  # noqa: E402
     running_user_stats,
@@ -2253,4 +2254,43 @@ def q55_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.near_dup_pairs(
         docs, "doc_id", "text", shingle_n=2, num_hashes=_Q55_HASHES,
         bands=_Q55_BANDS, threshold=0.055, portable=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q56 — watermarked APPEND-mode streaming aggregation (streaming/
+# windows.py:tumbling_agg_append): the output mode you actually run at
+# scale — each window emitted once when the watermark passes it, state
+# dropped. q26 checks the same aggregation in complete mode (all
+# windows, driver-held state); this checks the append semantics: ONLY
+# windows whose end precedes the final watermark
+# (max event time - 1 hour) appear. The oracle computes that exact
+# batch-equivalent subset.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q56_stream_append_watermark",
+    oracle="""
+    WITH mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mx FROM events),
+    agg AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws,
+             event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_c
+      FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, n, value_c
+    FROM agg, mx
+    WHERE ws + INTERVAL 1 HOUR <= mx - INTERVAL 1 HOUR
+    """,
+    tags=("streaming", "watermark", "append"),
+)
+def q56_stream_append_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    stream = read_event_stream(spark, sf_dir)
+    return run_to_memory(
+        tumbling_agg_append(stream, "1 hour", "1 hour"),
+        _sink_name("q56_append"),
+        mode="append",
     )

@@ -83,7 +83,14 @@ def write_table(
 ) -> str:
     """Format-dispatching sink. Delta is supported when the delta-spark
     package is on the classpath; otherwise a clear error instead of a
-    cryptic ClassNotFound at executor time."""
+    cryptic ClassNotFound at executor time.
+
+    Install attempted and impossible in this build environment:
+    ``pip install delta-spark`` fails with DNS resolution errors (no
+    network egress), so the gate below is the permanent state here and
+    the Delta path carries no round-trip test. The write call itself is
+    the standard ``format("delta")`` API — nothing engine-specific
+    remains untested behind the gate."""
     if fmt == "parquet":
         return write_parquet(df, base_path, table, **kwargs)
     if fmt == "delta":

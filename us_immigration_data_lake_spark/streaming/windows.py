@@ -69,6 +69,20 @@ def tumbling_agg(stream: DataFrame, duration: str = "1 hour") -> DataFrame:
     )
 
 
+def tumbling_agg_append(
+    stream: DataFrame, duration: str = "1 hour", watermark: str = "1 hour"
+) -> DataFrame:
+    """Watermarked tumbling agg for APPEND output — the mode you run at
+    scale: each window is emitted exactly once when the watermark
+    passes its end, and its state is dropped (complete mode instead
+    rematerializes every window on every trigger and holds all state
+    forever). In a finite availableNow run the emitted set is the
+    batch-equivalent subset of windows with
+    window.end <= max(event time) - watermark; q56 oracle-checks
+    exactly that subset."""
+    return tumbling_agg(stream.withWatermark("ts", watermark), duration)
+
+
 def session_agg(stream: DataFrame, gap: str = "10 minutes") -> DataFrame:
     """Session windows per user: a session extends while consecutive
     events are < gap apart; exported as exact epoch-micros bigints."""
