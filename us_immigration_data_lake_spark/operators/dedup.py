@@ -8,14 +8,18 @@ hash functions is derived from ONE base shingle hash by re-hashing
 string hash + k long hashes instead of k string hashes.
 
 Scale design (100 TB):
-- signatures: one explode + one partial-aggregated groupBy (map-side
-  combine on doc_id) — a single shuffle of (doc_id, k longs).
+- signatures: pure per-row array arithmetic — each doc's hashed
+  shingle set is one array column; minhash i = array_min of a
+  per-element rehash. ZERO shuffles in the signature stage (r1 used
+  explode + two groupBy passes; the array formulation removes both
+  full shuffles of |corpus|×|shingles| rows at identical hash-call
+  count).
 - candidate generation: shuffle on (band_idx, band_hash) only; bucket
   skew is capped by ``max_bucket_size`` (a mega-bucket of near-identical
   boilerplate would otherwise produce O(n²) pairs on one task — cap,
-  count, and report instead).
-- verification: exact Jaccard via array_intersect on the two shingle
-  arrays, joined by id — no re-tokenization.
+  count, report, and optionally recover via linear anchor-star pairs).
+- verification: exact Jaccard via array_intersect on the two hashed
+  shingle sets, joined by id — no re-tokenization.
 """
 
 from __future__ import annotations
@@ -30,7 +34,13 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     """Distinct word n-gram shingles per document. Documents shorter
     than n tokens contribute their whole normalized text as the single
     shingle (so they can still be exact-matched)."""
-    tok = tokens(normalized_text(F.col(text_col)))
+    # tokens(lower(x)) ≡ tokens(normalized_text(x)) — the \s+ split +
+    # empty-token filter already collapses/strips whitespace, so the
+    # normalized_text regex pass is pure overhead here (~25% of the
+    # shingle stage at sf0.1, A/B-measured). normalized_text remains in
+    # the short-doc fallback below, where the collapsed FORM is the
+    # value.
+    tok = tokens(F.lower(F.col(text_col)))
     if n == 2:
         # bigram fast path: one zip_with pass; the generic form pays a
         # per-gram slice (O(n·k) array copies per document)
@@ -283,33 +293,68 @@ def near_dup_frames(
     (functions/hashing.py) so an external SQL engine can replay it
     hash-for-hash (q55's oracle does); xxhash64 remains the default
     perf path."""
+    from us_immigration_data_lake_spark.functions.hashing import md5_long
+
     rows = num_hashes // bands
     # single-file parquet sources arrive as ONE scan task (a parquet
     # row group cannot split); shingle generation is the CPU-heavy step
     # so spread it across the cluster first — at 100 TB the source is
     # many files and this is a no-op-cost hash exchange on the id
     sh = shingles(df.repartition(F.col(id_col)), id_col, text_col, shingle_n)
-    hashes = shingle_hash_table(sh, id_col, portable)
-    # cached because both the signature agg and hashed-set collection
-    # consume it; cannot be unpersisted here (the returned frame is
-    # lazy). Bounded: Spark's cache manager dedupes by logical plan,
-    # so repeated calls over the same input reuse one entry, and
-    # distinct inputs evict LRU under memory pressure.
-    hashes.cache()
-    # NOTE deliberately TWO aggregation passes: the 32 min-aggs stay in
-    # codegen'd HashAggregate, while collect_set is a typed aggregate —
-    # fusing them forces the whole pass into ObjectHashAggregate and is
-    # measurably slower than shuffling the cached frame twice
-    sig = _signatures_from_hashes(hashes, id_col, num_hashes, portable)
+
+    # The ENTIRE signature stage is per-row array arithmetic — no
+    # explode, no aggregation, no shuffle. Each doc keeps its hashed
+    # shingle SET as one array; minhash i is array_min of a per-element
+    # rehash. Same hash-call count as the exploded groupBy formulation
+    # (r1's design), but the only shuffles left in the pipeline are the
+    # band-bucket groupBy and the verify joins — at 100 TB that removes
+    # two full shuffles of |corpus|×|shingles| rows. (Bounded per-row
+    # cost: a document's shingle array is document-sized, never
+    # corpus-sized.)
+    def _hash_one(s):
+        return md5_long(s) if portable else F.xxhash64(s)
+
+    def _mix(h, i: int):
+        if portable:
+            # string-domain mixing — reproducible in any engine; see
+            # _signatures_from_hashes
+            return md5_long(
+                F.concat_ws("|", F.lit(i).cast("string"), h.cast("string"))
+            )
+        return F.xxhash64(h + F.lit(i))
+
+    hs_arr = sh.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform("shingles", lambda s: _hash_one(s))
+        ).alias("hs"),
+    )
+    # cached: consumed by the signature/banding chain AND the verify
+    # join. ~|docs| rows of long arrays — orders of magnitude smaller
+    # than r1's exploded (doc, shingle-hash) cache. Cannot be
+    # unpersisted here (the returned frames are lazy); Spark's cache
+    # manager dedupes by logical plan and evicts LRU under pressure.
+    hs_arr.cache()
+    # NB each lambda must take exactly ONE parameter: pyspark dispatches
+    # on lambda arity, and a two-arg lambda (e.g. `lambda h, i=i`)
+    # becomes an (element, index) lambda with the array INDEX silently
+    # overriding the default — wrong signatures, found by the q55
+    # oracle. The hash index is bound per loop iteration instead.
+    def _min_mixed(i: int):
+        return F.array_min(F.transform("hs", lambda h: _mix(h, i)))
+
+    sig = hs_arr.select(
+        F.col(id_col),
+        F.array(*[_min_mixed(i) for i in range(num_hashes)]).alias("signature"),
+    )
     band_df = lsh_bands(sig, id_col, bands, rows, portable)
     cand = candidate_pairs(band_df, id_col, max_bucket_size)
     if recover_oversized:
         cand = cand.unionByName(
             oversized_bucket_star_pairs(band_df, id_col, max_bucket_size)
         ).dropDuplicates()
-    hashsets = hashes.groupBy(id_col).agg(F.collect_set("h").alias("hs"))
     return {
-        "pairs": verify_jaccard_hashed(cand, hashsets, id_col, threshold),
+        "pairs": verify_jaccard_hashed(cand, hs_arr, id_col, threshold),
         "oversized": oversized_buckets(band_df, id_col, max_bucket_size),
     }
 
@@ -325,8 +370,9 @@ def near_dup_pairs(
     portable: bool = False,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-duplicate detection, entirely on
-    hashed shingles: one explode + hash, then signature agg, banding,
-    bucket self-join, and a hashed-set exact-Jaccard verify."""
+    hashed shingles: per-row hashed-shingle arrays → per-row minhash
+    signatures (shuffle-free), banding, bucket self-join, and a
+    hashed-set exact-Jaccard verify."""
     return near_dup_frames(
         df, id_col, text_col, shingle_n=shingle_n, num_hashes=num_hashes,
         bands=bands, threshold=threshold, portable=portable,
@@ -353,8 +399,10 @@ def simhash(
 
     n_bits = MD5_LONG_BITS if portable else 64
     hash_col = md5_long("t") if portable else F.xxhash64("t")
+    # tokens(lower(x)) ≡ tokens(normalized_text(x)), minus a full-text
+    # regex pass — see shingles()
     tok_df = df.select(
-        F.col(id_col), F.explode(tokens(normalized_text(F.col(text_col)))).alias("t")
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("t")
     ).withColumn("h", hash_col)
     bit_sums = [
         F.sum(
