@@ -150,26 +150,35 @@ def test_committed_sink_files_manifest_semantics(spark, tmp_path):
         incremental_ingest,
     )
 
-    # missing sink → empty set, no error
-    assert _committed_sink_files(spark, str(tmp_path / "nope")) == set()
+    # missing sink → empty manifest, no error
+    empty = _committed_sink_files(spark, str(tmp_path / "nope"))
+    assert empty.paths == set() and empty.max_batch == -1
 
     src = tmp_path / "src3"
     src.mkdir()
     shutil.copy("/root/testdata/sf0.001/events.parquet", src / "a.parquet")
     target = str(tmp_path / "o3")
     incremental_ingest(spark, f"{src}/*.parquet", target, str(tmp_path / "c3"))
-    files = _committed_sink_files(spark, target)
-    assert files and all(f.endswith(".parquet") for f in files)
+    manifest = _committed_sink_files(spark, target)
+    assert manifest.paths and all(f.endswith(".parquet") for f in manifest.paths)
+    assert manifest.max_batch == 0
     # the manifest's committed files alone hold every ingested row
-    assert spark.read.parquet(*sorted(files)).count() == 1000
+    assert spark.read.parquet(*sorted(manifest.paths)).count() == 1000
+    # incremental callers skip already-seen batches entirely
+    skipped = _committed_sink_files(spark, target, min_batch_exclusive=0)
+    assert skipped.paths == set() and skipped.max_batch == 0
 
-    # corrupt manifest → propagate, don't return a wrong answer
+    # corrupt manifest → propagate, don't return a wrong answer;
+    # both damage shapes: invalid JSON and a truncated non-JSON line
     import json
 
     import pytest as _pytest
 
     meta = tmp_path / "o3" / "_spark_metadata"
     (meta / "1").write_text("{not json")
+    with _pytest.raises(json.JSONDecodeError):
+        _committed_sink_files(spark, target)
+    (meta / "1").write_text("v1\ngarbage-truncated-entry")
     with _pytest.raises(json.JSONDecodeError):
         _committed_sink_files(spark, target)
 

@@ -64,24 +64,43 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     return df.select(F.col(id_col), F.array_distinct(sh).alias("shingles"))
 
 
-def shingle_hash_table(
-    shingle_df: DataFrame, id_col: str, portable: bool = False
-) -> DataFrame:
-    """Exploded (id, shingle-hash) rows — the working form for both
-    signature aggregation and hashed-set verification. Hashing shingles
-    to longs once keeps every downstream compare/intersect on 8-byte
-    values instead of re-shipping shingle strings (the dominant cost of
-    a naive verify join).
-
+def _shingle_hash(col, portable: bool):
+    """64-bit (or portable 60-bit) hash of one shingle string — the
+    SINGLE definition both the signature chain and the verify sets use.
     ``portable=True`` swaps xxhash64 for ``md5_long``
     (functions/hashing.py) so an external SQL engine can reproduce the
-    table — the correctness-gate mode; xxhash64 stays the perf path."""
+    value — the correctness-gate mode (q55); xxhash64 is the perf path."""
     from us_immigration_data_lake_spark.functions.hashing import md5_long
 
-    h = md5_long("s") if portable else F.xxhash64("s")
+    return md5_long(col) if portable else F.xxhash64(col)
+
+
+def _mix_hash(h, i: int, portable: bool):
+    """The i-th MinHash function applied to a shingle hash ``h``.
+    Portable mode mixes in the STRING domain — BIGINT renders
+    identically in every engine, so md5('i|h') is reproducible where
+    arithmetic mixing is not (h+i overflow wraps in Spark, errors in
+    DuckDB)."""
+    from us_immigration_data_lake_spark.functions.hashing import md5_long
+
+    if portable:
+        return md5_long(F.concat_ws("|", F.lit(i).cast("string"), h.cast("string")))
+    return F.xxhash64(h + F.lit(i))
+
+
+def hashed_shingle_sets(
+    shingle_df: DataFrame, id_col: str, portable: bool = False
+) -> DataFrame:
+    """(id, hs) with hs = the document's distinct shingle hashes as ONE
+    array column — the working form for both signature generation and
+    hashed-set verification. Keeping the set per-row (instead of
+    exploding) means everything derived from it is shuffle-free."""
     return shingle_df.select(
-        F.col(id_col), F.explode("shingles").alias("s")
-    ).select(F.col(id_col), h.alias("h"))
+        F.col(id_col),
+        F.array_distinct(
+            F.transform("shingles", lambda s: _shingle_hash(s, portable))
+        ).alias("hs"),
+    )
 
 
 def minhash_signatures(
@@ -89,33 +108,32 @@ def minhash_signatures(
     portable: bool = False,
 ) -> DataFrame:
     """MinHash signature per document: sig[i] = min over shingles of
-    a per-i rehash of the shingle hash (xxhash64(h + i), or portably
-    md5_long(i || '|' || h))."""
-    exploded = shingle_hash_table(shingle_df, id_col, portable)
-    return _signatures_from_hashes(exploded, id_col, num_hashes, portable)
+    the i-th rehash of the shingle hash (xxhash64(h + i), or portably
+    md5_long(i || '|' || h)). Pure per-row array arithmetic — no
+    explode, no aggregation, no shuffle."""
+    return _signatures_from_sets(
+        hashed_shingle_sets(shingle_df, id_col, portable), id_col,
+        num_hashes, portable,
+    ).select(id_col, "signature")
 
 
-def _signatures_from_hashes(
-    hash_df: DataFrame, id_col: str, num_hashes: int, portable: bool = False
+def _signatures_from_sets(
+    hs_df: DataFrame, id_col: str, num_hashes: int, portable: bool
 ) -> DataFrame:
-    from us_immigration_data_lake_spark.functions.hashing import md5_long
+    # NB each lambda must take exactly ONE parameter: pyspark dispatches
+    # on lambda arity, and a two-arg lambda (e.g. `lambda h, i=i`)
+    # becomes an (element, index) lambda with the array INDEX silently
+    # overriding the default — wrong signatures, found by the q55
+    # oracle. The hash index is bound per loop iteration instead.
+    def _min_mixed(i: int):
+        return F.array_min(
+            F.transform("hs", lambda h: _mix_hash(h, i, portable))
+        )
 
-    def _mix(i: int):
-        if portable:
-            # string-domain mixing: BIGINT renders identically in every
-            # engine, so md5('i|h') is reproducible where arithmetic
-            # mixing (h+i overflow wraps in Spark, errors in DuckDB)
-            # is not
-            return md5_long(
-                F.concat_ws("|", F.lit(i).cast("string"), F.col("h").cast("string"))
-            )
-        return F.xxhash64(F.col("h") + F.lit(i))
-
-    aggs = [F.min(_mix(i)).alias(f"mh{i}") for i in range(num_hashes)]
-    sig = hash_df.groupBy(id_col).agg(*aggs)
-    return sig.select(
+    return hs_df.select(
         F.col(id_col),
-        F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("signature"),
+        F.col("hs"),
+        F.array(*[_min_mixed(i) for i in range(num_hashes)]).alias("signature"),
     )
 
 
@@ -293,8 +311,6 @@ def near_dup_frames(
     (functions/hashing.py) so an external SQL engine can replay it
     hash-for-hash (q55's oracle does); xxhash64 remains the default
     perf path."""
-    from us_immigration_data_lake_spark.functions.hashing import md5_long
-
     rows = num_hashes // bands
     # single-file parquet sources arrive as ONE scan task (a parquet
     # row group cannot split); shingle generation is the CPU-heavy step
@@ -311,42 +327,14 @@ def near_dup_frames(
     # two full shuffles of |corpus|×|shingles| rows. (Bounded per-row
     # cost: a document's shingle array is document-sized, never
     # corpus-sized.)
-    def _hash_one(s):
-        return md5_long(s) if portable else F.xxhash64(s)
-
-    def _mix(h, i: int):
-        if portable:
-            # string-domain mixing — reproducible in any engine; see
-            # _signatures_from_hashes
-            return md5_long(
-                F.concat_ws("|", F.lit(i).cast("string"), h.cast("string"))
-            )
-        return F.xxhash64(h + F.lit(i))
-
-    hs_arr = sh.select(
-        F.col(id_col),
-        F.array_distinct(
-            F.transform("shingles", lambda s: _hash_one(s))
-        ).alias("hs"),
-    )
+    hs_arr = hashed_shingle_sets(sh, id_col, portable)
     # cached: consumed by the signature/banding chain AND the verify
     # join. ~|docs| rows of long arrays — orders of magnitude smaller
     # than r1's exploded (doc, shingle-hash) cache. Cannot be
     # unpersisted here (the returned frames are lazy); Spark's cache
     # manager dedupes by logical plan and evicts LRU under pressure.
     hs_arr.cache()
-    # NB each lambda must take exactly ONE parameter: pyspark dispatches
-    # on lambda arity, and a two-arg lambda (e.g. `lambda h, i=i`)
-    # becomes an (element, index) lambda with the array INDEX silently
-    # overriding the default — wrong signatures, found by the q55
-    # oracle. The hash index is bound per loop iteration instead.
-    def _min_mixed(i: int):
-        return F.array_min(F.transform("hs", lambda h: _mix(h, i)))
-
-    sig = hs_arr.select(
-        F.col(id_col),
-        F.array(*[_min_mixed(i) for i in range(num_hashes)]).alias("signature"),
-    )
+    sig = _signatures_from_sets(hs_arr, id_col, num_hashes, portable)
     band_df = lsh_bands(sig, id_col, bands, rows, portable)
     cand = candidate_pairs(band_df, id_col, max_bucket_size)
     if recover_oversized:

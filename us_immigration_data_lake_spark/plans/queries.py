@@ -976,7 +976,20 @@ EMBEDDING_DIM = 64
 def q24_srp_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tune(spark)
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
+    # plan-embedded width guard: if the dataset is ever regenerated at
+    # a different dim, fail loudly instead of silently hashing padded
+    # nulls. Wrapping the embedding column itself (not a dropped helper
+    # column) keeps the assertion un-prunable; cost is one size()
+    # compare on the 10 query rows.
+    guarded = F.when(
+        F.size("embedding") == EMBEDDING_DIM, F.col("embedding")
+    ).otherwise(
+        F.raise_error(F.lit(
+            "embeddings vector width != EMBEDDING_DIM=64 — regenerate "
+            "or update the constant"
+        ))
+    )
+    queries = emb.filter(F.col("vec_id") < 10).withColumn("embedding", guarded)
     return sim_ops.srp_lsh_knn(
         emb, queries, "vec_id", "embedding", k=3, dim=EMBEDDING_DIM,
         num_bits=6,
@@ -2276,7 +2289,14 @@ def q55_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "q56_stream_append_watermark",
     oracle="""
-    WITH mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mx FROM events),
+    WITH mx AS (
+      -- Spark tracks event-time stats in MILLISECONDS, so its
+      -- watermark is floor-to-ms(max ts) - delay; truncate the same
+      -- way or a max ts whose sub-ms fraction straddles an hour
+      -- boundary flips the emitted-window set
+      SELECT date_trunc('milliseconds', max(CAST(ts AS TIMESTAMP))) AS mx
+      FROM events
+    ),
     agg AS (
       SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws,
              event_type,

@@ -18,6 +18,8 @@ session key; watermark bounds state size.
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -203,21 +205,38 @@ def incremental_ingest(
     # capped at ~100 entries, so a large backlog under
     # maxFilesPerTrigger undercounts); counting the whole sink before
     # and after is exact but scans 100 TB twice per incremental tick.
-    # The manifest diff is exact AND O(new data): parquet count() on
-    # just the new files is satisfied from their footers.
-    new_files = sorted(_committed_sink_files(spark, target_dir) - files_before)
+    # The manifest diff is exact AND O(new data): only manifests with a
+    # batch id newer than the pre-run maximum are parsed (a compaction
+    # in that range repeats old entries — subtracting files_before
+    # drops them), and parquet count() on just the new files is
+    # satisfied from their footers.
+    after = _committed_sink_files(
+        spark, target_dir, min_batch_exclusive=files_before.max_batch
+    )
+    new_files = sorted(after.paths - files_before.paths)
     if not new_files:
         return 0
     return spark.read.parquet(*new_files).count()
 
 
-def _committed_sink_files(spark, target_dir: str) -> set[str]:
+@dataclass
+class _SinkManifest:
+    paths: set[str] = field(default_factory=set)
+    max_batch: int = -1
+
+
+def _committed_sink_files(
+    spark, target_dir: str, min_batch_exclusive: int = -1
+) -> _SinkManifest:
     """Data files the FileStreamSink has committed to ``target_dir``,
     read from its ``_spark_metadata`` manifest — a metadata listing,
-    never a data scan. Missing manifest (first run, sink not created
-    yet) returns the empty set; any OTHER failure (corrupt manifest,
-    permissions) propagates — swallowing it would silently corrupt the
-    rows-processed delta.
+    never a data scan. ``min_batch_exclusive`` skips manifests with a
+    batch id at or below it, so an incremental caller pays O(new
+    batches), not O(sink history). Missing manifest (first run, sink
+    not created yet) returns an empty manifest; any OTHER failure —
+    corrupt manifest file, unexpected line, permissions — propagates,
+    because swallowing it would silently corrupt the rows-processed
+    delta.
 
     Read driver-side through the Hadoop FileSystem API (works on any
     sink the JVM can reach: local, HDFS, s3a). ``spark.read`` cannot do
@@ -225,18 +244,23 @@ def _committed_sink_files(spark, target_dir: str) -> set[str]:
     directory as hidden metadata, even when the path is named
     explicitly, and silently yields zero rows."""
     import json
+    import re as _re
 
     jvm = spark._jvm
     meta_path = jvm.org.apache.hadoop.fs.Path(
         f"{target_dir.rstrip('/')}/_spark_metadata"
     )
     fs = meta_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = _SinkManifest()
     if not fs.exists(meta_path):
-        return set()
-    out: set[str] = set()
+        return out
     for status in fs.listStatus(meta_path):
         name = status.getPath().getName()
         if name.startswith("."):  # checksum files
+            continue
+        batch_id = int(name.removesuffix(".compact"))
+        out.max_batch = max(out.max_batch, batch_id)
+        if batch_id <= min_batch_exclusive:
             continue
         stream = fs.open(status.getPath())
         try:
@@ -247,10 +271,12 @@ def _committed_sink_files(spark, target_dir: str) -> set[str]:
             stream.close()
         # each batch manifest is a version header ("v1") followed by one
         # JSON SinkFileStatus per line; compacted manifests repeat prior
-        # entries, the set dedups them
+        # entries, the set dedups them. Anything else is damage — parse
+        # it and let json raise rather than skipping a committed file.
         for line in text.splitlines():
-            if line.startswith("{"):
-                entry = json.loads(line)
-                if entry.get("action", "add") == "add":
-                    out.add(entry["path"])
+            if not line or _re.fullmatch(r"v\d+", line):  # version header
+                continue
+            entry = json.loads(line)
+            if entry.get("action", "add") == "add":
+                out.paths.add(entry["path"])
     return out
