@@ -320,3 +320,50 @@ def test_near_dup_frames_recovers_mega_bucket(spark):
     survivors = dd.dedup_survivors(docs, recovered["pairs"], "doc_id")
     kept = {r.doc_id for r in survivors.filter("keep").collect()}
     assert kept == {1, 9}
+
+
+def test_bm25_term_scores_planted(spark):
+    # N=4 docs, sum_dl=13 tokens; hand-checkable fractions below
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple apple banana"),
+            (2, "apple banana banana banana"),
+            (3, "banana cherry cherry cherry"),
+            (4, "apple"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = ts.bm25_term_scores(df, "doc_id", "text", terms=("apple", "cherry"))
+    rows = out.collect()
+
+    apple = [r for r in rows if r.term == "apple"]
+    # more hits beats fewer (d1 > d2 at same dl); same tf, shorter doc
+    # wins (d4 > d2) — BM25 length normalization
+    assert [r.doc_id for r in apple] == [1, 4, 2]
+    d1 = apple[0]
+    # exact fraction, df(apple)=3: num = tf*44*sum_dl*(2N-2df+1),
+    # den = (tf*20*sum_dl + 6*sum_dl + 18*dl*N) * (2df+1)
+    assert d1.score_num == 3 * 44 * 13 * 3
+    assert d1.score_den == (3 * 20 * 13 + 6 * 13 + 18 * 4 * 4) * 7
+
+    from fractions import Fraction
+
+    scores = [Fraction(r.score_num, r.score_den) for r in apple]
+    assert scores == sorted(scores, reverse=True)
+
+    # cherry is rarer (df=1 vs 3): its idf factor (2N-2df+1)/(2df+1)
+    # must exceed apple's
+    cherry = [r for r in rows if r.term == "cherry"]
+    assert [r.doc_id for r in cherry] == [3]
+    assert Fraction(2 * 4 - 2 * 1 + 1, 2 * 1 + 1) > Fraction(2 * 4 - 2 * 3 + 1, 2 * 3 + 1)
+
+
+def test_bm25_absent_term_and_rank_cap(spark):
+    df = spark.createDataFrame(
+        [(i, "common words here") for i in range(12)], ["doc_id", "text"]
+    )
+    out = ts.bm25_term_scores(df, "doc_id", "text", terms=("common", "missing"), k=5)
+    rows = out.collect()
+    assert all(r.term == "common" for r in rows)  # absent term: no rows, no error
+    assert len(rows) == 5  # k caps per-term output
+    assert [r.rnk for r in rows] == [1, 2, 3, 4, 5]

@@ -233,3 +233,122 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col),
         F.md5(normalized_text(F.col(text_col))).alias("fingerprint"),
     )
+
+
+def bm25_term_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: tuple[str, ...],
+    k: int = 10,
+    k1: tuple[int, int] = (6, 5),
+    b: tuple[int, int] = (3, 4),
+) -> DataFrame:
+    """Top-k documents per query term under BM25 with a RATIONAL idf.
+
+    Standard BM25 multiplies the saturated term frequency by
+    ``ln((N - df + 0.5) / (df + 0.5))``. ``ln`` is evaluated by libm
+    and is NOT bit-reproducible across engines, so this operator uses
+    the monotone pre-log idf argument ``(N - df + 0.5) / (df + 0.5)``
+    directly (per-term ranking is identical — idf is constant within a
+    term). With k1, b, and the idf kept rational, the whole score is
+    one exact bigint fraction:
+
+        tf_norm = tf*(k1+1) / (tf + k1*(1 - b + b*dl*N/sum_dl))
+        score   = idf_r * tf_norm = score_num / score_den
+
+    cleared of denominators (k1 = k1n/k1d, b = bn/bd):
+
+        score_num = tf*(k1n+k1d)*bd*sum_dl * (2N - 2df + 1)
+        score_den = (tf*k1d*bd*sum_dl + k1n*(bd-bn)*sum_dl
+                     + k1n*bn*dl*N) * (2df + 1)
+
+    Ranking divides the two bigints ONCE in double — a single IEEE
+    division is correctly rounded, so every engine produces the same
+    bits from the same integers (it is ln/exp/pow and double SUMs that
+    diverge, never one division).
+
+    Scale: one partial-agg pass for (N, sum_dl) broadcast as a 1-row
+    frame; per-term doc frequencies are a tiny broadcast dim; the doc
+    side is one tokenize pass fanned out |terms|× by explode, never
+    shuffled on raw text; top-k per term is a bounded window. Bigint
+    headroom: score_num < tf * sum_dl * 2N * 9 — at true 100 TB corpus
+    sizes (sum_dl ~ 1e13) this overflows int64, so the scale deployment
+    ranks by the equivalent double expression instead and keeps the
+    exact fraction only for gate-sized corpora (both orderings agree —
+    same rational, correctly rounded).
+
+    Tokenization is raw whitespace split of trimmed text (NOT the
+    empty-filtering ``tokens()`` helper) so dl is reproducible by plain
+    ``string_split_regex`` in an external engine.
+    """
+    k1n, k1d = k1
+    bn, bd = b
+    # tokenize once per doc: the Project holding the split sits below
+    # the explode Generate, so the |terms|-way fan-out reuses the token
+    # array instead of re-splitting per (doc, term). repartition first:
+    # a single-file parquet scan is ONE task, and tokenization is the
+    # CPU-heavy step (same rationale as dedup.near_dup_frames).
+    tok = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.repartition(F.col(id_col)).select(
+        F.col(id_col),
+        tok.alias("tok"),
+        F.size(tok).cast("long").alias("dl"),
+    )
+    stats = base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    hits = (
+        base.select(
+            F.col(id_col),
+            "dl",
+            "tok",
+            F.explode(F.array(*[F.lit(t) for t in terms])).alias("term"),
+        )
+        .select(
+            F.col(id_col),
+            "dl",
+            "term",
+            F.size(F.filter("tok", lambda t: t == F.col("term")))
+            .cast("long")
+            .alias("tf"),
+        )
+        .filter(F.col("tf") > 0)
+    )
+    dfreq = hits.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.col(id_col),
+            "tf",
+            "dl",
+            (
+                F.col("tf") * F.lit(int((k1n + k1d) * bd)) * F.col("sum_dl")
+                * (F.lit(2) * F.col("n_docs") - F.lit(2) * F.col("df") + F.lit(1))
+            ).alias("score_num"),
+            (
+                (
+                    F.col("tf") * F.lit(int(k1d * bd)) * F.col("sum_dl")
+                    + F.lit(int(k1n * (bd - bn))) * F.col("sum_dl")
+                    + F.lit(int(k1n * bn)) * F.col("dl") * F.col("n_docs")
+                )
+                * (F.lit(2) * F.col("df") + F.lit(1))
+            ).alias("score_den"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    rnk = F.row_number().over(
+        Window.partitionBy("term").orderBy(
+            F.desc(F.col("score_num").cast("double") / F.col("score_den").cast("double")),
+            F.asc(id_col),
+        )
+    )
+    return (
+        scored.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= k)
+        .orderBy("term", "rnk")
+    )

@@ -2319,3 +2319,68 @@ def q56_stream_append_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sink_name("q56_append"),
         mode="append",
     )
+
+
+# ---------------------------------------------------------------------------
+# Q57 — BM25 relevance ranking, top-10 docs per query term
+# (operators/textstats.py:bm25_term_scores). Rational-idf BM25 variant:
+# standard BM25's ln() is libm-evaluated and NOT bit-reproducible
+# across engines, so the score keeps the monotone pre-log idf argument
+# (N-df+0.5)/(df+0.5) and emits the exact bigint fraction
+# score_num/score_den (per-term ranking identical to log BM25 — idf is
+# a per-term constant). k1=6/5, b=3/4 cleared of denominators give the
+# integer coefficients 44/20/6/18 below. Ranking divides the bigints
+# once in double: a single IEEE division is correctly rounded, hence
+# bit-identical in Spark and DuckDB.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q57_bm25_topk",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             string_split_regex(trim(text), '\\s+') AS tok,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS sum_dl
+      FROM base
+    ),
+    terms(term) AS (VALUES ('vector'), ('merge'), ('filter')),
+    hits AS (
+      SELECT b.doc_id, b.dl, t.term,
+             CAST(len(list_filter(b.tok, x -> x = t.term)) AS BIGINT) AS tf
+      FROM base b CROSS JOIN terms t
+      WHERE len(list_filter(b.tok, x -> x = t.term)) > 0
+    ),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+              FROM hits GROUP BY term),
+    scored AS (
+      SELECT h.term, h.doc_id, h.tf, h.dl,
+             h.tf * 44 * s.sum_dl * (2*s.n_docs - 2*d.df + 1) AS score_num,
+             (h.tf * 20 * s.sum_dl + 6 * s.sum_dl + 18 * h.dl * s.n_docs)
+               * (2*d.df + 1) AS score_den
+      FROM hits h JOIN dfreq d USING (term) CROSS JOIN stats s
+    )
+    SELECT term, doc_id, tf, dl, score_num, score_den, rnk
+    FROM (
+      SELECT *,
+             ROW_NUMBER() OVER (
+               PARTITION BY term
+               ORDER BY CAST(score_num AS DOUBLE) / CAST(score_den AS DOUBLE)
+                        DESC, doc_id
+             ) AS rnk
+      FROM scored)
+    WHERE rnk <= 10
+    ORDER BY term, rnk
+    """,
+    tags=("search", "bm25", "textstats", "topk"),
+)
+def q57_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return ts_ops.bm25_term_scores(
+        docs, "doc_id", "text", terms=("vector", "merge", "filter"), k=10
+    )
