@@ -367,3 +367,40 @@ def test_bm25_absent_term_and_rank_cap(spark):
     assert all(r.term == "common" for r in rows)  # absent term: no rows, no error
     assert len(rows) == 5  # k caps per-term output
     assert [r.rnk for r in rows] == [1, 2, 3, 4, 5]
+
+
+def test_train_ivf_centroids_planted_blobs(spark):
+    # three well-separated direction blobs in 4-d (pairwise cosine ~0.01)
+    axes = {0: [10.0, 0.0, 0.0, 1.0], 1: [0.0, 10.0, 0.0, 1.0],
+            2: [0.0, 0.0, 10.0, 1.0]}
+    rows = [
+        (i, [x + ((i * 37 + j * 11) % 5) * 0.01
+             for j, x in enumerate(axes[i % 3])])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = sim.train_ivf_centroids(df, "vec_id", "embedding", k=3, iters=4)
+    assert len(cents) == 3 and all(len(c) == 4 for c in cents)
+    # each centroid is dominated by a distinct blob axis
+    assert sorted(max(range(4), key=lambda j: c[j]) for c in cents) == [0, 1, 2]
+    # deterministic seeding + converged assignment → reproducible
+    again = sim.train_ivf_centroids(df, "vec_id", "embedding", k=3, iters=4)
+    assert all(
+        abs(a - b) < 1e-9 for c1, c2 in zip(cents, again)
+        for a, b in zip(c1, c2)
+    )
+    # trained cells route queries to their own blob
+    queries = df.filter(F.col("vec_id") < 3)
+    res = sim.ivf_knn(df, queries, "vec_id", "embedding", k=3,
+                      centroids=cents, nprobe=1)
+    got = res.collect()
+    assert got, "no neighbors returned"
+    for r in got:
+        assert r.neighbor_id % 3 == r.query_id % 3
+
+
+def test_train_ivf_centroids_k_exceeds_corpus(spark):
+    df = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="need k=3"):
+        sim.train_ivf_centroids(df, "vec_id", "embedding", k=3, iters=1)

@@ -22,6 +22,7 @@ from us_immigration_data_lake_spark.operators.similarity import (
     cosine_knn,
     srp_lsh_knn,
     ivf_knn,
+    train_ivf_centroids,
     cosine_near_dup_pairs,
 )
 from us_immigration_data_lake_spark.operators.textstats import (
@@ -51,6 +52,7 @@ __all__ = [
     "cosine_knn",
     "srp_lsh_knn",
     "ivf_knn",
+    "train_ivf_centroids",
     "cosine_near_dup_pairs",
     "text_features",
     "quality_score",

@@ -219,6 +219,81 @@ def srp_planes(dim: int, num_bits: int = 12, seed: int = 42) -> np.ndarray:
     return rng.randn(num_bits, dim)
 
 
+def _best_cells(vec: Column, centroids: list[list[float]], n: int) -> Column:
+    """The ``n`` nearest centroids (by cosine) to ``vec`` as an array of
+    (neg_sim, cell) structs. Centroids ship as literal arrays, so this
+    is pure JVM expression arithmetic — shared by IVF assignment at
+    query time (ivf_knn) and by Lloyd iteration at training time."""
+    cents = [F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    scored = F.array(*[
+        F.struct(
+            (-cosine(vec, c)).alias("neg"), F.lit(i).cast("long").alias("cell")
+        )
+        for i, c in enumerate(cents)
+    ])
+    return F.slice(F.array_sort(scored), 1, n)
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iters: int = 5,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Lloyd's k-means over the embedding column — trains the cell
+    centroids that ``ivf_knn`` takes as input, in-engine.
+
+    Seeding is a deterministic uniform sample: the k vectors whose
+    ``md5(seed || id)`` sorts lowest (one TakeOrderedAndProject job, no
+    RNG state, same k rows on any cluster layout). Each Lloyd pass
+    assigns every vector to its nearest current centroid (literal
+    arrays — the same expression ivf_knn uses) and recomputes per-cell
+    per-dimension means via posexplode + hash agg: partial aggregation
+    means only ~k*dim rows per partition cross the shuffle, and the
+    k*dim result (the model, not data) returns to the driver each pass
+    — the same shape MLlib's k-means uses. Empty cells keep their
+    previous centroid. Cosine assignment + unnormalized mean is
+    spherical k-means (cosine is scale-invariant in the centroid).
+
+    Scale: iters × (one scan + one k*dim shuffle). The collect is
+    k*dim doubles, never corpus rows.
+    """
+    base = corpus.select(
+        F.col(id_col).alias("_id"), _as_double(vec_col).alias("v")
+    )
+    seed_rows = (
+        base.withColumn(
+            "_r",
+            F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("_id").cast("string"))),
+        )
+        .orderBy("_r")
+        .limit(k)
+        .select("v")
+        .collect()
+    )
+    centroids = [[float(x) for x in r.v] for r in seed_rows]
+    if len(centroids) < k:
+        raise ValueError(f"corpus has only {len(centroids)} vectors, need k={k}")
+    for _ in range(iters):
+        assigned = base.withColumn(
+            "cell", _best_cells(F.col("v"), centroids, 1)[0]["cell"]
+        )
+        sums = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        dim = len(centroids[0])
+        fresh: dict[int, list[float]] = {}
+        for r in sums:
+            fresh.setdefault(int(r.cell), [0.0] * dim)[int(r.pos)] = r.s / r.n
+        centroids = [fresh.get(i, centroids[i]) for i in range(k)]
+    return centroids
+
+
 def ivf_knn(
     corpus: DataFrame,
     queries: DataFrame,
@@ -232,22 +307,15 @@ def ivf_knn(
     centroid (the inverted-file cell); a query probes its ``nprobe``
     nearest cells and re-ranks exactly within them.
 
-    Centroids are caller-provided (e.g. k-means trained offline, or a
-    deterministic sample) and ship as literals — the assignment is pure
+    Centroids are caller-provided (``train_ivf_centroids``, or any
+    offline model) and ship as literals — the assignment is pure
     JVM expression arithmetic. Scale shape: corpus shuffles once on
     cell id; queries replicate ×nprobe; the join is cell-id equi, never
     a corpus broadcast.
     """
-    cents = [F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
 
     def best_cells(vec: Column, n: int) -> Column:
-        scored = F.array(*[
-            F.struct(
-                (-cosine(vec, c)).alias("neg"), F.lit(i).cast("long").alias("cell")
-            )
-            for i, c in enumerate(cents)
-        ])
-        return F.slice(F.array_sort(scored), 1, n)
+        return _best_cells(vec, centroids, n)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
