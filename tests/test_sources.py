@@ -71,3 +71,76 @@ def test_partition_pruning_in_plan(spark, tmp_path):
     # the pruned scan reads only the matching directory
     assert "PartitionFilters" in plan and "2021" in plan
     assert back.count() == sum(1 for i in range(100) if 2020 + i % 3 == 2021)
+
+
+# --- SAS PROC FORMAT label parsing (I94_SAS_Labels_Descriptions.SAS) ---
+
+
+def test_sas_labels_reference_file_real_blocks(spark):
+    from us_immigration_data_lake_spark.sources import read_sas_labels
+
+    path = "/root/reference/I94_SAS_Labels_Descriptions.SAS"
+    country = read_sas_labels(spark, path, "i94cntyl")
+    assert [f.dataType.simpleString() for f in country.schema.fields] == [
+        "bigint", "string"]
+    cmap = {r.code: r.label for r in country.collect()}
+    assert cmap[236] == "AFGHANISTAN"
+    assert cmap[582].startswith("MEXICO Air Sea")
+    assert cmap[687] == "ARGENTINA"  # trailing pad trimmed
+
+    port = read_sas_labels(spark, path, "$i94prtl")
+    assert [f.dataType.simpleString() for f in port.schema.fields] == [
+        "string", "string"]
+    pmap = {r.code: r.label for r in port.collect()}
+    assert pmap["ALC"] == "ALCAN, AK"
+    assert pmap["INT"] == "INT'L FALLS, MN"  # doubled-quote unescape
+
+    mode = read_sas_labels(spark, path, "i94model")
+    assert {r.code: r.label for r in mode.collect()} == {
+        1: "Air", 2: "Sea", 3: "Land", 9: "Not reported"}
+
+    state = read_sas_labels(spark, path, "i94addrl")
+    smap = {r.code: r.label for r in state.collect()}
+    assert smap["CA"] == "CALIFORNIA" and smap["DC"] == "DIST. OF COLUMBIA"
+
+
+def test_sas_labels_untrimmed_and_missing_format(spark):
+    import pytest as _pytest
+
+    from us_immigration_data_lake_spark.sources import read_sas_labels
+
+    path = "/root/reference/I94_SAS_Labels_Descriptions.SAS"
+    raw = read_sas_labels(spark, path, "$i94prtl", trim=False)
+    assert any(r.label.endswith(" ") for r in raw.collect())  # pad kept
+    with _pytest.raises(KeyError, match="available"):
+        read_sas_labels(spark, path, "nope")
+
+
+def test_sas_labels_parser_quirks_and_damage():
+    import pytest as _pytest
+
+    from us_immigration_data_lake_spark.sources import parse_sas_format_blocks
+
+    good = """
+  value $fmt
+   'A'\t=\t'Alpha'
+   'B' = 'Beta' ;
+value numf
+   -1 = 'Neg'
+   2 = 'Two''s'
+;
+"""
+    blocks = parse_sas_format_blocks(good)
+    assert blocks["$fmt"] == [("A", "Alpha"), ("B", "Beta")]
+    assert blocks["numf"] == [("-1", "Neg"), ("2", "Two's")]
+
+    with _pytest.raises(ValueError, match="unparseable"):
+        parse_sas_format_blocks("value f\n 1 = 'ok'\n garbage here\n;")
+    with _pytest.raises(ValueError, match="unterminated"):
+        parse_sas_format_blocks("value f\n 1 = 'ok'\n")
+
+
+def test_i94_visa_literal():
+    from us_immigration_data_lake_spark.sources import I94_VISA_CATEGORIES
+
+    assert I94_VISA_CATEGORIES == {1: "Business", 2: "Pleasure", 3: "Student"}

@@ -3,6 +3,11 @@ from us_immigration_data_lake_spark.sources.readers import (
     read_json,
     read_parquet,
 )
+from us_immigration_data_lake_spark.sources.sas_labels import (
+    I94_VISA_CATEGORIES,
+    parse_sas_format_blocks,
+    read_sas_labels,
+)
 from us_immigration_data_lake_spark.sources.writers import write_parquet
 from us_immigration_data_lake_spark.sources.catalog import Catalog, TESTDATA_TABLES
 
@@ -11,6 +16,9 @@ __all__ = [
     "read_json",
     "read_parquet",
     "write_parquet",
+    "read_sas_labels",
+    "parse_sas_format_blocks",
+    "I94_VISA_CATEGORIES",
     "Catalog",
     "TESTDATA_TABLES",
 ]
