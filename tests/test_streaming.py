@@ -199,3 +199,48 @@ def test_streaming_dedup_with_watermark(spark):
     got = run_to_memory(deduped, "t_sdedup", mode="complete")
     n_unique = load_events(spark, SF).count()
     assert got.collect()[0]["count"] == n_unique
+
+
+def test_foreach_batch_exactly_once_upsert(spark, tmp_path):
+    import shutil
+
+    from us_immigration_data_lake_spark.streaming import (
+        exactly_once_parquet_upsert,
+    )
+
+    src = tmp_path / "fb_src"
+    src.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src / "a.parquet")
+    target = str(tmp_path / "fb_out")
+    ckpt = str(tmp_path / "fb_ckpt")
+
+    def _stream():
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return (
+            spark.readStream.schema(
+                spark.read.option(
+                    "mergeSchema", "false"
+                ).parquet(f"{src}/*.parquet").schema
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*.parquet")
+        )
+
+    exactly_once_parquet_upsert(_stream(), target, ckpt)
+    out = spark.read.parquet(target)
+    assert out.count() == 1000
+    assert out.select("batch_id").distinct().count() == 1
+
+    # replay safety: blow away the checkpoint so the SAME file streams
+    # again as the same batch id — the partition overwrites itself,
+    # rows must not duplicate
+    shutil.rmtree(ckpt)
+    exactly_once_parquet_upsert(_stream(), target, ckpt)
+    assert spark.read.parquet(target).count() == 1000
+
+    # a genuinely new file lands as a new batch partition, old rows kept
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src / "b.parquet")
+    exactly_once_parquet_upsert(_stream(), target, ckpt)
+    final = spark.read.parquet(target)
+    assert final.count() == 2000
+    assert final.select("batch_id").distinct().count() == 2

@@ -4,6 +4,10 @@ from us_immigration_data_lake_spark.streaming.windows import (
     session_agg,
     run_to_memory,
 )
+from us_immigration_data_lake_spark.streaming.sinks import (
+    exactly_once_parquet_upsert,
+    run_foreach_batch,
+)
 from us_immigration_data_lake_spark.streaming.stateful import running_user_stats
 
 __all__ = [
@@ -12,4 +16,6 @@ __all__ = [
     "session_agg",
     "run_to_memory",
     "running_user_stats",
+    "run_foreach_batch",
+    "exactly_once_parquet_upsert",
 ]
