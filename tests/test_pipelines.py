@@ -211,3 +211,25 @@ def test_build_training_corpus_mega_bucket_observable(spark):
     assert stats.oversized_lsh_buckets > 0
     assert stats.after_near_dedup == 2
     assert {r.doc_id for r in corpus.select("doc_id").distinct().collect()} == {1, 4}
+
+
+def test_build_label_dims_from_reference_file(spark):
+    from us_immigration_data_lake_spark.pipelines.immigration import (
+        build_label_dims,
+    )
+
+    dims = build_label_dims(spark, f"{REF}/I94_SAS_Labels_Descriptions.SAS")
+    assert set(dims) == {"country", "port", "mode", "state", "visa"}
+
+    ports = {r.code: (r.port_name, r.port_state) for r in dims["port"].collect()}
+    assert ports["ALC"] == ("ALCAN", "AK")
+    assert ports["INT"] == ("INT'L FALLS", "MN")
+    # sentinel entries carry no state
+    no_state = [s for _, s in ports.values() if s is None]
+    assert no_state, "expected some stateless sentinel ports"
+
+    assert dims["mode"].count() == 4
+    assert {r.code: r.label for r in dims["visa"].collect()} == {
+        1: "Business", 2: "Pleasure", 3: "Student"}
+    assert dims["country"].filter(F.col("code") == 582).count() == 1
+    assert {r.code: r.label for r in dims["state"].collect()}["CA"] == "CALIFORNIA"

@@ -201,3 +201,42 @@ def build_country(
         "Latitude",
         "Longitude",
     )
+
+
+def build_label_dims(spark, labels_path: str) -> dict[str, DataFrame]:
+    """Every code→label dim the SAS labels file defines, in one pass:
+    ``country`` (bigint code), ``port`` (code, port_name, port_state),
+    ``mode``, ``state``, plus the ``visa`` dim the file only describes
+    in prose (published as the literal the reference hardcodes).
+
+    Port labels embed 'CITY, ST' — split on the LAST comma so city
+    names containing commas survive; labels without a comma (the 'No
+    PORT Code' sentinels, collapsed/unknown entries) keep a null
+    state. All dims are broadcast-sized lookup tables.
+    """
+    from us_immigration_data_lake_spark.sources.sas_labels import (
+        I94_VISA_CATEGORIES,
+        read_sas_labels,
+    )
+
+    port_raw = read_sas_labels(spark, labels_path, "$i94prtl")
+    has_state = F.col("label").rlike(",[^,]*$")
+    port = port_raw.select(
+        "code",
+        F.when(has_state, F.regexp_replace(F.col("label"), ",[^,]*$", ""))
+        .otherwise(F.col("label"))
+        .alias("port_name"),
+        F.when(
+            has_state,
+            F.trim(F.regexp_extract(F.col("label"), ",([^,]*)$", 1)),
+        ).alias("port_state"),
+    )
+    return {
+        "country": read_sas_labels(spark, labels_path, "i94cntyl"),
+        "port": port,
+        "mode": read_sas_labels(spark, labels_path, "i94model"),
+        "state": read_sas_labels(spark, labels_path, "i94addrl"),
+        "visa": spark.createDataFrame(
+            sorted(I94_VISA_CATEGORIES.items()), "code bigint, label string"
+        ),
+    }
