@@ -404,3 +404,39 @@ def test_train_ivf_centroids_k_exceeds_corpus(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="need k=3"):
         sim.train_ivf_centroids(df, "vec_id", "embedding", k=3, iters=1)
+
+
+def test_near_dup_pairs_agree_with_mllib_minhash(spark):
+    """Independent-implementation check: our banded MinHash-LSH and
+    Spark MLlib's MinHashLSH, amplification-matched (24 OR-tables =
+    24 bands x 1 row), must verify the SAME near-dup pairs with the
+    SAME exact Jaccard on the gate corpus. MLlib hashes HashingTF
+    feature indices where we hash shingle values directly, so
+    agreement here is two unrelated code paths reaching one answer."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    frames = dd.near_dup_frames(
+        docs, "doc_id", "text", shingle_n=3, num_hashes=24, bands=24,
+        threshold=0.5, max_bucket_size=100000,
+    )
+    ours = {(r.id1, r.id2): r.jaccard for r in frames["pairs"].collect()}
+
+    sh = dd.shingles(docs, "doc_id", "text", n=3).filter(F.size("shingles") > 0)
+    feats = HashingTF(
+        inputCol="shingles", outputCol="features",
+        numFeatures=1 << 20, binary=True,
+    ).transform(sh)
+    mh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=24, seed=42
+    ).fit(feats)
+    joined = mh.approxSimilarityJoin(feats, feats, 0.5, distCol="d")
+    theirs = {
+        (r.datasetA.doc_id, r.datasetB.doc_id): 1 - r.d
+        for r in joined.collect()
+        if r.datasetA.doc_id < r.datasetB.doc_id
+    }
+
+    assert ours, "no near-dup pairs found on the gate corpus"
+    assert set(ours) == set(theirs)
+    assert all(abs(ours[k] - theirs[k]) < 1e-12 for k in ours)
