@@ -213,6 +213,7 @@ def test_build_training_corpus_mega_bucket_observable(spark):
     assert {r.doc_id for r in corpus.select("doc_id").distinct().collect()} == {1, 4}
 
 
+@needs_ref
 def test_build_label_dims_from_reference_file(spark):
     from us_immigration_data_lake_spark.pipelines.immigration import (
         build_label_dims,
@@ -224,6 +225,17 @@ def test_build_label_dims_from_reference_file(spark):
     ports = {r.code: (r.port_name, r.port_state) for r in dims["port"].collect()}
     assert ports["ALC"] == ("ALCAN", "AK")
     assert ports["INT"] == ("INT'L FALLS", "MN")
+    # facility annotations strip off the state code
+    assert ports["SLS"] == ("SALINAS", "CA")
+    assert ports["ASE"] == ("ASPEN", "CO")
+    # 3-letter territory suffix is a code; a spelled-out country is not
+    assert ports["SAI"] == ("SAIPAN", "SPN")
+    assert ports["CUN"] == ("CANCUN, MEXICO", None)
+    foreign = [s for n, s in ports.values() if s is None and "," in n]
+    assert foreign, "expected foreign comma-bearing ports with null state"
+    # every extracted state is a joinable 2-3 letter code
+    assert all(s.isalpha() and 2 <= len(s) <= 3
+               for _, s in ports.values() if s is not None)
     # sentinel entries carry no state
     no_state = [s for _, s in ports.values() if s is None]
     assert no_state, "expected some stateless sentinel ports"

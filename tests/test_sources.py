@@ -12,6 +12,11 @@ from us_immigration_data_lake_spark.sources import read_csv, write_parquet
 from us_immigration_data_lake_spark.sources.readers import read_csv_with_quarantine
 from us_immigration_data_lake_spark.sources.writers import compact_parquet, write_table
 
+REF = "/root/reference"
+needs_ref = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference data not available"
+)
+
 
 def test_quarantine_splits_bad_rows(spark, tmp_path):
     p = tmp_path / "in.csv"
@@ -76,10 +81,11 @@ def test_partition_pruning_in_plan(spark, tmp_path):
 # --- SAS PROC FORMAT label parsing (I94_SAS_Labels_Descriptions.SAS) ---
 
 
+@needs_ref
 def test_sas_labels_reference_file_real_blocks(spark):
     from us_immigration_data_lake_spark.sources import read_sas_labels
 
-    path = "/root/reference/I94_SAS_Labels_Descriptions.SAS"
+    path = f"{REF}/I94_SAS_Labels_Descriptions.SAS"
     country = read_sas_labels(spark, path, "i94cntyl")
     assert [f.dataType.simpleString() for f in country.schema.fields] == [
         "bigint", "string"]
@@ -104,12 +110,13 @@ def test_sas_labels_reference_file_real_blocks(spark):
     assert smap["CA"] == "CALIFORNIA" and smap["DC"] == "DIST. OF COLUMBIA"
 
 
+@needs_ref
 def test_sas_labels_untrimmed_and_missing_format(spark):
     import pytest as _pytest
 
     from us_immigration_data_lake_spark.sources import read_sas_labels
 
-    path = "/root/reference/I94_SAS_Labels_Descriptions.SAS"
+    path = f"{REF}/I94_SAS_Labels_Descriptions.SAS"
     raw = read_sas_labels(spark, path, "$i94prtl", trim=False)
     assert any(r.label.endswith(" ") for r in raw.collect())  # pad kept
     with _pytest.raises(KeyError, match="available"):

@@ -201,11 +201,11 @@ def test_streaming_dedup_with_watermark(spark):
     assert got.collect()[0]["count"] == n_unique
 
 
-def test_foreach_batch_exactly_once_upsert(spark, tmp_path):
+def test_foreach_batch_exactly_once_batches(spark, tmp_path):
     import shutil
 
     from us_immigration_data_lake_spark.streaming import (
-        exactly_once_parquet_upsert,
+        exactly_once_parquet_batches,
     )
 
     src = tmp_path / "fb_src"
@@ -226,7 +226,7 @@ def test_foreach_batch_exactly_once_upsert(spark, tmp_path):
             .parquet(f"{src}/*.parquet")
         )
 
-    exactly_once_parquet_upsert(_stream(), target, ckpt)
+    exactly_once_parquet_batches(_stream(), target, ckpt)
     out = spark.read.parquet(target)
     assert out.count() == 1000
     assert out.select("batch_id").distinct().count() == 1
@@ -235,12 +235,12 @@ def test_foreach_batch_exactly_once_upsert(spark, tmp_path):
     # again as the same batch id — the partition overwrites itself,
     # rows must not duplicate
     shutil.rmtree(ckpt)
-    exactly_once_parquet_upsert(_stream(), target, ckpt)
+    exactly_once_parquet_batches(_stream(), target, ckpt)
     assert spark.read.parquet(target).count() == 1000
 
     # a genuinely new file lands as a new batch partition, old rows kept
     shutil.copy("/root/testdata/sf0.001/events.parquet", src / "b.parquet")
-    exactly_once_parquet_upsert(_stream(), target, ckpt)
+    exactly_once_parquet_batches(_stream(), target, ckpt)
     final = spark.read.parquet(target)
     assert final.count() == 2000
     assert final.select("batch_id").distinct().count() == 2

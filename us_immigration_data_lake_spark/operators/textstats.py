@@ -295,6 +295,12 @@ def bm25_term_scores(
         tok.alias("tok"),
         F.size(tok).cast("long").alias("dl"),
     )
+    # cached: three subplans consume base (corpus stats, per-term doc
+    # frequencies, the hits scoring branch) and Spark re-runs the
+    # tokenize Project per branch otherwise — same treatment as
+    # dedup.near_dup_frames' shared hashed-shingle frame. LRU-evicted
+    # under pressure; ~|docs| rows of token arrays.
+    base.cache()
     stats = base.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("sum_dl"),
@@ -347,8 +353,11 @@ def bm25_term_scores(
             F.asc(id_col),
         )
     )
+    # long, not Spark's int32: external ROW_NUMBER() is BIGINT and the
+    # gate's value hash is type-sensitive (same rule as every other
+    # exposed rank column)
     return (
-        scored.withColumn("rnk", rnk)
+        scored.withColumn("rnk", rnk.cast("long"))
         .filter(F.col("rnk") <= k)
         .orderBy("term", "rnk")
     )

@@ -209,10 +209,15 @@ def build_label_dims(spark, labels_path: str) -> dict[str, DataFrame]:
     ``mode``, ``state``, plus the ``visa`` dim the file only describes
     in prose (published as the literal the reference hardcodes).
 
-    Port labels embed 'CITY, ST' — split on the LAST comma so city
-    names containing commas survive; labels without a comma (the 'No
-    PORT Code' sentinels, collapsed/unknown entries) keep a null
-    state. All dims are broadcast-sized lookup tables.
+    US port labels embed 'CITY, ST' with ST a 2-3 letter state or
+    territory code, sometimes annotated with a facility marker
+    ('SALINAS, CA (BPS)', 'ASPEN, CO #ARPT'). port_state is extracted
+    only when the suffix IS such a code (annotation stripped), so it
+    joins cleanly against dims['state'].code; foreign ports
+    ('TORONTO, CANADA'), sentinels, and collapsed entries keep the
+    whole label as port_name with a null port_state — a spelled-out
+    country is not a state code and pretending otherwise poisons the
+    join. All dims are broadcast-sized lookup tables.
     """
     from us_immigration_data_lake_spark.sources.sas_labels import (
         I94_VISA_CATEGORIES,
@@ -220,16 +225,14 @@ def build_label_dims(spark, labels_path: str) -> dict[str, DataFrame]:
     )
 
     port_raw = read_sas_labels(spark, labels_path, "$i94prtl")
-    has_state = F.col("label").rlike(",[^,]*$")
+    state_re = r",\s*([A-Z]{2,3})\s*(\(BPS\)|#ARPT)?\s*$"
+    st = F.regexp_extract(F.col("label"), state_re, 1)
     port = port_raw.select(
         "code",
-        F.when(has_state, F.regexp_replace(F.col("label"), ",[^,]*$", ""))
+        F.when(st != "", F.regexp_replace(F.col("label"), state_re, ""))
         .otherwise(F.col("label"))
         .alias("port_name"),
-        F.when(
-            has_state,
-            F.trim(F.regexp_extract(F.col("label"), ",([^,]*)$", 1)),
-        ).alias("port_state"),
+        F.when(st != "", st).alias("port_state"),
     )
     return {
         "country": read_sas_labels(spark, labels_path, "i94cntyl"),

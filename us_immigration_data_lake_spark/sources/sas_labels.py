@@ -93,13 +93,15 @@ def read_sas_labels(
 ) -> DataFrame:
     """(code, label) lookup dim parsed from a SAS PROC FORMAT file.
 
-    The ``code`` column is bigint when every key in the block is a
-    bare integer, else string. (The type is inferred from the KEYS, not
-    the ``$`` naming convention — the reference file itself declares
+    ``$``-named formats (char, e.g. ``$i94prtl``) ALWAYS yield a
+    string ``code`` — an all-numeric char block like {'060', '888'}
+    must keep its leading zeros and its join type. Unprefixed formats
+    yield bigint only when every key is a bare integer with no leading
+    zeros; otherwise string (the reference file itself declares
     ``i94addrl`` without ``$`` yet keys it with quoted state codes, so
-    the name is not trustworthy.) ``trim`` strips label padding (the
-    port labels are space-padded to fixed width in the reference file);
-    pass False for byte-verbatim labels.
+    the naming convention alone is not trustworthy). ``trim`` strips
+    label padding (the port labels are space-padded to fixed width in
+    the reference file); pass False for byte-verbatim labels.
     """
     blocks = parse_sas_format_blocks(_read_text_driver_side(spark, path))
     if fmt_name not in blocks:
@@ -110,7 +112,11 @@ def read_sas_labels(
     rows = blocks[fmt_name]
     if trim:
         rows = [(k, v.strip()) for k, v in rows]
-    if all(re.fullmatch(r"-?\d+", k) for k, _ in rows):
+    numeric = not fmt_name.startswith("$") and all(
+        re.fullmatch(r"-?\d+", k) and re.fullmatch(r"-?0|0|-?[1-9]\d*", k)
+        for k, _ in rows
+    )
+    if numeric:
         return spark.createDataFrame(
             [(int(k), v) for k, v in rows], "code bigint, label string"
         )

@@ -5,7 +5,7 @@ from us_immigration_data_lake_spark.streaming.windows import (
     run_to_memory,
 )
 from us_immigration_data_lake_spark.streaming.sinks import (
-    exactly_once_parquet_upsert,
+    exactly_once_parquet_batches,
     run_foreach_batch,
 )
 from us_immigration_data_lake_spark.streaming.stateful import running_user_stats
@@ -17,5 +17,5 @@ __all__ = [
     "run_to_memory",
     "running_user_stats",
     "run_foreach_batch",
-    "exactly_once_parquet_upsert",
+    "exactly_once_parquet_batches",
 ]

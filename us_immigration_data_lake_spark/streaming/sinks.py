@@ -39,17 +39,20 @@ def run_foreach_batch(
     q.awaitTermination()
 
 
-def exactly_once_parquet_upsert(
+def exactly_once_parquet_batches(
     stream_df: DataFrame,
     target_dir: str,
     checkpoint_dir: str,
-    name: str = "batch_upsert",
+    name: str = "parquet_batches",
 ) -> None:
     """Replay-safe parquet sink via foreachBatch: every micro-batch
     lands in its own ``batch_id=N`` partition under dynamic partition
     overwrite, so a replayed batch overwrites ITSELF instead of
-    appending duplicates — exactly-once end to end without a
-    transactional table format.
+    appending duplicates — exactly-once APPEND semantics end to end
+    without a transactional table format. This is not a key-based
+    upsert: a business key re-emitted in a later batch lands in both
+    partitions; MERGE-on-key needs a transactional format (Delta/
+    Iceberg) or a JDBC MERGE in the batch function.
 
     Scale shape: each batch's write touches only its own partition
     (dynamic overwrite never lists sibling partitions' data), and the
