@@ -956,8 +956,10 @@ def q23_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Q24 — SRP-LSH approximate nearest neighbors (the 100 TB scale path for
 # Q22): bucketed join instead of corpus broadcast. Seeded hyperplanes →
-# deterministic; xxhash-free but plane literals are not SQL-portable →
-# rows-only (recall vs exact is asserted in tests/test_llm_ops.py).
+# deterministic AND oracle-checked: the plane matrix embeds in the SQL
+# as full-precision literals and the dot-product fold is
+# association-identical (see _q24_oracle_sql). Recall vs exact is
+# additionally asserted in tests/test_llm_ops.py.
 # ---------------------------------------------------------------------------
 
 # embeddings.parquet vector width — a fixed property of the dataset
@@ -968,9 +970,46 @@ def q23_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMBEDDING_DIM = 64
 
 
+def _q24_oracle_sql() -> str:
+    """DuckDB replay of the SRP-LSH pipeline, hash-for-hash. The plane
+    matrix (seed-fixed, 6×64) is embedded as full-precision repr
+    literals — decimal shortest-round-trip parses back to the exact
+    double. Each dot product is the same left-fold association Spark's
+    aggregate/zip_with uses (SQL + is left-associative; IEEE add/mul
+    are correctly rounded), so every sign bit — and therefore every
+    bucket — is bit-identical, no tolerance needed."""
+    planes = sim_ops.srp_planes(EMBEDDING_DIM, num_bits=6, seed=42)
+
+    def dot_expr(i: int) -> str:
+        return " + ".join(
+            f"v[{j + 1}]*({float(planes[i][j])!r})" for j in range(EMBEDDING_DIM)
+        )
+
+    bits = " + ".join(
+        f"(CASE WHEN ({dot_expr(i)}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(6)
+    )
+    return f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, CAST({bits} AS BIGINT) AS bucket FROM base),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM b),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             ROUND(list_cosine_similarity(q.qv, c.cv), 6) AS cosine_sim
+      FROM q JOIN c USING (bucket)
+      WHERE q.query_id != c.neighbor_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine_sim DESC, neighbor_id) AS rn
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine_sim FROM ranked WHERE rn <= 3
+    """
+
+
 @_register(
     "q24_srp_lsh_knn",
-    oracle=None,
+    oracle=_q24_oracle_sql(),
     tags=("similarity", "lsh"),
 )
 def q24_srp_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
