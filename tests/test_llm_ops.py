@@ -448,3 +448,34 @@ def test_near_dup_pairs_agree_with_mllib_minhash(spark):
     assert strict_ours, "no pairs above the boundary band"
     assert strict_ours == strict_theirs
     assert all(abs(ours[k] - theirs[k]) < 1e-3 for k in strict_ours)
+
+
+def test_train_ivf_centroids_agree_with_mllib_kmeans(spark):
+    """Independent-implementation check: on well-separated blobs (where
+    cosine and Euclidean assignment partition identically), our
+    Lloyd's-over-DataFrames training and MLlib's KMeans must converge
+    to the same three centroids to machine precision."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    axes = {0: [10.0, 0.0, 0.0, 1.0], 1: [0.0, 10.0, 0.0, 1.0],
+            2: [0.0, 0.0, 10.0, 1.0]}
+    rows = [
+        (i, [x + ((i * 37 + j * 11) % 5) * 0.01
+             for j, x in enumerate(axes[i % 3])])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    ours = sim.train_ivf_centroids(df, "vec_id", "embedding", k=3, iters=6)
+
+    feats = df.select(array_to_vector(F.col("embedding")).alias("features"))
+    theirs = [list(c) for c in KMeans(k=3, seed=7, maxIter=20).fit(feats)
+              .clusterCenters()]
+
+    def dom(c):
+        return max(range(4), key=lambda j: c[j])
+
+    o = {dom(c): c for c in ours}
+    t = {dom(c): c for c in theirs}
+    assert sorted(o) == sorted(t) == [0, 1, 2]
+    assert all(abs(a - b) < 1e-9 for k in o for a, b in zip(o[k], t[k]))
