@@ -479,3 +479,40 @@ def test_train_ivf_centroids_agree_with_mllib_kmeans(spark):
     t = {dom(c): c for c in theirs}
     assert sorted(o) == sorted(t) == [0, 1, 2]
     assert all(abs(a - b) < 1e-9 for k in o for a, b in zip(o[k], t[k]))
+
+
+def test_bm25_multiterm_sums_contributions(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "apple cherry banana"),
+            (2, "apple banana banana"),
+            (3, "banana banana banana"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = ts.bm25_multiterm_topk(
+        df, "doc_id", "text", terms=("apple", "cherry")
+    ).collect()
+    got = {r.doc_id: (r.score, r.rnk) for r in out}
+    # doc with both terms outranks doc with one (same dl, same tf)
+    assert got[1][1] == 1 and got[2][1] == 2
+    assert got[1][0] > got[2][0]
+    # doc with neither term never appears
+    assert 3 not in got
+
+    # score equals the exact per-term fractions summed in term order
+    from fractions import Fraction
+
+    per_term = ts.bm25_term_scores(
+        df, "doc_id", "text", terms=("apple", "cherry")
+    ).collect()
+    frac = {}
+    for r in per_term:
+        frac.setdefault(r.doc_id, {})[r.term] = (r.score_num, r.score_den)
+    for doc_id, (score, _) in got.items():
+        expect = 0.0
+        for t in ("apple", "cherry"):
+            if t in frac[doc_id]:
+                n, d = frac[doc_id][t]
+                expect += n / d
+        assert abs(score - round(expect, 6)) < 1e-9

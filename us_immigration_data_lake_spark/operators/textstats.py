@@ -282,6 +282,36 @@ def bm25_term_scores(
     empty-filtering ``tokens()`` helper) so dl is reproducible by plain
     ``string_split_regex`` in an external engine.
     """
+    scored = _bm25_scored_frame(df, id_col, text_col, terms, k1, b)
+    from pyspark.sql.window import Window
+
+    rnk = F.row_number().over(
+        Window.partitionBy("term").orderBy(
+            F.desc(F.col("score_num").cast("double") / F.col("score_den").cast("double")),
+            F.asc(id_col),
+        )
+    )
+    # long, not Spark's int32: external ROW_NUMBER() is BIGINT and the
+    # gate's value hash is type-sensitive (same rule as every other
+    # exposed rank column)
+    return (
+        scored.withColumn("rnk", rnk.cast("long"))
+        .filter(F.col("rnk") <= k)
+        .orderBy("term", "rnk")
+    )
+
+
+def _bm25_scored_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: tuple[str, ...],
+    k1: tuple[int, int],
+    b: tuple[int, int],
+) -> DataFrame:
+    """(term, id, tf, dl, score_num, score_den) for every (query term,
+    matching doc) — the shared core of the per-term and multi-term
+    rankings. See bm25_term_scores for the algebra and scale notes."""
     k1n, k1d = k1
     bn, bd = b
     # tokenize once per doc: the Project holding the split sits below
@@ -345,19 +375,57 @@ def bm25_term_scores(
             ).alias("score_den"),
         )
     )
+    return scored
+
+
+def bm25_multiterm_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: tuple[str, ...],
+    k: int = 20,
+    k1: tuple[int, int] = (6, 5),
+    b: tuple[int, int] = (3, 4),
+) -> DataFrame:
+    """Top-k documents for a MULTI-term query: the document score is
+    the sum of the per-term BM25 contributions (bm25_term_scores'
+    exact fractions, absent term = 0).
+
+    Reproducibility: summing rationals exactly would need a common
+    denominator (bigint overflow), so each contribution divides once
+    in double and the sum runs over a FIXED-ORDER pivot — one column
+    per query term, added left-to-right in the ``terms`` order. Every
+    step (division, each add, the final 6dp round) is a correctly
+    rounded IEEE op on identical inputs, so any engine replaying the
+    same expression produces the same bits — unlike a groupBy SUM of
+    doubles, whose accumulation order is nondeterministic.
+
+    Scale: the pivot is over the literal query-term list (bounded,
+    explicit values — never a discovery pass), one shuffle on doc id.
+    """
+    scored = _bm25_scored_frame(df, id_col, text_col, terms, k1, b)
+    contrib = F.col("score_num").cast("double") / F.col("score_den").cast("double")
+    per_doc = (
+        scored.withColumn("contrib", contrib)
+        .groupBy(id_col, "dl")
+        .pivot("term", list(terms))
+        .agg(F.first("contrib"))
+    )
+    total = None
+    for t in terms:
+        c = F.coalesce(F.col(f"`{t}`"), F.lit(0.0))
+        total = c if total is None else total + c
+    # top-k FIRST via orderBy+limit (TakeOrderedAndProject — each
+    # partition contributes its local top-k, no global single-partition
+    # stage), THEN a window over just k rows to attach ranks. A bare
+    # unpartitioned row_number window would funnel the whole corpus
+    # through one task.
+    topk = (
+        per_doc.select(F.col(id_col), F.round(total, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
     from pyspark.sql.window import Window
 
-    rnk = F.row_number().over(
-        Window.partitionBy("term").orderBy(
-            F.desc(F.col("score_num").cast("double") / F.col("score_den").cast("double")),
-            F.asc(id_col),
-        )
-    )
-    # long, not Spark's int32: external ROW_NUMBER() is BIGINT and the
-    # gate's value hash is type-sensitive (same rule as every other
-    # exposed rank column)
-    return (
-        scored.withColumn("rnk", rnk.cast("long"))
-        .filter(F.col("rnk") <= k)
-        .orderBy("term", "rnk")
-    )
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return topk.withColumn("rnk", F.row_number().over(w).cast("long")).orderBy("rnk")

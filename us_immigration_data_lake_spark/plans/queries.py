@@ -2423,3 +2423,72 @@ def q57_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts_ops.bm25_term_scores(
         docs, "doc_id", "text", terms=("vector", "merge", "filter"), k=10
     )
+
+
+# ---------------------------------------------------------------------------
+# Q58 — multi-term BM25 ranking (operators/textstats.py:
+# bm25_multiterm_topk). The document score sums the per-term exact
+# fractions in double over a FIXED-ORDER pivot (one column per query
+# term, added left-to-right), so every step is a correctly rounded IEEE
+# op on identical inputs — portable where a groupBy SUM of doubles
+# (nondeterministic accumulation order) is not.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q58_bm25_multiterm",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             string_split_regex(trim(text), '\\s+') AS tok,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS sum_dl
+      FROM base
+    ),
+    terms(term) AS (VALUES ('vector'), ('merge'), ('filter')),
+    hits AS (
+      SELECT b.doc_id, b.dl, t.term,
+             CAST(len(list_filter(b.tok, x -> x = t.term)) AS BIGINT) AS tf
+      FROM base b CROSS JOIN terms t
+      WHERE len(list_filter(b.tok, x -> x = t.term)) > 0
+    ),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+              FROM hits GROUP BY term),
+    contrib AS (
+      SELECT h.term, h.doc_id,
+             CAST(h.tf * 44 * s.sum_dl * (2*s.n_docs - 2*d.df + 1) AS DOUBLE)
+             / ((h.tf * 20 * s.sum_dl + 6 * s.sum_dl + 18 * h.dl * s.n_docs)
+                * (2*d.df + 1)) AS c
+      FROM hits h JOIN dfreq d USING (term) CROSS JOIN stats s
+    ),
+    -- fixed-order sum: one MAX(CASE) column per term, added
+    -- left-to-right in the query-term order — NOT SUM(c), whose
+    -- accumulation order is engine-dependent
+    per_doc AS (
+      SELECT doc_id,
+             ROUND(
+               coalesce(MAX(CASE WHEN term = 'vector' THEN c END), 0)
+               + coalesce(MAX(CASE WHEN term = 'merge' THEN c END), 0)
+               + coalesce(MAX(CASE WHEN term = 'filter' THEN c END), 0),
+             6) AS score
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, score, rnk
+    FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+               ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+      FROM per_doc)
+    WHERE rnk <= 20
+    ORDER BY rnk
+    """,
+    tags=("search", "bm25", "multiterm", "topk"),
+)
+def q58_bm25_multiterm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return ts_ops.bm25_multiterm_topk(
+        docs, "doc_id", "text", terms=("vector", "merge", "filter"), k=20
+    )
