@@ -124,3 +124,31 @@ def test_aqe_splits_skewed_join(spark):
         assert "skew=true" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+
+
+def test_q57_bm25_broadcasts_stats_not_corpus(spark):
+    """BM25's corpus stats (1 row) and per-term doc frequencies (|terms|
+    rows) must reach the scoring join as broadcasts; the document side
+    must never broadcast or re-shuffle beyond its one id repartition."""
+    plan = _plan(spark, "q57_bm25_topk")
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin") >= 2  # dfreq equi + stats cross
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan  # no row-wise Python anywhere
+
+
+def test_q58_multiterm_topk_is_take_ordered(spark):
+    """The multi-term ranking must reduce to top-k via
+    TakeOrderedAndProject before any rank window — an unpartitioned
+    window over the whole corpus would funnel it through one task."""
+    import re
+
+    plan = _plan(spark, "q58_bm25_multiterm")
+    assert "TakeOrderedAndProject" in plan
+    # node ids are child-first: the rank Window's input must be the
+    # already-reduced TakeOrderedAndProject (k rows), not the corpus
+    ids = {
+        m.group(2): int(m.group(1))
+        for m in re.finditer(r"\((\d+)\) (TakeOrderedAndProject|Window)", plan)
+    }
+    assert ids["TakeOrderedAndProject"] < ids["Window"]
