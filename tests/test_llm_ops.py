@@ -500,9 +500,8 @@ def test_bm25_multiterm_sums_contributions(spark):
     # doc with neither term never appears
     assert 3 not in got
 
-    # score equals the exact per-term fractions summed in term order
-    from fractions import Fraction
-
+    # score equals the per-term contributions summed in term order
+    # (double quotients — mirrors the operator's own fixed-order sum)
     per_term = ts.bm25_term_scores(
         df, "doc_id", "text", terms=("apple", "cherry")
     ).collect()
@@ -516,3 +515,28 @@ def test_bm25_multiterm_sums_contributions(spark):
                 n, d = frac[doc_id][t]
                 expect += n / d
         assert abs(score - round(expect, 6)) < 1e-9
+
+
+def test_bm25_term_collision_guard(spark):
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="collides"):
+        ts.bm25_multiterm_topk(df, "doc_id", "text", terms=("doc_id",))
+    with pytest.raises(ValueError, match="backtick"):
+        ts.bm25_multiterm_topk(df, "doc_id", "text", terms=("a`b",))
+
+
+def test_bm25_tokenizer_vertical_tab_parity(spark):
+    """Java's \\s includes \\x0B, RE2's does not — the operator uses an
+    explicit class so a vertical tab splits tokens identically to the
+    DuckDB oracle's string_split_regex."""
+    df = spark.createDataFrame([(1, "apple\x0bapple apple")], ["doc_id", "text"])
+    out = ts.bm25_term_scores(df, "doc_id", "text", terms=("apple",)).collect()
+    assert out[0].tf == 3 and out[0].dl == 3
+
+    import duckdb
+
+    got = duckdb.connect().execute(
+        r"select len(string_split_regex('apple' || chr(11) || 'apple apple',"
+        r" '[ \t\n\x0B\f\r]+'))"
+    ).fetchone()[0]
+    assert got == 3

@@ -319,7 +319,11 @@ def _bm25_scored_frame(
     # array instead of re-splitting per (doc, term). repartition first:
     # a single-file parquet scan is ONE task, and tokenization is the
     # CPU-heavy step (same rationale as dedup.near_dup_frames).
-    tok = F.split(F.trim(F.col(text_col)), r"\s+")
+    # The whitespace class is EXPLICIT, not \s: Java's \s includes
+    # vertical tab \x0B, RE2's (DuckDB) does not — spelling out Java's
+    # exact set keeps Spark behavior identical while making the oracle
+    # tokenize byte-for-byte the same.
+    tok = F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+")
     base = df.repartition(F.col(id_col)).select(
         F.col(id_col),
         tok.alias("tok"),
@@ -403,6 +407,15 @@ def bm25_multiterm_topk(
     Scale: the pivot is over the literal query-term list (bounded,
     explicit values — never a discovery pass), one shuffle on doc id.
     """
+    # the pivot emits one output column NAMED per term next to the
+    # groupBy columns — a term equal to id_col/'dl' would collide, and
+    # a backtick would break the quoted reference below
+    for t in terms:
+        if t in (id_col, "dl") or "`" in t:
+            raise ValueError(
+                f"query term {t!r} collides with an internal column name "
+                "or contains a backtick; rename the id column or drop the term"
+            )
     scored = _bm25_scored_frame(df, id_col, text_col, terms, k1, b)
     contrib = F.col("score_num").cast("double") / F.col("score_den").cast("double")
     per_doc = (

@@ -2377,9 +2377,10 @@ def q56_stream_append_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q57_bm25_topk",
     oracle="""
     WITH base AS (
+      -- explicit Java-\s class: RE2's \s lacks vertical tab \x0B
       SELECT doc_id,
-             string_split_regex(trim(text), '\\s+') AS tok,
-             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS dl
+             string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS tok,
+             CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS dl
       FROM documents
     ),
     stats AS (
@@ -2438,9 +2439,10 @@ def q57_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q58_bm25_multiterm",
     oracle="""
     WITH base AS (
+      -- explicit Java-\s class: RE2's \s lacks vertical tab \x0B
       SELECT doc_id,
-             string_split_regex(trim(text), '\\s+') AS tok,
-             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS dl
+             string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS tok,
+             CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS dl
       FROM documents
     ),
     stats AS (
