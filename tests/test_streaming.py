@@ -244,3 +244,34 @@ def test_foreach_batch_exactly_once_batches(spark, tmp_path):
     final = spark.read.parquet(target)
     assert final.count() == 2000
     assert final.select("batch_id").distinct().count() == 2
+
+
+def test_stream_static_enrich_matches_batch(spark):
+    from us_immigration_data_lake_spark.streaming import (
+        read_event_stream,
+        run_to_memory,
+    )
+    from us_immigration_data_lake_spark.streaming.windows import (
+        stream_static_enrich,
+    )
+
+    stream = read_event_stream(spark, SF)
+    dim = spark.read.parquet(f"{SF}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    got = run_to_memory(
+        stream_static_enrich(
+            stream, dim, "user_id", "c_custkey", ("c_mktsegment", "event_type")
+        ),
+        "t_enrich",
+    )
+    ev = load_events(spark, SF)
+    batch = (
+        ev.join(dim, ev.user_id == dim.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_c"),
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))

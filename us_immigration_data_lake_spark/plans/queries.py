@@ -1074,6 +1074,7 @@ from us_immigration_data_lake_spark.streaming.windows import (  # noqa: E402
     read_event_stream,
     run_to_memory,
     session_agg,
+    stream_static_enrich,
     tumbling_agg,
     tumbling_agg_append,
 )
@@ -2493,4 +2494,37 @@ def q58_bm25_multiterm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return ts_ops.bm25_multiterm_topk(
         docs, "doc_id", "text", terms=("vector", "merge", "filter"), k=20
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q59 — stream-static broadcast enrichment (streaming/windows.py:
+# stream_static_enrich): the event stream joins the static customer dim
+# per micro-batch (broadcast, stateless — no watermark, no join state)
+# and aggregates by market segment x event type. The canonical
+# recode-a-stream-against-a-lookup-table pattern; complete-mode finite
+# run is batch-equivalent, so a plain SQL join+group oracle applies.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q59_stream_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment, e.event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(e.value*100) AS BIGINT)) AS BIGINT) AS value_c
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "stream-static", "broadcast"),
+)
+def q59_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    stream = read_event_stream(spark, sf_dir)
+    dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return run_to_memory(
+        stream_static_enrich(
+            stream, dim, "user_id", "c_custkey",
+            ("c_mktsegment", "event_type"),
+        ),
+        _sink_name("q59_enrich"),
     )

@@ -85,6 +85,29 @@ def tumbling_agg_append(
     return tumbling_agg(stream.withWatermark("ts", watermark), duration)
 
 
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    stream_key: str,
+    dim_key: str,
+    group_cols: tuple[str, ...],
+) -> DataFrame:
+    """Stream-static broadcast enrichment + aggregation: the streaming
+    side joins a STATIC dim frame (re-read per micro-batch, broadcast —
+    stateless, no watermark, no join state), then aggregates counts and
+    per-row integer-ized value sums by the dim/event attributes. The
+    canonical "recode a stream against a lookup table" pattern; at
+    scale the only state is the aggregation's, the join itself holds
+    none."""
+    joined = stream.join(
+        F.broadcast(dim), stream[stream_key] == dim[dim_key], "inner"
+    )
+    return joined.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_c"),
+    )
+
+
 def session_agg(stream: DataFrame, gap: str = "10 minutes") -> DataFrame:
     """Session windows per user: a session extends while consecutive
     events are < gap apart; exported as exact epoch-micros bigints."""
