@@ -105,3 +105,47 @@ def test_chunking_covers_every_token(spark, doc_lens, chunk_tokens, overlap):
     for i, n in enumerate(doc_lens):
         # every token of every document appears in at least one chunk
         assert per_doc[i] == {f"t{i}_{j}" for j in range(n)}, (i, n, chunk_tokens, overlap)
+
+
+# --- SAS PROC FORMAT parser round-trip -------------------------------------
+
+_sas_label = st.text(
+    alphabet=st.characters(
+        codec="ascii", exclude_characters="\n\r", min_codepoint=32
+    ),
+    min_size=0, max_size=40,
+)
+_sas_key = st.one_of(
+    st.integers(min_value=-999999, max_value=999999).map(str),
+    st.text(
+        alphabet=st.characters(codec="ascii", exclude_characters="\n\r'",
+                               min_codepoint=33),
+        min_size=1, max_size=8,
+    ),
+)
+
+
+@given(
+    st.lists(st.tuples(_sas_key, _sas_label), min_size=1, max_size=20),
+    st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_sas_format_block_roundtrip(entries, char_fmt):
+    """Any rendered value block must parse back to exactly the entries
+    that were rendered (keys/labels verbatim, '' escaping reversed)."""
+    from us_immigration_data_lake_spark.sources.sas_labels import (
+        parse_sas_format_blocks,
+    )
+
+    name = ("$" if char_fmt else "") + "fmt"
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    lines = [f"value {name}"]
+    for k, v in entries:
+        key = q(k) if char_fmt or not k.lstrip("-").isdigit() else k
+        lines.append(f"   {key} = {q(v)}")
+    lines.append(";")
+    blocks = parse_sas_format_blocks("\n".join(lines))
+    assert blocks[name] == list(entries)
