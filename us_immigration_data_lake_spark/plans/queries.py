@@ -2378,7 +2378,7 @@ def q56_stream_append_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q57_bm25_topk",
     oracle="""
     WITH base AS (
-      -- explicit Java-\s class: RE2's \s lacks vertical tab \x0B
+      -- explicit Java whitespace class: RE2's backslash-s lacks vertical tab 0x0B
       SELECT doc_id,
              string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS tok,
              CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS dl
@@ -2440,7 +2440,7 @@ def q57_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q58_bm25_multiterm",
     oracle="""
     WITH base AS (
-      -- explicit Java-\s class: RE2's \s lacks vertical tab \x0B
+      -- explicit Java whitespace class: RE2's backslash-s lacks vertical tab 0x0B
       SELECT doc_id,
              string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS tok,
              CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS dl
