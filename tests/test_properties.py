@@ -149,3 +149,49 @@ def test_sas_format_block_roundtrip(entries, char_fmt):
     lines.append(";")
     blocks = parse_sas_format_blocks("\n".join(lines))
     assert blocks[name] == list(entries)
+
+
+@given(
+    st.lists(
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        min_size=1,
+        max_size=80,
+    ),
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=0,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=80,
+    ),
+)
+@settings(max_examples=40, deadline=None)
+def test_sas7bdat_writer_roundtrip(nums, strs):
+    """Any numeric+string frame our writer renders must read back
+    byte-identical through pandas' independent sas7bdat parser
+    (blank/whitespace-only strings come back as SAS missing)."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from us_immigration_data_lake_spark.sources import write_sas7bdat
+
+    n = min(len(nums), len(strs))
+    df = pd.DataFrame({"x": nums[:n], "s": strs[:n]})
+    fd, path = tempfile.mkstemp(suffix=".sas7bdat")
+    os.close(fd)
+    try:
+        write_sas7bdat(path, df)
+        back = pd.read_sas(path, format="sas7bdat", encoding="utf-8")
+        np.testing.assert_array_equal(back["x"].to_numpy(), df["x"].to_numpy())
+        for got, want in zip(back["s"], df["s"]):
+            if want.strip(" ") == "":
+                assert pd.isna(got)  # SAS blank == missing
+            else:
+                assert got == want.rstrip(" ")  # fixed-width pad strips
+    finally:
+        os.unlink(path)

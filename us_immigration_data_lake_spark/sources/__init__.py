@@ -8,6 +8,12 @@ from us_immigration_data_lake_spark.sources.sas_labels import (
     parse_sas_format_blocks,
     read_sas_labels,
 )
+from us_immigration_data_lake_spark.sources.sas import (
+    read_sas,
+    read_sas_distributed,
+    sas_schema,
+)
+from us_immigration_data_lake_spark.sources.sas7bdat_writer import write_sas7bdat
 from us_immigration_data_lake_spark.sources.writers import write_parquet
 from us_immigration_data_lake_spark.sources.catalog import Catalog, TESTDATA_TABLES
 
@@ -16,6 +22,10 @@ __all__ = [
     "read_json",
     "read_parquet",
     "write_parquet",
+    "read_sas",
+    "read_sas_distributed",
+    "sas_schema",
+    "write_sas7bdat",
     "read_sas_labels",
     "parse_sas_format_blocks",
     "I94_VISA_CATEGORIES",

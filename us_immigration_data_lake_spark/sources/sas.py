@@ -1,45 +1,164 @@
 """SAS sas7bdat ingestion (SURVEY.md §2.1 S4).
 
 The reference's raw monthly I-94 files are sas7bdat (read in its
-notebook with pandas.read_sas — 25 minutes for one month, cell-7).
-Spark has no native reader; the two public paths are the
-`spark-sas7bdat` package (JVM, scalable) or pandas→createDataFrame
-(driver-bound, small files only). Neither library ships in this
-container, so both are gated behind import/availability checks with
-actionable errors; the parquet path (the reference's own curated form,
-sas_data/) is the supported ingestion route here.
+notebook with ``pandas.read_sas`` — 25 minutes for one month, cell-7;
+``../../data/18-83510-I94-Data-2016/*.sas7bdat``).  Spark has no
+native reader, so the engine offers three routes:
+
+1. ``read_sas_distributed`` — the scale path.  One whole file per
+   task: a DataFrame of file paths is repartitioned so each task runs
+   pandas' pure-Python sas7bdat parser on its own file and streams
+   Arrow batches back (``mapInPandas``).  The reference dataset is 12
+   monthly files ≈ 6 GB each — file-per-task is exactly the right
+   granularity for it (sas7bdat pages are not byte-splittable without
+   reimplementing the format in the JVM; the public
+   ``spark-sas7bdat`` package is the only finer-grained reader).
+   Requires paths visible to executors (shared FS / distributed FS) —
+   true in local mode and on any real cluster with HDFS/NFS/S3-fuse.
+2. ``read_sas`` — single file.  Tries the ``spark-sas7bdat`` JVM data
+   source if the cluster ships it, else pandas driver-side (guarded by
+   a size limit: a 6 GB monthly file must NOT be collect-parsed on the
+   driver).
+3. Parquet (``sources/readers.py``) — the reference's own curated
+   form (it re-published the SAS data as parquet in sas_data/), and
+   the form every other query in this engine consumes.
+
+sas7bdat date/datetime columns arrive as the format dictates
+(pandas converts DATE/DATETIME-formatted doubles to datetime64); the
+SAS epoch helpers in ``functions/dates.py`` handle the raw-double
+convention for data curated without formats.
+
+Fixtures for the end-to-end tests are produced by
+``sources/sas7bdat_writer.py`` (this repo's minimal public-spec
+writer) — no SAS installation involved.
 """
 
 from __future__ import annotations
 
+import os
+from typing import Iterable, Iterator
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 
-def read_sas(spark: SparkSession, path: str, driver_side_limit_mb: int = 256) -> DataFrame:
-    """Read a sas7bdat file.
+def sas_schema(path: str) -> T.StructType:
+    """Spark schema for a sas7bdat file, from its metadata only.
 
-    Tries the spark-sas7bdat data source first (cluster-scalable),
-    then pandas.read_sas for small files (driver-side), else raises
-    with install instructions.
+    Reads just the header + meta pages (pandas' reader parses metadata
+    eagerly; no data rows are materialized).  SAS has exactly two
+    physical types — double and fixed-width string — so the mapping is
+    double → DoubleType, string → StringType, with DATE/DATETIME
+    -formatted doubles arriving as TimestampType (pandas converts them
+    on read).
+    """
+    from pandas.io.sas.sas7bdat import SAS7BDATReader
+    from pandas.io.sas.sas_constants import (
+        sas_date_formats,
+        sas_datetime_formats,
+    )
+
+    rdr = SAS7BDATReader(path, convert_header_text=True)
+    try:
+        fields = []
+        for j in range(rdr.column_count):
+            name = str(rdr.column_names[j])
+            if rdr._column_types[j] == b"d":
+                fmt = str(rdr.column_formats[j]) if j < len(rdr.column_formats) else ""
+                if fmt in sas_date_formats or fmt in sas_datetime_formats:
+                    fields.append(T.StructField(name, T.TimestampType()))
+                else:
+                    fields.append(T.StructField(name, T.DoubleType()))
+            else:
+                fields.append(T.StructField(name, T.StringType()))
+        return T.StructType(fields)
+    finally:
+        rdr.close()
+
+
+def read_sas_distributed(
+    spark: SparkSession,
+    paths: Iterable[str] | str,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """Whole-file-per-task distributed sas7bdat scan.
+
+    ``paths`` is a list of files or a directory (scanned non-recursively
+    for ``*.sas7bdat``).  Each task parses one file with pandas'
+    sas7bdat reader and yields its rows as Arrow batches — the classic
+    Spark pattern for a format with no splittable JVM reader.  All
+    files must share one schema (the reference's monthly files do);
+    pass ``schema`` to skip the driver-side metadata probe of the
+    first file.
+
+    Scale: parallelism == number of files.  For the reference's 12
+    monthly 6 GB files that is 12 tasks × streaming chunked parse —
+    executor memory stays bounded because the parser yields
+    ``chunksize`` rows at a time, never the whole file.
+    """
+    if isinstance(paths, str):
+        if os.path.isdir(paths):
+            files = sorted(
+                os.path.join(paths, f)
+                for f in os.listdir(paths)
+                if f.endswith(".sas7bdat")
+            )
+        else:
+            files = [paths]
+    else:
+        files = sorted(paths)
+    if not files:
+        raise ValueError("no .sas7bdat files to read")
+
+    if schema is None:
+        schema = sas_schema(files[0])
+    names = [f.name for f in schema.fields]
+
+    def _parse(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            for path in pdf["path"]:
+                # chunked parse: bounded memory per task even for the
+                # reference's 6 GB monthlies
+                with pd.read_sas(
+                    path, format="sas7bdat", encoding="utf-8",
+                    chunksize=100_000, iterator=True,
+                ) as rdr:
+                    for chunk in rdr:
+                        yield chunk[names]
+
+    path_df = spark.createDataFrame(
+        [(p,) for p in files], T.StructType([T.StructField("path", T.StringType())])
+    ).repartition(len(files), "path")
+    return path_df.mapInPandas(_parse, schema=schema)
+
+
+def read_sas(
+    spark: SparkSession, path: str, driver_side_limit_mb: int = 256
+) -> DataFrame:
+    """Read one sas7bdat file.
+
+    Tries the ``spark-sas7bdat`` JVM data source first (byte-range
+    splittable, the best reader when the cluster ships it), then
+    pandas driver-side for small files.  Large single files without
+    the JVM package should go through ``read_sas_distributed`` (one
+    task, but executor-side and chunk-streamed) rather than a
+    driver-side collect-parse.
     """
     try:
         return spark.read.format("com.github.saurfang.sas.spark").load(path)
     except Exception:
         pass
-    try:
-        import os
+    if os.path.getsize(path) > driver_side_limit_mb * 1024 * 1024:
+        raise ValueError(
+            f"{path} exceeds the {driver_side_limit_mb} MB driver-side "
+            "limit; use read_sas_distributed() (executor-side, chunked) "
+            "or install the spark-sas7bdat JVM package for split reads"
+        )
+    import pandas as pd
 
-        import pandas as pd
-
-        if os.path.getsize(path) > driver_side_limit_mb * 1024 * 1024:
-            raise NotImplementedError(
-                f"{path} exceeds the {driver_side_limit_mb} MB driver-side "
-                "limit; install the spark-sas7bdat package "
-                "(--packages saurfang:spark-sas7bdat) for distributed reads"
-            )
-        return spark.createDataFrame(pd.read_sas(path))
-    except ImportError as exc:  # pragma: no cover - pandas is present here
-        raise NotImplementedError(
-            "no sas7bdat reader available: install spark-sas7bdat "
-            "(JVM package) or pandas with sas7bdat support"
-        ) from exc
+    return spark.createDataFrame(
+        pd.read_sas(path, format="sas7bdat", encoding="utf-8"),
+        schema=sas_schema(path),
+    )
