@@ -540,3 +540,122 @@ def test_bm25_tokenizer_vertical_tab_parity(spark):
         r" '[ \t\n\x0B\f\r]+'))"
     ).fetchone()[0]
     assert got == 3
+
+
+# ---------------------------------------------------------------------------
+# repetition / n-gram census / PII / stratified sampling (q60-q63 ops)
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_stats_planted(spark):
+    from us_immigration_data_lake_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),          # one token, fully repetitive
+            (2, "a b c d"),                      # all distinct
+            (3, "x y x y x y z"),                # dominant "x y" bigram
+            (4, "solo"),                         # single token: no bigram
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df, "doc_id", "text").collect()}
+
+    r1 = rows[1]
+    assert r1["n_tokens"] == 4 and r1["n_distinct_tokens"] == 1
+    assert r1["dup_token_frac"] == 0.75
+    assert r1["top_bigram"] == "spam spam" and r1["top_bigram_count"] == 3
+    # 3 occurrences x 9 chars / 19 chars
+    assert abs(r1["top_bigram_frac"] - 27 / 19) < 1e-12
+
+    r2 = rows[2]
+    assert r2["dup_token_frac"] == 0.0
+    # count-1 tie broken to lexicographically smallest bigram
+    assert r2["top_bigram"] == "a b" and r2["top_bigram_count"] == 1
+
+    r3 = rows[3]
+    assert r3["top_bigram"] == "x y" and r3["top_bigram_count"] == 3
+
+    r4 = rows[4]
+    assert r4["top_bigram"] is None
+    assert r4["top_bigram_count"] == 0 and r4["top_bigram_frac"] == 0.0
+
+
+def test_ngram_profile_planted(spark):
+    from us_immigration_data_lake_spark.operators.textstats import ngram_profile
+
+    df = spark.createDataFrame(
+        [("p q p q",), ("p q r",), ("z z",)], ["text"]
+    )
+    got = [(r["bigram"], r["occurrences"]) for r in ngram_profile(df, "text", top_k=3).collect()]
+    # "p q": 2+1 = 3; then count-1 ties lexicographic: "q p" < "q r"
+    assert got == [("p q", 3), ("q p", 1), ("q r", 1)]
+
+
+def test_pii_scrub_planted(spark):
+    from us_immigration_data_lake_spark.operators.pii import pii_counts, scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.com or 192.168.0.1 call +1-555-0100-222"),
+            (2, "no pii here, just 1.2 floats and a@b (not an email)"),
+            (3, "two ips 10.0.0.1 8.8.8.8 and one mail root@host.io"),
+        ],
+        ["id", "text"],
+    )
+    out = {r["id"]: r for r in scrub_pii(pii_counts(df, "text"), "text").collect()}
+
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_phone"]) == (1, 1, 1)
+    assert out[1]["text_redacted"] == "mail [EMAIL] or [IPV4] call [PHONE]"
+
+    assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["n_phone"]) == (0, 0, 0)
+    assert out[2]["text_redacted"] == out[2]["text"]
+
+    assert (out[3]["n_email"], out[3]["n_ipv4"]) == (1, 2)
+    assert out[3]["text_redacted"] == "two ips [IPV4] [IPV4] and one mail [EMAIL]"
+
+
+def test_stratified_sample_rates_and_determinism(spark, sf_dir):
+    from us_immigration_data_lake_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rates = {"en": 25, "fr": 50}
+    s1 = stratified_sample(docs, "lang", "doc_id", rates)
+    s2 = stratified_sample(docs, "lang", "doc_id", rates)
+    # deterministic: identical selection on re-evaluation
+    assert sorted(r["doc_id"] for r in s1.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in s2.select("doc_id").collect()
+    )
+    base = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    got = {r["lang"]: r["count"] for r in s1.groupBy("lang").count().collect()}
+    # unlisted strata keep everything
+    for lang in base:
+        if lang not in rates:
+            assert got[lang] == base[lang]
+    # listed strata land near their rate (binomial tolerance on small n)
+    assert got["en"] < base["en"] * 0.45
+    assert got["fr"] < base["fr"] * 0.75
+
+
+def test_stratified_sample_rejects_bad_rate(spark, sf_dir):
+    from us_immigration_data_lake_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError, match="0..100"):
+        stratified_sample(docs, "lang", "doc_id", {"en": 101})
+
+
+def test_sample_bucket_independent_of_split_bucket(spark, sf_dir):
+    """Sampling (md5 digits 5-8) and train/test split (digits 1-4) must
+    be independent draws: the split ratio inside a sample should match
+    the global split ratio, not collapse."""
+    from us_immigration_data_lake_spark.functions.splits import split_label
+    from us_immigration_data_lake_spark.operators.sampling import sample_bucket
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sampled = docs.filter(sample_bucket("doc_id") < 50).withColumn(
+        "split", split_label("doc_id", 80)
+    )
+    counts = {r["split"]: r["count"] for r in sampled.groupBy("split").count().collect()}
+    total = sum(counts.values())
+    assert 0.70 < counts.get("train", 0) / total < 0.90

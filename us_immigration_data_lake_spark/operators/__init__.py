@@ -31,6 +31,17 @@ from us_immigration_data_lake_spark.operators.textstats import (
     lang_id,
     fingerprint,
     winnow_fingerprints,
+    repetition_stats,
+    ngram_profile,
+)
+from us_immigration_data_lake_spark.operators.pii import (
+    pii_counts,
+    scrub_pii,
+    PII_PATTERNS,
+)
+from us_immigration_data_lake_spark.operators.sampling import (
+    sample_bucket,
+    stratified_sample,
 )
 
 __all__ = [
@@ -59,4 +70,11 @@ __all__ = [
     "lang_id",
     "fingerprint",
     "winnow_fingerprints",
+    "repetition_stats",
+    "ngram_profile",
+    "pii_counts",
+    "scrub_pii",
+    "PII_PATTERNS",
+    "sample_bucket",
+    "stratified_sample",
 ]

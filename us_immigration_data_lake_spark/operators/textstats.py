@@ -442,3 +442,101 @@ def bm25_multiterm_topk(
 
     w = Window.orderBy(F.desc("score"), F.asc(id_col))
     return topk.withColumn("rnk", F.row_number().over(w).cast("long")).orderBy("rnk")
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition quality signals, per document.
+
+    The repeated-content family of training-corpus filters (Rae et al.
+    2021 "Scaling Language Models" §A1.1): heavily repetitive documents
+    are low-quality.  Emitted per doc:
+
+    - ``n_tokens``, ``n_distinct_tokens`` and ``dup_token_frac`` =
+      (n_tokens - n_distinct) / n_tokens — fraction of tokens that are
+      repeats of an earlier token;
+    - ``top_bigram_count``, ``top_bigram`` (most frequent word
+      2-gram, ties broken lexicographically smallest — deterministic)
+      and ``top_bigram_frac`` = chars covered by occurrences of that
+      bigram / chars in the document.
+
+    Plan shape: one explode of per-doc bigram arrays → two-level
+    groupBy with partial aggregation.  No UDFs, no driver loops; at
+    100 TB this is a map-side-combined explode+agg keyed by doc_id —
+    embarrassingly parallel, no skew (keys are unique doc ids).
+    Fractions are exact-integer numerator/denominator with ONE double
+    division (deterministic, oracle-comparable).
+    """
+    tok = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.length(text_col).cast("long").alias("n_chars_obs"),
+        F.size(tok).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(tok)).cast("long").alias("n_distinct_tokens"),
+        tok.alias("tok"),
+    )
+    # word bigrams: tok[i] + ' ' + tok[i+1] (expression-level, no UDF)
+    bigrams = F.expr(
+        "transform(slice(tok, 1, greatest(size(tok) - 1, 0)),"
+        " (x, i) -> concat(x, ' ', tok[i + 1]))"
+    )
+    exploded = base.select(
+        id_col, "n_chars_obs", "n_tokens", "n_distinct_tokens",
+        F.explode_outer(bigrams).alias("bigram"),
+    )
+    counts = exploded.groupBy(id_col, "n_chars_obs", "n_tokens",
+                              "n_distinct_tokens", "bigram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # deterministic argmax: max count, then lexicographically smallest
+    # bigram — min_by on a (-cnt, bigram) struct orders exactly that.
+    top = counts.groupBy(id_col, "n_chars_obs", "n_tokens",
+                         "n_distinct_tokens").agg(
+        F.min_by(
+            F.struct(F.col("cnt"), F.col("bigram")),
+            F.struct((-F.col("cnt")).alias("neg"), F.col("bigram")),
+        ).alias("top")
+    )
+    has_bigram = F.col("top.bigram").isNotNull()
+    top_cnt = F.when(has_bigram, F.col("top.cnt")).otherwise(F.lit(0)).cast("long")
+    return top.select(
+        id_col,
+        "n_tokens",
+        "n_distinct_tokens",
+        F.when(
+            F.col("n_tokens") > 0,
+            (F.col("n_tokens") - F.col("n_distinct_tokens")).cast("double")
+            / F.col("n_tokens"),
+        ).otherwise(F.lit(0.0)).alias("dup_token_frac"),
+        top_cnt.alias("top_bigram_count"),
+        F.col("top.bigram").alias("top_bigram"),
+        F.when(
+            has_bigram & (F.col("n_chars_obs") > 0),
+            (top_cnt * F.length("top.bigram")).cast("double")
+            / F.col("n_chars_obs"),
+        ).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+    )
+
+
+def ngram_profile(
+    df: DataFrame, text_col: str, top_k: int = 25
+) -> DataFrame:
+    """Corpus-level top-k word-bigram frequency profile.
+
+    The vocabulary/n-gram census every corpus build runs (and the
+    input to contamination checks).  One explode → one groupBy(bigram)
+    with map-side partial counts → global top-k via
+    TakeOrderedAndProject (orderBy+limit, never a full sort at scale).
+    Deterministic order: count desc, bigram asc.
+    """
+    bigrams = F.expr(
+        "transform(slice(tok, 1, greatest(size(tok) - 1, 0)),"
+        " (x, i) -> concat(x, ' ', tok[i + 1]))"
+    )
+    return (
+        df.select(tokens(F.col(text_col)).alias("tok"))
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+        .orderBy(F.desc("occurrences"), F.asc("bigram"))
+        .limit(top_k)
+    )

@@ -2528,3 +2528,216 @@ def q59_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         _sink_name("q59_enrich"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q60 — Gopher-style repetition quality signals (operators/textstats.py:
+# repetition_stats): duplicate-token fraction and top-bigram coverage
+# per document — the repeated-content filters of Rae et al. 2021 §A1.1.
+# Plan: one explode + two-level partial agg keyed by doc_id (no skew,
+# no UDFs); deterministic argmax via min_by on (-count, bigram).
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q60_repetition_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, len(text) AS nc,
+             list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, nc,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+             t
+      FROM tok
+    ),
+    big AS (
+      SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram
+      FROM base, UNNEST(range(1, len(t))) AS r(i)
+    ),
+    cnts AS (
+      SELECT doc_id, bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM big GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT doc_id, bigram, cnt,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY cnt DESC, bigram ASC) AS rn
+      FROM cnts
+    )
+    SELECT b.doc_id,
+           b.n_tokens,
+           b.n_distinct_tokens,
+           CASE WHEN b.n_tokens > 0
+                THEN CAST(b.n_tokens - b.n_distinct_tokens AS DOUBLE) / b.n_tokens
+                ELSE 0.0 END AS dup_token_frac,
+           COALESCE(t.cnt, 0) AS top_bigram_count,
+           t.bigram AS top_bigram,
+           CASE WHEN t.bigram IS NOT NULL AND b.nc > 0
+                THEN CAST(t.cnt * len(t.bigram) AS DOUBLE) / b.nc
+                ELSE 0.0 END AS top_bigram_frac
+    FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id AND t.rn = 1
+    """,
+    tags=("llm", "quality", "repetition"),
+)
+def q60_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return ts_ops.repetition_stats(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Q61 — PII scrub (operators/pii.py): detect + redact emails, IPv4s,
+# phone numbers. The corpus has no natural PII, so the contact strings
+# are constructed DETERMINISTICALLY from customer x nation on both
+# sides (same concat in Spark and the oracle) — what the gate then
+# verifies is that the regex count/replace semantics agree exactly
+# across engines. Pure map stage: broadcast dim join + codegen'd
+# regexes, zero shuffle at any scale.
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IPV4 = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+_PII_PHONE = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}-[0-9]{3,4}"
+
+
+@_register(
+    "q61_pii_scrub",
+    oracle=f"""
+    WITH contact AS (
+      SELECT c.c_custkey,
+             c.c_name || ' <' || lower(replace(c.c_name, '#', '.')) || '@'
+               || lower(replace(n.n_name, '_', '')) || '.example>'
+               || CASE WHEN c.c_custkey % 3 > 0
+                       THEN ' ip=' || CAST(10 + c.c_custkey % 200 AS VARCHAR)
+                            || '.' || CAST((c.c_custkey * 3) % 256 AS VARCHAR)
+                            || '.' || CAST((c.c_custkey * 7) % 256 AS VARCHAR)
+                            || '.' || CAST((c.c_custkey * 11) % 256 AS VARCHAR)
+                       ELSE '' END
+               || CASE WHEN c.c_custkey % 4 > 0
+                       THEN ' tel=+1-555-'
+                            || lpad(CAST(c.c_custkey % 10000 AS VARCHAR), 4, '0')
+                            || '-'
+                            || lpad(CAST((c.c_custkey * 13) % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END AS text
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT c_custkey,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+               '{_PII_IPV4}', '[IPV4]', 'g'),
+             '{_PII_PHONE}', '[PHONE]', 'g') AS text_redacted
+    FROM contact
+    """,
+    tags=("llm", "pii", "regex"),
+)
+def q61_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.pii import pii_counts, scrub_pii
+
+    _tune(spark)
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    k = F.col("c_custkey")
+    contact = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select(
+            k.alias("c_custkey"),
+            F.concat(
+                F.col("c_name"), F.lit(" <"),
+                F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("."))),
+                F.lit("@"),
+                F.lower(F.replace(F.col("n_name"), F.lit("_"), F.lit(""))),
+                F.lit(".example>"),
+                F.when(
+                    k % 3 > 0,
+                    F.concat(
+                        F.lit(" ip="), (F.lit(10) + k % 200).cast("string"),
+                        F.lit("."), ((k * 3) % 256).cast("string"),
+                        F.lit("."), ((k * 7) % 256).cast("string"),
+                        F.lit("."), ((k * 11) % 256).cast("string"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.when(
+                    k % 4 > 0,
+                    F.concat(
+                        F.lit(" tel=+1-555-"),
+                        F.lpad((k % 10000).cast("string"), 4, "0"),
+                        F.lit("-"),
+                        F.lpad(((k * 13) % 10000).cast("string"), 4, "0"),
+                    ),
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+    )
+    return scrub_pii(pii_counts(contact, "text"), "text").select(
+        "c_custkey", "n_email", "n_ipv4", "n_phone", "text_redacted"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q62 — corpus n-gram census (operators/textstats.py: ngram_profile):
+# global top-25 word bigrams. explode -> partial-agg count -> top-k via
+# orderBy+limit (TakeOrderedAndProject — never a full sort); the
+# (count desc, bigram asc) tiebreak makes the top-k set deterministic.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q62_ngram_profile",
+    oracle="""
+    WITH tok AS (
+      SELECT list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    big AS (
+      SELECT t[i] || ' ' || t[i + 1] AS bigram
+      FROM tok, UNNEST(range(1, len(t))) AS r(i)
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS occurrences
+    FROM big
+    GROUP BY bigram
+    ORDER BY occurrences DESC, bigram ASC
+    LIMIT 25
+    """,
+    tags=("llm", "ngram", "top-k"),
+)
+def q62_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return ts_ops.ngram_profile(docs, "text", top_k=25)
+
+
+# ---------------------------------------------------------------------------
+# Q63 — deterministic stratified downsampling (operators/sampling.py:
+# stratified_sample): rebalance the corpus by language (keep 25% of
+# 'en', 50% of 'fr', all the rest), selected by md5 bucket of doc_id —
+# reproducible across engines/retries, unlike df.sample(). Map-side
+# filter only; uses md5 hex digits 5-8 so it composes independently
+# with the digits-1-4 train/test split (q48).
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q63_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 4))::INTEGER) % 100
+          < CASE lang WHEN 'en' THEN 25 WHEN 'fr' THEN 50 ELSE 100 END
+    """,
+    tags=("llm", "sampling"),
+)
+def q63_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.sampling import stratified_sample
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "lang", "doc_id", {"en": 25, "fr": 50}
+    ).select("doc_id", "lang")
