@@ -565,8 +565,9 @@ def test_repetition_stats_planted(spark):
     assert r1["n_tokens"] == 4 and r1["n_distinct_tokens"] == 1
     assert r1["dup_token_frac"] == 0.75
     assert r1["top_bigram"] == "spam spam" and r1["top_bigram_count"] == 3
-    # 3 occurrences x 9 chars / 19 chars
-    assert abs(r1["top_bigram_frac"] - 27 / 19) < 1e-12
+    # occurrence-char MASS: 3 overlapping occurrences x 9 chars / 19
+    # chars — deliberately exceeds 1.0 for tight repeats
+    assert abs(r1["top_bigram_ratio"] - 27 / 19) < 1e-12
 
     r2 = rows[2]
     assert r2["dup_token_frac"] == 0.0
@@ -578,7 +579,7 @@ def test_repetition_stats_planted(spark):
 
     r4 = rows[4]
     assert r4["top_bigram"] is None
-    assert r4["top_bigram_count"] == 0 and r4["top_bigram_frac"] == 0.0
+    assert r4["top_bigram_count"] == 0 and r4["top_bigram_ratio"] == 0.0
 
 
 def test_ngram_profile_planted(spark):
@@ -613,6 +614,19 @@ def test_pii_scrub_planted(spark):
 
     assert (out[3]["n_email"], out[3]["n_ipv4"]) == (1, 2)
     assert out[3]["text_redacted"] == "two ips [IPV4] [IPV4] and one mail [EMAIL]"
+
+
+def test_pii_counts_match_scrub_on_overlap(spark):
+    """Counts run on the progressively redacted text, so an address
+    whose domain looks like an IPv4 is ONE email, zero IPs — counts
+    always equal the number of placeholders the scrub emits."""
+    from us_immigration_data_lake_spark.operators.pii import pii_counts, scrub_pii
+
+    df = spark.createDataFrame([(1, "ping a@10.0.0.1.example now")], ["id", "text"])
+    r = scrub_pii(pii_counts(df, "text"), "text").first()
+    assert (r["n_email"], r["n_ipv4"], r["n_phone"]) == (1, 0, 0)
+    assert r["text_redacted"] == "ping [EMAIL] now"
+    assert r["text_redacted"].count("[IPV4]") == r["n_ipv4"]
 
 
 def test_stratified_sample_rates_and_determinism(spark, sf_dir):

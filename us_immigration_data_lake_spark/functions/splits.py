@@ -16,10 +16,19 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def hash_split_bucket(id_col: Column | str, buckets: int = 100) -> Column:
+def hash_split_bucket(
+    id_col: Column | str, buckets: int = 100, digit_offset: int = 1
+) -> Column:
+    """``digit_offset`` selects which 4 hex digits of the md5 feed the
+    bucket (1-based).  Distinct offsets give independent draws from the
+    same id — the train/test split uses digits 1-4, stratified sampling
+    (operators/sampling.py) uses 5-8, so sampling never biases the
+    split.  This is THE one definition of the md5-bucket formula; do
+    not re-derive it elsewhere (a char-code variant once skewed 80/20
+    to 72/28)."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
     h = F.md5(c.cast("string"))
-    return F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % buckets
+    return F.conv(F.substring(h, digit_offset, 4), 16, 10).cast("long") % buckets
 
 
 def split_label(

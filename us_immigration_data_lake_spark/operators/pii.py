@@ -33,12 +33,22 @@ PII_PATTERNS: tuple[tuple[str, str], ...] = (
 
 
 def pii_counts(df: DataFrame, text_col: str) -> DataFrame:
-    """Append one ``n_<kind>`` column per pattern (exact integers)."""
+    """Append one ``n_<kind>`` column per pattern (exact integers).
+
+    Counts run on the PROGRESSIVELY REDACTED text, exactly the chain
+    ``scrub_pii`` applies — so ``n_<kind>`` always equals the number of
+    ``[<KIND>]`` placeholders the scrub emits.  Counting every pattern
+    on the raw text instead would double-count overlapping spans (an
+    address like ``a@10.0.0.1.example`` is one EMAIL match, not an
+    email plus an IPv4).
+    """
     out = df
+    running = F.col(text_col)
     for kind, pat in PII_PATTERNS:
         out = out.withColumn(
-            f"n_{kind}", F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+            f"n_{kind}", F.regexp_count(running, F.lit(pat)).cast("long")
         )
+        running = F.regexp_replace(running, pat, f"[{kind.upper()}]")
     return out
 
 

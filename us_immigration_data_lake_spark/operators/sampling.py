@@ -24,15 +24,11 @@ from us_immigration_data_lake_spark.functions.splits import hash_split_bucket
 
 
 def sample_bucket(id_col: Column | str, buckets: int = 100) -> Column:
-    """Deterministic bucket in [0, buckets) from md5 of the id.
-
-    Uses hex digits 5-8 of the md5 (the train/test split in
-    functions/splits.py uses digits 1-4), so sampling and splitting
-    are independent draws — sampling first doesn't bias the split.
-    """
-    c = F.col(id_col) if isinstance(id_col, str) else id_col
-    h = F.md5(c.cast("string"))
-    return F.conv(F.substring(h, 5, 4), 16, 10).cast("long") % buckets
+    """Deterministic bucket in [0, buckets) from md5 hex digits 5-8 —
+    the same single-definition formula as the train/test split
+    (functions/splits.py, digits 1-4), at a distinct offset so the
+    two are independent draws."""
+    return hash_split_bucket(id_col, buckets, digit_offset=5)
 
 
 def stratified_sample(

@@ -444,6 +444,17 @@ def bm25_multiterm_topk(
     return topk.withColumn("rnk", F.row_number().over(w).cast("long")).orderBy("rnk")
 
 
+def _word_bigrams() -> Column:
+    """Word bigrams tok[i] + ' ' + tok[i+1] over a column named ``tok``
+    (expression-level, no UDF).  THE one definition of "bigram" for
+    both repetition_stats and ngram_profile — their oracles replicate
+    exactly this join-with-one-space form."""
+    return F.expr(
+        "transform(slice(tok, 1, greatest(size(tok) - 1, 0)),"
+        " (x, i) -> concat(x, ' ', tok[i + 1]))"
+    )
+
+
 def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Gopher-style repetition quality signals, per document.
 
@@ -453,17 +464,22 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     - ``n_tokens``, ``n_distinct_tokens`` and ``dup_token_frac`` =
       (n_tokens - n_distinct) / n_tokens — fraction of tokens that are
-      repeats of an earlier token;
+      repeats of an earlier token (bounded [0, 1));
     - ``top_bigram_count``, ``top_bigram`` (most frequent word
       2-gram, ties broken lexicographically smallest — deterministic)
-      and ``top_bigram_frac`` = chars covered by occurrences of that
-      bigram / chars in the document.
+      and ``top_bigram_ratio`` = top_bigram_count x len(top_bigram)
+      / chars in the document.  This is occurrence-char MASS, not
+      coverage: overlapping occurrences ("spam spam spam spam" has
+      three of "spam spam") count shared characters once per
+      occurrence, so the ratio exceeds 1.0 for tight repeats — by
+      design, since saturating high is exactly the right behavior for
+      a repetition filter threshold.
 
     Plan shape: one explode of per-doc bigram arrays → two-level
     groupBy with partial aggregation.  No UDFs, no driver loops; at
     100 TB this is a map-side-combined explode+agg keyed by doc_id —
     embarrassingly parallel, no skew (keys are unique doc ids).
-    Fractions are exact-integer numerator/denominator with ONE double
+    Ratios are exact-integer numerator/denominator with ONE double
     division (deterministic, oracle-comparable).
     """
     tok = tokens(F.col(text_col))
@@ -474,14 +490,9 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.size(F.array_distinct(tok)).cast("long").alias("n_distinct_tokens"),
         tok.alias("tok"),
     )
-    # word bigrams: tok[i] + ' ' + tok[i+1] (expression-level, no UDF)
-    bigrams = F.expr(
-        "transform(slice(tok, 1, greatest(size(tok) - 1, 0)),"
-        " (x, i) -> concat(x, ' ', tok[i + 1]))"
-    )
     exploded = base.select(
         id_col, "n_chars_obs", "n_tokens", "n_distinct_tokens",
-        F.explode_outer(bigrams).alias("bigram"),
+        F.explode_outer(_word_bigrams()).alias("bigram"),
     )
     counts = exploded.groupBy(id_col, "n_chars_obs", "n_tokens",
                               "n_distinct_tokens", "bigram").agg(
@@ -513,7 +524,7 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             has_bigram & (F.col("n_chars_obs") > 0),
             (top_cnt * F.length("top.bigram")).cast("double")
             / F.col("n_chars_obs"),
-        ).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+        ).otherwise(F.lit(0.0)).alias("top_bigram_ratio"),
     )
 
 
@@ -528,13 +539,9 @@ def ngram_profile(
     TakeOrderedAndProject (orderBy+limit, never a full sort at scale).
     Deterministic order: count desc, bigram asc.
     """
-    bigrams = F.expr(
-        "transform(slice(tok, 1, greatest(size(tok) - 1, 0)),"
-        " (x, i) -> concat(x, ' ', tok[i + 1]))"
-    )
     return (
         df.select(tokens(F.col(text_col)).alias("tok"))
-        .select(F.explode(bigrams).alias("bigram"))
+        .select(F.explode(_word_bigrams()).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("occurrences"))
         .orderBy(F.desc("occurrences"), F.asc("bigram"))

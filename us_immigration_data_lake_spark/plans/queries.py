@@ -37,6 +37,7 @@ from us_immigration_data_lake_spark.operators import dedup as dedup_ops
 from us_immigration_data_lake_spark.operators import multimodal as mm_ops
 from us_immigration_data_lake_spark.operators import similarity as sim_ops
 from us_immigration_data_lake_spark.operators import textstats as ts_ops
+from us_immigration_data_lake_spark.operators import pii as pii_ops
 
 
 @dataclass
@@ -2543,7 +2544,7 @@ def q59_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH tok AS (
       SELECT doc_id, len(text) AS nc,
-             list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+             list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'),
                          x -> x <> '') AS t
       FROM documents
     ),
@@ -2578,7 +2579,7 @@ def q59_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
            t.bigram AS top_bigram,
            CASE WHEN t.bigram IS NOT NULL AND b.nc > 0
                 THEN CAST(t.cnt * len(t.bigram) AS DOUBLE) / b.nc
-                ELSE 0.0 END AS top_bigram_frac
+                ELSE 0.0 END AS top_bigram_ratio
     FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id AND t.rn = 1
     """,
     tags=("llm", "quality", "repetition"),
@@ -2599,9 +2600,12 @@ def q60_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # regexes, zero shuffle at any scale.
 # ---------------------------------------------------------------------------
 
-_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-_PII_IPV4 = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
-_PII_PHONE = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}-[0-9]{3,4}"
+# single source of truth: the oracle regexes ARE the operator's
+# patterns (operators/pii.py) — a pattern edit cannot desync the gate.
+_PII = dict(pii_ops.PII_PATTERNS)
+_PII_EMAIL = _PII["email"]
+_PII_IPV4 = _PII["ipv4"]
+_PII_PHONE = _PII["phone"]
 
 
 @_register(
@@ -2624,17 +2628,25 @@ _PII_PHONE = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}-[0-9]{3,4}"
                             || lpad(CAST((c.c_custkey * 13) % 10000 AS VARCHAR), 4, '0')
                        ELSE '' END AS text
       FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    -- counts run on the PROGRESSIVELY redacted text — the same chain
+    -- pii_counts applies — so n_<kind> == number of [<KIND>] markers
+    step1 AS (
+      SELECT c_custkey,
+             CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+             regexp_replace(text, '{_PII_EMAIL}', '[EMAIL]', 'g') AS t1
+      FROM contact
+    ),
+    step2 AS (
+      SELECT c_custkey, n_email,
+             CAST(len(regexp_extract_all(t1, '{_PII_IPV4}')) AS BIGINT) AS n_ipv4,
+             regexp_replace(t1, '{_PII_IPV4}', '[IPV4]', 'g') AS t2
+      FROM step1
     )
-    SELECT c_custkey,
-           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
-           CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS BIGINT) AS n_ipv4,
-           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
-           regexp_replace(
-             regexp_replace(
-               regexp_replace(text, '{_PII_EMAIL}', '[EMAIL]', 'g'),
-               '{_PII_IPV4}', '[IPV4]', 'g'),
-             '{_PII_PHONE}', '[PHONE]', 'g') AS text_redacted
-    FROM contact
+    SELECT c_custkey, n_email, n_ipv4,
+           CAST(len(regexp_extract_all(t2, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+           regexp_replace(t2, '{_PII_PHONE}', '[PHONE]', 'g') AS text_redacted
+    FROM step2
     """,
     tags=("llm", "pii", "regex"),
 )
@@ -2692,7 +2704,7 @@ def q61_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q62_ngram_profile",
     oracle="""
     WITH tok AS (
-      SELECT list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+      SELECT list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'),
                          x -> x <> '') AS t
       FROM documents
     ),

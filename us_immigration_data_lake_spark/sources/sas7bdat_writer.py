@@ -251,8 +251,6 @@ def write_sas7bdat(
 
     pages = [bytes(meta)]
     for start in range(0, max(nrows, 1), rows_per_page):
-        if nrows == 0 and start > 0:
-            break
         stop = min(start + rows_per_page, nrows)
         page = bytearray(page_size)
         struct.pack_into("<H", page, _PAGE_BIT_OFFSET + 0, PAGE_DATA)
