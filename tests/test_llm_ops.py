@@ -673,3 +673,97 @@ def test_sample_bucket_independent_of_split_bucket(spark, sf_dir):
     counts = {r["split"]: r["count"] for r in sampled.groupBy("split").count().collect()}
     total = sum(counts.values())
     assert 0.70 < counts.get("train", 0) / total < 0.90
+
+
+def test_contaminated_docs_planted(spark):
+    from us_immigration_data_lake_spark.operators.dedup import contaminated_docs
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares the 5-gram "beta gamma delta epsilon zeta"
+            (1, "intro beta gamma delta epsilon zeta outro"),
+            # same words, different order: no shared 5-gram
+            (2, "zeta epsilon delta gamma beta alpha"),
+            (3, "totally unrelated text with many words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["n_shared_shingles"]
+        for r in contaminated_docs(corpus, bench, "doc_id", "text", n=5).collect()
+    }
+    # exactly one shared 5-gram: "beta gamma delta epsilon zeta"
+    assert got == {1: 1}
+
+
+def test_zorder_key_locality_and_bits(spark):
+    from us_immigration_data_lake_spark.operators.zorder import zorder_key, zorder_sql
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(8) for y in range(8)], ["zx", "zy"]
+    )
+    rows = {(r["zx"], r["zy"]): r["z"] for r in df.select(
+        "zx", "zy", zorder_key(("zx", "zy"), 3).alias("z")
+    ).collect()}
+    # interleave is exact: z = sum of bit-interleaved coordinates
+    for (x, y), z in rows.items():
+        expect = 0
+        for i in range(3):
+            expect |= ((x >> i) & 1) << (2 * i)
+            expect |= ((y >> i) & 1) << (2 * i + 1)
+        assert z == expect, (x, y, z, expect)
+    # both dialect renderings come from the same term list
+    assert zorder_sql(("a", "b"), 2, "spark").count("+") == zorder_sql(
+        ("a", "b"), 2, "duckdb"
+    ).count("+")
+    with pytest.raises(ValueError, match="int64"):
+        zorder_key(("a", "b"), 32)
+
+
+def test_zorder_layout_is_range_partitioned(spark):
+    from us_immigration_data_lake_spark.operators.zorder import zorder_layout
+
+    df = spark.range(0, 4096).selectExpr("id % 64 AS zx", "id AS zy", "id AS v")
+    out = zorder_layout(df, ("zx", "zy"), bits=6, num_files=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    assert out.count() == 4096  # clustering loses nothing
+
+
+def test_salted_sum_matches_direct_agg(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from us_immigration_data_lake_spark.operators.aggregate import salted_sum
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qty = F.col("l_quantity").cast("long")
+    direct = {
+        (r["l_returnflag"],): (r["s"], r["n"])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum(qty).alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    salted = {
+        (r["l_returnflag"],): (r["s"], r["n"])
+        for r in salted_sum(
+            li, ["l_returnflag"], {"s": qty},
+            salt=(F.col("l_orderkey") % 17), with_count="n",
+        ).collect()
+    }
+    assert salted == direct
+
+
+def test_oov_rate_planted(spark):
+    from us_immigration_data_lake_spark.operators.textstats import oov_rate
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a b zz"), (3, "qq ww")], ["doc_id", "text"]
+    )
+    # vocab_size=2 -> vocab = {a (4x), b (2x)}; ties impossible here
+    got = {r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_frac"])
+           for r in oov_rate(df, "doc_id", "text", vocab_size=2).collect()}
+    assert got[1] == (4, 0, 0.0)
+    assert got[2] == (3, 1, 1 / 3)
+    assert got[3] == (2, 2, 1.0)

@@ -17,6 +17,7 @@ from us_immigration_data_lake_spark.operators.dedup import (
     simhash,
     connected_components,
     dedup_survivors,
+    contaminated_docs,
 )
 from us_immigration_data_lake_spark.operators.similarity import (
     cosine_knn,
@@ -43,6 +44,13 @@ from us_immigration_data_lake_spark.operators.sampling import (
     sample_bucket,
     stratified_sample,
 )
+from us_immigration_data_lake_spark.operators.zorder import (
+    zorder_key,
+    zorder_layout,
+    zorder_sql,
+)
+from us_immigration_data_lake_spark.operators.aggregate import salted_sum
+from us_immigration_data_lake_spark.operators.textstats import oov_rate
 
 __all__ = [
     "grouped_agg",
@@ -77,4 +85,10 @@ __all__ = [
     "PII_PATTERNS",
     "sample_bucket",
     "stratified_sample",
+    "contaminated_docs",
+    "zorder_key",
+    "zorder_layout",
+    "zorder_sql",
+    "salted_sum",
+    "oov_rate",
 ]

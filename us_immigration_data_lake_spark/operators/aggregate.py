@@ -95,3 +95,36 @@ def dedup_exact(
     )
     return packed.select(*keys, *[F.col("__row")[c].alias(c) for c in others]) \
         .select(*df.columns)
+
+
+def salted_sum(
+    df: DataFrame,
+    keys: list[str],
+    sums: dict[str, Column],
+    salt: Column,
+    with_count: str | None = None,
+) -> DataFrame:
+    """Two-phase skew-proof aggregation: sum/count under (keys, salt),
+    then re-aggregate to (keys).
+
+    Spark's hash aggregate already partial-aggregates map-side, which
+    handles MOST skew — but when a single group's partials still
+    overwhelm one reducer (billions of rows to a handful of keys, the
+    classic telemetry shape), salting splits each hot group across
+    ``salt`` buckets in the first shuffle; the second shuffle moves
+    only ``n_keys x n_salts`` pre-aggregated rows.  Only decomposable
+    aggregates (sum/count/min/max) can ride this; avg must be derived
+    as sum/count by the caller.
+
+    ``sums`` maps output-column → input expression (summed exactly —
+    pass integer-cents style expressions, not raw doubles, when the
+    result needs cross-engine determinism).
+    """
+    phase1 = df.groupBy(*keys, salt.alias("_salt")).agg(
+        *[F.sum(expr).alias(name) for name, expr in sums.items()],
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    finals = [F.sum(name).alias(name) for name in sums]
+    if with_count:
+        finals.append(F.sum("_cnt").alias(with_count))
+    return phase1.groupBy(*keys).agg(*finals)

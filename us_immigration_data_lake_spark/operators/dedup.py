@@ -523,3 +523,41 @@ def dedup_survivors(
         )
     )
     return out.withColumn("keep", (F.col(id_col) == F.col("cluster")))
+
+
+def contaminated_docs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing ≥1 word
+    n-gram with any benchmark document (the n-gram-overlap test used
+    to scrub eval sets out of training corpora; n=5 is a conventional
+    choice — long enough that shared grams mean real overlap).
+
+    Returns (id, n_shared_shingles) for flagged docs only — the rows a
+    pipeline would anti-join away.
+
+    Scale shape: benchmark sets are small (thousands of eval prompts)
+    while the corpus is the 100 TB side, so the benchmark's distinct
+    shingles are BROADCAST and the corpus never shuffles its text —
+    one explode + broadcast semi-ish join + groupBy(doc) count.
+    Distinct-per-side shingles keep the join output bounded by
+    (corpus shingles) x 1, not a cross blowup on repeated grams.
+    """
+    c_sh = (
+        shingles(corpus, id_col, text_col, n=n)
+        .select(id_col, F.explode("shingles").alias("shingle"))
+    )
+    b_sh = (
+        shingles(benchmark, id_col, text_col, n=n)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    return (
+        c_sh.join(F.broadcast(b_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count_distinct(F.col("shingle")).alias("n_shared_shingles"))
+    )

@@ -547,3 +547,44 @@ def ngram_profile(
         .orderBy(F.desc("occurrences"), F.asc("bigram"))
         .limit(top_k)
     )
+
+
+def oov_rate(
+    df: DataFrame, id_col: str, text_col: str, vocab_size: int = 100
+) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus' own
+    top-``vocab_size`` token vocabulary (tokenizer-coverage profiling:
+    how much of each document a fixed vocab fails to cover).
+
+    Two passes over the exploded tokens: (1) global token census →
+    deterministic top-k vocab (count desc, token asc); (2) per-doc
+    counts with the tiny vocab BROADCAST into the join — the corpus
+    side never shuffles by token, only by doc id for the final agg.
+    ``oov_frac`` is the single double division of two exact longs.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+        .orderBy(F.desc("occurrences"), F.asc("token"))
+        .limit(vocab_size)
+        .select("token", F.lit(True).alias("_in_vocab"))
+    )
+    joined = toks.join(F.broadcast(vocab), "token", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_oov"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_frac"),
+        )
+    )

@@ -2753,3 +2753,156 @@ def q63_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(
         docs, "lang", "doc_id", {"en": 25, "fr": 50}
     ).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Q64 — benchmark decontamination (operators/dedup.py:
+# contaminated_docs): corpus docs sharing >=1 word 5-gram with the
+# benchmark subset (doc_id % 50 == 0 — deterministic, SF-stable).
+# Benchmark shingles broadcast; corpus text never shuffles.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q64_decontaminate",
+    oracle="""
+    WITH tokc AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
+                         x -> x <> '') AS t,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 5
+                  THEN list_distinct(list_transform(range(1, len(t) - 3),
+                                                    i -> array_to_string(t[i:i+4], ' ')))
+                  ELSE [norm] END AS s
+      FROM tokc
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 50 = 0
+    ),
+    corp AS (
+      SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id % 50 <> 0
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(DISTINCT c.shingle) AS BIGINT) AS n_shared_shingles
+    FROM corp c JOIN bench b ON c.shingle = b.shingle
+    GROUP BY 1
+    """,
+    tags=("llm", "decontamination", "broadcast"),
+)
+def q64_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return dedup_ops.contaminated_docs(corpus, bench, "doc_id", "text", n=5)
+
+
+# ---------------------------------------------------------------------------
+# Q65 — Z-order clustering key (operators/zorder.py): Morton
+# interleave of (o_custkey % 1024, o_orderkey % 1024). Both engines
+# render the SAME generated term list (zorder_sql), so the oracle
+# cannot drift from the operator. Pure map-side int64 math.
+# ---------------------------------------------------------------------------
+
+from us_immigration_data_lake_spark.operators.zorder import zorder_key, zorder_sql  # noqa: E402
+
+_Z_ORACLE = f"""
+    WITH base AS (
+      SELECT o_orderkey,
+             o_custkey % 1024 AS zx,
+             o_orderkey % 1024 AS zy
+      FROM orders
+    )
+    SELECT o_orderkey, CAST({zorder_sql(('zx', 'zy'), 10, 'duckdb')} AS BIGINT) AS zkey
+    FROM base
+"""
+
+
+@_register(
+    "q65_zorder_key",
+    oracle=_Z_ORACLE,
+    tags=("layout", "zorder", "data-skipping"),
+)
+def q65_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 1024).alias("zx"),
+        (F.col("o_orderkey") % 1024).alias("zy"),
+    ).select("o_orderkey", zorder_key(("zx", "zy"), 10).alias("zkey"))
+
+
+# ---------------------------------------------------------------------------
+# Q66 — two-phase salted aggregation (operators/aggregate.py:
+# salted_sum): revenue by returnflag, salted on l_orderkey % 32 —
+# identical results to the direct groupBy (which IS the oracle),
+# demonstrating the skew-proof shape: hot groups split across 32
+# buckets in shuffle 1; shuffle 2 moves keys x salts pre-agg rows.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q66_salted_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS revenue_c,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    GROUP BY 1
+    """,
+    tags=("agg", "skew", "salting"),
+)
+def q66_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.aggregate import salted_sum
+
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return salted_sum(
+        li,
+        keys=["l_returnflag"],
+        sums={"revenue_c": _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))},
+        salt=(F.col("l_orderkey") % 32),
+        with_count="n_items",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q67 — OOV-rate profiling (operators/textstats.py: oov_rate): per-doc
+# out-of-vocabulary fraction vs the corpus' deterministic top-100
+# token vocabulary. Census pass + broadcast vocab join; exact-integer
+# numerators, one double division.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q67_oov_rate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ),
+    vocab AS (
+      SELECT token
+      FROM (SELECT token, COUNT(*) AS c FROM toks GROUP BY 1
+            ORDER BY c DESC, token ASC LIMIT 100)
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS oov_frac
+    FROM toks t LEFT JOIN vocab v ON t.token = v.token
+    GROUP BY 1
+    """,
+    tags=("llm", "vocab", "broadcast"),
+)
+def q67_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return ts_ops.oov_rate(docs, "doc_id", "text", vocab_size=100)
