@@ -51,6 +51,12 @@ from us_immigration_data_lake_spark.operators.zorder import (
 )
 from us_immigration_data_lake_spark.operators.aggregate import salted_sum
 from us_immigration_data_lake_spark.operators.textstats import oov_rate
+from us_immigration_data_lake_spark.operators.history import merge_upsert, scd2_history
+from us_immigration_data_lake_spark.operators.quantize import (
+    int_dot,
+    quantize_int8,
+    quantized_topk,
+)
 
 __all__ = [
     "grouped_agg",
@@ -91,4 +97,9 @@ __all__ = [
     "zorder_sql",
     "salted_sum",
     "oov_rate",
+    "merge_upsert",
+    "scd2_history",
+    "int_dot",
+    "quantize_int8",
+    "quantized_topk",
 ]

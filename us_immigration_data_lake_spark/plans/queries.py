@@ -2906,3 +2906,239 @@ def q67_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tune(spark)
     docs = _t(spark, sf_dir, "documents")
     return ts_ops.oov_rate(docs, "doc_id", "text", vocab_size=100)
+
+
+# ---------------------------------------------------------------------------
+# Q68 — SCD Type-2 history (operators/history.py: scd2_history): the
+# events log collapsed into per-user event_type validity intervals.
+# One shuffle on user_id serves both window passes; intervals in exact
+# epoch-micros (rule 5), tiebreak on unique event_id (rule 6).
+# ---------------------------------------------------------------------------
+
+from us_immigration_data_lake_spark.operators.history import (  # noqa: E402
+    merge_upsert,
+    scd2_history,
+)
+
+
+@_register(
+    "q68_scd2_history",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN ROW_NUMBER() OVER w = 1 THEN 1
+                  WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type THEN 1
+                  ELSE 0 END AS chg
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    starts AS (SELECT * FROM flagged WHERE chg = 1)
+    SELECT user_id, event_type AS state, ts_us AS valid_from_us,
+           LEAD(ts_us) OVER w2 AS valid_to_us,
+           (LEAD(ts_us) OVER w2 IS NULL) AS is_current
+    FROM starts
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    """,
+    tags=("history", "scd2", "window"),
+)
+def q68_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_type", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    hist = scd2_history(
+        ev, keys=["user_id"], ts_col="ts_us",
+        state_cols=["event_type"], tiebreak="event_id",
+    )
+    return hist.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("valid_from").alias("valid_from_us"),
+        F.col("valid_to").alias("valid_to_us"),
+        "is_current",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q69 — keyed MERGE upsert (operators/history.py: merge_upsert): a
+# derived change batch (every 10th order: status 'R', +$10) folded
+# into orders, updates-win. The oracle states the CONTRACT (updates ∪
+# untouched base), not the implementation — the engine's single
+# hash-agg must reproduce it exactly.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q69_merge_upsert",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_c
+      FROM orders
+    ),
+    u AS (
+      SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
+             total_c + 1000 AS total_c
+      FROM b WHERE o_orderkey % 10 = 0
+    )
+    SELECT * FROM u
+    UNION ALL
+    SELECT * FROM b WHERE o_orderkey % 10 <> 0
+    """,
+    tags=("history", "upsert", "merge"),
+)
+def q69_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        _cents(F.col("o_totalprice")).alias("total_c"),
+    )
+    updates = base.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", "o_custkey",
+        F.lit("R").alias("o_orderstatus"),
+        (F.col("total_c") + 1000).alias("total_c"),
+    )
+    return merge_upsert(base, updates, keys=["o_orderkey"])
+
+
+# ---------------------------------------------------------------------------
+# Q70 — int8 embedding quantization (operators/quantize.py): symmetric
+# per-vector scale, round-half-up, exact integer squared norm. Pure
+# map-side array expressions — zero shuffles.
+# ---------------------------------------------------------------------------
+
+from us_immigration_data_lake_spark.operators.quantize import (  # noqa: E402
+    quantize_int8,
+    quantized_topk,
+)
+
+
+@_register(
+    "q70_quantize_int8",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    m AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) AS maxabs
+      FROM v
+    ),
+    s AS (
+      SELECT vec_id, e,
+             CAST(CASE WHEN maxabs > 0 THEN CAST(127 AS DOUBLE) / maxabs
+                       ELSE 0 END AS DOUBLE) AS scale
+      FROM m
+    ),
+    q AS (
+      SELECT vec_id, scale,
+             list_transform(e, x -> CAST(floor(x * scale + 0.5) AS INTEGER)) AS qvec
+      FROM s
+    )
+    SELECT vec_id, scale, qvec,
+           CAST(list_sum(list_transform(qvec, x -> CAST(x AS BIGINT) * x))
+                AS BIGINT) AS sq_norm
+    FROM q
+    """,
+    tags=("similarity", "quantize"),
+)
+def q70_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantize_int8(emb, "vec_id", "embedding")
+
+
+# ---------------------------------------------------------------------------
+# Q71 — top-k by exact integer dot product over the quantized vectors
+# (operators/quantize.py: quantized_topk): broadcast query set, BIGINT
+# scores → bit-deterministic ranking, ties on neighbor_id.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q71_quantized_topk",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    m AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) AS maxabs
+      FROM v
+    ),
+    q AS (
+      SELECT vec_id,
+             list_transform(
+               e, x -> CAST(floor(x * (CASE WHEN maxabs > 0
+                                            THEN CAST(127 AS DOUBLE) / maxabs
+                                            ELSE 0 END) + 0.5) AS INTEGER)
+             ) AS qvec
+      FROM m
+    ),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             CAST(list_dot_product(a.qvec::DOUBLE[], b.qvec::DOUBLE[])
+                  AS BIGINT) AS score
+      FROM q a JOIN q b
+        ON a.vec_id % 50 = 0 AND b.vec_id % 50 <> 0
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY score DESC, neighbor_id) AS BIGINT) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, score, rn FROM ranked WHERE rn <= 3
+    """,
+    tags=("similarity", "quantize", "knn", "broadcast"),
+)
+def q71_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # int8 products are <= 127^2 and dims are small, so the double
+    # list_dot_product in the oracle is exact integer arithmetic —
+    # same BIGINTs as the engine's zip_with/aggregate fold.
+    _tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    quantized = quantize_int8(emb, "vec_id", "embedding")
+    queries = quantized.filter(F.col("vec_id") % 50 == 0)
+    corpus = quantized.filter(F.col("vec_id") % 50 != 0)
+    return quantized_topk(queries, corpus, "vec_id", "qvec", k=3)
+
+
+# ---------------------------------------------------------------------------
+# Q72 — salted-join parity (operators/joins.py: salted_join): the
+# skew-proof (key, salt) join aggregated to a salt-independent result;
+# the oracle is the PLAIN join — salting must be invisible in the
+# output. Demonstrates the hot-key escape hatch the engine ships for
+# the 30%-of-100TB pathological key.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q72_salted_join_parity",
+    oracle="""
+    SELECT o.o_orderstatus,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_c,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+    tags=("join", "skew", "salting"),
+)
+def q72_salted_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.joins import salted_join
+
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        _cents(F.col("l_extendedprice")).alias("price_c"),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderstatus"
+    )
+    joined = salted_join(li, orders, key="okey", salt=8)
+    return joined.groupBy("o_orderstatus").agg(
+        F.sum("price_c").alias("revenue_c"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
