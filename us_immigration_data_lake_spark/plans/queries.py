@@ -38,6 +38,7 @@ from us_immigration_data_lake_spark.operators import multimodal as mm_ops
 from us_immigration_data_lake_spark.operators import similarity as sim_ops
 from us_immigration_data_lake_spark.operators import textstats as ts_ops
 from us_immigration_data_lake_spark.operators import pii as pii_ops
+from us_immigration_data_lake_spark.sources.events import load_events as _load_events
 
 
 @dataclass
@@ -75,13 +76,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    reader rejects; read nanos as long (legacy conf, runtime-settable)
-    and convert with exact integer division — NOT ``/1000`` (double
-    division loses precision above 2^53; epoch-nanos ≈ 1.7e18)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = _t(spark, sf_dir, "events")
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    """events.parquet ts encoding varies by testdata generation
+    (epoch-nanos int64 / TIMESTAMP_NTZ / TIMESTAMP); sources/events.py
+    normalizes all three to a session-tz TIMESTAMP."""
+    return _load_events(spark, f"{sf_dir.rstrip('/')}/events.parquet")
 
 
 def _cents(col) -> F.Column:

@@ -30,8 +30,17 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# explicit schema — a streaming source cannot infer; ts arrives as raw
-# nanos (see plans/queries.py:load_events for why long-nanos)
+from us_immigration_data_lake_spark.sources.events import (
+    enable_nanos_as_long,
+    events_file_schema,
+    normalize_event_ts,
+    read_event_stream,  # noqa: F401 — canonical impl moved to sources/events.py
+)
+
+# explicit schema — a streaming source cannot infer. Kept for callers
+# that stream NON-testdata event files (e.g. incremental_ingest over a
+# raw drop zone with nanos ts); testdata streams derive the schema
+# from the parquet footer instead (sources/events.py).
 EVENTS_SCHEMA = StructType([
     StructField("event_id", LongType(), True),
     StructField("ts", LongType(), True),
@@ -40,17 +49,6 @@ EVENTS_SCHEMA = StructType([
     StructField("value", DoubleType(), True),
     StructField("props", StringType(), True),
 ])
-
-
-def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # the file-stream source requires a directory (or glob) — a bare
-    # file path fails with "Option 'basePath' must be a directory"
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .parquet(f"{sf_dir.rstrip('/')}/events*.parquet")
-    )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def tumbling_agg(stream: DataFrame, duration: str = "1 hour") -> DataFrame:
@@ -193,7 +191,7 @@ def incremental_ingest(
     source_glob: str,
     target_dir: str,
     checkpoint_dir: str,
-    schema=EVENTS_SCHEMA,
+    schema=None,
     max_files_per_trigger: int | None = None,
 ):
     """Checkpointed incremental file ingestion: each availableNow run
@@ -202,17 +200,15 @@ def incremental_ingest(
     rescheduled job continues from its offsets instead of reprocessing
     100 TB). Returns the number of input rows processed this run.
     """
-    from pyspark.sql import functions as F
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    enable_nanos_as_long(spark)
+    if schema is None:
+        # footer-only metadata read of the source — no data scan
+        schema = events_file_schema(spark, source_glob)
     files_before = _committed_sink_files(spark, target_dir)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = (
-        reader.parquet(source_glob)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = normalize_event_ts(reader.parquet(source_glob))
     q = (
         stream.writeStream.format("parquet")
         .option("path", target_dir)
