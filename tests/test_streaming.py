@@ -275,3 +275,26 @@ def test_stream_static_enrich_matches_batch(spark):
         )
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_stream_dedup_collapses_planted_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps one row per key; projecting
+    to the keys makes the result order-independent and batch-equal."""
+    from us_immigration_data_lake_spark.streaming.windows import stream_dedup
+
+    src = load_events(spark, SF).limit(200)
+    dup_dir = str(tmp_path / "dup_events")
+    src.union(src).union(src).write.mode("overwrite").parquet(dup_dir)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(dup_dir).schema)
+        .parquet(dup_dir)
+    )
+    got = run_to_memory(
+        stream_dedup(stream, ["user_id", "event_type"]),
+        "t_stream_dedup",
+        mode="append",
+    ).collect()
+    want = src.select("user_id", "event_type").distinct().collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) == len(set(map(tuple, got)))  # no key emitted twice

@@ -3140,3 +3140,107 @@ def q72_salted_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("price_c").alias("revenue_c"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q73 — streaming dedup within watermark (streaming/windows.py:
+# stream_dedup): emit each (user_id, event_type)'s first-seen row with
+# dropDuplicatesWithinWatermark, state evicted as the watermark
+# advances. Output projected to the dedup keys (identical across a
+# key's duplicates), so the batch oracle is plain DISTINCT.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q73_stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("streaming", "dedup", "watermark"),
+)
+def q73_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.streaming.windows import stream_dedup
+
+    _tune(spark)
+    stream = read_event_stream(spark, sf_dir)
+    deduped = stream_dedup(stream, ["user_id", "event_type"], watermark="1 hour")
+    return run_to_memory(deduped, _sink_name("q73_dedup"), mode="append")
+
+
+# ---------------------------------------------------------------------------
+# Q74 — HyperLogLog++ approximate distinct with an error-bound
+# contract. The sketch estimate itself is engine-specific (Spark HLL++
+# vs DuckDB's), so raw estimates can never hash-match across engines;
+# what IS portable is the accuracy contract. The query emits the exact
+# count plus a boolean asserting the sketch landed within 5% (2.5x the
+# requested 2% rsd); the oracle asserts the same contract as literal
+# TRUE. At 100 TB the sketch is the only affordable distinct: fixed
+# ~kB of state per group, partial-aggregated map-side, vs a full
+# shuffle of every distinct key for the exact count.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q74_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           TRUE AS approx_within_5pct
+    FROM events GROUP BY event_type
+    """,
+    tags=("sketch", "hll", "agg"),
+)
+def q74_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    ev = load_events(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+    )
+    return agg.select(
+        "event_type",
+        "n_users_exact",
+        (
+            F.abs(F.col("n_users_approx") - F.col("n_users_exact"))
+            <= F.col("n_users_exact") * 0.05
+        ).alias("approx_within_5pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q75 — full ranking-function suite (rank, dense_rank, percent_rank,
+# cume_dist, ntile) over one window — one sort-shuffle on the
+# partition key computes all five. percent_rank/cume_dist are rank
+# arithmetic ((rank-1)/(n-1), peers/n) — identical IEEE divisions in
+# both engines, so they hash-match as doubles.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q75_ranking_suite",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c,
+           CAST(rank()       OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           percent_rank() OVER w AS prnk,
+           cume_dist()    OVER w AS cdist,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT), o_orderkey)
+    """,
+    tags=("window", "ranking"),
+)
+def q75_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    _tune(spark)
+    orders = _t(spark, sf_dir, "orders")
+    total_c = _cents(F.col("o_totalprice"))
+    w = Window.partitionBy("o_orderstatus").orderBy(total_c, "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        total_c.alias("total_c"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )

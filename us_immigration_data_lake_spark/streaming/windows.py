@@ -83,6 +83,30 @@ def tumbling_agg_append(
     return tumbling_agg(stream.withWatermark("ts", watermark), duration)
 
 
+def stream_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact deduplication: emit each key's FIRST-seen row,
+    with state bounded by the watermark (``dropDuplicatesWithinWatermark``
+    drops a key's state once the watermark passes its event time plus
+    the delay — the only way streaming dedup survives 100 TB/day;
+    unbounded ``dropDuplicates`` state grows with total distinct keys
+    forever).
+
+    The emitted row per key is whichever instance arrived first, which
+    depends on file/batch order — so callers wanting a deterministic,
+    oracle-checkable result must project to columns that are identical
+    across a key's duplicates (here: the keys themselves)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(keys)
+        .select(*keys)
+    )
+
+
 def stream_static_enrich(
     stream: DataFrame,
     dim: DataFrame,
