@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from us_immigration_data_lake_spark.operators.joins import as_of_join
 
 
@@ -54,3 +56,43 @@ def test_salted_join_rejects_right_outer(spark):
     a = spark.createDataFrame([(1, "x")], ["k", "v"])
     with _pytest.raises(ValueError, match="salted_join supports"):
         salted_join(a, a, "k", how="right")
+
+
+def test_binned_range_join_matches_nested_loop(spark):
+    """Binning must be invisible: same pairs as the broadcast
+    nested-loop range_join, on intervals engineered to straddle bin
+    boundaries (width 10 vs interval length 7)."""
+    from us_immigration_data_lake_spark.operators.joins import (
+        binned_range_join,
+        range_join,
+    )
+
+    points = spark.range(0, 200).select(
+        F.col("id").alias("pid"), (F.col("id") * 3 % 97).alias("p")
+    )
+    intervals = spark.range(0, 50).select(
+        F.col("id").alias("iid"),
+        (F.col("id") * 2 % 90).alias("lo"),
+        (F.col("id") * 2 % 90 + 7).alias("hi"),
+    )
+    binned = binned_range_join(
+        points, intervals, "p", "lo", "hi", bin_width=10
+    ).select("pid", "iid")
+    naive = range_join(points, intervals, "p", "lo", "hi").select("pid", "iid")
+    assert sorted(map(tuple, binned.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_binned_range_join_is_not_nested_loop(spark):
+    """The whole point: the physical plan is an equi join (hash/merge
+    on the bin key), never BroadcastNestedLoopJoin."""
+    from us_immigration_data_lake_spark.operators.joins import binned_range_join
+
+    points = spark.range(0, 1000).select(F.col("id").alias("p"))
+    intervals = spark.range(0, 1000).select(
+        F.col("id").alias("lo"), (F.col("id") + 5).alias("hi")
+    )
+    plan = (
+        binned_range_join(points, intervals, "p", "lo", "hi", bin_width=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]

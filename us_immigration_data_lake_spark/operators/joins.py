@@ -165,3 +165,58 @@ def range_join(
     r = F.broadcast(right) if broadcast_right else right
     cond = (left[point_col] >= r[lo_col]) & (left[point_col] < r[hi_col])
     return left.join(r, on=cond, how="inner")
+
+
+def binned_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: int,
+    keys: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Scale path for the interval join: left.point ∈ [right.lo, right.hi)
+    as an EQUI-join on a coarse bin key instead of a broadcast-nested-loop.
+
+    Each left point belongs to exactly one bin (floor(point/width)); each
+    right interval explodes to the bins it covers (floor(lo/w) ..
+    floor((hi-1)/w), hi exclusive). Matching pairs meet in exactly one
+    bin — the point's — so the exact predicate applied after the
+    shuffle-hash join yields each pair once, no dedup pass.
+
+    Cost: |right| × ceil(interval/width) exploded rows + one hash
+    shuffle on the bin key — this survives two large sides, which the
+    nested-loop plan in ``range_join`` does not. Pick ``bin_width`` ≈
+    the typical interval length: width ≫ interval inflates bucket
+    populations (more false candidates to filter), width ≪ interval
+    inflates the explode factor. Point/lo/hi must be integral (cast
+    timestamps to epoch micros first); column names must be disjoint
+    across the two sides.
+
+    ``keys``: extra equi-join pairs (left_col, right_col) — e.g. the
+    user id in a per-user interval match. They MUST be join keys, not
+    post-filters: joining on (key, bin) shards each time bucket by key,
+    while bin-only would pair every key in the bucket and filter later
+    (quadratic in bucket population at scale).
+    """
+    lb = left.withColumn("__bin", F.floor(F.col(point_col) / F.lit(bin_width)))
+    rb = (
+        right.filter(F.col(hi_col) > F.col(lo_col))
+        .withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo_col) / F.lit(bin_width)),
+                    F.floor((F.col(hi_col) - 1) / F.lit(bin_width)),
+                )
+            ),
+        )
+    )
+    cond = lb["__bin"] == rb["__bin"]
+    for lkey, rkey in keys or []:
+        cond = cond & (lb[lkey] == rb[rkey])
+    out = lb.join(rb, on=cond, how="inner").filter(
+        (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
+    )
+    return out.drop("__bin")

@@ -3244,3 +3244,60 @@ def q75_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cdist"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q76 — binned interval join (operators/joins.py:binned_range_join):
+# the BATCH scale path for the q42 purchase↔view interval shape. The
+# nested-loop plan Spark picks for a raw inequality join dies when
+# both sides are large; binning turns it into one equi-shuffle on a
+# coarse time bucket. Oracle is the plain range join — binning must be
+# invisible in the output.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q76_binned_interval_join",
+    oracle="""
+    WITH p AS (SELECT event_id AS purchase_id, user_id AS p_user,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS purchase_ts_us
+               FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT event_id AS view_id, user_id AS v_user,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS view_ts_us
+               FROM events WHERE event_type = 'view')
+    SELECT p.purchase_id, p.p_user AS user_id, p.purchase_ts_us,
+           v.view_id, v.view_ts_us
+    FROM p JOIN v ON p.p_user = v.v_user
+     AND v.view_ts_us >= p.purchase_ts_us - 1800000000
+     AND v.view_ts_us < p.purchase_ts_us
+    """,
+    tags=("join", "range", "binned", "scale"),
+)
+def q76_binned_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.joins import binned_range_join
+
+    _tune(spark)
+    ev = load_events(spark, sf_dir).withColumn("ts_us", F.unix_micros("ts"))
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts_us").alias("view_ts_us"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts_us").alias("purchase_ts_us"),
+        (F.col("ts_us") - 1_800_000_000).alias("lo_us"),
+    )
+    joined = binned_range_join(
+        views, purchases,
+        point_col="view_ts_us", lo_col="lo_us", hi_col="purchase_ts_us",
+        bin_width=1_800_000_000,  # = the interval length (30 min)
+        keys=[("v_user", "p_user")],
+    )
+    return joined.select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_ts_us",
+        "view_id",
+        "view_ts_us",
+    )
