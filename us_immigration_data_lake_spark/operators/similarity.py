@@ -44,28 +44,41 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
-def _dot_fixed(a: Column, b: Column, dim: int) -> Column:
-    """Unrolled dot product for a KNOWN vector width. Spark's
-    higher-order functions (zip_with/aggregate) evaluate interpreted,
-    one lambda call per element — unrolling to dim explicit getItem
-    products keeps the whole expression inside whole-stage codegen
-    (~25% faster on the brute-force KNN hot loop, A/B-measured at
-    sf0.1). The left-fold addition order and 0.0 seed are identical to
-    F.aggregate's, so results are bitwise-equal to the HOF form."""
-    out = F.lit(0.0)
-    for d in range(dim):
-        out = out + a[d] * b[d]
-    return out
+def _dot_fixed_sql(a: str, b: str, dim: int) -> str:
+    """Unrolled dot product for a KNOWN vector width, rendered as ONE
+    SQL string. Two wins over the HOF form (zip_with/aggregate):
+
+    - zip_with/aggregate evaluate interpreted, one lambda call per
+      element — unrolling keeps the whole expression inside
+      whole-stage codegen (~25% faster on the brute-force KNN hot
+      loop, A/B-measured at sf0.1);
+    - building the unrolled tree operator-by-operator costs ~4·dim
+      py4j round-trips PER dot product (3.5 s of driver time on q24's
+      plan construction alone); one parsed string is one round-trip.
+
+    The leading 0.0D seed and left-associative addition reproduce
+    F.aggregate's fold exactly, so values are bitwise-equal to both
+    prior forms (and to the DuckDB oracles generated against them)."""
+    terms = " + ".join(f"{a}[{d}] * {b}[{d}]" for d in range(dim))
+    return f"(0.0D + {terms})"
 
 
-def _cosine_fixed(a: Column, b: Column, dim: int) -> Column:
-    na = F.sqrt(_dot_fixed(a, a, dim))
-    nb = F.sqrt(_dot_fixed(b, b, dim))
-    return _dot_fixed(a, b, dim) / (na * nb)
+def _cosine_fixed_sql(a: str, b: str, dim: int) -> str:
+    return (
+        f"({_dot_fixed_sql(a, b, dim)} / "
+        f"(sqrt({_dot_fixed_sql(a, a, dim)}) * "
+        f"sqrt({_dot_fixed_sql(b, b, dim)})))"
+    )
 
 
-def _cosine_maybe_fixed(a: Column, b: Column, dim: int | None) -> Column:
-    return _cosine_fixed(a, b, dim) if dim else cosine(a, b)
+def _cosine_maybe_fixed(a: str, b: str, dim: int | None) -> Column:
+    """Cosine between two array<double> COLUMN NAMES; unrolled codegen
+    expression when the width is known, HOF fallback otherwise."""
+    return (
+        F.expr(_cosine_fixed_sql(a, b, dim))
+        if dim
+        else cosine(F.col(a), F.col(b))
+    )
 
 
 def cosine_knn(
@@ -81,7 +94,7 @@ def cosine_knn(
     score → per-query window top-k (deterministic tiebreak on corpus
     id). Returns (query_id, neighbor_id, cosine_sim). Pass ``dim``
     when the vector width is known to unroll the dot product into
-    codegen (bitwise-identical values, see _dot_fixed)."""
+    codegen (bitwise-identical values, see _dot_fixed_sql)."""
     qid = query_id_col or id_col
     q = F.broadcast(
         queries.select(
@@ -98,7 +111,7 @@ def cosine_knn(
             "query_id",
             "neighbor_id",
             F.round(
-                _cosine_maybe_fixed(F.col("qv"), F.col("cv"), dim), 6
+                _cosine_maybe_fixed("qv", "cv", dim), 6
             ).alias("cosine_sim"),
         )
     )
@@ -199,19 +212,25 @@ def cosine_near_dup_pairs(
     )
 
 
-def srp_signature(vec_col: Column, planes: np.ndarray) -> Column:
-    """b-bit sign signature: bit i = 1 iff dot(v, planes[i]) > 0.
-    Planes are literal arrays (seed-fixed), so the expression is pure
-    JVM arithmetic — no UDF, no nondeterminism."""
-    bits = None
+def srp_signature(vec_col: str, planes: np.ndarray) -> Column:
+    """b-bit sign signature of the array<double> column named
+    ``vec_col``: bit i = 1 iff dot(v, planes[i]) > 0. Planes are
+    embedded as double literals (seed-fixed) in ONE rendered SQL
+    expression — pure JVM arithmetic, no UDF, no nondeterminism, and
+    one py4j round-trip instead of ~5·bits·dim building the tree
+    operator-by-operator (driver-side plan construction was the
+    dominant cost of the LSH queries at gate scale). repr() literals
+    round-trip IEEE-754 doubles exactly, and the unrolled left-fold
+    matches the previous HOF-aggregate fold bit-for-bit."""
+    parts = []
     for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(dot(vec_col, p) > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
+        terms = " + ".join(
+            f"{vec_col}[{j}] * {float(x)!r}D" for j, x in enumerate(plane)
         )
-        term = F.shiftleft(bit, i)
-        bits = term if bits is None else bits.bitwiseOR(term)
-    return bits
+        parts.append(
+            f"shiftleft(CASE WHEN (0.0D + {terms}) > 0.0D THEN 1L ELSE 0L END, {i})"
+        )
+    return F.expr("(" + " | ".join(parts) + ")")
 
 
 def srp_planes(dim: int, num_bits: int = 12, seed: int = 42) -> np.ndarray:
@@ -373,11 +392,11 @@ def srp_lsh_knn(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(vec_col).alias("cv"),
-    ).withColumn("bucket", srp_signature(F.col("cv"), planes))
+    ).withColumn("bucket", srp_signature("cv", planes))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _as_double(vec_col).alias("qv"),
-    ).withColumn("bucket", srp_signature(F.col("qv"), planes))
+    ).withColumn("bucket", srp_signature("qv", planes))
     if multiprobe:
         probes = F.array(
             F.col("bucket"),
@@ -394,7 +413,7 @@ def srp_lsh_knn(
             "query_id",
             "neighbor_id",
             F.round(
-                _cosine_maybe_fixed(F.col("qv"), F.col("cv"), dim), 6
+                _cosine_maybe_fixed("qv", "cv", dim), 6
             ).alias("cosine_sim"),
         )
     )
