@@ -767,3 +767,61 @@ def test_oov_rate_planted(spark):
     assert got[1] == (4, 0, 0.0)
     assert got[2] == (3, 1, 1 / 3)
     assert got[3] == (2, 2, 1.0)
+
+
+def test_postings_jaccard_matches_allpairs(spark):
+    from us_immigration_data_lake_spark.operators.dedup import (
+        postings_jaccard_pairs,
+        shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on a mat"),
+            (3, "dogs bark at the moon all night"),
+            (4, "the cat sat on the mat today"),
+        ],
+        ["doc_id", "text"],
+    )
+    sh = shingles(docs, "doc_id", "text", n=2)
+    got = {
+        (r.id1, r.id2): round(r.jaccard, 9)
+        for r in postings_jaccard_pairs(sh, "doc_id").collect()
+    }
+    a = sh.selectExpr("doc_id id1", "shingles s1")
+    b = sh.selectExpr("doc_id id2", "shingles s2")
+    want = {
+        (r.id1, r.id2): round(r.jaccard, 9)
+        for r in a.crossJoin(b)
+        .filter("id1 < id2")
+        .selectExpr(
+            "id1",
+            "id2",
+            "CAST(size(array_intersect(s1, s2)) AS DOUBLE)"
+            " / (size(s1) + size(s2) - size(array_intersect(s1, s2))) jaccard",
+        )
+        .filter("jaccard > 0")
+        .collect()
+    }
+    assert got == want
+
+
+def test_postings_jaccard_max_doc_freq_caps_hot_shingles(spark):
+    from us_immigration_data_lake_spark.operators.dedup import (
+        postings_jaccard_pairs,
+        shingles,
+    )
+
+    # every doc shares "x y"; capping df at 2 removes that posting, so
+    # only the pair linked by a rarer shingle survives
+    docs = spark.createDataFrame(
+        [(1, "x y a b"), (2, "x y a b"), (3, "x y q r")],
+        ["doc_id", "text"],
+    )
+    sh = shingles(docs, "doc_id", "text", n=2)
+    uncapped = postings_jaccard_pairs(sh, "doc_id").collect()
+    assert {(r.id1, r.id2) for r in uncapped} == {(1, 2), (1, 3), (2, 3)}
+    capped = postings_jaccard_pairs(sh, "doc_id", max_doc_freq=2).collect()
+    # postings "x y" (df=3) dropped; (1,2) still share "a b" (df=2)
+    assert {(r.id1, r.id2) for r in capped} == {(1, 2)}

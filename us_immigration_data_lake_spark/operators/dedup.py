@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from us_immigration_data_lake_spark.functions.text import normalized_text, tokens
 
@@ -561,3 +562,64 @@ def contaminated_docs(
         .groupBy(id_col)
         .agg(F.count_distinct(F.col("shingle")).alias("n_shared_shingles"))
     )
+
+
+def postings_jaccard_pairs(
+    shingled: DataFrame,
+    id_col: str,
+    min_jaccard: float = 0.0,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """EXACT pairwise Jaccard via an inverted index (postings lists) —
+    the shuffle-native scale path for set similarity. The all-pairs
+    form (q19: self-join + array_intersect per pair) touches every
+    document pair; here a pair materializes ONLY through a shared
+    shingle:
+
+      explode(shingles) → self-join on the shingle (the postings join)
+      → count shared shingles per (id1, id2) → join per-doc set sizes
+      → jaccard = inter / (|A| + |B| - inter).
+
+    Every step is a key-shuffle (no cross join, no broadcast of the
+    corpus); cost is Σ over shingles of |posting|², concentrated in
+    high-document-frequency shingles. ``max_doc_freq`` drops postings
+    longer than the cap before pairing — the standard guard against a
+    stopword shingle exploding quadratically. With a cap the
+    intersection counts are a LOWER bound (pairs sharing only capped
+    shingles are missed), so results become candidate-grade; leave it
+    None for exact parity.
+
+    Input: ``shingled`` as produced by ``shingles()`` — (id_col,
+    shingles array, plus any blocking cols the caller joined in).
+    Output: (id1, id2, jaccard) with id1 < id2, jaccard > min_jaccard
+    when min_jaccard > 0 (pairs with zero shared shingles never
+    appear, matching the all-pairs form's inter > 0 filter).
+    """
+    sized = shingled.select(
+        F.col(id_col).alias("__id"),
+        F.size("shingles").cast("long").alias("__sz"),
+        F.explode("shingles").alias("shingle"),
+    )
+    if max_doc_freq is not None:
+        sized = sized.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        ).filter(F.col("__df") <= max_doc_freq).drop("__df")
+    a = sized.select(
+        F.col("__id").alias("id1"), F.col("__sz").alias("sz1"), "shingle"
+    )
+    b = sized.select(
+        F.col("__id").alias("id2"), F.col("__sz").alias("sz2"), "shingle"
+    )
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2", "sz1", "sz2")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    jaccard = F.col("inter").cast("double") / (
+        (F.col("sz1") + F.col("sz2") - F.col("inter")).cast("double")
+    )
+    out = inter.select("id1", "id2", jaccard.alias("jaccard"))
+    if min_jaccard > 0.0:
+        out = out.filter(F.col("jaccard") >= min_jaccard)
+    return out

@@ -3301,3 +3301,58 @@ def q76_binned_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_id",
         "view_ts_us",
     )
+
+
+# ---------------------------------------------------------------------------
+# Q77 — postings-list exact Jaccard (operators/dedup.py:
+# postings_jaccard_pairs): the inverted-index scale path for q19's
+# all-pairs set similarity. A pair materializes only through a shared
+# shingle; every step is a key-shuffle. Oracle = the all-pairs
+# formulation (same restricted corpus) — the index must be invisible
+# in the output. The blocking col (lang) is folded into the shingle
+# key, so cross-language postings never collide, matching q19's
+# equi-join on lang.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q77_postings_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, lang,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, len(toks)-1)]) AS shingles
+      FROM (SELECT doc_id, lang,
+                   string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM documents WHERE doc_id < 100)
+      WHERE len(toks) >= 3
+    )
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
+             AS jaccard
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+    """,
+    tags=("dedup", "jaccard", "postings", "scale"),
+)
+def q77_postings_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    tok = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    sh = docs.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(tok) - 3),
+                lambda i: F.array_join(F.slice(tok, i + 1, 3), " "),
+            )
+        ).alias("shingles"),
+    ).filter(F.size(tok) >= 3)
+    blocked = sh.select(
+        "doc_id",
+        F.transform(
+            "shingles", lambda g: F.concat_ws(" ", F.col("lang"), g)
+        ).alias("shingles"),
+    )
+    return dedup_ops.postings_jaccard_pairs(blocked, "doc_id")
