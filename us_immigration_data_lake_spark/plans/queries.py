@@ -3356,3 +3356,54 @@ def q77_postings_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("shingles"),
     )
     return dedup_ops.postings_jaccard_pairs(blocked, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q78 — approximate percentile (KLL-style sketch) with a rank-error
+# contract. Like q74: the sketch value is engine-specific, the
+# ACCURACY contract is portable. approx_percentile(accuracy=1000)
+# guarantees rank error ≤ n/1000; the query verifies the returned
+# element's rank straddles the target within that bound and emits the
+# boolean; the oracle asserts TRUE. At 100 TB the sketch is the only
+# affordable quantile: constant memory per group, partial-aggregated,
+# vs a full sort for the exact rank.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q78_approx_percentile",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS median_within_rank_error
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("sketch", "percentile", "agg"),
+)
+def q78_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus", _cents(F.col("o_totalprice")).alias("total_c")
+    )
+    sketch = orders.groupBy("o_orderstatus").agg(
+        F.approx_percentile("total_c", F.lit(0.5), F.lit(1000)).alias("apx"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    # rank check: #(x <= apx) must reach rank 0.5n - err and
+    # #(x < apx) must not exceed 0.5n + err, err = n/1000
+    ranked = (
+        orders.join(F.broadcast(sketch), "o_orderstatus")
+        .groupBy("o_orderstatus", "n")
+        .agg(
+            F.sum((F.col("total_c") <= F.col("apx")).cast("long")).alias("le"),
+            F.sum((F.col("total_c") < F.col("apx")).cast("long")).alias("lt"),
+        )
+    )
+    err = F.col("n") / 1000.0
+    target = F.col("n") * 0.5
+    return ranked.select(
+        "o_orderstatus",
+        "n",
+        (
+            (F.col("le") >= target - err) & (F.col("lt") <= target + err)
+        ).alias("median_within_rank_error"),
+    )
