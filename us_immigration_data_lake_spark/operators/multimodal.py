@@ -61,11 +61,33 @@ def text_as_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def decode_image(content: bytes):
-    """Real decoder would go here (PIL/opencv). Not available in this
-    container — plumbing is exercised with extract_features instead."""
+    """Decode an image payload to a uint8 pixel array, dispatching on
+    the magic bytes. P6 PPM decodes for real (pure numpy — see
+    operators/codecs.py); compressed formats need a codec library this
+    container lacks, so they fail loudly instead of faking pixels."""
+    from us_immigration_data_lake_spark.operators import codecs
+
+    if content[:2] == b"P6":
+        return codecs.decode_ppm(content)
     raise NotImplementedError(
-        "image codecs not available in this environment; "
-        "swap in PIL.Image.open(io.BytesIO(content)) in production"
+        "no codec for this image format in this environment; "
+        "P6 PPM decodes natively — for png/jpeg swap in "
+        "PIL.Image.open(io.BytesIO(content)) in production"
+    )
+
+
+def decode_audio(content: bytes):
+    """Decode an audio payload to (sample_rate, int16 samples array).
+    WAV/PCM decodes for real (stdlib wave + numpy); compressed formats
+    raise until a codec library is swapped in."""
+    from us_immigration_data_lake_spark.operators import codecs
+
+    if content[:4] == b"RIFF":
+        return codecs.decode_wav(content)
+    raise NotImplementedError(
+        "no codec for this audio format in this environment; "
+        "WAV/PCM decodes natively — for mp3/flac swap in soundfile "
+        "in production"
     )
 
 
@@ -84,12 +106,15 @@ FRAME_SCHEMA = StructType([
 
 
 def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Arrow-batched resize over the binary column. The pixel resample
-    itself is STUBBED (no image libs in this container): the fake
-    transform deterministically truncates/pads the payload to
-    width*height bytes so tests can assert exact shapes; the batch
-    iteration, schema, and metadata update are the real pipeline. Swap
-    the marked line for PIL's ``Image.resize`` in production."""
+    """Arrow-batched resize over the binary column. P6 PPM payloads
+    take the REAL path: decode → nearest-neighbor resample (integer
+    index arithmetic, bit-deterministic) → re-encode
+    (operators/codecs.py). Other payloads keep the deterministic fake
+    (truncate/pad to width*height bytes) so the batch iteration,
+    schema, and metadata update stay exercised for formats whose codec
+    isn't in this container."""
+    from us_immigration_data_lake_spark.operators import codecs
+
     target = width * height
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -97,14 +122,51 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(blob) if blob is not None else b""
-                # STUB: real impl decodes + resamples; fake keeps shape
-                resized = (b * (target // max(len(b), 1) + 1))[:target]
+                if b[:2] == b"P6":
+                    pixels = codecs.decode_ppm(b)
+                    resized = codecs.encode_ppm(
+                        codecs.resize_nearest(pixels, width, height)
+                    )
+                else:
+                    # shape-preserving fake for codec-less formats
+                    resized = (b * (target // max(len(b), 1) + 1))[:target]
                 rows.append((int(mid), resized, width, height))
             yield pd.DataFrame(
                 rows, columns=["media_id", "content", "meta_width", "meta_height"]
             )
 
     return media.mapInPandas(_batches, schema=RESIZED_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("sample_rate", LongType(), False),
+    StructField("n_frames", LongType(), False),
+    StructField("features", ArrayType(DoubleType()), False),
+])
+
+
+def audio_feature_table(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL audio feature extraction for WAV/PCM
+    payloads: decode (stdlib wave + numpy) → duration / RMS /
+    zero-crossing rate / peak (operators/codecs.py:audio_features).
+    Non-RIFF payloads raise — swap the decoder dispatch for a codec
+    library to widen format support."""
+    from us_immigration_data_lake_spark.operators import codecs
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                rate, samples = decode_audio(bytes(blob))
+                feats = codecs.audio_features(rate, samples)
+                rows.append((int(mid), rate, len(samples), feats))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "n_frames", "features"],
+            )
+
+    return media.mapInPandas(_batches, schema=AUDIO_FEATURE_SCHEMA)
 
 
 def sample_frames(media: DataFrame, frame_bytes: int = 64, every_nth: int = 4) -> DataFrame:
