@@ -177,3 +177,15 @@ def test_compact_parquet_rejects_uri(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="local"):
         compact_parquet(spark, "s3a://bucket/ds")
+
+
+def test_weighted_sample_deterministic_and_weight_sensitive(spark):
+    from us_immigration_data_lake_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1.0 if i < 90 else 1000.0) for i in range(100)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    s1 = sorted(r.id for r in weighted_sample(df, "id", "w", 10).collect())
+    s2 = sorted(r.id for r in weighted_sample(df, "id", "w", 10).collect())
+    assert s1 == s2  # md5 clocks, not rand(): identical every run
+    # the ten 1000x-weight items should dominate the top-10
+    assert sum(1 for i in s1 if i >= 90) >= 8

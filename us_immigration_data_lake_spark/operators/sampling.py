@@ -31,6 +31,46 @@ def sample_bucket(id_col: Column | str, buckets: int = 100) -> Column:
     return hash_split_bucket(id_col, buckets, digit_offset=5)
 
 
+def hash_uniform(id_col: Column | str, digit_offset: int = 9) -> Column:
+    """Deterministic uniform in (0, 1) from md5 hex digits
+    [digit_offset, digit_offset+12) — 48 bits, so the double is exact
+    and identically computable in any engine with md5 + hex parsing.
+    Offset 9 keeps it independent of the split (digits 1-4) and
+    stratified-sample (5-8) draws."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.md5(c.cast("string"))
+    bits = F.conv(F.substring(h, digit_offset, 12), 16, 10).cast("long")
+    return (bits + 1).cast("double") / float((1 << 48) + 1)
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: Column | str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (k items,
+    inclusion probability increasing in weight): the exponential-clock
+    form of A-Res/A-ExpJ — per-row clock t = -ln(u)/w with u a
+    hash-uniform of the id, keep the k smallest t. Equivalent to
+    Efraimidis-Spirakis keys u^(1/w) (same ordering), reproducible
+    across runs/retries/engines because u is md5-derived, never rand().
+
+    The quality-weighted corpus draw for training pipelines: weight by
+    quality score or token count, get the same sample every run, on
+    any engine. Plan: per-row map arithmetic + one global top-k
+    (TakeOrderedAndProject) — no shuffle beyond the k-row reduce.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    t = -F.log(hash_uniform(id_col)) / w.cast("double")
+    return (
+        df.withColumn("__t", t)
+        .orderBy(F.asc("__t"), F.asc(id_col))
+        .limit(k)
+        .drop("__t")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     stratum_col: str,

@@ -3407,3 +3407,67 @@ def q78_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("le") >= target - err) & (F.col("lt") <= target + err)
         ).alias("median_within_rank_error"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q79 — unpivot/melt (wide → long): each customer row becomes one row
+# per metric column. Spark's native unpivot (DataFrame.unpivot) vs
+# DuckDB's UNPIVOT — same relational operator, declared both sides.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q79_unpivot",
+    oracle="""
+    SELECT c_custkey, metric, val
+    FROM (
+      SELECT c_custkey,
+             CAST(c_nationkey AS BIGINT) AS c_nationkey,
+             CAST(ROUND(c_acctbal*100) AS BIGINT) AS c_acctbal_c
+      FROM customer
+    )
+    UNPIVOT (val FOR metric IN (c_nationkey, c_acctbal_c))
+    """,
+    tags=("reshape", "unpivot"),
+)
+def q79_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        _cents(F.col("c_acctbal")).alias("c_acctbal_c"),
+    )
+    return cust.unpivot(
+        ids=["c_custkey"],
+        values=["c_nationkey", "c_acctbal_c"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q80 — deterministic weighted sampling (operators/sampling.py:
+# weighted_sample): exponential-clock A-Res over md5-uniforms, top-50
+# documents weighted by length. The oracle replays the identical
+# -ln(u)/w arithmetic; selection is stable because clock gaps at the
+# boundary are ~1e-3 while cross-engine libm divergence is ≤1 ulp.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q80_weighted_sample",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    ORDER BY -ln(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 12))::BIGINT) + 1)
+                 / 281474976710657.0)
+             / CAST(n_chars AS DOUBLE) ASC,
+             doc_id ASC
+    LIMIT 50
+    """,
+    tags=("llm", "sampling", "weighted"),
+)
+def q80_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.sampling import weighted_sample
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_sample(docs, "doc_id", "n_chars", k=50)
