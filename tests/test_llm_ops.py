@@ -825,3 +825,39 @@ def test_postings_jaccard_max_doc_freq_caps_hot_shingles(spark):
     capped = postings_jaccard_pairs(sh, "doc_id", max_doc_freq=2).collect()
     # postings "x y" (df=3) dropped; (1,2) still share "a b" (df=2)
     assert {(r.id1, r.id2) for r in capped} == {(1, 2)}
+
+
+def test_pack_sequences_offsets_and_contiguity(spark):
+    from us_immigration_data_lake_spark.operators.packing import pack_sequences
+    import pyspark.sql.functions as F
+
+    items = spark.createDataFrame(
+        [(i, 100 + (i * 37) % 300) for i in range(50)], ["id", "n_tok"]
+    )
+    packed = pack_sequences(items, "id", "n_tok", budget=512, shard_col=F.lit(0))
+    rows = sorted(packed.collect(), key=lambda r: r.id)
+    # running reconstruction: offsets restart modulo budget, seq ids
+    # never decrease, and every token position is accounted for once
+    cum = 0
+    for r in rows:
+        assert r.seq_id == cum // 512
+        assert r.offset == cum % 512
+        cum += r.n_tok
+    assert cum == sum(r.n_tok for r in rows)
+
+
+def test_unigram_xent_boilerplate_scores_low(spark):
+    from us_immigration_data_lake_spark.operators.textstats import (
+        unigram_cross_entropy,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common common"),
+            (2, "rare unique tokens here now"),
+            (3, "common common common again"),
+        ],
+        ["doc_id", "text"],
+    )
+    xent = {r.doc_id: r.xent for r in unigram_cross_entropy(docs, "doc_id", "text").collect()}
+    assert xent[2] > xent[1]  # all-rare doc is higher-entropy than boilerplate

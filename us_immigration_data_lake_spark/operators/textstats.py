@@ -588,3 +588,59 @@ def oov_rate(
             (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_frac"),
         )
     )
+
+
+def unigram_cross_entropy(
+    df: "DataFrame", id_col: str, text_col: str
+) -> "DataFrame":
+    """Per-document unigram cross-entropy against the corpus's own
+    unigram LM — the classic cheap perplexity proxy for quality
+    filtering (a doc of globally-rare tokens scores high, boilerplate
+    scores low):
+
+        xent(d) = -(1/|d|) * sum_t c_dt * ln(c_t / N)
+
+    with c_dt the doc's token count, c_t the corpus count, N total
+    corpus tokens (exact bigints).
+
+    Reproducibility (oracle rule 1 applied to log-space): double
+    addition is non-associative, so a groupBy SUM of double
+    contributions would depend on partial-aggregate order. Instead
+    each TERM's surprisal integer-izes once —
+    ``CAST(ROUND(ln(c_t/N) * 1e6) AS BIGINT)`` micronats, a correctly
+    rounded IEEE computation on identical inputs in any engine — and
+    the per-doc sum is exact bigint arithmetic, order-free.
+
+    Scale: one explode of the tokenized corpus, two partial-aggregated
+    groupBys (doc-term and census), a key-shuffle join on token, one
+    groupBy on the doc id. No window, no driver materialization.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    doc_counts = tok.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).cast("long").alias("c_dt")
+    )
+    census = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("c_t")
+    )
+    n_total = tok.select(F.count(F.lit(1)).cast("long").alias("n_corpus"))
+    surprisal_micro = F.round(
+        F.log(F.col("c_t").cast("double") / F.col("n_corpus").cast("double"))
+        * 1e6
+    ).cast("long")
+    per_doc = (
+        doc_counts.join(census, "token")
+        .crossJoin(F.broadcast(n_total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c_dt").alias("n_tokens"),
+            F.sum(F.col("c_dt") * surprisal_micro).alias("sum_micronats"),
+        )
+    )
+    xent = -(F.col("sum_micronats").cast("double") / 1e6) / F.col(
+        "n_tokens"
+    ).cast("double")
+    return per_doc.select(
+        F.col(id_col), F.col("n_tokens"), F.round(xent, 6).alias("xent")
+    )

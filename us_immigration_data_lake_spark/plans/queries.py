@@ -3471,3 +3471,88 @@ def q80_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tune(spark)
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     return weighted_sample(docs, "doc_id", "n_chars", k=50)
+
+
+# ---------------------------------------------------------------------------
+# Q81 — unigram cross-entropy quality scoring (operators/textstats.py:
+# unigram_cross_entropy): perplexity-proxy against the corpus's own
+# unigram LM. Per-term surprisal integer-izes to micronats; per-doc
+# sums are exact bigints (order-free), so both engines reproduce the
+# same bits without a fixed-order fold.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q81_unigram_xent",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                t -> t <> '')) AS token
+      FROM documents
+    ),
+    dc AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c_dt
+           FROM tok GROUP BY 1, 2),
+    census AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c_t
+               FROM tok GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM tok)
+    SELECT dc.doc_id,
+           CAST(SUM(dc.c_dt) AS BIGINT) AS n_tokens,
+           ROUND(-(CAST(SUM(dc.c_dt * CAST(ROUND(ln(CAST(census.c_t AS DOUBLE)
+                     / CAST(tot.n_corpus AS DOUBLE)) * 1e6) AS BIGINT)) AS DOUBLE)
+                   / 1e6)
+                 / CAST(SUM(dc.c_dt) AS DOUBLE), 6) AS xent
+    FROM dc JOIN census USING (token) CROSS JOIN tot
+    GROUP BY dc.doc_id
+    """,
+    tags=("llm", "quality", "perplexity"),
+)
+def q81_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return ts_ops.unigram_cross_entropy(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Q82 — sequence packing (operators/packing.py): documents packed into
+# 1024-token training sequences by running offset within md5-bucket
+# shards. Exact bigint arithmetic; per-shard windows, no global sort.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q82_pack_sequences",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id,
+             array_length(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                      t -> t <> '')) AS n_tok,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 4))::INTEGER) % 8
+               AS shard
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n_tok, shard,
+             CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT)
+               AS start
+      FROM sized
+    )
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, CAST(shard AS BIGINT) AS shard,
+           start // 1024 AS seq_id, start % 1024 AS "offset"
+    FROM cum
+    """,
+    tags=("llm", "packing"),
+)
+def q82_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.packing import pack_sequences
+    from us_immigration_data_lake_spark.operators.sampling import sample_bucket
+    from us_immigration_data_lake_spark.functions.text import token_count
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.lower(F.col("text"))).cast("long").alias("n_tok")
+    )
+    packed = pack_sequences(
+        docs, "doc_id", "n_tok", budget=1024,
+        shard_col=sample_bucket("doc_id", 8).cast("long"),
+    )
+    return packed.select("doc_id", "n_tok", "shard", "seq_id", "offset")
