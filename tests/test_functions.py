@@ -189,3 +189,27 @@ def test_weighted_sample_deterministic_and_weight_sensitive(spark):
     assert s1 == s2  # md5 clocks, not rand(): identical every run
     # the ten 1000x-weight items should dominate the top-10
     assert sum(1 for i in s1 if i >= 90) >= 8
+
+
+def test_resample_ffill_carries_last_value(spark):
+    from us_immigration_data_lake_spark.operators.windows import resample_fill
+
+    df = spark.createDataFrame(
+        [("a", 0, 10), ("a", 3, 40), ("b", 5, 1)], ["k", "slot", "v"]
+    )
+    got = {
+        (r.k, r.slot): r.v
+        for r in resample_fill(df, "k", "slot", {"v": "ffill"}, 1, "ffill").collect()
+    }
+    assert got == {("a", 0): 10, ("a", 1): 10, ("a", 2): 10, ("a", 3): 40, ("b", 5): 1}
+
+
+def test_resample_zero_fill_plugs_gaps(spark):
+    from us_immigration_data_lake_spark.operators.windows import resample_fill
+
+    df = spark.createDataFrame([("a", 0, 10), ("a", 2, 30)], ["k", "slot", "v"])
+    got = {
+        (r.k, r.slot): r.v
+        for r in resample_fill(df, "k", "slot", {"v": "zero"}, 1, "zero").collect()
+    }
+    assert got == {("a", 0): 10, ("a", 1): 0, ("a", 2): 30}

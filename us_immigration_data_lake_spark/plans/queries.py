@@ -3556,3 +3556,98 @@ def q82_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard_col=sample_bucket("doc_id", 8).cast("long"),
     )
     return packed.select("doc_id", "n_tok", "shard", "seq_id", "offset")
+
+
+# ---------------------------------------------------------------------------
+# Q83 — time-series resample + gap fill (operators/windows.py:
+# resample_fill): hourly per-type event counts densified to every hour
+# in each type's span, absent hours zero-filled. The dense axis is
+# generated per key (sequence+explode) — no driver calendar, no global
+# spine cross join.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q83_resample_zero_fill",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS slot,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT event_type, MIN(slot) AS lo, MAX(slot) AS hi
+             FROM agg GROUP BY 1),
+    dense AS (SELECT event_type, unnest(generate_series(lo, hi, 1)) AS slot
+              FROM span)
+    SELECT d.event_type, d.slot, COALESCE(a.n, 0) AS n
+    FROM dense d LEFT JOIN agg a USING (event_type, slot)
+    """,
+    tags=("timeseries", "resample", "window"),
+)
+def q83_resample_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.windows import resample_fill
+
+    _tune(spark)
+    ev = load_events(spark, sf_dir)
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias("slot"),
+        )
+        .groupBy("event_type", "slot")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return resample_fill(
+        hourly, "event_type", "slot", {"n": "zero"}, step=1, fill="zero"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q84 — retention cohorts: users grouped by first-activity week; for
+# each (cohort, week-offset), how many are still active. Two
+# aggregations and one key-shuffle join — the canonical product-
+# analytics rollup, exact integers throughout.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q84_retention_cohorts",
+    oracle="""
+    WITH weekly AS (
+      SELECT DISTINCT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS week
+      FROM events
+    ),
+    cohorts AS (SELECT user_id, MIN(week) AS cohort_week FROM weekly GROUP BY 1),
+    sizes AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+              FROM cohorts GROUP BY 1)
+    SELECT c.cohort_week,
+           w.week - c.cohort_week AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           s.cohort_size
+    FROM weekly w
+    JOIN cohorts c USING (user_id)
+    JOIN sizes s ON s.cohort_week = c.cohort_week
+    GROUP BY c.cohort_week, week_offset, s.cohort_size
+    """,
+    tags=("analytics", "cohort", "retention"),
+)
+def q84_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    ev = load_events(spark, sf_dir)
+    weekly = ev.select(
+        "user_id", F.expr("unix_micros(ts) div 604800000000").alias("week")
+    ).distinct()
+    cohorts = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    return (
+        weekly.join(cohorts, "user_id")
+        .join(F.broadcast(sizes), "cohort_week")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+            "cohort_size",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+        .select("cohort_week", "week_offset", "n_active", "cohort_size")
+    )
