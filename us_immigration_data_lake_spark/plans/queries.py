@@ -3389,7 +3389,11 @@ def q78_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
     )
     # rank check: #(x <= apx) must reach rank 0.5n - err and
-    # #(x < apx) must not exceed 0.5n + err, err = n/1000
+    # #(x < apx) must not exceed 0.5n + err. err = n/1000 + 1: the
+    # eps*n sketch bound plus one rank of slack, because the sketch
+    # returns a discrete element and its rank convention (floor vs
+    # ceil of p*n, 0- vs 1-based) can sit one position off the
+    # continuous target — observed at n=514 (rank 256 vs target 257).
     ranked = (
         orders.join(F.broadcast(sketch), "o_orderstatus")
         .groupBy("o_orderstatus", "n")
@@ -3398,7 +3402,7 @@ def q78_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("total_c") < F.col("apx")).cast("long")).alias("lt"),
         )
     )
-    err = F.col("n") / 1000.0
+    err = F.col("n") / 1000.0 + 1.0
     target = F.col("n") * 0.5
     return ranked.select(
         "o_orderstatus",
