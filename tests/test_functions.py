@@ -199,7 +199,7 @@ def test_resample_ffill_carries_last_value(spark):
     )
     got = {
         (r.k, r.slot): r.v
-        for r in resample_fill(df, "k", "slot", {"v": "ffill"}, 1, "ffill").collect()
+        for r in resample_fill(df, "k", "slot", {"v": "ffill"}, 1).collect()
     }
     assert got == {("a", 0): 10, ("a", 1): 10, ("a", 2): 10, ("a", 3): 40, ("b", 5): 1}
 
@@ -210,6 +210,28 @@ def test_resample_zero_fill_plugs_gaps(spark):
     df = spark.createDataFrame([("a", 0, 10), ("a", 2, 30)], ["k", "slot", "v"])
     got = {
         (r.k, r.slot): r.v
-        for r in resample_fill(df, "k", "slot", {"v": "zero"}, 1, "zero").collect()
+        for r in resample_fill(df, "k", "slot", {"v": "zero"}, 1).collect()
     }
     assert got == {("a", 0): 10, ("a", 1): 0, ("a", 2): 30}
+
+
+def test_resample_fill_rejects_off_grid_slots_when_stepped(spark):
+    import pytest
+    from pyspark.sql.utils import PythonException
+    from py4j.protocol import Py4JJavaError
+    from us_immigration_data_lake_spark.operators.windows import resample_fill
+
+    df = spark.createDataFrame([("a", 0, 1), ("a", 5, 2)], ["k", "slot", "v"])
+    with pytest.raises(Exception) as exc:
+        resample_fill(df, "k", "slot", {"v": "zero"}, step=2).collect()
+    assert "off the step-2 grid" in str(exc.value)
+
+
+def test_weighted_sample_rejects_nonpositive_weights(spark):
+    import pytest
+    from us_immigration_data_lake_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame([(1, 1.0), (2, -3.0)], ["id", "w"])
+    with pytest.raises(Exception) as exc:
+        weighted_sample(df, "id", "w", 1).collect()
+    assert "weights must be > 0" in str(exc.value)

@@ -591,7 +591,7 @@ def postings_jaccard_pairs(
 
     Input: ``shingled`` as produced by ``shingles()`` — (id_col,
     shingles array, plus any blocking cols the caller joined in).
-    Output: (id1, id2, jaccard) with id1 < id2, jaccard > min_jaccard
+    Output: (id1, id2, jaccard) with id1 < id2, jaccard >= min_jaccard
     when min_jaccard > 0 (pairs with zero shared shingles never
     appear, matching the all-pairs form's inter > 0 filter).
     """

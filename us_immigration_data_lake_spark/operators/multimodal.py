@@ -158,6 +158,8 @@ def audio_feature_table(media: DataFrame) -> DataFrame:
         for pdf in it:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                if blob is None:  # null payload: no row, not a crash
+                    continue
                 rate, samples = decode_audio(bytes(blob))
                 feats = codecs.audio_features(rate, samples)
                 rows.append((int(mid), rate, len(samples), feats))

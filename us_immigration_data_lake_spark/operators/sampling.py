@@ -62,7 +62,12 @@ def weighted_sample(
     (TakeOrderedAndProject) — no shuffle beyond the k-row reduce.
     """
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
-    t = -F.log(hash_uniform(id_col)) / w.cast("double")
+    # plan-embedded guard: a weight <= 0 silently inverts the scheme
+    # (negative clocks sort first), so fail the job instead
+    w = F.when(w > 0, w.cast("double")).otherwise(
+        F.raise_error(F.lit("weighted_sample: weights must be > 0"))
+    )
+    t = -F.log(hash_uniform(id_col)) / w
     return (
         df.withColumn("__t", t)
         .orderBy(F.asc("__t"), F.asc(id_col))

@@ -611,9 +611,11 @@ def unigram_cross_entropy(
     rounded IEEE computation on identical inputs in any engine — and
     the per-doc sum is exact bigint arithmetic, order-free.
 
-    Scale: one explode of the tokenized corpus, two partial-aggregated
-    groupBys (doc-term and census), a key-shuffle join on token, one
-    groupBy on the doc id. No window, no driver materialization.
+    Scale: ONE explode/tokenize pass — census and corpus total derive
+    from the doc-term counts (sum of exact bigints, identical values),
+    so the raw text is scanned once, not three times. Then a
+    key-shuffle join on token and one groupBy on the doc id. No
+    window, no driver materialization.
     """
     tok = df.select(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
@@ -621,10 +623,10 @@ def unigram_cross_entropy(
     doc_counts = tok.groupBy(id_col, "token").agg(
         F.count(F.lit(1)).cast("long").alias("c_dt")
     )
-    census = tok.groupBy("token").agg(
-        F.count(F.lit(1)).cast("long").alias("c_t")
+    census = doc_counts.groupBy("token").agg(
+        F.sum("c_dt").cast("long").alias("c_t")
     )
-    n_total = tok.select(F.count(F.lit(1)).cast("long").alias("n_corpus"))
+    n_total = census.select(F.sum("c_t").cast("long").alias("n_corpus"))
     surprisal_micro = F.round(
         F.log(F.col("c_t").cast("double") / F.col("n_corpus").cast("double"))
         * 1e6

@@ -48,13 +48,13 @@ def resample_fill(
     key_col: str,
     slot_col: str,
     value_cols: dict[str, str],
-    step: int,
-    fill: str = "zero",
+    step: int = 1,
 ) -> DataFrame:
     """Time-series resampling: densify each key's integer slot axis to
-    every ``step`` between its min and max slot, then fill the gaps —
-    ``fill='zero'`` (absent slot → 0) or ``fill='ffill'`` (carry the
-    last observed value forward).
+    every ``step`` between its min and max slot, then fill the gaps.
+    ``value_cols`` maps each value column to its fill mode —
+    ``'zero'`` (absent slot → 0) or ``'ffill'`` (carry the last
+    observed value forward); columns can mix modes.
 
     The dense axis is generated per key with sequence+explode (no
     driver-side calendar, no cross join against a global spine — each
@@ -63,9 +63,17 @@ def resample_fill(
     sort-shuffle on the key, which survives wide keys because no state
     crosses keys.
 
-    ``value_cols``: {column: aggregate-less passthrough} mapping of
-    value column -> fill mode override (currently all share ``fill``).
+    Observed slots must sit on each key's ``lo + k*step`` grid when
+    step > 1 — an off-grid row would silently miss the dense-axis join
+    and vanish, so the plan embeds a raise_error guard (per-row modulo
+    check, no extra pass) that fails the job instead.
     """
+    for c, mode in value_cols.items():
+        if mode not in ("zero", "ffill"):
+            raise ValueError(
+                f"unknown fill mode {mode!r} for column {c!r}: "
+                "use 'zero' or 'ffill'"
+            )
     spans = df.groupBy(key_col).agg(
         F.min(slot_col).alias("__lo"), F.max(slot_col).alias("__hi")
     )
@@ -75,30 +83,39 @@ def resample_fill(
             F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step))
         ).alias(slot_col),
     )
-    joined = dense.join(df, on=[key_col, slot_col], how="left")
-    if fill == "zero":
-        out = joined.select(
-            key_col,
+    src = df
+    if step > 1:
+        # guard wraps the JOIN KEY itself (un-prunable, q24's pattern):
+        # an off-grid slot fails the job instead of silently vanishing
+        lo = F.min(slot_col).over(Window.partitionBy(key_col))
+        src = df.withColumn(
             slot_col,
-            *[
-                F.coalesce(F.col(c), F.lit(0).cast(joined.schema[c].dataType)).alias(c)
-                for c in value_cols
-            ],
+            F.when(
+                (F.col(slot_col) - lo) % step == 0, F.col(slot_col)
+            ).otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "resample_fill: slot %s is off the step-"
+                        + str(step) + " grid for its key",
+                        F.col(slot_col).cast("string"),
+                    )
+                )
+            ),
         )
-    elif fill == "ffill":
-        w = (
-            Window.partitionBy(key_col)
-            .orderBy(slot_col)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        out = joined.select(
-            key_col,
-            slot_col,
-            *[
-                F.last(F.col(c), ignorenulls=True).over(w).alias(c)
-                for c in value_cols
-            ],
-        )
-    else:
-        raise ValueError(f"unknown fill mode {fill!r}: use 'zero' or 'ffill'")
-    return out
+    joined = dense.join(src, on=[key_col, slot_col], how="left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(slot_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = []
+    for c, mode in value_cols.items():
+        if mode == "zero":
+            filled.append(
+                F.coalesce(
+                    F.col(c), F.lit(0).cast(joined.schema[c].dataType)
+                ).alias(c)
+            )
+        else:
+            filled.append(F.last(F.col(c), ignorenulls=True).over(w).alias(c))
+    return joined.select(key_col, slot_col, *filled)

@@ -3160,7 +3160,13 @@ def q73_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _tune(spark)
     stream = read_event_stream(spark, sf_dir)
-    deduped = stream_dedup(stream, ["user_id", "event_type"], watermark="1 hour")
+    # watermark wider than the testdata's event-time span: state is
+    # never evicted mid-run, so the result equals batch DISTINCT even
+    # if the source arrives as many files / micro-batches (a 1h delay
+    # would re-emit keys recurring later than 1h across batches)
+    deduped = stream_dedup(
+        stream, ["user_id", "event_type"], watermark="8760 hours"
+    )
     return run_to_memory(deduped, _sink_name("q73_dedup"), mode="append")
 
 
@@ -3169,9 +3175,12 @@ def q73_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # contract. The sketch estimate itself is engine-specific (Spark HLL++
 # vs DuckDB's), so raw estimates can never hash-match across engines;
 # what IS portable is the accuracy contract. The query emits the exact
-# count plus a boolean asserting the sketch landed within 5% (2.5x the
-# requested 2% rsd); the oracle asserts the same contract as literal
-# TRUE. At 100 TB the sketch is the only affordable distinct: fixed
+# count plus a boolean asserting the sketch landed within 5% — 5 sigma
+# of the requested 1% rsd, so a regenerated testdata set breaches it
+# with probability ~1e-6 per group (2% rsd made 5% only 2.5 sigma:
+# ~1% per group per regeneration, a flaky gate); the oracle asserts
+# the same contract as literal TRUE. At 100 TB the sketch is the only
+# affordable distinct: fixed
 # ~kB of state per group, partial-aggregated map-side, vs a full
 # shuffle of every distinct key for the exact count.
 # ---------------------------------------------------------------------------
@@ -3191,7 +3200,7 @@ def q74_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     agg = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("n_users_exact"),
-        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx"),
     )
     return agg.select(
         "event_type",
@@ -3600,9 +3609,7 @@ def q83_resample_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "slot")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    return resample_fill(
-        hourly, "event_type", "slot", {"n": "zero"}, step=1, fill="zero"
-    )
+    return resample_fill(hourly, "event_type", "slot", {"n": "zero"}, step=1)
 
 
 # ---------------------------------------------------------------------------

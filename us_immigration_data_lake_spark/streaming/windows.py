@@ -99,7 +99,15 @@ def stream_dedup(
     The emitted row per key is whichever instance arrived first, which
     depends on file/batch order — so callers wanting a deterministic,
     oracle-checkable result must project to columns that are identical
-    across a key's duplicates (here: the keys themselves)."""
+    across a key's duplicates (here: the keys themselves).
+
+    Dedup is exact only WITHIN the watermark: a key recurring more
+    than ``watermark`` of event time after its state was evicted is
+    re-emitted. That is the contract at scale (bounded state buys
+    bounded memory); a caller comparing against batch DISTINCT over a
+    finite multi-batch source must set ``watermark`` wider than the
+    source's event-time span so no state is evicted mid-run (q73 does
+    exactly this)."""
     return (
         stream.withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(keys)
