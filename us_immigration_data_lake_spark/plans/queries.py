@@ -3662,3 +3662,104 @@ def q84_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
         .select("cohort_week", "week_offset", "n_active", "cohort_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q85 — correlation/covariance from EXACT moments. Built-in corr()/
+# covar_samp() accumulate doubles in partial-aggregate order
+# (run-dependent last ulps, un-oracle-able); instead the five moments
+# sum as DECIMAL(38,0) — exact in both engines at any scale, no int64
+# overflow — and the statistics are a fixed double formula over the
+# exact moments (identical bits everywhere).
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q85_exact_corr",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ROUND(l_extendedprice*100) AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT)) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(ROUND(l_extendedprice*100) AS HUGEINT)
+                      * CAST(ROUND(l_extendedprice*100) AS HUGEINT)) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS HUGEINT)
+                      * CAST(ROUND(l_extendedprice*100) AS HUGEINT)) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           ROUND((n * sxy - sx * sy) / (n * (n - 1)), 6) AS covar_samp_c,
+           ROUND((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr
+    FROM m
+    """,
+    tags=("agg", "statistics"),
+)
+def q85_exact_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("decimal(38,0)").alias("x"),
+        _cents(F.col("l_extendedprice")).cast("decimal(38,0)").alias("y"),
+    )
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.round(num / (F.col("n") * (F.col("n") - 1)), 6).alias("covar_samp_c"),
+        F.round(
+            num
+            / (
+                F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("corr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q86 — FILTER-clause conditional aggregation: several differently-
+# filtered aggregates in ONE pass over the fact table (the idiom that
+# replaces N self-joins with N when() branches inside one shuffle).
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q86_conditional_aggs",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
+           CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+                FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS finished_revenue_c,
+           CAST(COUNT(DISTINCT o_custkey) FILTER (WHERE o_orderstatus <> 'P') AS BIGINT)
+             AS n_custs_not_pending
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "conditional", "sql"),
+)
+def q86_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    orders = _t(spark, sf_dir, "orders")
+    total_c = _cents(F.col("o_totalprice"))
+    is_f = F.col("o_orderstatus") == "F"
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_if(is_f).alias("n_finished"),
+        F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
+        F.sum(F.when(is_f, total_c)).alias("finished_revenue_c"),
+        F.count_distinct(
+            F.when(F.col("o_orderstatus") != "P", F.col("o_custkey"))
+        ).alias("n_custs_not_pending"),
+    )
