@@ -151,3 +151,23 @@ def test_i94_visa_literal():
     from us_immigration_data_lake_spark.sources import I94_VISA_CATEGORIES
 
     assert I94_VISA_CATEGORIES == {1: "Business", 2: "Pleasure", 3: "Student"}
+
+
+def test_observe_quality_counts_without_extra_pass(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from us_immigration_data_lake_spark.quality import observe_quality
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None)], ["id", "v"]
+    )
+    observed, obs = observe_quality(
+        df,
+        {
+            "rows": F.count(F.lit(1)),
+            "null_v": F.count_if(F.col("v").isNull()),
+            "max_id": F.max("id"),
+        },
+    )
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    assert got == {"rows": 4, "null_v": 2, "max_id": 4}

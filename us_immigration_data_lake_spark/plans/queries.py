@@ -3763,3 +3763,48 @@ def q86_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("o_orderstatus") != "P", F.col("o_custkey"))
         ).alias("n_custs_not_pending"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q87 — blocked fuzzy matching via edit distance: candidate pairs form
+# only inside a blocking key (nation), then exact Levenshtein filters
+# — the standard entity-resolution shape (block → compare → match).
+# All-pairs-within-block is the comparison stage's cost model; at
+# scale the blocking key is what keeps it subquadratic.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q87_fuzzy_name_match",
+    oracle="""
+    WITH c AS (SELECT c_custkey, c_name, c_nationkey FROM customer
+               WHERE c_custkey < 100)
+    SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
+    FROM c a JOIN c b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+    tags=("join", "fuzzy", "entity-resolution"),
+)
+def q87_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100).select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    a = cust.select(
+        F.col("c_custkey").alias("id1"),
+        F.col("c_name").alias("n1"),
+        "c_nationkey",
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("id2"),
+        F.col("c_name").alias("n2"),
+        "c_nationkey",
+    )
+    return (
+        a.join(b, on="c_nationkey")
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("edit_dist", F.levenshtein("n1", "n2").cast("long"))
+        .filter(F.col("edit_dist") <= 2)
+        .select("id1", "id2", "edit_dist")
+    )

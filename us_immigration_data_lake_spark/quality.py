@@ -116,3 +116,20 @@ def assert_all(results: list[CheckResult]) -> None:
     if failed:
         lines = "; ".join(f"{r.table}/{r.check}: {r.detail}" for r in failed)
         raise ValueError(f"quality checks failed: {lines}")
+
+
+def observe_quality(df: DataFrame, checks: dict):
+    """Piggyback quality counters on a job with ``df.observe`` — the
+    metrics accumulate DURING whatever action the caller runs next
+    (write, count, collect), so profiling 100 TB costs zero extra
+    passes (profile_table, by contrast, is its own aggregate job).
+
+    ``checks``: name -> aggregate Column (e.g. F.count_if(c.isNull())).
+    Returns (observed_df, observation); after the caller's action,
+    ``observation.get`` yields {name: value}.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    named = [expr.alias(name) for name, expr in checks.items()]
+    return df.observe(obs, *named), obs
