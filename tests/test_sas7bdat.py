@@ -137,3 +137,23 @@ def test_read_sas_driver_limit(spark, sas_dir):
     path = str(sorted(sas_dir.glob("*.sas7bdat"))[0])
     with pytest.raises(ValueError, match="read_sas_distributed"):
         read_sas(spark, path, driver_side_limit_mb=0)
+
+
+def test_python_datasource_matches_distributed_reader(spark, sas_dir):
+    from us_immigration_data_lake_spark.sources.sas_datasource import (
+        register_sas_datasource,
+    )
+
+    register_sas_datasource(spark)
+    via_ds = (
+        spark.read.format("sas7bdat")
+        .option("chunksize", 200)
+        .load(str(sas_dir))
+    )
+    via_map = read_sas_distributed(spark, str(sas_dir))
+    assert via_ds.schema == via_map.schema
+    # one input partition per file
+    assert via_ds.rdd.getNumPartitions() == 3
+    a = sorted(map(tuple, via_ds.collect()))
+    b = sorted(map(tuple, via_map.collect()))
+    assert a == b and len(a) == 1500
