@@ -3808,3 +3808,87 @@ def q87_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 2)
         .select("id1", "id2", "edit_dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q88 — share-of-total (ratio-to-report): each (priority, status)
+# cell's revenue as a share of its priority's total, via a window sum
+# over the aggregated frame. Sums are exact bigint cents; the share is
+# one double division of identical operands.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q88_revenue_share",
+    oracle="""
+    WITH cell AS (
+      SELECT o_orderpriority, o_orderstatus,
+             CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderpriority, o_orderstatus, rev_c,
+           ROUND(CAST(rev_c AS DOUBLE) /
+                 CAST(SUM(rev_c) OVER (PARTITION BY o_orderpriority) AS DOUBLE), 6)
+             AS share_of_priority
+    FROM cell
+    """,
+    tags=("window", "ratio", "analytics"),
+)
+def q88_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    _tune(spark)
+    orders = _t(spark, sf_dir, "orders")
+    cell = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.sum(_cents(F.col("o_totalprice"))).alias("rev_c")
+    )
+    w = Window.partitionBy("o_orderpriority")
+    return cell.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "rev_c",
+        F.round(
+            F.col("rev_c").cast("double") / F.sum("rev_c").over(w).cast("double"), 6
+        ).alias("share_of_priority"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q89 — value-positional window functions (first_value, last_value,
+# nth_value) over an explicit running frame — the remaining ranking-
+# family coverage beyond q33's lag/row_number and q75's rank suite.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q89_positional_windows",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c,
+           first_value(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER w AS first_c,
+           last_value(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER w AS running_last_c,
+           nth_value(CAST(ROUND(o_totalprice*100) AS BIGINT), 2) OVER w AS second_c
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "positional"),
+)
+def q89_positional_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    _tune(spark)
+    orders = _t(spark, sf_dir, "orders")
+    total_c = _cents(F.col("o_totalprice"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.to_date("o_orderdate"), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        total_c.alias("total_c"),
+        F.first_value(total_c).over(w).alias("first_c"),
+        F.last_value(total_c).over(w).alias("running_last_c"),
+        F.nth_value(total_c, 2).over(w).alias("second_c"),
+    )
