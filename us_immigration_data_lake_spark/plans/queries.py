@@ -3892,3 +3892,45 @@ def q89_positional_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last_value(total_c).over(w).alias("running_last_c"),
         F.nth_value(total_c, 2).over(w).alias("second_c"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q90 — order-independent table checksum: per-row md5-derived bigint,
+# summed exactly (DECIMAL(38) — no overflow, no ordering sensitivity
+# because integer addition is commutative). The reconciliation
+# primitive: comparing two 100 TB copies costs one map + one scalar
+# reduce on each side, no sort, no shuffle of data rows — and any
+# single-row difference changes the sum. Grouped by l_returnflag so
+# a mismatch also localizes.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q90_table_checksum",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(('0x' || substr(md5(
+                 CAST(l_orderkey AS VARCHAR) || '|' ||
+                 CAST(l_linenumber AS VARCHAR) || '|' ||
+                 CAST(CAST(ROUND(l_extendedprice*100) AS BIGINT) AS VARCHAR)
+               ), 1, 12))::BIGINT) AS VARCHAR) AS checksum
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("quality", "checksum", "reconciliation"),
+)
+def q90_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    row_key = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        _cents(F.col("l_extendedprice")).cast("string"),
+    )
+    row_hash = F.conv(F.substring(F.md5(row_key), 1, 12), 16, 10).cast(
+        "decimal(38,0)"
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(row_hash).cast("string").alias("checksum"),
+    )
