@@ -14,6 +14,11 @@ from us_immigration_data_lake_spark.sources.sas import (
     sas_schema,
 )
 from us_immigration_data_lake_spark.sources.sas7bdat_writer import write_sas7bdat
+from us_immigration_data_lake_spark.sources.sas_datasource import register_sas_datasource
+from us_immigration_data_lake_spark.sources.events import (
+    load_events,
+    read_event_stream,
+)
 from us_immigration_data_lake_spark.sources.writers import write_parquet
 from us_immigration_data_lake_spark.sources.catalog import Catalog, TESTDATA_TABLES
 
@@ -26,6 +31,9 @@ __all__ = [
     "read_sas_distributed",
     "sas_schema",
     "write_sas7bdat",
+    "register_sas_datasource",
+    "load_events",
+    "read_event_stream",
     "read_sas_labels",
     "parse_sas_format_blocks",
     "I94_VISA_CATEGORIES",
