@@ -298,3 +298,71 @@ def test_stream_dedup_collapses_planted_duplicates(spark, tmp_path):
     want = src.select("user_id", "event_type").distinct().collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
     assert len(got) == len(set(map(tuple, got)))  # no key emitted twice
+
+
+def test_windowed_agg_state_survives_restart(spark, tmp_path):
+    """Aggregation STATE recovery: a watermarked tumbling agg runs to a
+    parquet sink with a checkpoint, new files arrive, a SECOND
+    availableNow run resumes from the checkpoint — emitted windows
+    across both runs must equal the batch computation over all data
+    restricted to watermark-closed windows, with no duplicates (each
+    window emitted exactly once, by whichever run closed it)."""
+    from us_immigration_data_lake_spark.streaming.windows import (
+        tumbling_agg_append,
+    )
+
+    ev = load_events(spark, SF).orderBy("ts")
+    total = ev.count()
+    first, second = ev.limit(total // 2), ev.subtract(ev.limit(total // 2))
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    first.coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+        )
+        q = (
+            tumbling_agg_append(stream, "1 hour", watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    second.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    got = sorted(map(tuple, spark.read.parquet(sink).collect()))
+    # batch equivalent: all windows whose end <= max(ts) - watermark,
+    # PLUS any window already emitted by run 1's earlier watermark --
+    # emitted-once semantics means run 2 never re-emits them. Closed
+    # windows of run 1 are a subset of run 2's (watermark advances), so
+    # the union is exactly run 2's closed-window set.
+    batch = (
+        load_events(spark, SF)
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_c"),
+        )
+    )
+    max_ts = load_events(spark, SF).agg(F.max("ts")).collect()[0][0]
+    closed = batch.filter(
+        F.col("w.end") <= F.lit(max_ts) - F.expr("interval 1 hour")
+    ).select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        "value_c",
+    )
+    want = sorted(map(tuple, closed.collect()))
+    assert got == want
+    assert len(got) == len({(r[0], r[1]) for r in got})  # no window twice
