@@ -311,9 +311,19 @@ def test_windowed_agg_state_survives_restart(spark, tmp_path):
         tumbling_agg_append,
     )
 
-    ev = load_events(spark, SF).orderBy("ts")
+    from pyspark.sql.window import Window as W
+
+    ev = load_events(spark, SF)
     total = ev.count()
-    first, second = ev.limit(total // 2), ev.subtract(ev.limit(total // 2))
+    # split must be BOTH time-ordered (run 2's rows would otherwise be
+    # beyond-watermark late data and get dropped) and deterministic
+    # (orderBy+limit re-evaluates with arbitrary tie order; subtract
+    # drops duplicates) — rank on (ts, event_id), unique tiebreak
+    ranked = ev.withColumn(
+        "__rn", F.row_number().over(W.orderBy("ts", "event_id"))
+    )
+    first = ranked.filter(F.col("__rn") <= total // 2).drop("__rn")
+    second = ranked.filter(F.col("__rn") > total // 2).drop("__rn")
     src = str(tmp_path / "src")
     sink = str(tmp_path / "sink")
     ckpt = str(tmp_path / "ckpt")

@@ -42,6 +42,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
+def list_sas_files(path_or_paths) -> list[str]:
+    """Resolve a file path, directory (non-recursive ``*.sas7bdat``
+    scan), or explicit iterable of paths to a sorted file list —
+    shared by the mapInPandas reader and the Python DataSource so the
+    listing/validation rules cannot drift apart."""
+    if isinstance(path_or_paths, str):
+        if os.path.isdir(path_or_paths):
+            files = sorted(
+                os.path.join(path_or_paths, f)
+                for f in os.listdir(path_or_paths)
+                if f.endswith(".sas7bdat")
+            )
+        else:
+            files = [path_or_paths]
+    else:
+        files = sorted(path_or_paths)
+    if not files:
+        raise ValueError(f"no .sas7bdat files under {path_or_paths!r}")
+    return files
+
+
 def sas_schema(path: str) -> T.StructType:
     """Spark schema for a sas7bdat file, from its metadata only.
 
@@ -96,19 +117,7 @@ def read_sas_distributed(
     executor memory stays bounded because the parser yields
     ``chunksize`` rows at a time, never the whole file.
     """
-    if isinstance(paths, str):
-        if os.path.isdir(paths):
-            files = sorted(
-                os.path.join(paths, f)
-                for f in os.listdir(paths)
-                if f.endswith(".sas7bdat")
-            )
-        else:
-            files = [paths]
-    else:
-        files = sorted(paths)
-    if not files:
-        raise ValueError("no .sas7bdat files to read")
+    files = list_sas_files(paths)
 
     if schema is None:
         schema = sas_schema(files[0])

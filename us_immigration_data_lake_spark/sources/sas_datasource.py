@@ -18,25 +18,19 @@ exactly the files this source parallelizes file-per-task.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
-from us_immigration_data_lake_spark.sources.sas import sas_schema
+from us_immigration_data_lake_spark.sources.sas import list_sas_files, sas_schema
 
 
-def _list_files(path: str) -> list[str]:
-    if os.path.isdir(path):
-        files = sorted(
-            os.path.join(path, f)
-            for f in os.listdir(path)
-            if f.endswith(".sas7bdat")
-        )
-    else:
-        files = [path]
-    if not files:
-        raise ValueError(f"no .sas7bdat files under {path!r}")
-    return files
+def _path_option(options) -> str:
+    try:
+        return options["path"]
+    except KeyError:
+        raise ValueError(
+            "sas7bdat source requires a path: "
+            "spark.read.format('sas7bdat').load('/dir/of/files')"
+        ) from None
 
 
 class SasDataSource(DataSource):
@@ -48,7 +42,7 @@ class SasDataSource(DataSource):
         return "sas7bdat"
 
     def schema(self):
-        return sas_schema(_list_files(self.options["path"])[0])
+        return sas_schema(list_sas_files(_path_option(self.options))[0])
 
     def reader(self, schema) -> "SasReader":
         return SasReader(self.options, schema)
@@ -56,7 +50,7 @@ class SasDataSource(DataSource):
 
 class SasReader(DataSourceReader):
     def __init__(self, options, schema):
-        self._files = _list_files(options["path"])
+        self._files = list_sas_files(_path_option(options))
         self._chunksize = int(options.get("chunksize", 100_000))
         self._names = [f.name for f in schema.fields]
         self._schema = schema
