@@ -3982,3 +3982,65 @@ def q91_batch_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q92 — IVF ANN (operators/similarity.py:ivf_knn) as a gate query:
+# literal centroids (seed-fixed, like q24's plane matrix) embed in the
+# oracle as full-precision repr literals; cell assignment replays via
+# the same struct-sort tiebreak (neg sim, cell) and scoring via
+# DuckDB's list_cosine_similarity, which q24 established is
+# fold-identical to the engine's aggregate/zip_with cosine. In-engine
+# k-means training stays test-verified (its oracle would require
+# k-means in SQL); THIS row proves the search path end-to-end.
+# ---------------------------------------------------------------------------
+
+def _q92_centroids() -> list[list[float]]:
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    return [[float(x) for x in row] for row in rng.randn(4, EMBEDDING_DIM)]
+
+
+def _q92_oracle_sql() -> str:
+    cents = _q92_centroids()
+
+    def lit_list(c: list[float]) -> str:
+        return "[" + ", ".join(f"({x!r})" for x in c) + "]"
+
+    negs = ", ".join(
+        "{'neg': -list_cosine_similarity(v, " + lit_list(c) + "), 'cell': " + str(i) + "}"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ranked AS (SELECT vec_id, v, list_sort([{negs}]) AS cells FROM base),
+    c AS (SELECT vec_id AS neighbor_id, v AS cv, cells[1].cell AS cell FROM ranked),
+    q AS (SELECT vec_id AS query_id, v AS qv, unnest([cells[1].cell, cells[2].cell]) AS cell
+          FROM ranked WHERE vec_id % 100 = 3),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             ROUND(list_cosine_similarity(q.qv, c.cv), 6) AS cosine_sim
+      FROM q JOIN c USING (cell)
+      WHERE q.query_id != c.neighbor_id),
+    topk AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine_sim DESC, neighbor_id) AS rn
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine_sim FROM topk WHERE rn <= 3
+    """
+
+
+@_register(
+    "q92_ivf_knn",
+    oracle=_q92_oracle_sql(),
+    tags=("similarity", "ivf", "ann"),
+)
+def q92_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 3)
+    return sim_ops.ivf_knn(
+        emb, queries, "vec_id", "embedding", k=3,
+        centroids=_q92_centroids(), nprobe=2,
+    )
