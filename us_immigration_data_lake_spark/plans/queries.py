@@ -4044,3 +4044,42 @@ def q92_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, "vec_id", "embedding", k=3,
         centroids=_q92_centroids(), nprobe=2,
     )
+
+
+# ---------------------------------------------------------------------------
+# Q93 — deterministic argmax per group: max(struct(value, tiebreak))
+# resolves ties by the unique key inside the ordering itself, unlike
+# max_by/arg_max whose tie choice is engine-/order-dependent. One
+# partial-aggregated groupBy — the scale-correct "top row per key"
+# when k=1 (no window sort needed).
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q93_argmax_order",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(max({'c': CAST(ROUND(o_totalprice*100) AS BIGINT), 'k': o_orderkey}).c
+                AS BIGINT) AS top_total_c,
+           CAST(max({'c': CAST(ROUND(o_totalprice*100) AS BIGINT), 'k': o_orderkey}).k
+                AS BIGINT) AS top_orderkey,
+           CAST(min({'c': CAST(ROUND(o_totalprice*100) AS BIGINT), 'k': o_orderkey}).k
+                AS BIGINT) AS bottom_orderkey
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg", "argmax"),
+)
+def q93_argmax_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    orders = _t(spark, sf_dir, "orders")
+    pair = F.struct(
+        _cents(F.col("o_totalprice")).alias("c"), F.col("o_orderkey").alias("k")
+    )
+    agg = orders.groupBy("o_orderstatus").agg(
+        F.max(pair).alias("hi"), F.min(pair).alias("lo")
+    )
+    return agg.select(
+        "o_orderstatus",
+        F.col("hi.c").alias("top_total_c"),
+        F.col("hi.k").alias("top_orderkey"),
+        F.col("lo.k").alias("bottom_orderkey"),
+    )
