@@ -1010,6 +1010,10 @@ def _q24_oracle_sql() -> str:
     "q24_srp_lsh_knn",
     oracle=_q24_oracle_sql(),
     tags=("similarity", "lsh"),
+    # Headliner since r4: the bench must measure the ANN plan you'd
+    # run at 100 TB (bucketed signature equi-join, not O(n·q)).
+    # q22 stays in the set as the labeled brute-force baseline.
+    bench=True,
 )
 def q24_srp_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tune(spark)
@@ -3007,6 +3011,13 @@ def q69_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q70 — int8 embedding quantization (operators/quantize.py): symmetric
 # per-vector scale, round-half-up, exact integer squared norm. Pure
 # map-side array expressions — zero shuffles.
+#
+# Gate contract: the driver canonicalizes results with pandas
+# sort_values, which cannot hash ARRAY columns (r3's one red row:
+# "unhashable type: 'list'"). So the gate query exports the array as
+# an md5 digest of its comma-joined elements — computed identically
+# on both sides — alongside the hashable scalars; the raw-array
+# operator output stays pytest-verified in tests/test_quantize.py.
 # ---------------------------------------------------------------------------
 
 from us_immigration_data_lake_spark.operators.quantize import (  # noqa: E402
@@ -3037,7 +3048,9 @@ from us_immigration_data_lake_spark.operators.quantize import (  # noqa: E402
              list_transform(e, x -> CAST(floor(x * scale + 0.5) AS INTEGER)) AS qvec
       FROM s
     )
-    SELECT vec_id, scale, qvec,
+    SELECT vec_id, scale,
+           md5(array_to_string(qvec, ',')) AS qvec_md5,
+           CAST(len(qvec) AS BIGINT) AS dim,
            CAST(list_sum(list_transform(qvec, x -> CAST(x AS BIGINT) * x))
                 AS BIGINT) AS sq_norm
     FROM q
@@ -3047,7 +3060,18 @@ from us_immigration_data_lake_spark.operators.quantize import (  # noqa: E402
 def q70_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tune(spark)
     emb = _t(spark, sf_dir, "embeddings")
-    return quantize_int8(emb, "vec_id", "embedding")
+    quantized = quantize_int8(emb, "vec_id", "embedding")
+    return quantized.select(
+        "vec_id",
+        "scale",
+        F.md5(
+            F.concat_ws(
+                ",", F.transform(F.col("qvec"), lambda x: x.cast("string"))
+            )
+        ).alias("qvec_md5"),
+        F.size("qvec").cast("long").alias("dim"),
+        "sq_norm",
+    )
 
 
 # ---------------------------------------------------------------------------
