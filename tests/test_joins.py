@@ -96,3 +96,44 @@ def test_binned_range_join_is_not_nested_loop(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+
+
+def test_binned_range_join_beyond_double_precision(spark):
+    """Epoch-nano-scale keys (>= 2^53, where DOUBLE can no longer
+    represent every integer) must still bin exactly: points one unit
+    inside/outside the interval bounds resolve correctly."""
+    from us_immigration_data_lake_spark.operators.joins import binned_range_join
+
+    base = 2**60  # far past double's 2^53 integer limit
+    points = spark.createDataFrame(
+        [(1, base), (2, base + 1), (3, base + 999), (4, base + 1000), (5, base - 1)],
+        ["pid", "p"],
+    )
+    intervals = spark.createDataFrame(
+        [(10, base, base + 1000)], ["iid", "lo", "hi"]
+    )
+    got = sorted(
+        r.pid
+        for r in binned_range_join(
+            points, intervals, "p", "lo", "hi", bin_width=64
+        ).collect()
+    )
+    assert got == [1, 2, 3]  # hi exclusive drops pid=4; pid=5 below lo
+
+
+def test_binned_range_join_negative_points(spark):
+    """Floor (not truncate-toward-zero) semantics for negative keys:
+    -1 with width 10 lands in bin -1, matching the interval [-5, 5)."""
+    from us_immigration_data_lake_spark.operators.joins import binned_range_join
+
+    points = spark.createDataFrame(
+        [(1, -1), (2, -5), (3, -6), (4, 4), (5, 5)], ["pid", "p"]
+    )
+    intervals = spark.createDataFrame([(10, -5, 5)], ["iid", "lo", "hi"])
+    got = sorted(
+        r.pid
+        for r in binned_range_join(
+            points, intervals, "p", "lo", "hi", bin_width=10
+        ).collect()
+    )
+    assert got == [1, 2, 4]

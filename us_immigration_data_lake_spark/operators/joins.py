@@ -200,15 +200,29 @@ def binned_range_join(
     while bin-only would pair every key in the bucket and filter later
     (quadratic in bucket population at scale).
     """
-    lb = left.withColumn("__bin", F.floor(F.col(point_col) / F.lit(bin_width)))
+
+    w = int(bin_width)
+
+    def _floor_bin(col_sql: str) -> Column:
+        # Exact int64 floor division. F.floor(col / width) promotes to
+        # DOUBLE, so integral inputs >= 2^53 (epoch nanos) would round
+        # and bin wrong — silently dropping or duplicating matches.
+        # Instead: a - pmod(a, w) is an exact multiple of w (pmod is
+        # the positive modulus), and integral `div` on an exact
+        # multiple IS floor division — no float at any magnitude.
+        # (Sole edge: a within w of INT64_MIN underflows the subtract.)
+        a = f"CAST(({col_sql}) AS BIGINT)"
+        return F.expr(f"(({a}) - pmod({a}, {w})) div {w}")
+
+    lb = left.withColumn("__bin", _floor_bin(point_col))
     rb = (
         right.filter(F.col(hi_col) > F.col(lo_col))
         .withColumn(
             "__bin",
             F.explode(
                 F.sequence(
-                    F.floor(F.col(lo_col) / F.lit(bin_width)),
-                    F.floor((F.col(hi_col) - 1) / F.lit(bin_width)),
+                    _floor_bin(lo_col),
+                    _floor_bin(f"{hi_col} - 1"),
                 )
             ),
         )

@@ -607,9 +607,16 @@ def unigram_cross_entropy(
     addition is non-associative, so a groupBy SUM of double
     contributions would depend on partial-aggregate order. Instead
     each TERM's surprisal integer-izes once —
-    ``CAST(ROUND(ln(c_t/N) * 1e6) AS BIGINT)`` micronats, a correctly
-    rounded IEEE computation on identical inputs in any engine — and
-    the per-doc sum is exact bigint arithmetic, order-free.
+    ``CAST(ROUND(ln(c_t/N) * 1e6) AS BIGINT)`` micronats — and the
+    per-doc sum is exact bigint arithmetic, order-free. Caveat: libm
+    ``ln`` is NOT correctly rounded (typically <1 ulp error, not
+    <=0.5), so a cross-engine 1-ulp divergence that lands exactly on a
+    .5 micronat boundary could flip one rounded bigint. At 1e6 scaling
+    that needs |ln * 1e6| within ~1e-10 of a half-integer AND the two
+    engines' ln to differ across it — not observed over this corpus's
+    full token census (verified Spark-vs-DuckDB in the q81 gate and
+    tests), but it is a measured-agreement guarantee, not an IEEE
+    proof; the same exposure and reasoning as q80's ln-based ordering.
 
     Scale: ONE explode/tokenize pass — census and corpus total derive
     from the doc-term counts (sum of exact bigints, identical values),
