@@ -52,11 +52,32 @@ def get_spark(
         master = f"local[{cpus}]"
     builder = builder.master(master)
     conf = dict(_DEFAULTS)
+    conf.update(_delta_conf())
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def _delta_conf() -> dict[str, str]:
+    """Delta Lake session extensions, iff delta-spark is importable.
+
+    The sandbox has no package index (install attempt recorded in
+    SCALE.md), so this returns {} here; on any environment where
+    ``pip install delta-spark`` succeeded, ``write_table(fmt="delta")``
+    works with no further configuration.
+    """
+    try:
+        import delta  # noqa: F401
+    except ImportError:
+        return {}
+    return {
+        "spark.sql.extensions": "io.delta.sql.DeltaSparkSessionExtension",
+        "spark.sql.catalog.spark_catalog": (
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog"
+        ),
+    }
 
 
 def s3a_conf(
