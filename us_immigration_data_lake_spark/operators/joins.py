@@ -101,50 +101,89 @@ def as_of_join(
     right_ts: str,
     right_vals: list[str],
     tiebreak: str | None = None,
+    direction: str = "backward",
+    tolerance: int | None = None,
 ) -> DataFrame:
-    """As-of join: for each left row, the most recent right row with
-    right_ts <= left_ts on the same keys (ties included).
+    """As-of join: for each left row, the nearest right row on the
+    same keys — ``direction="backward"`` (default) takes the most
+    recent right row with right_ts <= left_ts; ``"forward"`` takes the
+    earliest right row with right_ts >= left_ts.
 
     Implemented as the scalable merge pattern — tag and union both
-    sides, one shuffle+sort on (keys, ts), then a running last-non-null
-    window carries the latest right values forward onto left rows. No
-    range cross-product, no broadcast: cost is one sort-shuffle of
-    |left|+|right|, which survives 100× scale-up (the naive
-    inequality-join plan is a broadcast-nested-loop that does not).
+    sides, one shuffle+sort on (keys, ts), then a running
+    last/first-non-null window carries the nearest right values onto
+    left rows. No range cross-product, no broadcast: cost is one
+    sort-shuffle of |left|+|right|, which survives 100× scale-up (the
+    naive inequality-join plan is a broadcast-nested-loop that does
+    not).
 
     ``tiebreak``: extra right-side ordering column so multiple right
-    rows at one timestamp resolve deterministically (latest wins).
+    rows at one timestamp resolve deterministically (backward: latest
+    wins; forward: earliest wins).
+
+    ``tolerance``: maximum |left_ts - matched right_ts| (same units as
+    the ts columns, which must be integral when set — cast timestamps
+    to epoch micros first); matches farther away yield NULL values,
+    preserving the left row (left-join semantics).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    backward = direction == "backward"
     lcols = left.columns
     lpayload = [c for c in lcols if c not in keys]
     struct_fields = [F.col(v).alias(v) for v in right_vals]
+    # Right rows must sort on the side of the left row that the frame
+    # scans: before it (backward, frame ends at current) or after it
+    # (forward, frame starts at current). Equal timestamps match in
+    # both directions, so the side flag breaks ts ties accordingly.
+    r_side, l_side = (0, 1) if backward else (1, 0)
+    # Left sentinel tiebreak keeps left rows outside the right rows'
+    # tiebreak ordering at equal (ts, side) — only relevant when a
+    # right row shares ts AND side ordering with left, which the side
+    # flag already precludes; the extreme value is belt-and-braces.
+    l_tb = (2**63 - 1) if backward else -(2**63)
     r = right.select(
         *keys,
         F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__side"),
+        F.lit(r_side).alias("__side"),
         (F.col(tiebreak) if tiebreak else F.lit(0)).cast("long").alias("__tb"),
-        F.struct(*struct_fields).alias("__rv"),
+        F.struct(
+            *struct_fields, F.col(right_ts).alias("__mts")
+        ).alias("__rv"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lpayload],
     )
     l = left.select(
         *keys,
         F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__side"),
-        F.lit(2**63 - 1).alias("__tb"),
+        F.lit(l_side).alias("__side"),
+        F.lit(l_tb).alias("__tb"),
         F.lit(None).cast(r.schema["__rv"].dataType).alias("__rv"),
         *lpayload,
     )
     merged = r.unionByName(l)
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.asc("__ts"), F.asc("__side"), F.asc("__tb"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = Window.partitionBy(*keys).orderBy(
+        F.asc("__ts"), F.asc("__side"), F.asc("__tb")
     )
-    carried = merged.withColumn(
-        "__last_rv", F.last("__rv", ignorenulls=True).over(w)
-    )
-    out = carried.filter(F.col("__side") == 1).select(
-        *lcols, *[F.col("__last_rv")[v].alias(v) for v in right_vals]
+    if backward:
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        carried = merged.withColumn(
+            "__near_rv", F.last("__rv", ignorenulls=True).over(w)
+        )
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        carried = merged.withColumn(
+            "__near_rv", F.first("__rv", ignorenulls=True).over(w)
+        )
+    matched = F.col("__near_rv").isNotNull()
+    if tolerance is not None:
+        gap = F.abs(
+            F.col("__ts").cast("long")
+            - F.col("__near_rv")["__mts"].cast("long")
+        )
+        matched = matched & (gap <= F.lit(int(tolerance)))
+    out = carried.filter(F.col("__side") == F.lit(1 if backward else 0)).select(
+        *lcols,
+        *[F.when(matched, F.col("__near_rv")[v]).alias(v) for v in right_vals],
     )
     return out
 
