@@ -57,6 +57,24 @@ from us_immigration_data_lake_spark.operators.quantize import (
     quantize_int8,
     quantized_topk,
 )
+from us_immigration_data_lake_spark.operators.aggregate import (
+    rolling_distinct_count,
+)
+from us_immigration_data_lake_spark.operators.audit import (
+    profile_table,
+    referential_audit,
+)
+from us_immigration_data_lake_spark.operators.basket import cooccurrence_pairs
+from us_immigration_data_lake_spark.operators.history import snapshot_diff
+from us_immigration_data_lake_spark.operators.orderstats import (
+    skyline_2d,
+    weighted_median,
+)
+from us_immigration_data_lake_spark.operators.sketches import (
+    bloom_build_bits,
+    bloom_contract,
+    bloom_probe,
+)
 
 __all__ = [
     "grouped_agg",
@@ -102,4 +120,14 @@ __all__ = [
     "int_dot",
     "quantize_int8",
     "quantized_topk",
+    "rolling_distinct_count",
+    "profile_table",
+    "referential_audit",
+    "cooccurrence_pairs",
+    "snapshot_diff",
+    "skyline_2d",
+    "weighted_median",
+    "bloom_build_bits",
+    "bloom_contract",
+    "bloom_probe",
 ]

@@ -98,3 +98,60 @@ def merge_upsert(
     rank_fields.append(F.struct(*[F.col(c) for c in cols]).alias("_row"))
     won = tagged.groupBy(*keys).agg(F.max(F.struct(*rank_fields)).alias("_w"))
     return won.select(*[F.col(f"_w._row.{c}").alias(c) for c in cols])
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Change-data-capture diff of two keyed snapshots.
+
+    Returns (keys..., change_type STRING) for every key whose state
+    differs: 'added' (key only in ``new``), 'removed' (only in
+    ``old``), 'changed' (present in both, any ``compare_cols``
+    differs — NULLs compared distinct-aware). Unchanged keys emit
+    nothing, so at 100 TB the output is proportional to the churn,
+    not the table.
+
+    Plan: one FULL OUTER equi-join on the keys (both sides shuffle
+    once, AQE handles skew) projecting only keys + compared columns —
+    the minimal-width diff. Rows are classified with null-safe
+    equality (``eqNullSafe``) so NULL→value and value→NULL register
+    as changes.
+    """
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in keys],
+        *[F.col(c).alias(f"__ov_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__nk_{k}") for k in keys],
+        *[F.col(c).alias(f"__nv_{c}") for c in compare_cols],
+    )
+    cond = None
+    for k in keys:
+        eq = o[f"__ok_{k}"] == n[f"__nk_{k}"]
+        cond = eq if cond is None else cond & eq
+    j = o.join(n, on=cond, how="full_outer")
+    in_old = F.col(f"__ok_{keys[0]}").isNotNull()
+    in_new = F.col(f"__nk_{keys[0]}").isNotNull()
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"__ov_{c}").eqNullSafe(F.col(f"__nv_{c}"))
+    change = (
+        F.when(~in_old, F.lit("added"))
+        .when(~in_new, F.lit("removed"))
+        .when(~same, F.lit("changed"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *[
+                F.coalesce(F.col(f"__ok_{k}"), F.col(f"__nk_{k}")).alias(k)
+                for k in keys
+            ],
+            "change_type",
+        )
+    )

@@ -1,0 +1,131 @@
+"""Bloom-filter membership operators, engine-portable.
+
+A Bloom filter IS its set of set bit positions; representing that set
+as a (tiny, distinct) DataFrame of bit ids instead of a packed bitset
+keeps every step a relational op — build is an explode+distinct,
+probe is a broadcast equi-join — and makes the whole thing
+reproducible outside Spark: positions derive from ``md5_long``
+(functions/hashing.py), the repo's portable 60-bit hash, so a DuckDB
+oracle recomputes the filter bit-for-bit and value-checks not just
+the no-false-negative contract but the exact false-positive set.
+
+(Spark's own BloomFilterAggregate is Catalyst-internal — not callable
+from the public SQL registry — and ``df.stat.bloomFilter`` collects
+the filter to the driver; neither shape survives an oracle or a
+100 TB probe side. This formulation does: the built bit set is at
+most ``num_bits`` distinct ids (~k·n before saturation), broadcast to
+the probe side like any small dim.)
+
+Use for selective pre-join pruning: build over the selective side's
+keys, probe the fact side, and filter fact rows whose keys cannot
+match before paying the join shuffle — the manual form of the runtime
+row-level pruning Catalyst injects, but materializable, persistable,
+and cross-engine checkable. md5 costs ~5-10× xxhash64 per call; at
+100 TB swap ``md5_long`` for ``F.xxhash64`` when no external oracle
+needs to replay the filter (same operator shape, one expression).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from us_immigration_data_lake_spark.functions.hashing import md5_long
+
+
+def _bit_pos(key: Column, seed: int, num_bits: int) -> Column:
+    """Portable bit position: md5_long('<seed>|<key>') % num_bits.
+    DuckDB spelling:
+    ('0x' || substr(md5(<seed> || '|' || key::VARCHAR), 1, 15))::BIGINT
+        % num_bits
+    """
+    return md5_long(
+        F.concat_ws("|", F.lit(seed).cast("string"), key.cast("string"))
+    ) % F.lit(int(num_bits))
+
+
+def bloom_build_bits(
+    build: DataFrame, key: str, num_hashes: int = 5, num_bits: int = 200_000
+) -> DataFrame:
+    """The filter: distinct bit positions set by the build keys.
+    One explode (×num_hashes) + distinct; ≤ num_bits rows."""
+    positions = F.array(
+        *[_bit_pos(F.col(key), i, num_bits) for i in range(num_hashes)]
+    )
+    return (
+        build.select(F.explode(positions).alias("__bit")).distinct()
+    )
+
+
+def bloom_probe(
+    bits: DataFrame,
+    probe: DataFrame,
+    probe_key: str,
+    num_hashes: int = 5,
+    num_bits: int = 200_000,
+) -> DataFrame:
+    """Probe keys against a built bit set: (probe_key, might_match
+    BOOLEAN). might_match is true iff ALL the key's positions are set
+    — guaranteed true for every key the filter was built from.
+
+    Plan: explode probe ×num_hashes, one BROADCAST equi-join against
+    the bit set, groupBy probe key with a partial-agged min(hit) —
+    the probe side never shuffles more than its exploded keys.
+    """
+    positions = F.array(
+        *[_bit_pos(F.col(probe_key), i, num_bits) for i in range(num_hashes)]
+    )
+    exploded = probe.select(
+        F.col(probe_key), F.explode(positions).alias("__bit")
+    )
+    hits = exploded.join(
+        F.broadcast(bits.withColumn("__set", F.lit(1))), "__bit", "left"
+    )
+    return hits.groupBy(probe_key).agg(
+        (F.min(F.coalesce(F.col("__set"), F.lit(0))) == 1).alias("might_match")
+    )
+
+
+def bloom_contract(
+    build: DataFrame,
+    probe: DataFrame,
+    build_key: str,
+    probe_key: str,
+    max_fp_rate: float = 0.05,
+    num_hashes: int = 5,
+    num_bits: int = 200_000,
+) -> DataFrame:
+    """One-row exact summary of Bloom membership vs true membership.
+
+    Returns (n_members BIGINT, member_misses BIGINT, n_non_members
+    BIGINT, fp_count BIGINT, fp_within_bound BOOLEAN):
+    ``member_misses`` is 0 by construction (no false negatives);
+    ``fp_count`` is deterministic — the md5-derived filter admits a
+    fixed set of non-member keys — so an oracle replaying the hashes
+    reproduces it exactly, not just its bound.
+    """
+    bits = bloom_build_bits(build, build_key, num_hashes, num_bits)
+    tagged = bloom_probe(bits, probe, probe_key, num_hashes, num_bits)
+    truth = probe.join(
+        build.select(F.col(build_key).alias(probe_key)).distinct(),
+        on=probe_key,
+        how="left_semi",
+    ).select(F.col(probe_key), F.lit(True).alias("is_member"))
+    joined = tagged.join(truth, on=probe_key, how="left").select(
+        "might_match", F.coalesce("is_member", F.lit(False)).alias("is_member")
+    )
+    fp = F.sum(
+        F.when(~F.col("is_member") & F.col("might_match"), 1).otherwise(0)
+    )
+    non = F.sum(F.when(~F.col("is_member"), 1).otherwise(0))
+    return joined.agg(
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_members"),
+        F.sum(F.when(F.col("is_member") & ~F.col("might_match"), 1).otherwise(0))
+        .cast("long")
+        .alias("member_misses"),
+        non.cast("long").alias("n_non_members"),
+        fp.cast("long").alias("fp_count"),
+        (fp <= F.lit(float(max_fp_rate)) * non).alias("fp_within_bound"),
+    )

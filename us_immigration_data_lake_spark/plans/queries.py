@@ -4120,3 +4120,777 @@ def q93_argmax_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hi.k").alias("top_orderkey"),
         F.col("lo.k").alias("bottom_orderkey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q94 — referential-integrity audit (operators/audit.py): orphan counts
+# per declared FK relationship, LEFT ANTI joins carrying keys only.
+# Two relationships are audited against a RESTRICTED parent so the
+# orphan path is exercised with nonzero counts.
+# ---------------------------------------------------------------------------
+
+# NOTE: aliased import — quality.py also exports a profile_table and
+# q51 resolves the module global at call time; a bare name here would
+# shadow it (it did, r4 mimic caught the TypeError).
+from us_immigration_data_lake_spark.operators.audit import (  # noqa: E402
+    profile_table as audit_profile_table,
+    referential_audit,
+)
+
+
+@_register(
+    "q94_referential_audit",
+    oracle="""
+    SELECT 'lineitem.orderkey->orders' AS relationship,
+           (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL) AS child_rows,
+           (SELECT COUNT(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS orphan_rows
+    UNION ALL
+    SELECT 'orders.custkey->customer',
+           (SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL),
+           (SELECT COUNT(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'orders.custkey->customer[BUILDING]',
+           (SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL),
+           (SELECT COUNT(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_mktsegment = 'BUILDING'
+                                AND c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'nation.regionkey->region',
+           (SELECT COUNT(*) FROM nation WHERE n_regionkey IS NOT NULL),
+           (SELECT COUNT(*) FROM nation n WHERE n.n_regionkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM region r
+                              WHERE r.r_regionkey = n.n_regionkey))
+    """,
+    tags=("audit", "anti-join", "quality"),
+)
+def q94_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return referential_audit([
+        ("lineitem.orderkey->orders", lineitem, "l_orderkey", orders, "o_orderkey"),
+        ("orders.custkey->customer", orders, "o_custkey", customer, "c_custkey"),
+        (
+            "orders.custkey->customer[BUILDING]",
+            orders,
+            "o_custkey",
+            customer.filter(F.col("c_mktsegment") == "BUILDING"),
+            "c_custkey",
+        ),
+        ("nation.regionkey->region", nation, "n_regionkey", region, "r_regionkey"),
+    ])
+
+
+# ---------------------------------------------------------------------------
+# Q95 — market-basket co-occurrence (operators/basket.py): parts
+# bought together in the same order, support >= 2. Equi-join on the
+# group key, canonical a<b orientation, group-size cap guards the
+# quadratic fan-out.
+# ---------------------------------------------------------------------------
+
+from us_immigration_data_lake_spark.operators.basket import (  # noqa: E402
+    cooccurrence_pairs,
+)
+
+
+@_register(
+    "q95_basket_pairs",
+    oracle="""
+    WITH pres AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+    pairs AS (
+      SELECT a.i AS item_a, b.i AS item_b
+      FROM pres a JOIN pres b ON a.g = b.g AND a.i < b.i
+    )
+    SELECT item_a, item_b, CAST(COUNT(*) AS BIGINT) AS n_groups
+    FROM pairs GROUP BY item_a, item_b HAVING COUNT(*) >= 2
+    """,
+    tags=("basket", "cooccurrence", "self-join"),
+)
+def q95_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return cooccurrence_pairs(
+        lineitem, "l_orderkey", "l_partkey", min_support=2
+    ).select("item_a", "item_b", "n_groups")
+
+
+# ---------------------------------------------------------------------------
+# Q96 — fixed-width feature binning: order-value histogram per order
+# status. Bin ids via exact integer floor division (the
+# binned_range_join rule); one groupBy, partial-agged.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q96_price_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST((c - ((c % 2500000 + 2500000) % 2500000)) / 2500000 AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(c) AS BIGINT) AS min_c,
+           CAST(MAX(c) AS BIGINT) AS max_c
+    FROM b
+    GROUP BY 1, 2
+    """,
+    tags=("binning", "histogram", "agg"),
+)
+def q96_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    orders = _t(spark, sf_dir, "orders")
+    c = _cents(F.col("o_totalprice"))
+    w = 2_500_000  # $25k bins
+    b = orders.select(
+        "o_orderstatus",
+        c.alias("c"),
+    ).withColumn("bin", F.expr(f"(c - pmod(c, {w})) div {w}"))
+    return b.groupBy("o_orderstatus", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("c").alias("min_c"),
+        F.max("c").alias("max_c"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q97 — forward as-of join with tolerance (operators/joins.py): each
+# purchase matched to the user's NEXT view within 30 minutes. Single
+# sort-shuffle merge plan; DuckDB's native ASOF JOIN (>=) is the
+# oracle, with both sides deduped to unique (user, ts) so tie choice
+# cannot differ between engines.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q97_asof_forward",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, event_id,
+             CAST(epoch_us(ts) AS BIGINT) AS tsu,
+             CAST(ROUND(value * 100) AS BIGINT) AS value_c
+      FROM events
+    ),
+    purch AS (SELECT user_id, tsu, event_id, value_c FROM e
+              WHERE event_type = 'purchase'),
+    views AS (
+      SELECT user_id, tsu, MIN(event_id) AS view_event_id FROM e
+      WHERE event_type = 'view' GROUP BY user_id, tsu
+    ),
+    matched AS (
+      SELECT p.event_id, p.user_id, p.value_c,
+             v.tsu AS vtsu, v.view_event_id
+      FROM purch p ASOF LEFT JOIN views v
+        ON p.user_id = v.user_id AND v.tsu >= p.tsu
+    )
+    SELECT event_id, user_id, value_c,
+           CASE WHEN vtsu - (SELECT tsu FROM purch p2
+                             WHERE p2.event_id = matched.event_id)
+                     <= 1800000000
+                THEN view_event_id END AS next_view_id
+    FROM matched
+    """,
+    tags=("asof", "forward", "tolerance"),
+)
+def q97_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.joins import as_of_join
+
+    _tune(spark)
+    e = load_events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("tsu"),
+        _cents(F.col("value")).alias("value_c"),
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "tsu", "event_id", "value_c"
+    )
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "tsu")
+        .agg(F.min("event_id").alias("view_event_id"))
+    )
+    out = as_of_join(
+        purch,
+        views,
+        keys=["user_id"],
+        left_ts="tsu",
+        right_ts="tsu",
+        right_vals=["view_event_id"],
+        direction="forward",
+        tolerance=1_800_000_000,  # 30 min in micros
+    )
+    return out.select(
+        "event_id", "user_id", "value_c",
+        F.col("view_event_id").alias("next_view_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q98 — CDC snapshot diff (operators/history.py): added/removed/changed
+# classification via one FULL OUTER key join; output proportional to
+# churn. The "new" snapshot is derived deterministically in both
+# engines (drop %13 keys, flip status on %7, append %17 keys shifted).
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q98_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_c
+      FROM orders
+    ),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+             total_c
+      FROM old WHERE o_orderkey % 13 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, 'N', CAST(0 AS BIGINT)
+      FROM old WHERE o_orderkey % 17 = 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                  OR o.total_c IS DISTINCT FROM n.total_c THEN 'changed'
+           END AS change_type
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE CASE WHEN o.o_orderkey IS NULL THEN 'added'
+               WHEN n.o_orderkey IS NULL THEN 'removed'
+               WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                 OR o.total_c IS DISTINCT FROM n.total_c THEN 'changed'
+          END IS NOT NULL
+    """,
+    tags=("cdc", "diff", "full-outer"),
+)
+def q98_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.history import snapshot_diff
+
+    _tune(spark)
+    old = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        _cents(F.col("o_totalprice")).alias("total_c"),
+    )
+    new = old.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        "total_c",
+    ).unionByName(
+        old.filter(F.col("o_orderkey") % 17 == 0).select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(0).cast("long").alias("total_c"),
+        )
+    )
+    return snapshot_diff(
+        old, new, keys=["o_orderkey"], compare_cols=["o_orderstatus", "total_c"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q99 — rolling 7-day distinct customers (operators/aggregate.py):
+# weekly-active-entity counts via dedup → bounded ×7 fan-out → one
+# exact distinct per day; no sliding-window DISTINCT exists in any
+# engine, this is the standard rewrite.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q99_rolling_active",
+    oracle="""
+    WITH pres AS (
+      SELECT DISTINCT CAST(o_orderdate AS DATE) AS d, o_custkey AS e
+      FROM orders
+    ),
+    days AS (SELECT DISTINCT d FROM pres)
+    SELECT days.d AS d, CAST(COUNT(DISTINCT pres.e) AS BIGINT) AS n_distinct
+    FROM days JOIN pres ON pres.d BETWEEN days.d - 6 AND days.d
+    GROUP BY days.d
+    """,
+    tags=("rolling", "distinct", "timeseries"),
+)
+def q99_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.aggregate import (
+        rolling_distinct_count,
+    )
+
+    _tune(spark)
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("d"), "o_custkey"
+    )
+    return rolling_distinct_count(orders, "d", "o_custkey", window_days=7)
+
+
+# ---------------------------------------------------------------------------
+# Q100 — single-pass table profile (operators/audit.py): per-column
+# null/distinct/min/max in ONE scan + one tiny unpivot; min/max in
+# native type order, stringified after.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q100_table_profile",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_c
+      FROM orders
+    )
+    SELECT 'o_orderkey' AS column, (SELECT COUNT(*) FROM t) AS n_rows,
+           (SELECT COUNT(*) FROM t WHERE o_orderkey IS NULL) AS n_nulls,
+           (SELECT COUNT(DISTINCT o_orderkey) FROM t) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_str,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_str FROM t
+    UNION ALL
+    SELECT 'o_custkey', (SELECT COUNT(*) FROM t),
+           (SELECT COUNT(*) FROM t WHERE o_custkey IS NULL),
+           (SELECT COUNT(DISTINCT o_custkey) FROM t),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR) FROM t
+    UNION ALL
+    SELECT 'o_orderstatus', (SELECT COUNT(*) FROM t),
+           (SELECT COUNT(*) FROM t WHERE o_orderstatus IS NULL),
+           (SELECT COUNT(DISTINCT o_orderstatus) FROM t),
+           MIN(o_orderstatus), MAX(o_orderstatus) FROM t
+    UNION ALL
+    SELECT 'o_orderpriority', (SELECT COUNT(*) FROM t),
+           (SELECT COUNT(*) FROM t WHERE o_orderpriority IS NULL),
+           (SELECT COUNT(DISTINCT o_orderpriority) FROM t),
+           MIN(o_orderpriority), MAX(o_orderpriority) FROM t
+    UNION ALL
+    SELECT 'total_c', (SELECT COUNT(*) FROM t),
+           (SELECT COUNT(*) FROM t WHERE total_c IS NULL),
+           (SELECT COUNT(DISTINCT total_c) FROM t),
+           CAST(MIN(total_c) AS VARCHAR), CAST(MAX(total_c) AS VARCHAR) FROM t
+    """,
+    tags=("profile", "quality", "single-pass"),
+)
+def q100_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    t = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+        _cents(F.col("o_totalprice")).alias("total_c"),
+    )
+    return audit_profile_table(
+        t, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "total_c"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q101 — weighted median (operators/orderstats.py): quantity-weighted
+# median line price per return flag; range-frame cumulative weights →
+# bit-deterministic pick, no raw-double accumulation.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q101_weighted_median",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+    ),
+    cum AS (
+      SELECT l_returnflag, v,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+      FROM s
+    )
+    SELECT l_returnflag,
+           CAST(MIN(v) AS BIGINT) AS w_median,
+           CAST(MAX(tot) AS BIGINT) AS total_weight
+    FROM cum WHERE cw * 2 >= tot GROUP BY l_returnflag
+    """,
+    tags=("median", "weighted", "orderstats"),
+)
+def q101_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.orderstats import weighted_median
+
+    _tune(spark)
+    s = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        _cents(F.col("l_extendedprice")).alias("v"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    return weighted_median(s, ["l_returnflag"], "v", "w")
+
+
+# ---------------------------------------------------------------------------
+# Q102 — Bloom-filter membership (operators/sketches.py): build over one
+# customer segment, probe all customers. Bit positions are md5_long-
+# derived, so the DuckDB oracle replays the filter BIT-FOR-BIT — the
+# exact false-positive count is value-checked, not just its bound.
+# num_bits deliberately small (4096) so false positives actually occur
+# at sf0.01 and the fp path is exercised, not vacuously green.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q102_bloom_contract",
+    oracle="""
+    WITH seeds AS (SELECT unnest(range(5)) AS i),
+    bld AS (SELECT DISTINCT c_custkey AS k FROM customer
+            WHERE c_mktsegment = 'BUILDING'),
+    bits AS (
+      SELECT DISTINCT
+        ('0x' || substr(md5(i::VARCHAR || '|' || k::VARCHAR), 1, 15))::BIGINT
+          % 4096 AS b
+      FROM bld, seeds
+    ),
+    probe AS (SELECT c_custkey AS k,
+                     c_mktsegment = 'BUILDING' AS is_member
+              FROM customer),
+    pb AS (
+      SELECT k, is_member,
+        ('0x' || substr(md5(i::VARCHAR || '|' || k::VARCHAR), 1, 15))::BIGINT
+          % 4096 AS b
+      FROM probe, seeds
+    ),
+    per_key AS (
+      SELECT pb.k, pb.is_member,
+             MIN(CASE WHEN bits.b IS NULL THEN 0 ELSE 1 END) = 1 AS might_match
+      FROM pb LEFT JOIN bits ON pb.b = bits.b
+      GROUP BY pb.k, pb.is_member
+    )
+    SELECT CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_members,
+           CAST(SUM(CASE WHEN is_member AND NOT might_match THEN 1 ELSE 0 END)
+                AS BIGINT) AS member_misses,
+           CAST(SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_non_members,
+           CAST(SUM(CASE WHEN NOT is_member AND might_match THEN 1 ELSE 0 END)
+                AS BIGINT) AS fp_count,
+           SUM(CASE WHEN NOT is_member AND might_match THEN 1 ELSE 0 END)
+             <= 0.35 * SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END)
+             AS fp_within_bound
+    FROM per_key
+    """,
+    tags=("bloom", "sketch", "portable-hash"),
+)
+def q102_bloom_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.sketches import bloom_contract
+
+    _tune(spark)
+    customer = _t(spark, sf_dir, "customer")
+    build = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    return bloom_contract(
+        build,
+        customer.select("c_custkey"),
+        "c_custkey",
+        "c_custkey",
+        max_fp_rate=0.35,
+        num_hashes=5,
+        num_bits=4096,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q103 — 2-D skyline / Pareto frontier (operators/orderstats.py):
+# cheapest-per-size parts. Two-phase bucketed window plan (never a
+# global single-partition sort); the DuckDB oracle is the independent
+# NOT EXISTS dominance spec, cross-checking the algorithm against the
+# definition.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q103_skyline_parts",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey,
+             CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_c,
+             CAST(p_size AS BIGINT) AS psize
+      FROM part
+    )
+    SELECT p_partkey, price_c, psize FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.price_c <= a.price_c AND b.psize >= a.psize
+        AND (b.price_c < a.price_c OR b.psize > a.psize)
+    )
+    """,
+    tags=("skyline", "pareto", "orderstats"),
+)
+def q103_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.orderstats import skyline_2d
+
+    _tune(spark)
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        _cents(F.col("p_retailprice")).alias("price_c"),
+        F.col("p_size").cast("long").alias("psize"),
+    )
+    return skyline_2d(p, "price_c", "psize", bucket_width=1000)
+
+
+# ---------------------------------------------------------------------------
+# Q104 — first-touch session attribution: purchase revenue credited to
+# the FIRST event type of each 10-minute-gap session. session_window
+# gap-merge (one sort-shuffle on user) + deterministic first-pick via
+# min(struct(ts, event_id, ...)) — the q93 argmax rule applied inside
+# sessions; the oracle re-derives sessions independently with the
+# lag/cumsum formulation and min_by over the same composite key.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q104_session_attribution",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100) AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS value_c
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN ts_us - LAG(ts_us) OVER w >= 600000000
+                       OR LAG(ts_us) OVER w IS NULL
+                     THEN 1 ELSE 0 END AS new_session
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ), sessions AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts_us, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), per_session AS (
+      -- the session's first row by (ts_us, event_id) is exactly the
+      -- row that raised new_session; no struct-ordered min_by needed
+      SELECT user_id, sid,
+             MAX(CASE WHEN new_session = 1 THEN event_type END)
+               AS first_event_type,
+             CAST(SUM(value_c) AS BIGINT) AS revenue_c,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_purchases
+      FROM sessions GROUP BY user_id, sid
+    )
+    SELECT first_event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_purchases) AS BIGINT) AS n_purchases,
+           CAST(SUM(revenue_c) AS BIGINT) AS revenue_c
+    FROM per_session GROUP BY first_event_type
+    """,
+    tags=("session-window", "attribution", "argmax"),
+)
+def q104_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    ev = load_events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.when(
+            F.col("event_type") == "purchase", _cents(F.col("value"))
+        ).otherwise(F.lit(0).cast("long")).alias("value_c"),
+    )
+    per_session = ev.groupBy(
+        F.session_window("ts", "10 minutes").alias("w"), "user_id"
+    ).agg(
+        F.min(
+            F.struct(
+                F.col("ts_us").alias("t"),
+                F.col("event_id").alias("e"),
+                F.col("event_type").alias("et"),
+            )
+        )["et"].alias("first_event_type"),
+        F.sum("value_c").alias("revenue_c"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("long").alias("n_purchases"),
+    )
+    return per_session.groupBy("first_event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n_purchases").cast("long").alias("n_purchases"),
+        F.sum("revenue_c").cast("long").alias("revenue_c"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q105 — local-supplier revenue by nation (TPC-H Q5 shape): the
+# engine's deepest join tree — region→nation→{customer,supplier} dims
+# broadcast onto the orders⋈lineitem fact spine, with the extra
+# c_nationkey = s_nationkey correlation. Catalyst orders the joins;
+# the two fact tables sort-merge on orderkey, every dim broadcasts.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q105_local_supplier_revenue",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS revenue_c,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    tags=("join", "multi-join", "broadcast", "agg"),
+)
+def q105_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).alias("revenue_c"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q106 — month-over-month revenue growth per nation: window lag on a
+# pre-aggregated monthly rollup (the window runs over |nations×months|
+# rows, never raw facts), growth as exact integer basis points.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q106_mom_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT c.c_nationkey AS nationkey,
+             CAST(strftime(CAST(o.o_orderdate AS DATE), '%Y-%m') AS VARCHAR)
+               AS ym,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_c
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT nationkey, ym, revenue_c,
+           LAG(revenue_c) OVER (PARTITION BY nationkey ORDER BY ym)
+             AS prev_revenue_c,
+           CASE WHEN LAG(revenue_c) OVER (PARTITION BY nationkey ORDER BY ym)
+                     > 0
+                THEN CAST(((revenue_c
+                            - LAG(revenue_c) OVER (PARTITION BY nationkey
+                                                   ORDER BY ym)) * 10000)
+                          // LAG(revenue_c) OVER (PARTITION BY nationkey
+                                                  ORDER BY ym) AS BIGINT)
+           END AS growth_bps
+    FROM monthly
+    """,
+    tags=("window", "lag", "timeseries", "rollup"),
+)
+def q106_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    _tune(spark)
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    monthly = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias("ym"),
+        )
+        .agg(F.sum(_cents(F.col("o_totalprice"))).alias("revenue_c"))
+    )
+    w = Window.partitionBy("nationkey").orderBy("ym")
+    prev = F.lag("revenue_c").over(w)
+    # exact integer basis points: both engines' integral division
+    # truncates toward zero (Spark `div`, DuckDB `//` — verified
+    # (-7)//2 = -3), so negative growth months agree bit-for-bit
+    growth = F.when(
+        prev > 0,
+        F.expr(
+            "CAST(((revenue_c - prev_revenue_c) * 10000) "
+            "div prev_revenue_c AS BIGINT)"
+        ),
+    )
+    return (
+        monthly.withColumn("prev_revenue_c", prev)
+        .withColumn("growth_bps", growth)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q107 — above-average customers with no URGENT orders (TPC-H Q22
+# shape): scalar aggregate subquery (computed once, broadcast into the
+# filter) + LEFT ANTI join against the filtered orders. No correlated
+# per-row re-evaluation. (Anti-joining ALL orders would be vacuous —
+# this dataset gives every customer at least one order — so the
+# urgent-only restriction keeps the anti path populated.)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q107_idle_rich_customers",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS s,
+             COUNT(*) AS n
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS total_bal_c
+    FROM customer c
+    WHERE CAST(ROUND(c.c_acctbal * 100) AS BIGINT)
+            > (SELECT CAST(s AS DOUBLE) / n FROM avg_bal)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("subquery", "anti-join", "agg"),
+)
+def q107_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    bal_c = _cents(F.col("c_acctbal"))
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(bal_c).cast("double") / F.count(F.lit(1))).alias("__avg")
+    )
+    rich = customer.crossJoin(F.broadcast(avg_bal)).filter(
+        bal_c > F.col("__avg")
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    idle_rich = rich.join(urgent, on="c_custkey", how="left_anti")
+    return idle_rich.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(bal_c).alias("total_bal_c"),
+    )
