@@ -195,3 +195,69 @@ def test_sas7bdat_writer_roundtrip(nums, strs):
                 assert got == want.rstrip(" ")  # fixed-width pad strips
     finally:
         os.unlink(path)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),   # value
+            st.integers(min_value=1, max_value=9),      # weight
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_weighted_median_matches_bruteforce(spark, rows):
+    """Smallest v with cumulative weight reaching half the total —
+    computed by sorting in Python — must equal the window plan."""
+    from us_immigration_data_lake_spark.operators.orderstats import (
+        weighted_median,
+    )
+
+    df = spark.createDataFrame([("g", v, w) for v, w in rows], ["g", "v", "w"])
+    got = weighted_median(df, ["g"], "v", "w").collect()[0]
+    total = sum(w for _, w in rows)
+    cum = 0
+    expect = None
+    for v, w in sorted(rows):
+        cum += w
+        if cum * 2 >= total:
+            expect = v
+            break
+    assert (got.w_median, got.total_weight) == (expect, total)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=30),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=300),
+            st.integers(min_value=0, max_value=300),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+)
+@settings(max_examples=10, deadline=None)
+def test_asof_forward_matches_bruteforce(spark, points, intervals_raw):
+    """Forward as-of: earliest right ts >= left ts per key, ties by
+    smallest tiebreak — versus a brute-force Python scan."""
+    from us_immigration_data_lake_spark.operators.joins import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, i, t) for i, t in enumerate(points)], ["k", "lid", "ts"]
+    )
+    rights = [(1, i, t) for i, (t, _) in enumerate(intervals_raw)]
+    right = spark.createDataFrame(rights, ["k", "rid", "rts"])
+    got = {
+        r.lid: r.rid
+        for r in as_of_join(
+            left, right, ["k"], "ts", "rts", ["rid"],
+            tiebreak="rid", direction="forward",
+        ).collect()
+    }
+    for i, t in enumerate(points):
+        cands = [(rt, rid) for _, rid, rt in rights if rt >= t]
+        expect = min(cands)[1] if cands else None
+        assert got[i] == expect, (i, t, cands)

@@ -165,3 +165,55 @@ def test_bloom_no_false_negatives_and_determinism(spark):
     assert sorted(map(tuple, out1.collect())) == sorted(
         map(tuple, out2.collect())
     )
+
+
+def test_snapshot_diff_null_keyed_rows_classified_by_side(spark):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("k", LongType()), StructField("v", StringType())]
+    )
+    old = spark.createDataFrame([(None, "ghost-old"), (1, "a")], schema)
+    new = spark.createDataFrame([(None, "ghost-new"), (1, "a")], schema)
+    got = sorted(
+        (r.k, r.change_type)
+        for r in snapshot_diff(old, new, ["k"], ["v"]).collect()
+    )
+    # NULL-keyed rows never join: old's reports removed, new's added
+    assert got == [(None, "added"), (None, "removed")]
+
+
+def test_referential_audit_duplicate_parent_keys_no_fanout(spark):
+    child = spark.createDataFrame([(1, 10), (2, 10), (3, 99)], ["id", "fk"])
+    parent = spark.createDataFrame([(10,), (10,), (20,)], ["pk"])
+    row = referential_audit([("c->p", child, "fk", parent, "pk")]).collect()[0]
+    assert (row.child_rows, row.orphan_rows) == (3, 1)
+
+
+def test_rolling_distinct_rejects_nonpositive_window(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(datetime.date(2024, 1, 1), "u")], ["d", "u"])
+    with _pytest.raises(ValueError, match="window_days"):
+        rolling_distinct_count(df, "d", "u", window_days=0)
+
+
+def test_bloom_contract_duplicate_probe_rows_count_once(spark):
+    from us_immigration_data_lake_spark.operators.sketches import bloom_contract
+
+    build = spark.createDataFrame([(1,), (2,)], ["k"])
+    probe = spark.createDataFrame([(1,), (1,), (3,), (3,), (None,)], ["k"])
+    row = bloom_contract(build, probe, "k", "k", num_bits=64).collect()[0]
+    # per distinct non-null key: members {1}, non-members {3}
+    assert (row.n_members, row.member_misses, row.n_non_members) == (1, 0, 1)
+
+
+def test_binned_range_join_reserved_word_column(spark):
+    from us_immigration_data_lake_spark.operators.joins import binned_range_join
+
+    points = spark.createDataFrame([(1, 5)], ["pid", "order"])
+    intervals = spark.createDataFrame([(10, 0, 10)], ["iid", "from", "end"])
+    got = binned_range_join(
+        points, intervals, "order", "from", "end", bin_width=4
+    ).collect()
+    assert [(r.pid, r.iid) for r in got] == [(1, 10)]

@@ -149,6 +149,11 @@ def rolling_distinct_count(
     Restricting output to days that actually occur keeps the result
     independent of calendar gaps.
     """
+    if int(window_days) < 1:
+        raise ValueError(
+            f"window_days must be >= 1, got {window_days} (a descending "
+            "sequence would silently count FUTURE days into each window)"
+        )
     pres = df.select(
         F.col(date_col).alias("__d"), F.col(entity_col).alias("__e")
     ).distinct()

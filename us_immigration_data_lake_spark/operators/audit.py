@@ -37,26 +37,36 @@ def referential_audit(
     orphan, it is an absent reference — report it separately if it
     matters); ``orphan_rows`` counts non-null child keys with no
     matching parent.
+
+    ONE scan of the child per relationship: a left join against the
+    DISTINCT parent keys (distinct so a duplicated parent key cannot
+    fan out child rows) feeds both counts from the same aggregate —
+    the child table is the big side at 100 TB and is never read twice.
     """
+    if not relationships:
+        raise ValueError("no relationships declared")
     out: DataFrame | None = None
     for name, child, child_key, parent, parent_key in relationships:
         keys = child.select(F.col(child_key).alias("__k")).filter(
             F.col("__k").isNotNull()
         )
-        orphans = keys.join(
-            parent.select(F.col(parent_key).alias("__k")),
+        joined = keys.join(
+            parent.select(F.col(parent_key).alias("__k"))
+            .filter(F.col("__k").isNotNull())
+            .distinct()
+            .withColumn("__hit", F.lit(1)),
             on="__k",
-            how="left_anti",
+            how="left",
         )
-        row = keys.agg(F.count(F.lit(1)).alias("child_rows")).crossJoin(
-            orphans.agg(F.count(F.lit(1)).alias("orphan_rows"))
+        row = joined.agg(
+            F.count(F.lit(1)).cast("long").alias("child_rows"),
+            F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("orphan_rows"),
         ).select(
-            F.lit(name).alias("relationship"),
-            F.col("child_rows").cast("long"),
-            F.col("orphan_rows").cast("long"),
+            F.lit(name).alias("relationship"), "child_rows", "orphan_rows"
         )
         out = row if out is None else out.unionByName(row)
-    assert out is not None, "no relationships declared"
     return out
 
 

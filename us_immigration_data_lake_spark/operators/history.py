@@ -113,7 +113,10 @@ def snapshot_diff(
     ``old``), 'changed' (present in both, any ``compare_cols``
     differs — NULLs compared distinct-aware). Unchanged keys emit
     nothing, so at 100 TB the output is proportional to the churn,
-    not the table.
+    not the table. A NULL-keyed row (broken upstream, but real)
+    never equi-joins, so it reports as 'removed' (from old) or
+    'added' (from new) with its NULL key visible — never silently
+    misclassified.
 
     Plan: one FULL OUTER equi-join on the keys (both sides shuffle
     once, AQE handles skew) projecting only keys + compared columns —
@@ -121,21 +124,27 @@ def snapshot_diff(
     equality (``eqNullSafe``) so NULL→value and value→NULL register
     as changes.
     """
+    # Presence is tracked with explicit marker columns, NOT key
+    # nullness: a NULL-keyed source row never equi-joins, and inferring
+    # presence from its own key column would classify it 'added'
+    # regardless of which snapshot it came from.
     o = old.select(
         *[F.col(k).alias(f"__ok_{k}") for k in keys],
         *[F.col(c).alias(f"__ov_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_old"),
     )
     n = new.select(
         *[F.col(k).alias(f"__nk_{k}") for k in keys],
         *[F.col(c).alias(f"__nv_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_new"),
     )
     cond = None
     for k in keys:
         eq = o[f"__ok_{k}"] == n[f"__nk_{k}"]
         cond = eq if cond is None else cond & eq
     j = o.join(n, on=cond, how="full_outer")
-    in_old = F.col(f"__ok_{keys[0]}").isNotNull()
-    in_new = F.col(f"__nk_{keys[0]}").isNotNull()
+    in_old = F.coalesce(F.col("__in_old"), F.lit(False))
+    in_new = F.coalesce(F.col("__in_new"), F.lit(False))
     same = F.lit(True)
     for c in compare_cols:
         same = same & F.col(f"__ov_{c}").eqNullSafe(F.col(f"__nv_{c}"))

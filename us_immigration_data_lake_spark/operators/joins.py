@@ -242,7 +242,7 @@ def binned_range_join(
 
     w = int(bin_width)
 
-    def _floor_bin(col_sql: str) -> Column:
+    def _floor_bin(col_name: str, offset: int = 0) -> Column:
         # Exact int64 floor division. F.floor(col / width) promotes to
         # DOUBLE, so integral inputs >= 2^53 (epoch nanos) would round
         # and bin wrong — silently dropping or duplicating matches.
@@ -250,8 +250,12 @@ def binned_range_join(
         # the positive modulus), and integral `div` on an exact
         # multiple IS floor division — no float at any magnitude.
         # (Sole edge: a within w of INT64_MIN underflows the subtract.)
-        a = f"CAST(({col_sql}) AS BIGINT)"
-        return F.expr(f"(({a}) - pmod({a}, {w})) div {w}")
+        # The identifier is backtick-quoted (embedded backticks
+        # doubled, Spark's escape) so reserved words and names with
+        # spaces/dashes parse as identifiers, never as expressions.
+        q = "`" + col_name.replace("`", "``") + "`"
+        a = f"(CAST({q} AS BIGINT) + ({int(offset)}))"
+        return F.expr(f"({a} - pmod({a}, {w})) div {w}")
 
     lb = left.withColumn("__bin", _floor_bin(point_col))
     rb = (
@@ -261,7 +265,7 @@ def binned_range_join(
             F.explode(
                 F.sequence(
                     _floor_bin(lo_col),
-                    _floor_bin(f"{hi_col} - 1"),
+                    _floor_bin(hi_col, offset=-1),
                 )
             ),
         )

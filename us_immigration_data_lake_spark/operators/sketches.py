@@ -52,8 +52,13 @@ def bloom_build_bits(
     positions = F.array(
         *[_bit_pos(F.col(key), i, num_bits) for i in range(num_hashes)]
     )
+    # NULL keys carry no membership meaning and would diverge from the
+    # documented DuckDB replay (concat_ws skips NULLs, || propagates
+    # them) — excluded on both build and probe sides by definition.
     return (
-        build.select(F.explode(positions).alias("__bit")).distinct()
+        build.filter(F.col(key).isNotNull())
+        .select(F.explode(positions).alias("__bit"))
+        .distinct()
     )
 
 
@@ -75,7 +80,7 @@ def bloom_probe(
     positions = F.array(
         *[_bit_pos(F.col(probe_key), i, num_bits) for i in range(num_hashes)]
     )
-    exploded = probe.select(
+    exploded = probe.filter(F.col(probe_key).isNotNull()).select(
         F.col(probe_key), F.explode(positions).alias("__bit")
     )
     hits = exploded.join(
@@ -103,10 +108,17 @@ def bloom_contract(
     ``fp_count`` is deterministic — the md5-derived filter admits a
     fixed set of non-member keys — so an oracle replaying the hashes
     reproduces it exactly, not just its bound.
+
+    Counts are per DISTINCT probe key: ``bloom_probe`` aggregates per
+    key, so duplicate probe rows must not inflate one side of the
+    member/non-member split (they would, via the truth-join fan-out).
     """
     bits = bloom_build_bits(build, build_key, num_hashes, num_bits)
-    tagged = bloom_probe(bits, probe, probe_key, num_hashes, num_bits)
-    truth = probe.join(
+    probe_keys = probe.select(probe_key).filter(
+        F.col(probe_key).isNotNull()
+    ).distinct()
+    tagged = bloom_probe(bits, probe_keys, probe_key, num_hashes, num_bits)
+    truth = probe_keys.join(
         build.select(F.col(build_key).alias(probe_key)).distinct(),
         on=probe_key,
         how="left_semi",

@@ -71,21 +71,15 @@ def _tune(spark: SparkSession) -> None:
         pass
 
 
-# Parquet schema cache: spark.read.parquet() runs a driver-side footer
-# inference per call (~165 ms measured on local[32]); providing the
-# schema drops that to ~40 ms. Production at 100 TB does the same via a
-# catalog — a scan should never pay per-query schema discovery. Keyed
-# by path; StructType is a plain Python object, safe across sessions.
-_SCHEMA_CACHE: dict = {}
-
-
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
-    schema = _SCHEMA_CACHE.get(path)
-    if schema is None:
-        schema = spark.read.parquet(path).schema
-        _SCHEMA_CACHE[path] = schema
-    return spark.read.schema(schema).parquet(path)
+    # mtime-keyed schema cache skips the ~165 ms/call footer inference
+    # (sources/schema_cache.py — the catalog a production deployment
+    # would consult instead)
+    from us_immigration_data_lake_spark.sources.schema_cache import (
+        read_parquet_cached,
+    )
+
+    return read_parquet_cached(spark, f"{sf_dir.rstrip('/')}/{name}.parquet")
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4721,10 +4715,13 @@ def q104_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Q105 — local-supplier revenue by nation (TPC-H Q5 shape): the
-# engine's deepest join tree — region→nation→{customer,supplier} dims
-# broadcast onto the orders⋈lineitem fact spine, with the extra
-# c_nationkey = s_nationkey correlation. Catalyst orders the joins;
-# the two fact tables sort-merge on orderkey, every dim broadcasts.
+# engine's deepest join tree. Only the FIXED-SIZE dims (region: 5
+# rows, nation: 25 rows — constant at every scale factor) carry an
+# explicit broadcast hint; customer and supplier grow with SF, so
+# they must stay size-based decisions — AQE broadcasts them at bench
+# scale and shuffles them at 100 TB, where forcing the hint would
+# blow the 8 GB broadcast limit. The fact spine (lineitem⋈orders)
+# equi-joins on orderkey.
 # ---------------------------------------------------------------------------
 
 @_register(
@@ -4745,6 +4742,10 @@ def q104_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n.n_name
     """,
     tags=("join", "multi-join", "broadcast", "agg"),
+    # headliner: the bench's join-depth representative. Added in the
+    # same round as q24 (the set already changes once, per the r3
+    # verdict ask) so the headline set can stay frozen afterwards.
+    bench=True,
 )
 def q105_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tune(spark)
@@ -4757,11 +4758,9 @@ def q105_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
-        )
-        .join(
-            F.broadcast(supplier),
+            supplier,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )

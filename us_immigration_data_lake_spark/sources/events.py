@@ -52,22 +52,14 @@ def event_ts_column(dtype: DataType, col: str = "ts") -> Column:
     )
 
 
-# Footer-inference is a ~165 ms driver-side cost per call (measured on
-# local[32]); the physical schema of a given path never changes within
-# a process, so cache it — same rationale as the catalog a production
-# deployment would consult instead.
-_SCHEMA_CACHE: dict[str, StructType] = {}
-
-
 def events_file_schema(spark: SparkSession, path: str) -> StructType:
     """Physical schema of the events parquet (footer-only read, cached
-    per path). Requires ``enable_nanos_as_long`` first so the nanos
-    generation resolves instead of erroring."""
-    schema = _SCHEMA_CACHE.get(path)
-    if schema is None:
-        schema = spark.read.parquet(path).schema
-        _SCHEMA_CACHE[path] = schema
-    return schema
+    per (path, mtime) — sources/schema_cache.py). Requires
+    ``enable_nanos_as_long`` first so the nanos generation resolves
+    instead of erroring."""
+    from us_immigration_data_lake_spark.sources.schema_cache import parquet_schema
+
+    return parquet_schema(spark, path)
 
 
 def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
