@@ -217,3 +217,28 @@ def test_binned_range_join_reserved_word_column(spark):
         points, intervals, "order", "from", "end", bin_width=4
     ).collect()
     assert [(r.pid, r.iid) for r in got] == [(1, 10)]
+
+
+def test_triangle_count_known_graph(spark):
+    from us_immigration_data_lake_spark.operators.graph import (
+        canonical_edges,
+        triangle_count,
+    )
+
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant 5
+    raw = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
+    raw += [(4, 5), (5, 4), (1, 1)]  # reversed dup + self-loop noise
+    df = spark.createDataFrame(raw, ["s", "d"])
+    edges = canonical_edges(df, "s", "d")
+    assert edges.count() == 7  # C(4,2) + the 4-5 pendant
+    got = {r.node: r.n_triangles for r in triangle_count(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_canonical_edges_hub_cap(spark):
+    # star: hub 0 connects to 1..9; capping degree 5 drops all hub edges
+    from us_immigration_data_lake_spark.operators.graph import canonical_edges
+
+    df = spark.createDataFrame([(0, i) for i in range(1, 10)], ["s", "d"])
+    assert canonical_edges(df, "s", "d", max_degree=5).count() == 0
+    assert canonical_edges(df, "s", "d").count() == 9

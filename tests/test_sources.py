@@ -171,3 +171,30 @@ def test_observe_quality_counts_without_extra_pass(spark, tmp_path):
     observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
     got = obs.get
     assert got == {"rows": 4, "null_v": 2, "max_id": 4}
+
+
+def test_write_table_csv_roundtrips_through_reference_reader(spark, tmp_path):
+    from us_immigration_data_lake_spark.sources.readers import read_csv
+
+    df = spark.createDataFrame(
+        [(1, "a;x", 1.5), (2, None, -2.0)], ["id", "s", "v"]
+    )
+    path = write_table(df, str(tmp_path), "t", fmt="csv")
+    # the `;` dialect the reference ingests must read its own output
+    # back (quoting protects embedded separators)
+    back = read_csv(spark, path, sep=";", header=True, infer_schema=True)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_write_table_json_lines_partitioned(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "x", "2024-01"), (2, "y", "2024-02")], ["id", "s", "ym"]
+    )
+    path = write_table(
+        df, str(tmp_path), "t", fmt="json", partition_by=["ym"]
+    )
+    import os
+
+    assert any(d.startswith("ym=") for d in os.listdir(path))
+    back = spark.read.json(path)
+    assert back.count() == 2 and set(back.columns) == {"id", "s", "ym"}

@@ -4893,3 +4893,116 @@ def q107_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum(bal_c).alias("total_bal_c"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q108 — stream-stream LEFT OUTER interval join (streaming/windows.py):
+# q42's purchase↔view join emitting unmatched purchases with NULL view
+# columns. Outer emission is watermark-gated: a left row emits its
+# NULL-extended result only once the watermark passes its event time
+# (from v_ts <= p_ts, no earlier-or-equal view can still arrive).
+# The query's GLOBAL watermark is the MIN over both watermarked
+# streams — min(floor_ms(max purchase ts), floor_ms(max view ts)) −
+# 1 h — which is what makes the cutoff data-dependent: whichever side
+# saw events last does not advance the other side's clock. Verified
+# empirically at sf0.001 AND sf0.01 (the min-of-sides value lands
+# inside the measured emitted/withheld bracket at both SFs; a
+# global-max model is provably outside it at sf0.001). The oracle
+# replays exactly that cutoff; the withheld tail is the documented
+# semantics of streaming outer joins, not data loss.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q108_stream_outer_join",
+    oracle="""
+    WITH wm AS (
+      SELECT least(
+               date_trunc('milliseconds',
+                 max(CAST(ts AS TIMESTAMP)) FILTER (event_type = 'purchase')),
+               date_trunc('milliseconds',
+                 max(CAST(ts AS TIMESTAMP)) FILTER (event_type = 'view'))
+             ) - INTERVAL 1 HOUR AS m
+      FROM events
+    ),
+    p AS (SELECT event_id AS purchase_id, user_id,
+                 CAST(ts AS TIMESTAMP) AS ts,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+          FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT event_id AS view_id, user_id,
+                 CAST(ts AS TIMESTAMP) AS ts,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+          FROM events WHERE event_type = 'view')
+    SELECT p.purchase_id, p.user_id, p.ts_us AS purchase_ts_us,
+           v.view_id, v.ts_us AS view_ts_us
+    FROM p JOIN v ON p.user_id = v.user_id
+       AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts <= p.ts
+    UNION ALL
+    SELECT p.purchase_id, p.user_id, p.ts_us,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM p, wm
+    WHERE NOT EXISTS (
+        SELECT 1 FROM v WHERE v.user_id = p.user_id
+          AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts <= p.ts)
+      AND p.ts < wm.m
+    """,
+    tags=("streaming", "stream-stream-join", "outer", "watermark"),
+)
+def q108_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.sources.events import read_event_stream
+    from us_immigration_data_lake_spark.streaming.windows import (
+        purchase_view_interval_join,
+        run_to_memory,
+    )
+
+    _tune(spark)
+    stream = read_event_stream(spark, sf_dir)
+    joined = purchase_view_interval_join(stream, "30 minutes", how="leftOuter")
+    return run_to_memory(joined, _sink_name("q108_outer"), mode="append")
+
+
+# ---------------------------------------------------------------------------
+# Q109 — triangle counting (operators/graph.py) on the co-purchase
+# graph: parts are linked when bought together in >= 2 orders (q95's
+# pair table), triangles found once each via the canonical a<b<c
+# two-join plan, then per-node participation counts. The oracle
+# repeats the same joins declaratively.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q109_triangle_count",
+    oracle="""
+    WITH pres AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+    pairs AS (
+      SELECT a.i AS x, b.i AS y
+      FROM pres a JOIN pres b ON a.g = b.g AND a.i < b.i
+    ),
+    e AS (
+      SELECT x AS a, y AS b FROM pairs GROUP BY x, y HAVING COUNT(*) >= 2
+    ),
+    tri AS (
+      SELECT xy.a, xy.b, yz.c
+      FROM e xy
+      JOIN (SELECT a AS b, b AS c FROM e) yz ON xy.b = yz.b
+      JOIN (SELECT a, b AS c FROM e) xz ON xz.a = xy.a AND xz.c = yz.c
+    ),
+    corners AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM corners GROUP BY node
+    """,
+    tags=("graph", "triangles", "self-join"),
+)
+def q109_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.graph import (
+        canonical_edges,
+        triangle_count,
+    )
+
+    _tune(spark)
+    lineitem = _t(spark, sf_dir, "lineitem")
+    pairs = cooccurrence_pairs(lineitem, "l_orderkey", "l_partkey", min_support=2)
+    edges = canonical_edges(pairs, "item_a", "item_b")
+    return triangle_count(edges)

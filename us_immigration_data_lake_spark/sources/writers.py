@@ -93,6 +93,27 @@ def write_table(
     remains untested behind the gate."""
     if fmt == "parquet":
         return write_parquet(df, base_path, table, **kwargs)
+    if fmt in ("csv", "json"):
+        # interchange sinks: CSV mirrors the reference's `;`-separated
+        # ingest dialect (sources/readers.py) so a written table reads
+        # back through the same reader; JSON is line-delimited (one
+        # object per line — the splittable layout, never a JSON array).
+        # Both compress with gzip by default: at 100 TB the sink's
+        # network/storage write dominates, and text formats are 5-10×
+        # parquet's footprint uncompressed.
+        path = posixpath.join(base_path.rstrip("/"), table)
+        writer = df.write.mode(kwargs.get("mode", "overwrite")).option(
+            "compression", kwargs.get("compression", "gzip")
+        )
+        if partition_by := kwargs.get("partition_by"):
+            writer = writer.partitionBy(*partition_by)
+        if fmt == "csv":
+            writer.option("header", "true").option(
+                "sep", kwargs.get("sep", ";")
+            ).csv(path)
+        else:
+            writer.json(path)
+        return path
     if fmt == "delta":
         try:
             import delta  # noqa: F401

@@ -170,17 +170,32 @@ def run_to_memory(
 
 
 def purchase_view_interval_join(
-    stream, lookback: str = "30 minutes"
+    stream, lookback: str = "30 minutes", how: str = "inner"
 ):
-    """Stream-stream inner interval join: each purchase matched to the
-    same user's view events within [purchase - lookback, purchase].
+    """Stream-stream interval join: each purchase matched to the same
+    user's view events within [purchase - lookback, purchase].
 
     Both sides carry watermarks so the join state is bounded: a view
     older than the watermark minus the interval can never match a
     future purchase and is evicted. Inner joins emit on match, so a
     finite availableNow run produces the complete batch-equivalent
     result in append mode.
+
+    ``how="leftOuter"``: unmatched purchases additionally emit with
+    NULL view columns — but only once the watermark passes their
+    event time (from ``v_ts <= p_ts``, no matching view can still
+    arrive). The query's global watermark is the MIN over both
+    watermarked sides: min(floor-to-ms(max p_ts), floor-to-ms(max
+    v_ts)) − delay — whichever stream saw events last does not
+    advance the other's clock (verified empirically at two SFs; a
+    global-max model provably mispredicts the emitted set). Purchases
+    newer than that final watermark stay in state, unemitted, when
+    the availableNow run stops — the documented semantics of
+    streaming outer joins, not an artifact. The q108 oracle replays
+    the same cutoff.
     """
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(f"how must be inner|leftOuter, got {how!r}")
     from pyspark.sql import functions as F
 
     purchases = (
@@ -207,7 +222,7 @@ def purchase_view_interval_join(
             f"p_user = v_user AND v_ts >= p_ts - interval {lookback} "
             "AND v_ts <= p_ts"
         ),
-        "inner",
+        how,
     )
     return joined.select(
         "purchase_id",
