@@ -5006,3 +5006,224 @@ def q109_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = cooccurrence_pairs(lineitem, "l_orderkey", "l_partkey", min_support=2)
     edges = canonical_edges(pairs, "item_a", "item_b")
     return triangle_count(edges)
+
+
+# ---------------------------------------------------------------------------
+# Q110 — per-group z-score standardization (the ML feature-prep
+# staple): mean and variance derived from EXACT integer sums (rule 1),
+# so the one double division/sqrt/quotient chain per row runs on
+# identical operands in every engine — bit-identical scores without
+# banning floats. Broadcast of the tiny per-group moment table.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q110_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS sv,
+             CAST(SUM(v * v) AS HUGEINT) AS svv
+      FROM s GROUP BY l_returnflag
+    )
+    SELECT s.l_orderkey, s.l_linenumber, s.l_returnflag,
+           CAST(ROUND(
+             (CAST(s.v AS DOUBLE) - CAST(m.sv AS DOUBLE) / m.n)
+             / sqrt(CAST(svv AS DOUBLE) / m.n
+                    - (CAST(sv AS DOUBLE) / m.n) * (CAST(sv AS DOUBLE) / m.n))
+             * 1000000) AS BIGINT) AS z_e6
+    FROM s JOIN m USING (l_returnflag)
+    """,
+    tags=("feature-prep", "zscore", "broadcast"),
+)
+def q110_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        _cents(F.col("l_extendedprice")).alias("v"),
+    )
+    # v² ~1e14 cents²: a BIGINT sum overflows silently past ~92k rows
+    # per group at sf0.1+ (Spark wraps, non-ANSI). DECIMAL(38,0) holds
+    # the exact integer to 1e38 — mirrors the oracle's HUGEINT; both
+    # convert to the same nearest-double for the variance quotient.
+    m = s.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(
+            (F.col("v") * F.col("v")).cast("decimal(38,0)")
+        ).alias("svv"),
+    )
+    vd = F.col("v").cast("double")
+    mean = F.col("sv").cast("double") / F.col("n")
+    var = F.col("svv").cast("double") / F.col("n") - mean * mean
+    z = (vd - mean) / F.sqrt(var)
+    return s.join(F.broadcast(m), "l_returnflag").select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        F.round(z * 1e6).cast("long").alias("z_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q111 — chi-square independence test (orderpriority × orderstatus)
+# from exact contingency counts: each cell's statistic term is a
+# double computed from identical exact integers, integer-ized per
+# CELL before the sum (rule 1 — a raw double total would depend on
+# cell order), then summed exactly.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q111_chi_square",
+    oracle="""
+    WITH obs AS (
+      SELECT o_orderpriority AS r, o_orderstatus AS c,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM orders GROUP BY 1, 2
+    ),
+    rt AS (SELECT r, CAST(SUM(o) AS BIGINT) AS nr FROM obs GROUP BY r),
+    ct AS (SELECT c, CAST(SUM(o) AS BIGINT) AS nc FROM obs GROUP BY c),
+    n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+    terms AS (
+      SELECT obs.r, obs.c,
+             CAST(ROUND(
+               (CAST(obs.o AS DOUBLE)
+                - CAST(rt.nr AS DOUBLE) * ct.nc / n.n)
+               * (CAST(obs.o AS DOUBLE)
+                  - CAST(rt.nr AS DOUBLE) * ct.nc / n.n)
+               / (CAST(rt.nr AS DOUBLE) * ct.nc / n.n)
+               * 1000000) AS BIGINT) AS term_e6
+      FROM obs JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN n
+    )
+    SELECT CAST(SUM(term_e6) AS BIGINT) AS chi2_e6,
+           CAST(COUNT(*) AS BIGINT) AS n_cells
+    FROM terms
+    """,
+    tags=("stats", "chi-square", "contingency"),
+)
+def q111_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    orders = _t(spark, sf_dir, "orders")
+    obs = orders.groupBy(
+        F.col("o_orderpriority").alias("r"), F.col("o_orderstatus").alias("c")
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    rt = obs.groupBy("r").agg(F.sum("o").alias("nr"))
+    ct = obs.groupBy("c").agg(F.sum("o").alias("nc"))
+    n = obs.agg(F.sum("o").alias("n"))
+    e = F.col("nr").cast("double") * F.col("nc") / F.col("n")
+    term = (F.col("o").cast("double") - e) * (
+        F.col("o").cast("double") - e
+    ) / e
+    terms = (
+        obs.join(F.broadcast(rt), "r")
+        .join(F.broadcast(ct), "c")
+        .crossJoin(F.broadcast(n))
+        .select(F.round(term * 1e6).cast("long").alias("term_e6"))
+    )
+    return terms.agg(
+        F.sum("term_e6").cast("long").alias("chi2_e6"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q112 — event-transition bigrams (first-order Markov counts): per
+# user, consecutive event-type pairs by (ts, event_id) order, counted
+# corpus-wide. One lag window over the user shuffle, one groupBy —
+# the sequence-mining primitive.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q112_markov_transitions",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)),
+                                            event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM e WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    tags=("sequence", "markov", "lag"),
+)
+def q112_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    _tune(spark)
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    e = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        e.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q113 — join-key skew report: the diagnostic a pipeline runs BEFORE
+# choosing salting (q66/q72). Per-key frequencies of the fact join
+# key → heaviest keys + skew ratio in integer permille against the
+# mean. Pure two-level aggregation, partial-agged.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q113_skew_report",
+    oracle="""
+    WITH f AS (
+      SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_custkey
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(MAX(n) AS BIGINT) AS max_n
+      FROM f
+    )
+    SELECT s.n_keys, s.n_rows, s.max_n,
+           CAST(s.max_n * s.n_keys * 1000 // s.n_rows AS BIGINT)
+             AS max_over_mean_permille,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM f, s
+             WHERE f.n * s.n_keys * 10 >= s.n_rows * 20) AS keys_over_2x_mean
+    FROM s
+    """,
+    tags=("skew", "diagnostics", "agg"),
+)
+def q113_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    orders = _t(spark, sf_dir, "orders")
+    f = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    s = f.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("n").cast("long").alias("max_n"),
+    )
+    heavy = (
+        f.crossJoin(F.broadcast(s.select(
+            F.col("n_keys").alias("__k"), F.col("n_rows").alias("__r")
+        )))
+        .filter(F.col("n") * F.col("__k") * 10 >= F.col("__r") * 20)
+        .agg(F.count(F.lit(1)).cast("long").alias("keys_over_2x_mean"))
+    )
+    return s.crossJoin(heavy).select(
+        "n_keys", "n_rows", "max_n",
+        F.expr(
+            "CAST((max_n * n_keys * 1000) div n_rows AS BIGINT)"
+        ).alias("max_over_mean_permille"),
+        "keys_over_2x_mean",
+    )
