@@ -1,0 +1,74 @@
+"""Statistical-modeling operators: OLS, EWMA, exact median / MAD —
+closed-form edges the SQL oracles don't isolate."""
+
+from __future__ import annotations
+
+from us_immigration_data_lake_spark.operators.regress import (
+    ewma_smooth,
+    group_median2,
+    groupwise_ols,
+    mad_outlier_stats,
+)
+
+
+def test_ols_recovers_exact_line(spark):
+    # y = 3x + 7 exactly → slope 3, intercept 7, r² = 1
+    rows = [("a", x, 3 * x + 7) for x in range(1, 20)]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    out = groupwise_ols(df, ["g"], "x", "y").collect()[0]
+    assert out.n == 19
+    assert out.slope_e6 == 3_000_000
+    assert out.intercept_e6 == 7_000_000
+    assert out.r2_e6 == 1_000_000
+
+
+def test_ols_flat_series_zero_slope(spark):
+    rows = [("a", x, 42) for x in range(1, 11)]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    out = groupwise_ols(df, ["g"], "x", "y").collect()[0]
+    assert out.slope_e6 == 0
+    assert out.intercept_e6 == 42_000_000
+    assert out.r2_e6 is None  # zero y-variance: r² undefined, not 0/0
+
+
+def test_group_median2_odd_and_even(spark):
+    df = spark.createDataFrame(
+        [("odd", 1, 1), ("odd", 3, 2), ("odd", 100, 3),
+         ("even", 1, 1), ("even", 2, 2), ("even", 3, 3), ("even", 100, 4)],
+        ["g", "v", "k"],
+    )
+    out = {r.g: r.median2 for r in group_median2(df, ["g"], "v", ["k"]).collect()}
+    assert out["odd"] == 6        # median 3 → doubled 6
+    # wait: even group has 4 rows (1,2,3,100): middles 2,3 → median 2.5 → doubled 5
+    assert out["even"] == 5
+
+
+def test_mad_outliers_flags_only_the_spike(spark):
+    # values 10..18 tightly packed plus one 1000 spike
+    rows = [("g", v, i) for i, v in enumerate([10, 11, 12, 13, 14, 15, 16, 17, 18, 1000])]
+    df = spark.createDataFrame(rows, ["g", "v", "k"])
+    out = mad_outlier_stats(df, ["g"], "v", ["k"], n_sigmas=3).collect()[0]
+    # median of 10..18,1000 (10 values) = (14+15)/2 → median2 = 29
+    assert out.median2 == 29
+    assert out.n == 10
+    assert out.n_outliers == 1
+
+
+def test_ewma_head_renormalizes_and_converges(spark):
+    # constant series: EWMA must equal the constant at every position,
+    # including the heads where fewer lags exist (renormalization).
+    rows = [(1, i, 700) for i in range(6)]
+    df = spark.createDataFrame(rows, ["u", "t", "v"])
+    out = ewma_smooth(df, ["u"], ["t"], "v", alpha=0.5, k=4).collect()
+    assert all(r.ewma_e6 == 700_000_000 for r in out)
+
+
+def test_ewma_weights_recent_heavier(spark):
+    # step series 0,0,0,100: smoothed tail must sit between old and new
+    # and closer to the new value (alpha=0.5 → weight .5/.9375 ≈ .533)
+    rows = [(1, 0, 0), (1, 1, 0), (1, 2, 0), (1, 3, 100)]
+    df = spark.createDataFrame(rows, ["u", "t", "v"])
+    out = {r.t: r.ewma_e6 for r in ewma_smooth(df, ["u"], ["t"], "v").collect()}
+    assert out[0] == 0
+    # 0.5*100 / 0.9375 = 53.333... → 53_333_333 micro-units
+    assert out[3] == 53_333_333

@@ -81,3 +81,71 @@ def triangle_count(
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
+
+
+def pagerank_quantized(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "n",
+    iterations: int = 3,
+    damping_permille: int = 850,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Weighted PageRank with micro-unit INTEGER quantization: ranks
+    live as bigint micro-ranks and every iteration is exact integer
+    arithmetic, so the fixpoint path is bit-identical in any engine
+    (double summation order never enters).
+
+    Per iteration (integer ops only):
+        contrib_e = (rank[src] * w_e) div out[src]        -- floor div
+        rank'[v]  = (1-d)·scale/N + (d · Σ contrib_e(v)) div 1000
+
+    Dangling nodes (no outgoing edges) keep only the teleport term —
+    a declared semantic (their mass exits the system), matching the
+    "remove dangling mass" PageRank variant.
+
+    Scale: each iteration is ONE equi-join of the rank vector onto the
+    edge list (shuffle on src) + ONE groupBy dst — the standard
+    distributed PageRank plan; with d iterations that is 2d shuffles,
+    all on node ids, never materialized on the driver. The iteration
+    count is fixed (plan-unrolled), which is how a 100 TB run bounds
+    the job DAG; convergence-tested variants re-run the same job.
+    """
+    e = edges.select(
+        F.col(src).alias("__s"), F.col(dst).alias("__d"),
+        F.col(weight).cast("long").alias("__w"),
+    )
+    out = e.groupBy("__s").agg(F.sum("__w").alias("__out"))
+    e = e.join(out, "__s")  # small dim in practice; Spark broadcasts under AQE
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .unionByName(e.select(F.col("__d").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()  # scalar only — the one driver value needed
+    teleport = ((1000 - damping_permille) * scale) // (1000 * n_nodes)
+    rank = nodes.withColumn("rank", F.lit(scale // n_nodes).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(rank.withColumnRenamed("node", "__s"), "__s")
+            .select(
+                F.col("__d").alias("node"),
+                F.expr("(rank * __w) div __out").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("sc"))
+        )
+        rank = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"({damping_permille} * coalesce(sc, 0L)) div 1000"
+                    )
+                ).cast("long").alias("rank"),
+            )
+        )
+    return rank

@@ -1,0 +1,224 @@
+"""Group-wise statistical modeling: OLS regression, finite-impulse
+EWMA smoothing, and MAD (median-absolute-deviation) outlier bounds.
+
+Generalizes the reference's per-group aggregate pattern
+(etl.py:169-183 groups + aggregates, etl.py:355-358 avg temperature
+per country) to the model-fitting aggregates an analytics engine is
+expected to ship (REGR_SLOPE-family, robust outlier screens, series
+smoothing).
+
+Oracle-parity discipline (plans/queries.py rules 1-3): every moment is
+an EXACT integer sum (bigint / decimal(38,0) mirroring DuckDB
+HUGEINT); doubles appear only in a final fixed expression evaluated
+over identical operands in both engines.
+
+Scale: one hash-aggregate shuffle for OLS/MAD moments (partial
+aggregation map-side), window-only passes for EWMA — no driver
+materialization, no UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def groupwise_ols(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group simple linear regression y = a + b*x via the closed
+    form over exact integer moments.
+
+    ``x_col`` and ``y_col`` MUST already be integer-valued (cast cents
+    / counts upstream): n, Sx, Sy are summed as bigint and the cross
+    moments Sxx, Sxy, Syy as decimal(38,0), so every engine sees the
+    same exact integers. The slope/intercept/r² doubles are then a
+    fixed arithmetic chain over those integers.
+
+    Returns group_cols + n, slope_e6, intercept_e6, r2_e6 (micro-unit
+    bigints, deterministic across engines).
+
+    Scale: a single partial+final hash aggregate on the group keys;
+    the six moments travel as one 48-byte row per group — this is the
+    REGR_SLOPE shape, not a per-row window.
+    """
+    xi = F.col(x_col).cast("long")
+    yi = F.col(y_col).cast("long")
+    moments = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(xi).cast("long").alias("sx"),
+        F.sum(yi).cast("long").alias("sy"),
+        F.sum((xi * xi).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((xi * yi).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((yi * yi).cast("decimal(38,0)")).alias("syy"),
+    )
+    # Exact integer numerators/denominators (decimal(38,0) == HUGEINT
+    # range), converted once to double: nearest-double conversion is
+    # correctly rounded in both engines, and the remaining chain is
+    # fixed-order arithmetic on identical doubles.
+    n_d = F.col("n").cast("decimal(38,0)")
+    # Promote BEFORE multiplying: sx·sy as raw int64 overflows around
+    # sf1 (sx~5e7 quantity units × sy~8e12 cents); decimal×decimal is
+    # exact to 1e38, mirroring the oracle's HUGEINT products.
+    sx_d = F.col("sx").cast("decimal(19,0)")
+    sy_d = F.col("sy").cast("decimal(19,0)")
+    num = (n_d * F.col("sxy") - (sx_d * sy_d).cast("decimal(38,0)")).cast("double")
+    den_x = (n_d * F.col("sxx") - (sx_d * sx_d).cast("decimal(38,0)")).cast("double")
+    den_y = (n_d * F.col("syy") - (sy_d * sy_d).cast("decimal(38,0)")).cast("double")
+    # Degenerate groups: constant x → slope undefined (NULL); constant
+    # x or y → r² undefined (NULL). when() guards keep ANSI mode happy;
+    # the SQL mirror is NULLIF on the denominators.
+    slope = F.when(den_x != 0.0, num / den_x)
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / F.col(
+        "n"
+    ).cast("double")
+    r2 = F.when(den_x * den_y != 0.0, (num * num) / (den_x * den_y))
+    return moments.select(
+        *group_cols,
+        F.col("n"),
+        F.round(slope * 1e6).cast("long").alias("slope_e6"),
+        F.round(intercept * 1e6).cast("long").alias("intercept_e6"),
+        F.round(r2 * 1e6).cast("long").alias("r2_e6"),
+    )
+
+
+def ewma_weights(alpha: float, k: int) -> list[float]:
+    """Truncated exponential kernel w_j = alpha*(1-alpha)^j, j=0..k-1.
+
+    Computed once driver-side so Spark and any SQL oracle embed the
+    SAME double literals — the weights are part of the plan, not
+    recomputed per engine.
+    """
+    return [alpha * (1.0 - alpha) ** j for j in range(k)]
+
+
+def ewma_smooth(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.5,
+    k: int = 4,
+) -> DataFrame:
+    """Finite-impulse EWMA: smoothed_t = Σ_j w_j·x_{t-j} / Σ_j w_j over
+    the lags that exist (series heads renormalize over present terms).
+
+    ``value_col`` must be integer-valued; each lag term is an exact
+    integer, the weighted sum is a FIXED left-to-right chain of
+    literal-coefficient multiply-adds — the identical IEEE sequence in
+    any engine that evaluates the same expression text. ``order_cols``
+    must end in a unique key (rule 6).
+
+    Scale: one window pass (single shuffle on partition_cols); the k
+    lag() calls share one sort — Spark evaluates them in the same
+    window frame, not k passes.
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    weights = ewma_weights(alpha, k)
+    v = F.col(value_col).cast("long")
+    num: Column | None = None
+    den: Column | None = None
+    for j, wj in enumerate(weights):
+        lag_v = v if j == 0 else F.lag(v, j).over(w)
+        term = F.when(lag_v.isNotNull(), F.lit(wj) * lag_v.cast("double")).otherwise(
+            F.lit(0.0)
+        )
+        wterm = F.when(lag_v.isNotNull(), F.lit(wj)).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = wterm if den is None else den + wterm
+    return df.withColumn("ewma_e6", F.round(num / den * 1e6).cast("long"))
+
+
+def group_median2(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    tie_cols: list[str],
+) -> DataFrame:
+    """Exact DOUBLED median per group, as a bigint: 2·median == the sum
+    of the two middle order statistics (== 2× the middle one for odd
+    n). Staying in doubled units keeps the even-n half-point exact
+    integer arithmetic — no float crosses an engine boundary.
+
+    ``tie_cols`` break ordering ties so row_number is deterministic;
+    the median VALUE is unaffected by tie order, only the scan is.
+
+    Scale: one window shuffle on the group keys + one tiny aggregate;
+    this is the exact-median plan (a full sort per group is inherent
+    to exact order statistics — use approx_percentile when rank error
+    is acceptable).
+    """
+    v = F.col(value_col).cast("long")
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("_v"), *[F.col(c) for c in tie_cols]
+    )
+    ranked = df.select(
+        *group_cols, v.alias("_v"), *[F.col(c) for c in tie_cols]
+    ).withColumn("_rn", F.row_number().over(w))
+    counted = ranked.withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
+    )
+    # lower middle = floor((n+1)/2), upper middle = floor(n/2)+1; for
+    # odd n they coincide and the sum below counts that row twice.
+    mid = counted.filter(
+        (F.col("_rn") == F.floor((F.col("_n") + 1) / 2))
+        | (F.col("_rn") == F.floor(F.col("_n") / 2) + 1)
+    )
+    return mid.groupBy(*group_cols).agg(
+        F.when(F.count(F.lit(1)) == 1, F.sum("_v") * 2)
+        .otherwise(F.sum("_v"))
+        .cast("long")
+        .alias("median2")
+    )
+
+
+def mad_outlier_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    tie_cols: list[str],
+    n_sigmas: int = 3,
+) -> DataFrame:
+    """Robust per-group outlier screen: flag rows with
+    |v − median| > n_sigmas · MAD, all in exact integer arithmetic.
+
+    Doubled-unit trick: med2 = 2·median (bigint); per-row deviation
+    dev2 = |2v − med2| (bigint); mad4 = 2·median(dev2) = 4·MAD
+    (bigint). The test |v−med| > s·MAD ⇔ 2·dev2 > s·mad4 — integers
+    only, no epsilon anywhere.
+
+    Returns group_cols + n, median2, mad4, n_outliers.
+
+    Scale: two exact-median passes (two window shuffles on the same
+    keys) + one final aggregate — the canonical exact-MAD plan. The
+    second pass reshuffles only (keys, dev2).
+    """
+    v = F.col(value_col).cast("long")
+    med = group_median2(df, group_cols, value_col, tie_cols)
+    with_dev = (
+        df.select(*group_cols, v.alias("_v"), *[F.col(c) for c in tie_cols])
+        .join(F.broadcast(med), group_cols)
+        .withColumn("dev2", F.abs(F.lit(2) * F.col("_v") - F.col("median2")))
+    )
+    mad = group_median2(with_dev, group_cols, "dev2", tie_cols).withColumnRenamed(
+        "median2", "mad4"
+    )
+    flagged = with_dev.join(F.broadcast(mad), group_cols)
+    return (
+        flagged.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.first("median2").alias("median2"),
+            F.first("mad4").alias("mad4"),
+            F.sum(
+                (F.lit(2) * F.col("dev2") > F.lit(n_sigmas) * F.col("mad4")).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )

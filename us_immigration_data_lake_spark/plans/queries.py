@@ -5227,3 +5227,540 @@ def q113_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("max_over_mean_permille"),
         "keys_over_2x_mean",
     )
+
+
+# ---------------------------------------------------------------------------
+# Q114 — group-wise OLS linear regression (REGR_SLOPE family) of
+# price-cents on quantity, via exact integer moments (rule 1): the six
+# moments are bigint/decimal(38,0) sums, the slope/intercept/r²
+# doubles are one fixed chain over identical operands in both engines.
+# Scale: single partial+final hash aggregate; 48 bytes per group.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q114_groupwise_ols",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_quantity) AS BIGINT) AS x,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(y AS HUGEINT) * y) AS syy
+      FROM s GROUP BY l_returnflag
+    ),
+    d AS (
+      SELECT l_returnflag, n, sx, sy,
+             CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS num,
+             CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS den_x,
+             CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS den_y
+      FROM m
+    )
+    SELECT l_returnflag, n,
+           CAST(ROUND(num / NULLIF(den_x, 0) * 1000000) AS BIGINT) AS slope_e6,
+           CAST(ROUND((CAST(sy AS DOUBLE)
+                       - (num / NULLIF(den_x, 0)) * CAST(sx AS DOUBLE))
+                      / CAST(n AS DOUBLE) * 1000000) AS BIGINT) AS intercept_e6,
+           CAST(ROUND((num * num) / NULLIF(den_x * den_y, 0) * 1000000)
+                AS BIGINT) AS r2_e6
+    FROM d
+    """,
+    tags=("regression", "modeling", "agg"),
+)
+def q114_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.regress import groupwise_ols
+
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.select(
+        "l_returnflag",
+        F.round(F.col("l_quantity")).cast("long").alias("x"),
+        _cents(F.col("l_extendedprice")).alias("y"),
+    )
+    return groupwise_ols(s, ["l_returnflag"], "x", "y")
+
+
+# ---------------------------------------------------------------------------
+# Q115 — finite-impulse EWMA smoothing of each user's event-value
+# series (k=4 lags, alpha=0.5 → exact binary weights .5 .25 .125
+# .0625). Series heads renormalize over the lags present. One window
+# pass; the k lag() calls share a single sort.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q115_ewma_smooth",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    l AS (
+      SELECT event_id, user_id, v,
+             lag(v, 1) OVER w AS v1,
+             lag(v, 2) OVER w AS v2,
+             lag(v, 3) OVER w AS v3
+      FROM s
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, v,
+           CAST(ROUND(
+             (0.5 * CAST(v AS DOUBLE)
+              + CASE WHEN v1 IS NOT NULL THEN 0.25 * CAST(v1 AS DOUBLE) ELSE 0.0 END
+              + CASE WHEN v2 IS NOT NULL THEN 0.125 * CAST(v2 AS DOUBLE) ELSE 0.0 END
+              + CASE WHEN v3 IS NOT NULL THEN 0.0625 * CAST(v3 AS DOUBLE) ELSE 0.0 END)
+             / (0.5
+                + CASE WHEN v1 IS NOT NULL THEN 0.25 ELSE 0.0 END
+                + CASE WHEN v2 IS NOT NULL THEN 0.125 ELSE 0.0 END
+                + CASE WHEN v3 IS NOT NULL THEN 0.0625 ELSE 0.0 END)
+             * 1000000) AS BIGINT) AS ewma_e6
+    FROM l
+    """,
+    tags=("ewma", "timeseries", "window"),
+)
+def q115_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.regress import ewma_smooth
+
+    _tune(spark)
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", _cents(F.col("value")).alias("v")
+    )
+    out = ewma_smooth(
+        ev, ["user_id"], ["ts", "event_id"], "v", alpha=0.5, k=4
+    )
+    return out.select("event_id", "user_id", "v", "ewma_e6")
+
+
+# ---------------------------------------------------------------------------
+# Q116 — MAD robust outlier screen per return flag, entirely in exact
+# integer arithmetic via the doubled-units trick (med2 = 2·median,
+# mad4 = 4·MAD, test 2·dev2 > 3·mad4). Two exact-median window passes
+# — the inherent cost of exact order statistics.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q116_mad_outliers",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag AS g,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+             l_orderkey AS k1, l_linenumber AS k2
+      FROM lineitem
+    ),
+    r1 AS (
+      SELECT g, v,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, k1, k2) AS rn,
+             COUNT(*) OVER (PARTITION BY g) AS n
+      FROM s
+    ),
+    med AS (
+      SELECT g,
+             CAST(CASE WHEN COUNT(*) = 1 THEN SUM(v) * 2 ELSE SUM(v) END
+                  AS BIGINT) AS median2
+      FROM r1 WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1 GROUP BY g
+    ),
+    d AS (
+      SELECT s.g, s.v, s.k1, s.k2,
+             ABS(2 * s.v - med.median2) AS dev2, med.median2
+      FROM s JOIN med USING (g)
+    ),
+    r2 AS (
+      SELECT g, dev2,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY dev2, k1, k2) AS rn,
+             COUNT(*) OVER (PARTITION BY g) AS n
+      FROM d
+    ),
+    mad AS (
+      SELECT g,
+             CAST(CASE WHEN COUNT(*) = 1 THEN SUM(dev2) * 2 ELSE SUM(dev2) END
+                  AS BIGINT) AS mad4
+      FROM r2 WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1 GROUP BY g
+    )
+    SELECT d.g AS l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(d.median2) AS BIGINT) AS median2,
+           CAST(MIN(mad.mad4) AS BIGINT) AS mad4,
+           CAST(SUM(CASE WHEN 2 * d.dev2 > 3 * mad.mad4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM d JOIN mad USING (g)
+    GROUP BY d.g
+    """,
+    tags=("mad", "outliers", "robust-stats"),
+)
+def q116_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.regress import mad_outlier_stats
+
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.select(
+        F.col("l_returnflag"),
+        _cents(F.col("l_extendedprice")).alias("v"),
+        "l_orderkey", "l_linenumber",
+    )
+    out = mad_outlier_stats(
+        s, ["l_returnflag"], "v", ["l_orderkey", "l_linenumber"], n_sigmas=3
+    )
+    return out.select("l_returnflag", "n", "median2", "mad4", "n_outliers")
+
+
+# ---------------------------------------------------------------------------
+# Q117 — small-quantity-order revenue (TPC-H Q17 shape): per-part
+# average-quantity threshold as an EXACT integer inequality
+# (q < 0.2·avg ⇔ 5·q·n < Σq — no doubles in the predicate). The
+# correlated-subquery formulation becomes: broadcast the filtered
+# part dim, aggregate per-part moments, broadcast those (≤ |brand
+# parts| rows) back onto the lines.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q117_small_qty_revenue",
+    oracle="""
+    WITH l AS (
+      SELECT l_partkey,
+             CAST(ROUND(l_quantity) AS BIGINT) AS q,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand = 'Brand#13'
+    ),
+    t AS (
+      SELECT l_partkey,
+             CAST(SUM(q) AS BIGINT) AS sq,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM l GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(l.cents) AS BIGINT) AS below_sum_cents,
+           CAST(ROUND(CAST(SUM(l.cents) AS DOUBLE) / 7.0) AS BIGINT)
+             AS avg_yearly_cents
+    FROM l JOIN t USING (l_partkey)
+    WHERE 5 * l.q * t.n < t.sq
+    """,
+    tags=("tpch-q17", "correlated-agg", "broadcast"),
+)
+def q117_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    l = li.join(
+        F.broadcast(part.select(F.col("p_partkey").alias("l_partkey"))),
+        "l_partkey",
+    ).select(
+        "l_partkey",
+        F.round(F.col("l_quantity")).cast("long").alias("q"),
+        _cents(F.col("l_extendedprice")).alias("cents"),
+    )
+    t = l.groupBy("l_partkey").agg(
+        F.sum("q").cast("long").alias("sq"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    below = l.join(F.broadcast(t), "l_partkey").filter(
+        F.lit(5) * F.col("q") * F.col("n") < F.col("sq")
+    )
+    return below.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("cents").cast("long").alias("below_sum_cents"),
+        F.round(F.sum("cents").cast("double") / 7.0).cast("long").alias(
+            "avg_yearly_cents"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q118 — large-volume orders (TPC-H Q18 shape): group lineitem on the
+# order key (one fact-side shuffle), HAVING-filter to the heavy tail,
+# then broadcast that tiny survivor set onto orders. No window, no
+# second fact scan.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q118_large_orders",
+    oracle="""
+    WITH t AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY 1
+      HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 300
+    )
+    SELECT o.o_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+           t.sum_qty
+    FROM orders o JOIN t ON o.o_orderkey = t.l_orderkey
+    """,
+    tags=("tpch-q18", "having", "broadcast"),
+)
+def q118_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    t = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).cast("long").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return orders.join(
+        F.broadcast(t.withColumnRenamed("l_orderkey", "o_orderkey")), "o_orderkey"
+    ).select(
+        "o_custkey", "o_orderkey",
+        F.to_date("o_orderdate").alias("order_date"),
+        _cents(F.col("o_totalprice")).alias("total_cents"),
+        "sum_qty",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q119 — disjunctive multi-predicate join revenue (TPC-H Q19 shape).
+# The OR-of-conjunctions references both sides, so Catalyst cannot
+# push it; the engine derives the part-side UNION of the disjuncts
+# (brand ∈ {...} AND size bounds) explicitly — the dim shrinks before
+# the broadcast, the residual OR evaluates post-join. Revenue is the
+# per-row deterministic cents chain (rule 1).
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q119_disjunctive_join",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("tpch-q19", "disjunction", "predicate-derivation"),
+)
+def q119_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    # Part-side implied filter (union of the disjuncts' part terms):
+    # shrinks the broadcast dim ~20× before the join.
+    part_f = part.filter(
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15))
+    ).select("p_partkey", "p_brand", "p_size")
+    j = li.join(
+        F.broadcast(part_f), li.l_partkey == part_f.p_partkey
+    )
+    disj = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(disj).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("long")
+        ).cast("long").alias("revenue_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q120 — sole-responsible supplier (TPC-H Q21 shape, adapted to this
+# schema's columns): suppliers whose 'R'-flagged lines sit in
+# multi-supplier orders where NO other supplier flagged 'R'. The
+# EXISTS / NOT EXISTS pair becomes a semi-join + anti-join on the
+# order key — both shuffle on l_orderkey only, so the three fact
+# references co-partition into one exchange under AQE.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q120_sole_blame_supplier",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_suppkey, l_returnflag FROM lineitem
+    ),
+    r AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE l_returnflag = 'R'
+    ),
+    multi AS (
+      SELECT r.l_orderkey, r.l_suppkey FROM r
+      WHERE EXISTS (SELECT 1 FROM li l2
+                    WHERE l2.l_orderkey = r.l_orderkey
+                      AND l2.l_suppkey <> r.l_suppkey)
+    ),
+    sole AS (
+      SELECT m.l_orderkey, m.l_suppkey FROM multi m
+      WHERE NOT EXISTS (SELECT 1 FROM li l3
+                        WHERE l3.l_orderkey = m.l_orderkey
+                          AND l3.l_suppkey <> m.l_suppkey
+                          AND l3.l_returnflag = 'R')
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM sole JOIN supplier s ON sole.l_suppkey = s.s_suppkey
+    GROUP BY 1, 2
+    ORDER BY numwait DESC, s.s_suppkey
+    LIMIT 10
+    """,
+    tags=("tpch-q21", "exists", "anti-join"),
+)
+def q120_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    supplier = _t(spark, sf_dir, "supplier")
+    r = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    ).distinct()
+    li2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    multi = r.join(
+        li2,
+        (r.l_orderkey == li2.o2) & (r.l_suppkey != li2.s2),
+        "left_semi",
+    )
+    li3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    sole = multi.join(
+        li3,
+        (multi.l_orderkey == li3.o3) & (multi.l_suppkey != li3.s3),
+        "left_anti",
+    )
+    return (
+        sole.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            sole.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q121 — incremental aggregate maintenance: the per-customer order
+# stats view refreshed by MERGING partial states (base partition's
+# stored state + the delta partition's freshly-aggregated state)
+# instead of recomputing over all data. The oracle recomputes from
+# scratch — equality IS the IVM correctness proof.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q121_incremental_agg",
+    oracle="""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders GROUP BY 1
+    """,
+    tags=("ivm", "incremental", "state-merge"),
+)
+def q121_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.incremental import (
+        agg_state,
+        merge_states,
+    )
+
+    _tune(spark)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", _cents(F.col("o_totalprice")).alias("cents")
+    )
+    cut = "1999-01-01"
+    base = agg_state(
+        orders.filter(F.col("o_orderdate") < cut),
+        ["o_custkey"], {"total_cents": "cents"},
+    )
+    delta = agg_state(
+        orders.filter(F.col("o_orderdate") >= cut),
+        ["o_custkey"], {"total_cents": "cents"},
+    )
+    return merge_states(base, delta, ["o_custkey"]).select(
+        "o_custkey", "n", "total_cents"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q122 — weighted PageRank over the event-type transition graph,
+# integer-quantized (micro-rank bigints, floor-div contributions) so
+# three unrolled iterations are bit-identical in any engine — double
+# summation order never enters the fixpoint path.
+# ---------------------------------------------------------------------------
+
+_PR_TELEPORT = "(SELECT (150 * 1000000) // (1000 * n) FROM nn)"
+
+@_register(
+    "q122_pagerank_events",
+    oracle=f"""
+    WITH tr AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)),
+                                            event_id) AS prev_type
+      FROM events
+    ),
+    e AS (
+      SELECT prev_type AS s, event_type AS d, CAST(COUNT(*) AS BIGINT) AS w
+      FROM tr WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ),
+    outd AS (SELECT s, CAST(SUM(w) AS BIGINT) AS o FROM e GROUP BY s),
+    nodes AS (SELECT DISTINCT node FROM
+              (SELECT s AS node FROM e UNION SELECT d FROM e)),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    r0 AS (SELECT node, CAST((SELECT 1000000 // n FROM nn) AS BIGINT) AS rank
+           FROM nodes),
+    c1 AS (SELECT e.d AS node,
+                  CAST(SUM((r0.rank * e.w) // outd.o) AS BIGINT) AS sc
+           FROM e JOIN outd USING (s) JOIN r0 ON r0.node = e.s GROUP BY e.d),
+    r1 AS (SELECT nodes.node,
+                  CAST({_PR_TELEPORT} + (850 * COALESCE(c1.sc, 0)) // 1000
+                       AS BIGINT) AS rank
+           FROM nodes LEFT JOIN c1 USING (node)),
+    c2 AS (SELECT e.d AS node,
+                  CAST(SUM((r1.rank * e.w) // outd.o) AS BIGINT) AS sc
+           FROM e JOIN outd USING (s) JOIN r1 ON r1.node = e.s GROUP BY e.d),
+    r2 AS (SELECT nodes.node,
+                  CAST({_PR_TELEPORT} + (850 * COALESCE(c2.sc, 0)) // 1000
+                       AS BIGINT) AS rank
+           FROM nodes LEFT JOIN c2 USING (node)),
+    c3 AS (SELECT e.d AS node,
+                  CAST(SUM((r2.rank * e.w) // outd.o) AS BIGINT) AS sc
+           FROM e JOIN outd USING (s) JOIN r2 ON r2.node = e.s GROUP BY e.d),
+    r3 AS (SELECT nodes.node,
+                  CAST({_PR_TELEPORT} + (850 * COALESCE(c3.sc, 0)) // 1000
+                       AS BIGINT) AS rank
+           FROM nodes LEFT JOIN c3 USING (node))
+    SELECT node, rank FROM r3
+    """,
+    tags=("pagerank", "graph", "iterative"),
+)
+def q122_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from us_immigration_data_lake_spark.operators.graph import pagerank_quantized
+
+    _tune(spark)
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    edges = (
+        ev.select(
+            "event_type", F.lag("event_type").over(w).alias("prev_type")
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return pagerank_quantized(edges, "src", "dst", "n", iterations=3).select(
+        "node", "rank"
+    )
