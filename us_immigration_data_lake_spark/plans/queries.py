@@ -5764,3 +5764,272 @@ def q122_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_quantized(edges, "src", "dst", "n", iterations=3).select(
         "node", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Q123 — TF-IDF top-3 terms per document. idf is integer-quantized
+# per TERM (micronat bigint, same measured ln-agreement basis as q81)
+# so the per-doc score c_dt·idf_e6 and its ranking are exact integer
+# arithmetic. Plan: one tokenize pass → doc-term counts → token-keyed
+# join of the doc-frequency census → per-doc window top-k. The census
+# join shuffles on token; the window shuffles on doc_id — both keyed,
+# no broadcast of the corpus.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q123_tfidf_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                t -> t <> '')) AS token
+      FROM documents
+    ),
+    dc AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c_dt
+           FROM tok GROUP BY 1, 2),
+    df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_docs_with
+           FROM dc GROUP BY 1),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+           FROM documents),
+    scored AS (
+      SELECT dc.doc_id, dc.token,
+             dc.c_dt * CAST(ROUND(ln(CAST(nd.n_docs AS DOUBLE)
+                                     / CAST(df.n_docs_with AS DOUBLE)) * 1e6)
+                            AS BIGINT) AS score
+      FROM dc JOIN df USING (token) CROSS JOIN nd
+    )
+    SELECT doc_id, token, rank, score FROM (
+      SELECT doc_id, token, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, token) AS BIGINT)
+               AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+    tags=("llm", "tfidf", "topk"),
+)
+def q123_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from us_immigration_data_lake_spark.functions.text import tokens
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    )
+    dc = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("c_dt")
+    )
+    df_t = dc.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_with")
+    )
+    nd = docs.select(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    scored = dc.join(df_t, "token").crossJoin(F.broadcast(nd)).select(
+        "doc_id", "token",
+        (
+            F.col("c_dt")
+            * F.round(
+                F.log(
+                    F.col("n_docs").cast("double")
+                    / F.col("n_docs_with").cast("double")
+                )
+                * 1e6
+            ).cast("long")
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", "rank", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q124 — equi-DEPTH histogram via ntile over a fully-specified order
+# (value, unique key — rule 6): per-decile row count and exact cent
+# bounds. Complements q96's equi-width bins; ntile's extra-row
+# distribution (first buckets take the remainder) is identical in
+# Spark and DuckDB given the deterministic order.
+# Scale note: a global ntile is a single-ordering operation — Spark
+# range-partitions the sort, but the rank assignment is one logical
+# ordering; at 100 TB prefer approx_percentile bounds (q78) unless
+# exact depth boundaries are contractual.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q124_equidepth_histogram",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             NTILE(10) OVER (ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT),
+                             o_orderkey) AS bucket
+      FROM orders
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(cents) AS BIGINT) AS lo_cents,
+           CAST(MAX(cents) AS BIGINT) AS hi_cents
+    FROM s GROUP BY 1
+    """,
+    tags=("histogram", "equi-depth", "ntile"),
+)
+def q124_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    _tune(spark)
+    orders = _t(spark, sf_dir, "orders")
+    s = orders.select(
+        "o_orderkey", _cents(F.col("o_totalprice")).alias("cents")
+    ).withColumn(
+        "bucket",
+        F.ntile(10).over(Window.orderBy(F.col("cents"), F.col("o_orderkey"))),
+    )
+    return s.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("cents").alias("lo_cents"),
+        F.max("cents").alias("hi_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q125 — winsorized mean per group: clip at the exact p10/p90 order
+# statistics (ranks via integer ceil — (n+9)//10, (9n+9)//10 — no
+# float rank arithmetic), then average the clipped exact cents. One
+# window pass for ranks, a tiny broadcast of per-group bounds, one
+# final aggregate.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q125_winsorized_mean",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag AS g,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+             l_orderkey AS k1, l_linenumber AS k2
+      FROM lineitem
+    ),
+    r AS (
+      SELECT g, v,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, k1, k2) AS rn,
+             COUNT(*) OVER (PARTITION BY g) AS n
+      FROM s
+    ),
+    b AS (
+      SELECT g,
+             CAST(MIN(CASE WHEN rn = (n + 9) // 10 THEN v END) AS BIGINT)
+               AS lo,
+             CAST(MIN(CASE WHEN rn = (9 * n + 9) // 10 THEN v END) AS BIGINT)
+               AS hi
+      FROM r GROUP BY g
+    )
+    SELECT s.g AS l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(b.lo) AS BIGINT) AS lo_cents,
+           CAST(MIN(b.hi) AS BIGINT) AS hi_cents,
+           CAST(ROUND(CAST(SUM(CASE WHEN s.v < b.lo THEN b.lo
+                                    WHEN s.v > b.hi THEN b.hi
+                                    ELSE s.v END) AS DOUBLE)
+                      / COUNT(*)) AS BIGINT) AS wmean_cents
+    FROM s JOIN b USING (g)
+    GROUP BY s.g
+    """,
+    tags=("winsorize", "robust-stats", "order-stats"),
+)
+def q125_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.select(
+        F.col("l_returnflag").alias("g"),
+        _cents(F.col("l_extendedprice")).alias("v"),
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_linenumber").alias("k2"),
+    )
+    w = Window.partitionBy("g").orderBy("v", "k1", "k2")
+    r = s.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
+    b = r.groupBy("g").agg(
+        F.min(
+            F.when(F.col("rn") == F.expr("(n + 9) div 10"), F.col("v"))
+        ).cast("long").alias("lo"),
+        F.min(
+            F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("v"))
+        ).cast("long").alias("hi"),
+    )
+    clipped = s.join(F.broadcast(b), "g").select(
+        "g", "v", "lo", "hi",
+        F.when(F.col("v") < F.col("lo"), F.col("lo"))
+        .when(F.col("v") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("v"))
+        .alias("cv"),
+    )
+    return clipped.groupBy(F.col("g").alias("l_returnflag")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("lo").cast("long").alias("lo_cents"),
+        F.min("hi").cast("long").alias("hi_cents"),
+        F.round(F.sum("cv").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("wmean_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q126 — Bloom-pruned join: the runtime-filter pattern a 100 TB join
+# relies on, made explicit. Build a portable Bloom filter over the
+# selective dim subset's keys, prune the fact SIDE-LOCALLY before the
+# shuffle (admitted-key broadcast semi-join), then run the exact join
+# — false positives die in the exact join, so the result EQUALS the
+# plain join (which is the oracle). The pruned shuffle moves only
+# ~|matching|·(1+fp) rows instead of the whole fact table.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q126_bloom_pruned_join",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE s.s_nationkey = 3
+    GROUP BY 1, 2
+    """,
+    tags=("bloom", "runtime-filter", "join-pruning"),
+)
+def q126_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.sketches import (
+        bloom_build_bits,
+        bloom_probe,
+    )
+
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 3)
+    dim = supplier.select("s_suppkey", "s_name")
+    bits = bloom_build_bits(dim, "s_suppkey", num_hashes=5, num_bits=50_000)
+    admitted = bloom_probe(
+        bits,
+        li.select(F.col("l_suppkey")).distinct(),
+        "l_suppkey",
+        num_hashes=5,
+        num_bits=50_000,
+    ).filter(F.col("might_match")).select("l_suppkey")
+    pruned = li.join(F.broadcast(admitted), "l_suppkey", "left_semi")
+    return (
+        pruned.join(
+            F.broadcast(dim), pruned.l_suppkey == F.col("s_suppkey")
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(_cents(F.col("l_extendedprice"))).cast("long").alias(
+                "revenue_cents"
+            ),
+        )
+    )
