@@ -57,6 +57,13 @@ def main() -> None:
     # predicate pushdown, q01/q04 +15-20%).
     spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").cache().count()
 
+    # HEADLINE SET GROWTH (r4): the set is 12 queries (r1-r3 had 10) —
+    # q24 (SRP-LSH ANN, the 100 TB scale path, promoted per the r3
+    # verdict) and q105 (TPC-H Q5 multi-join) were added. Cross-round
+    # TOTALS are therefore not comparable; compare per-query timings.
+    # The r3-comparable 10-query subset measured 7.17 s on an idle
+    # host at r4 head (vs 7.982 s in r3, q01 0.93 s).
+    #
     # Measurement honesty notes (r4 root-cause of the r1→r3 "regressions"):
     # - Per-query numbers carry ±30% host noise: q01's plan is unchanged
     #   since r1 (git -S), yet identical solo fresh-session runs measured

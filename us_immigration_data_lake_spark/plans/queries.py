@@ -6033,3 +6033,51 @@ def q126_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q127 — STREAMING incremental view maintenance: the per-user order
+# stats view of q121, maintained by folding each micro-batch's
+# partial state into a versioned parquet state store via foreachBatch
+# (streaming/sinks.py:incremental_agg_stream). Version N is a pure
+# function of (version N-1, batch N) and overwrites itself — replay-
+# safe exactly-once without a transactional format. The oracle
+# recomputes from all events; equality proves the fold. Multi-batch
+# folding + crash-replay idempotency are exercised in
+# tests/test_stream_ivm.py (the gate's single-file source yields one
+# batch).
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q127_stream_ivm",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events GROUP BY 1
+    """,
+    tags=("streaming", "ivm", "foreachBatch", "exactly-once"),
+)
+def q127_stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from us_immigration_data_lake_spark.sources.events import read_event_stream
+    from us_immigration_data_lake_spark.streaming.sinks import (
+        incremental_agg_stream,
+        read_latest_state,
+    )
+
+    _tune(spark)
+    stream = read_event_stream(spark, sf_dir).select(
+        "user_id", _cents(F.col("value")).alias("cents")
+    )
+    root = tempfile.mkdtemp(prefix="q127_ivm_")
+    state_dir = f"{root}/state"
+    incremental_agg_stream(
+        stream, ["user_id"], {"sum_cents": "cents"},
+        state_dir, f"{root}/ckpt", name=_sink_name("q127_ivm"),
+    )
+    return read_latest_state(spark, state_dir).select(
+        "user_id", "n", "sum_cents"
+    )

@@ -13,6 +13,7 @@ A plain append in foreachBatch does NOT.
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 from pyspark.sql import DataFrame
@@ -70,3 +71,65 @@ def exactly_once_parquet_batches(
         )
 
     run_foreach_batch(stream_df, _write, checkpoint_dir, name)
+
+
+def incremental_agg_stream(
+    stream_df: DataFrame,
+    keys: list[str],
+    sums: dict[str, str],
+    state_dir: str,
+    checkpoint_dir: str,
+    name: str = "incremental_agg",
+) -> None:
+    """Streaming incremental view maintenance: fold each micro-batch's
+    partial aggregate state into a VERSIONED parquet state store
+    (state_dir/v=<batch_id>), using operators/incremental.py's monoid
+    merge.
+
+    Exactly-once by construction: version N is a deterministic
+    function of (version N-1, batch N), and the write OVERWRITES v=N —
+    so a replayed batch (crash between sink write and checkpoint
+    commit) recomputes the identical v=N instead of double-counting.
+    The "previous" state is always the largest version < batch_id,
+    never just "the latest", which on replay could BE the orphaned v=N.
+
+    Scale: per batch this shuffles |delta keys| partial rows plus
+    |state| merged rows — never re-aggregates the base data. State
+    listing is one directory scan per batch (driver-side; on object
+    stores this is the same LIST a transactional format's log replaces).
+    """
+    from us_immigration_data_lake_spark.operators.incremental import (
+        agg_state,
+        merge_states,
+    )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = agg_state(batch_df, keys, sums)
+        prev_versions = [
+            int(d.split("=", 1)[1])
+            for d in (os.listdir(state_dir) if os.path.isdir(state_dir) else [])
+            if d.startswith("v=") and int(d.split("=", 1)[1]) < batch_id
+        ]
+        if prev_versions:
+            prev = spark.read.parquet(
+                os.path.join(state_dir, f"v={max(prev_versions)}")
+            )
+            merged = merge_states(prev, delta, keys)
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v={batch_id}")
+        )
+
+    run_foreach_batch(stream_df, _fold, checkpoint_dir, name)
+
+
+def read_latest_state(spark, state_dir: str) -> DataFrame:
+    """Read the highest-version state written by incremental_agg_stream."""
+    versions = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(state_dir)
+        if d.startswith("v=")
+    ]
+    return spark.read.parquet(os.path.join(state_dir, f"v={max(versions)}"))
