@@ -108,3 +108,37 @@ def profile_table(
     return one.select(
         F.explode(F.array(*per_col)).alias("p")
     ).select("p.*")
+
+
+def constraint_report(
+    df: DataFrame,
+    checks: dict[str, Column],
+    unique_key: list[str] | None = None,
+) -> DataFrame:
+    """Declarative data-contract validation in ONE scan: each entry in
+    ``checks`` is (name → VIOLATION predicate); the report row carries
+    n_rows plus a violation count per check, all partial-aggregated
+    conditional sums. ``unique_key`` adds a duplicate-key-group count
+    (the one check that inherently needs its own groupBy shuffle —
+    keys only, never payload columns).
+
+    The reference's quality gate is a bare row-count check
+    (etl.py:48-57); this is that idea grown into the declarative
+    constraint suite a lakehouse actually runs per load.
+    """
+    base = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        *[
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+            for name, cond in checks.items()
+        ],
+    )
+    if unique_key is None:
+        return base
+    dups = (
+        df.groupBy(*unique_key)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("dup_key_groups"))
+    )
+    return base.crossJoin(F.broadcast(dups))

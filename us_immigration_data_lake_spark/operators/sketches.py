@@ -141,3 +141,64 @@ def bloom_contract(
         fp.cast("long").alias("fp_count"),
         (fp <= F.lit(float(max_fp_rate)) * non).alias("fp_within_bound"),
     )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch, PORTABLE: built on
+    md5_long so an external engine replays the estimate bit-for-bit
+    (unlike approx_count_distinct's HLL, which is
+    implementation-defined — q74 checks that one only within
+    tolerance).
+
+    Estimator: with the k-th smallest of the distinct 60-bit hashes at
+    ``kth``, est = (k-1)·2^60 div kth (exact integer floor division —
+    no double rounding to diverge on). Groups with fewer than k
+    distinct hashes report their exact count (the sketch IS exact
+    below k).
+
+    Scale: distinct → rank-k per group. The rank filter compiles to
+    Spark's WindowGroupLimit pushdown, so each partition keeps only
+    its local top-k candidates before the shuffle — the sketch never
+    materializes a full per-group sort. The k hashes per group are
+    also the mergeable state: union two groups' hash sets, re-take the
+    k smallest, re-estimate.
+    """
+    from pyspark.sql import Window
+
+    from us_immigration_data_lake_spark.functions.hashing import (
+        MD5_LONG_BITS,
+        md5_long,
+    )
+
+    m = 1 << MD5_LONG_BITS
+    h = md5_long(F.col(value_col).cast("string"))
+    distinct_hashes = df.select(*group_cols, h.alias("__h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("__h")
+    kept = distinct_hashes.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    return (
+        kept.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.max(F.when(F.col("__rn") == k, F.col("__h"))).alias("kth_hash"),
+        )
+        .select(
+            *group_cols,
+            F.col("kth_hash"),
+            F.when(F.col("kth_hash").isNull(), F.col("n_kept"))
+            .otherwise(
+                F.expr(
+                    f"CAST((CAST({k - 1} AS DECIMAL(38,0)) * "
+                    f"CAST({m} AS DECIMAL(38,0))) div kth_hash AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("est_distinct"),
+        )
+    )

@@ -6081,3 +6081,324 @@ def q127_stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_latest_state(spark, state_dir).select(
         "user_id", "n", "sum_cents"
     )
+
+
+# ---------------------------------------------------------------------------
+# Q128 — sequence pattern matching (MATCH_RECOGNIZE-lite): count
+# non-overlapping 'view>click>purchase' runs in each user's fully
+# ordered event-type sequence. One groupBy builds the ordered
+# sequence via array_sort over (ts, id, type) structs — deterministic
+# without a pre-shuffle sort — then a regex count on the joined
+# string. Per-user sequences are bounded by per-user event counts;
+# for unbounded streams use q91's session windows first.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q128_sequence_pattern",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(len(regexp_extract_all(
+                  string_agg(event_type, '>'
+                             ORDER BY epoch_us(CAST(ts AS TIMESTAMP)),
+                                      event_id),
+                  'view>click>purchase')) AS BIGINT) AS n_patterns
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("sequence", "pattern-match", "regex"),
+)
+def q128_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    ev = load_events(spark, sf_dir)
+    seq = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.unix_micros(F.col("ts")).alias("t"),
+                            F.col("event_id").alias("e"),
+                            F.col("event_type").alias("y"),
+                        )
+                    )
+                ),
+                lambda s: s["y"],
+            ),
+            ">",
+        ).alias("seq"),
+    )
+    return seq.select(
+        "user_id",
+        "n_events",
+        F.size(F.expr("regexp_extract_all(seq, 'view>click>purchase', 0)"))
+        .cast("long")
+        .alias("n_patterns"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q129 — declarative constraint suite (audit.py:constraint_report):
+# range/domain/positivity violations in one conditional-sum scan plus
+# the PK-uniqueness dup-group count (its own keys-only shuffle).
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q129_constraint_report",
+    oracle="""
+    SELECT b.n_rows, b.qty_range_viol, b.price_positive_viol,
+           b.flag_domain_viol, b.date_range_viol, d.dup_key_groups
+    FROM (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                           THEN 1 ELSE 0 END) AS BIGINT) AS qty_range_viol,
+             CAST(SUM(CASE WHEN l_extendedprice <= 0
+                           THEN 1 ELSE 0 END) AS BIGINT)
+               AS price_positive_viol,
+             CAST(SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS flag_domain_viol,
+             CAST(SUM(CASE WHEN CAST(l_shipdate AS DATE) < DATE '1992-01-01'
+                             OR CAST(l_shipdate AS DATE) > DATE '2002-12-31'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS date_range_viol
+      FROM lineitem
+    ) b
+    CROSS JOIN (
+      SELECT CAST(COUNT(*) AS BIGINT) AS dup_key_groups FROM (
+        SELECT l_orderkey, l_linenumber FROM lineitem
+        GROUP BY 1, 2 HAVING COUNT(*) > 1
+      )
+    ) d
+    """,
+    tags=("quality", "constraints", "audit"),
+)
+def q129_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.audit import constraint_report
+
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return constraint_report(
+        li,
+        {
+            "qty_range_viol": (F.col("l_quantity") < 1)
+            | (F.col("l_quantity") > 50),
+            "price_positive_viol": F.col("l_extendedprice") <= 0,
+            "flag_domain_viol": ~F.col("l_returnflag").isin("A", "N", "R"),
+            "date_range_viol": (
+                F.to_date("l_shipdate") < F.lit("1992-01-01").cast("date")
+            )
+            | (F.to_date("l_shipdate") > F.lit("2002-12-31").cast("date")),
+        },
+        unique_key=["l_orderkey", "l_linenumber"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q130 — portable KMV distinct sketch (sketches.py:kmv_distinct):
+# distinct parts bought per return flag, estimated from the 64
+# smallest md5_long hashes — exact integer estimator an external
+# engine replays bit-for-bit, with the exact count alongside for the
+# error story. WindowGroupLimit keeps the rank-k scan partial.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q130_kmv_distinct",
+    oracle="""
+    WITH dh AS (
+      SELECT DISTINCT l_returnflag,
+             ('0x' || substr(md5(l_partkey::VARCHAR), 1, 15))::BIGINT AS h
+      FROM lineitem
+    ),
+    r AS (
+      SELECT l_returnflag, h,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+      FROM dh
+    ),
+    kept AS (SELECT * FROM r WHERE rn <= 64),
+    sk AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n_kept,
+             CAST(MIN(CASE WHEN rn = 64 THEN h END) AS BIGINT) AS kth_hash
+      FROM kept GROUP BY 1
+    ),
+    ex AS (
+      SELECT l_returnflag,
+             CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+      FROM lineitem GROUP BY 1
+    )
+    SELECT sk.l_returnflag, sk.kth_hash,
+           CAST(CASE WHEN sk.kth_hash IS NULL THEN sk.n_kept
+                     ELSE (CAST(63 AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT))
+                          // sk.kth_hash END AS BIGINT) AS est_distinct,
+           ex.exact_distinct
+    FROM sk JOIN ex USING (l_returnflag)
+    """,
+    tags=("sketch", "kmv", "approx-distinct", "portable"),
+)
+def q130_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.sketches import kmv_distinct
+
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    sk = kmv_distinct(li, ["l_returnflag"], "l_partkey", k=64)
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").cast("long").alias("exact_distinct")
+    )
+    return sk.join(F.broadcast(exact), "l_returnflag").select(
+        "l_returnflag", "kth_hash", "est_distinct", "exact_distinct"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q131 — null-safe join semantics (<=>): nullable derived keys where
+# NULL must MATCH NULL (Spark eqNullSafe == SQL IS NOT DISTINCT
+# FROM), the semantics regular equi-joins silently drop. Null-safe
+# equality still hash-partitions both sides (NULL is an ordinary
+# bucket), so the plan is a normal shuffle/broadcast hash join, not a
+# cartesian fallback — the point of preferring <=> over
+# (a = b OR (a IS NULL AND b IS NULL)), which Catalyst can't hash.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q131_null_safe_join",
+    oracle="""
+    WITH c AS (SELECT NULLIF(c_nationkey, 0) AS k FROM customer),
+    s AS (SELECT NULLIF(s_nationkey, 0) AS k FROM supplier)
+    SELECT COALESCE(CAST(c.k AS VARCHAR), 'NULL') AS key,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k
+    GROUP BY 1
+    """,
+    tags=("join", "null-safe", "semantics"),
+)
+def q131_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    customer = _t(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_nationkey"), F.lit(0)).alias("ck")
+    )
+    supplier = _t(spark, sf_dir, "supplier").select(
+        F.nullif(F.col("s_nationkey"), F.lit(0)).alias("sk")
+    )
+    return (
+        customer.join(
+            F.broadcast(supplier), F.col("ck").eqNullSafe(F.col("sk"))
+        )
+        .groupBy(
+            F.coalesce(F.col("ck").cast("string"), F.lit("NULL")).alias("key")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q132 — time-weighted average price (TWAP): each event's value
+# weighted by its holding interval (micros until the user's next
+# event; the last event carries no interval). Weights and values are
+# exact integers (micros × cents summed as decimal(38,0) == HUGEINT),
+# one double division at the end. One window pass for lead().
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q132_time_weighted_avg",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS v,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+             LEAD(epoch_us(CAST(ts AS TIMESTAMP)))
+               OVER (PARTITION BY user_id
+                     ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+               AS t_next
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(t_next - t) AS BIGINT) AS total_us,
+           CAST(ROUND(CAST(SUM(CAST(v AS HUGEINT) * (t_next - t)) AS DOUBLE)
+                      / CAST(SUM(t_next - t) AS DOUBLE)) AS BIGINT)
+             AS twap_cents
+    FROM s WHERE t_next IS NOT NULL
+    GROUP BY user_id
+    """,
+    tags=("twap", "timeseries", "window"),
+)
+def q132_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    _tune(spark)
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("t"), F.col("event_id"))
+    s = ev.select(
+        "user_id",
+        "event_id",
+        _cents(F.col("value")).alias("v"),
+        F.unix_micros(F.col("ts")).alias("t"),
+    ).withColumn("t_next", F.lead("t").over(w))
+    held = s.filter(F.col("t_next").isNotNull()).withColumn(
+        "dt", F.col("t_next") - F.col("t")
+    )
+    return held.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum("dt").cast("long").alias("total_us"),
+        F.round(
+            F.sum((F.col("v") * F.col("dt")).cast("decimal(38,0)")).cast("double")
+            / F.sum("dt").cast("double")
+        )
+        .cast("long")
+        .alias("twap_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q133 — gaps & islands: runs of CONSECUTIVE active days per user via
+# the classic date-minus-row_number anchor (consecutive days share an
+# anchor; any gap starts a new island). Two aggregates over the
+# deduped (user, day) presence — the window and both groupBys all
+# partition on user_id, one logical shuffle under AQE.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q133_gaps_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+      FROM events
+    ),
+    anchored AS (
+      SELECT user_id, d,
+             d - INTERVAL (ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d))
+                 DAY AS anchor
+      FROM days
+    ),
+    islands AS (
+      SELECT user_id, anchor, CAST(COUNT(*) AS BIGINT) AS len
+      FROM anchored GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(MAX(len) AS BIGINT) AS longest_streak
+    FROM islands GROUP BY user_id
+    """,
+    tags=("gaps-islands", "streaks", "window"),
+)
+def q133_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    _tune(spark)
+    ev = load_events(spark, sf_dir)
+    days = ev.select(
+        "user_id", F.to_date(F.col("ts")).alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    anchored = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    islands = anchored.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    return islands.groupBy("user_id").agg(
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.max("len").cast("long").alias("longest_streak"),
+    )
