@@ -6402,3 +6402,335 @@ def q133_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_islands"),
         F.max("len").cast("long").alias("longest_streak"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q134 — revenue-share threshold (TPC-H Q11 shape): parts whose
+# revenue exceeds 0.07% of global revenue, as the EXACT integer
+# inequality rev·10000 > 7·total (no fraction-of-total double). The
+# global total is a one-row broadcast onto the per-part aggregate —
+# the scalar-subquery plan at any scale.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q134_revenue_share_threshold",
+    oracle="""
+    WITH pr AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM lineitem GROUP BY 1
+    ),
+    g AS (SELECT CAST(SUM(rev) AS BIGINT) AS total FROM pr)
+    SELECT pr.l_partkey, pr.rev
+    FROM pr, g WHERE pr.rev * 10000 > 7 * g.total
+    """,
+    tags=("tpch-q11", "scalar-subquery", "share"),
+)
+def q134_revenue_share_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(_cents(F.col("l_extendedprice"))).cast("long").alias("rev")
+    )
+    g = pr.agg(F.sum("rev").cast("long").alias("total"))
+    return (
+        pr.crossJoin(F.broadcast(g))
+        .filter(F.col("rev") * 10000 > 7 * F.col("total"))
+        .select("l_partkey", "rev")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q135 — top supplier by revenue (TPC-H Q15 shape): the revenue view
+# joined against its own scalar MAX — ties all surface (no arbitrary
+# LIMIT 1), which is the Q15 semantic. Two passes over the small
+# aggregated view, never the fact.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q135_top_supplier",
+    oracle="""
+    WITH sr AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS rev
+      FROM lineitem GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, sr.rev
+    FROM sr JOIN supplier s ON sr.l_suppkey = s.s_suppkey
+    WHERE sr.rev = (SELECT MAX(rev) FROM sr)
+    """,
+    tags=("tpch-q15", "scalar-subquery", "argmax"),
+)
+def q135_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    sr = li.groupBy("l_suppkey").agg(
+        F.sum(
+            _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).cast("long").alias("rev")
+    )
+    mx = sr.agg(F.max("rev").alias("mx"))
+    return (
+        sr.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev") == F.col("mx"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "rev")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q136 — higher-order array functions (aggregate / filter / exists /
+# transform) over the embedding vectors: L2/L1 norms as left-fold
+# double chains (same association in both engines — the DuckDB mirror
+# unrolls the fold literally, as q24 does for dot products), positive
+# count and max element. All map-side expressions; no UDF, no explode.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q136_higher_order_fns",
+    oracle="""
+    WITH base AS (SELECT vec_id, embedding AS v FROM embeddings)
+    SELECT vec_id,
+           CAST(ROUND((CAST(v[1] AS DOUBLE)*CAST(v[1] AS DOUBLE) + CAST(v[2] AS DOUBLE)*CAST(v[2] AS DOUBLE) + CAST(v[3] AS DOUBLE)*CAST(v[3] AS DOUBLE) + CAST(v[4] AS DOUBLE)*CAST(v[4] AS DOUBLE) + CAST(v[5] AS DOUBLE)*CAST(v[5] AS DOUBLE) + CAST(v[6] AS DOUBLE)*CAST(v[6] AS DOUBLE) + CAST(v[7] AS DOUBLE)*CAST(v[7] AS DOUBLE) + CAST(v[8] AS DOUBLE)*CAST(v[8] AS DOUBLE) + CAST(v[9] AS DOUBLE)*CAST(v[9] AS DOUBLE) + CAST(v[10] AS DOUBLE)*CAST(v[10] AS DOUBLE) + CAST(v[11] AS DOUBLE)*CAST(v[11] AS DOUBLE) + CAST(v[12] AS DOUBLE)*CAST(v[12] AS DOUBLE) + CAST(v[13] AS DOUBLE)*CAST(v[13] AS DOUBLE) + CAST(v[14] AS DOUBLE)*CAST(v[14] AS DOUBLE) + CAST(v[15] AS DOUBLE)*CAST(v[15] AS DOUBLE) + CAST(v[16] AS DOUBLE)*CAST(v[16] AS DOUBLE) + CAST(v[17] AS DOUBLE)*CAST(v[17] AS DOUBLE) + CAST(v[18] AS DOUBLE)*CAST(v[18] AS DOUBLE) + CAST(v[19] AS DOUBLE)*CAST(v[19] AS DOUBLE) + CAST(v[20] AS DOUBLE)*CAST(v[20] AS DOUBLE) + CAST(v[21] AS DOUBLE)*CAST(v[21] AS DOUBLE) + CAST(v[22] AS DOUBLE)*CAST(v[22] AS DOUBLE) + CAST(v[23] AS DOUBLE)*CAST(v[23] AS DOUBLE) + CAST(v[24] AS DOUBLE)*CAST(v[24] AS DOUBLE) + CAST(v[25] AS DOUBLE)*CAST(v[25] AS DOUBLE) + CAST(v[26] AS DOUBLE)*CAST(v[26] AS DOUBLE) + CAST(v[27] AS DOUBLE)*CAST(v[27] AS DOUBLE) + CAST(v[28] AS DOUBLE)*CAST(v[28] AS DOUBLE) + CAST(v[29] AS DOUBLE)*CAST(v[29] AS DOUBLE) + CAST(v[30] AS DOUBLE)*CAST(v[30] AS DOUBLE) + CAST(v[31] AS DOUBLE)*CAST(v[31] AS DOUBLE) + CAST(v[32] AS DOUBLE)*CAST(v[32] AS DOUBLE) + CAST(v[33] AS DOUBLE)*CAST(v[33] AS DOUBLE) + CAST(v[34] AS DOUBLE)*CAST(v[34] AS DOUBLE) + CAST(v[35] AS DOUBLE)*CAST(v[35] AS DOUBLE) + CAST(v[36] AS DOUBLE)*CAST(v[36] AS DOUBLE) + CAST(v[37] AS DOUBLE)*CAST(v[37] AS DOUBLE) + CAST(v[38] AS DOUBLE)*CAST(v[38] AS DOUBLE) + CAST(v[39] AS DOUBLE)*CAST(v[39] AS DOUBLE) + CAST(v[40] AS DOUBLE)*CAST(v[40] AS DOUBLE) + CAST(v[41] AS DOUBLE)*CAST(v[41] AS DOUBLE) + CAST(v[42] AS DOUBLE)*CAST(v[42] AS DOUBLE) + CAST(v[43] AS DOUBLE)*CAST(v[43] AS DOUBLE) + CAST(v[44] AS DOUBLE)*CAST(v[44] AS DOUBLE) + CAST(v[45] AS DOUBLE)*CAST(v[45] AS DOUBLE) + CAST(v[46] AS DOUBLE)*CAST(v[46] AS DOUBLE) + CAST(v[47] AS DOUBLE)*CAST(v[47] AS DOUBLE) + CAST(v[48] AS DOUBLE)*CAST(v[48] AS DOUBLE) + CAST(v[49] AS DOUBLE)*CAST(v[49] AS DOUBLE) + CAST(v[50] AS DOUBLE)*CAST(v[50] AS DOUBLE) + CAST(v[51] AS DOUBLE)*CAST(v[51] AS DOUBLE) + CAST(v[52] AS DOUBLE)*CAST(v[52] AS DOUBLE) + CAST(v[53] AS DOUBLE)*CAST(v[53] AS DOUBLE) + CAST(v[54] AS DOUBLE)*CAST(v[54] AS DOUBLE) + CAST(v[55] AS DOUBLE)*CAST(v[55] AS DOUBLE) + CAST(v[56] AS DOUBLE)*CAST(v[56] AS DOUBLE) + CAST(v[57] AS DOUBLE)*CAST(v[57] AS DOUBLE) + CAST(v[58] AS DOUBLE)*CAST(v[58] AS DOUBLE) + CAST(v[59] AS DOUBLE)*CAST(v[59] AS DOUBLE) + CAST(v[60] AS DOUBLE)*CAST(v[60] AS DOUBLE) + CAST(v[61] AS DOUBLE)*CAST(v[61] AS DOUBLE) + CAST(v[62] AS DOUBLE)*CAST(v[62] AS DOUBLE) + CAST(v[63] AS DOUBLE)*CAST(v[63] AS DOUBLE) + CAST(v[64] AS DOUBLE)*CAST(v[64] AS DOUBLE)) * 1e6) AS BIGINT) AS l2sq_e6,
+           CAST(ROUND((abs(CAST(v[1] AS DOUBLE)) + abs(CAST(v[2] AS DOUBLE)) + abs(CAST(v[3] AS DOUBLE)) + abs(CAST(v[4] AS DOUBLE)) + abs(CAST(v[5] AS DOUBLE)) + abs(CAST(v[6] AS DOUBLE)) + abs(CAST(v[7] AS DOUBLE)) + abs(CAST(v[8] AS DOUBLE)) + abs(CAST(v[9] AS DOUBLE)) + abs(CAST(v[10] AS DOUBLE)) + abs(CAST(v[11] AS DOUBLE)) + abs(CAST(v[12] AS DOUBLE)) + abs(CAST(v[13] AS DOUBLE)) + abs(CAST(v[14] AS DOUBLE)) + abs(CAST(v[15] AS DOUBLE)) + abs(CAST(v[16] AS DOUBLE)) + abs(CAST(v[17] AS DOUBLE)) + abs(CAST(v[18] AS DOUBLE)) + abs(CAST(v[19] AS DOUBLE)) + abs(CAST(v[20] AS DOUBLE)) + abs(CAST(v[21] AS DOUBLE)) + abs(CAST(v[22] AS DOUBLE)) + abs(CAST(v[23] AS DOUBLE)) + abs(CAST(v[24] AS DOUBLE)) + abs(CAST(v[25] AS DOUBLE)) + abs(CAST(v[26] AS DOUBLE)) + abs(CAST(v[27] AS DOUBLE)) + abs(CAST(v[28] AS DOUBLE)) + abs(CAST(v[29] AS DOUBLE)) + abs(CAST(v[30] AS DOUBLE)) + abs(CAST(v[31] AS DOUBLE)) + abs(CAST(v[32] AS DOUBLE)) + abs(CAST(v[33] AS DOUBLE)) + abs(CAST(v[34] AS DOUBLE)) + abs(CAST(v[35] AS DOUBLE)) + abs(CAST(v[36] AS DOUBLE)) + abs(CAST(v[37] AS DOUBLE)) + abs(CAST(v[38] AS DOUBLE)) + abs(CAST(v[39] AS DOUBLE)) + abs(CAST(v[40] AS DOUBLE)) + abs(CAST(v[41] AS DOUBLE)) + abs(CAST(v[42] AS DOUBLE)) + abs(CAST(v[43] AS DOUBLE)) + abs(CAST(v[44] AS DOUBLE)) + abs(CAST(v[45] AS DOUBLE)) + abs(CAST(v[46] AS DOUBLE)) + abs(CAST(v[47] AS DOUBLE)) + abs(CAST(v[48] AS DOUBLE)) + abs(CAST(v[49] AS DOUBLE)) + abs(CAST(v[50] AS DOUBLE)) + abs(CAST(v[51] AS DOUBLE)) + abs(CAST(v[52] AS DOUBLE)) + abs(CAST(v[53] AS DOUBLE)) + abs(CAST(v[54] AS DOUBLE)) + abs(CAST(v[55] AS DOUBLE)) + abs(CAST(v[56] AS DOUBLE)) + abs(CAST(v[57] AS DOUBLE)) + abs(CAST(v[58] AS DOUBLE)) + abs(CAST(v[59] AS DOUBLE)) + abs(CAST(v[60] AS DOUBLE)) + abs(CAST(v[61] AS DOUBLE)) + abs(CAST(v[62] AS DOUBLE)) + abs(CAST(v[63] AS DOUBLE)) + abs(CAST(v[64] AS DOUBLE))) * 1e6) AS BIGINT) AS l1_e6,
+           CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_pos,
+           CAST(ROUND(CAST(list_max(v) AS DOUBLE) * 1e6) AS BIGINT) AS max_e6
+    FROM base
+    """,
+    tags=("array", "higher-order", "functions"),
+)
+def q136_higher_order_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    zero = F.lit(0.0)
+    l2sq = F.aggregate(v, zero, lambda acc, x: acc + x * x)
+    l1 = F.aggregate(v, zero, lambda acc, x: acc + F.abs(x))
+    return emb.select(
+        "vec_id",
+        F.round(l2sq * 1e6).cast("long").alias("l2sq_e6"),
+        F.round(l1 * 1e6).cast("long").alias("l1_e6"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0))
+        .cast("long")
+        .alias("n_pos"),
+        F.round(F.array_max(v) * 1e6).cast("long").alias("max_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q137 — cross-table reconciliation: the order header's stated total
+# vs the total derived from its lines, with mismatches bucketed by
+# integer-permille relative error. One fact aggregate + one equi-join
+# on the order key; diffs are exact cents, the permille bucketing is
+# integer arithmetic (|diff|·1000 vs header total).
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q137_order_reconciliation",
+    oracle="""
+    WITH ls AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS line_cents
+      FROM lineitem GROUP BY 1
+    ),
+    j AS (
+      SELECT o.o_orderkey,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS header_cents,
+             COALESCE(ls.line_cents, 0) AS line_cents
+      FROM orders o LEFT JOIN ls ON o.o_orderkey = ls.l_orderkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN line_cents = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lineless,
+           CAST(SUM(CASE WHEN abs(header_cents - line_cents) * 1000
+                              > header_cents THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mismatch_over_permille,
+           CAST(MAX(abs(header_cents - line_cents)) AS BIGINT)
+             AS max_abs_diff_cents
+    FROM j
+    """,
+    tags=("reconciliation", "integrity", "join"),
+)
+def q137_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    ls = li.groupBy("l_orderkey").agg(
+        F.sum(_cents(F.col("l_extendedprice"))).cast("long").alias("line_cents")
+    )
+    j = orders.select(
+        "o_orderkey", _cents(F.col("o_totalprice")).alias("header_cents")
+    ).join(
+        ls.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left"
+    ).select(
+        "o_orderkey",
+        "header_cents",
+        F.coalesce("line_cents", F.lit(0)).alias("line_cents"),
+    )
+    diff = F.abs(F.col("header_cents") - F.col("line_cents"))
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum((F.col("line_cents") == 0).cast("long")).cast("long").alias(
+            "n_lineless"
+        ),
+        F.sum((diff * 1000 > F.col("header_cents")).cast("long"))
+        .cast("long")
+        .alias("n_mismatch_over_permille"),
+        F.max(diff).cast("long").alias("max_abs_diff_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q138 — per-group mode (most frequent value) with a deterministic
+# tie-break: counts → min(struct(-cnt, value)) partial-agg argmax —
+# the q93 pattern specialized to frequency, no window sort over the
+# count table.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q138_group_mode",
+    oracle="""
+    WITH c AS (
+      SELECT c.c_nationkey, o.o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT c_nationkey,
+           CAST(min({'negc': -cnt, 'v': o_orderpriority}).negc * -1 AS BIGINT)
+             AS mode_count,
+           min({'negc': -cnt, 'v': o_orderpriority}).v AS mode_priority
+    FROM c GROUP BY c_nationkey
+    """,
+    tags=("mode", "argmax", "agg"),
+)
+def q138_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    c = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey", "o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    pick = F.min(
+        F.struct(
+            (-F.col("cnt")).alias("negc"), F.col("o_orderpriority").alias("v")
+        )
+    )
+    return c.groupBy("c_nationkey").agg(
+        (pick.getField("negc") * -1).cast("long").alias("mode_count"),
+        pick.getField("v").alias("mode_priority"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q139 — time since last error: per event, microseconds since the
+# user's most recent STRICTLY EARLIER 'error' event (NULL before the
+# first error). One window with an explicit
+# (unbounded preceding, 1 preceding) row frame — the running-state
+# lookup expressed declaratively, no self-join.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q139_time_since_error",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(t - MAX(CASE WHEN event_type = 'error' THEN t END)
+                    OVER (PARTITION BY user_id ORDER BY t, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS BIGINT) AS us_since_error
+    FROM s
+    """,
+    tags=("window", "frames", "running-state"),
+)
+def q139_time_since_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    _tune(spark)
+    ev = load_events(spark, sf_dir)
+    s = ev.select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros(F.col("ts")).alias("t"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_err = F.max(
+        F.when(F.col("event_type") == "error", F.col("t"))
+    ).over(w)
+    return s.select(
+        "event_id", "user_id",
+        (F.col("t") - last_err).cast("long").alias("us_since_error"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q140 — maximum drawdown per user: peak-to-trough fall of the
+# event-value series via a running max (cumulative row frame), all
+# exact cents. The classic sequential-state metric expressed as one
+# window + one aggregate — no iteration, no UDF.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q140_max_drawdown",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS v,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, v,
+             MAX(v) OVER (PARTITION BY user_id ORDER BY t, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS peak
+      FROM s
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(peak - v) AS BIGINT) AS max_drawdown_cents
+    FROM r GROUP BY user_id
+    """,
+    tags=("drawdown", "running-max", "window"),
+)
+def q140_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    _tune(spark)
+    ev = load_events(spark, sf_dir)
+    s = ev.select(
+        "user_id", "event_id",
+        _cents(F.col("value")).alias("v"),
+        F.unix_micros(F.col("ts")).alias("t"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = s.withColumn("peak", F.max("v").over(w))
+    return r.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max(F.col("peak") - F.col("v")).cast("long").alias(
+            "max_drawdown_cents"
+        ),
+    )
