@@ -38,8 +38,8 @@ def test_group_median2_odd_and_even(spark):
         ["g", "v", "k"],
     )
     out = {r.g: r.median2 for r in group_median2(df, ["g"], "v", ["k"]).collect()}
-    assert out["odd"] == 6        # median 3 → doubled 6
-    # wait: even group has 4 rows (1,2,3,100): middles 2,3 → median 2.5 → doubled 5
+    assert out["odd"] == 6   # median 3 → doubled 6
+    # even group (1,2,3,100): middles 2,3 → median 2.5 → doubled 5
     assert out["even"] == 5
 
 

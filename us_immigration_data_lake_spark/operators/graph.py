@@ -112,18 +112,24 @@ def pagerank_quantized(
     count is fixed (plan-unrolled), which is how a 100 TB run bounds
     the job DAG; convergence-tested variants re-run the same job.
     """
-    e = edges.select(
+    e_all = edges.select(
         F.col(src).alias("__s"), F.col(dst).alias("__d"),
         F.col(weight).cast("long").alias("__w"),
     )
-    out = e.groupBy("__s").agg(F.sum("__w").alias("__out"))
-    e = e.join(out, "__s")  # small dim in practice; Spark broadcasts under AQE
     nodes = (
-        e.select(F.col("__s").alias("node"))
-        .unionByName(e.select(F.col("__d").alias("node")))
+        e_all.select(F.col("__s").alias("node"))
+        .unionByName(e_all.select(F.col("__d").alias("node")))
         .distinct()
     )
+    # zero-weight edges introduce nodes but carry no mass; dropping
+    # them here also keeps __out > 0 (no div-by-zero under ANSI for a
+    # source whose edges are all zero-weight).
+    e = e_all.filter(F.col("__w") > 0)
+    out = e.groupBy("__s").agg(F.sum("__w").alias("__out"))
+    e = e.join(out, "__s")  # small dim in practice; Spark broadcasts under AQE
     n_nodes = nodes.count()  # scalar only — the one driver value needed
+    if n_nodes == 0:
+        raise ValueError("pagerank_quantized: empty edge list — no nodes")
     teleport = ((1000 - damping_permille) * scale) // (1000 * n_nodes)
     rank = nodes.withColumn("rank", F.lit(scale // n_nodes).cast("long"))
     for _ in range(iterations):

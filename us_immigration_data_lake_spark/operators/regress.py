@@ -198,15 +198,18 @@ def mad_outlier_stats(
     """
     v = F.col(value_col).cast("long")
     med = group_median2(df, group_cols, value_col, tie_cols)
+    # no broadcast hint on the per-group stat tables: they are one row
+    # per GROUP, unbounded for high-cardinality keys — AQE broadcasts
+    # them when they are actually small.
     with_dev = (
         df.select(*group_cols, v.alias("_v"), *[F.col(c) for c in tie_cols])
-        .join(F.broadcast(med), group_cols)
+        .join(med, group_cols)
         .withColumn("dev2", F.abs(F.lit(2) * F.col("_v") - F.col("median2")))
     )
     mad = group_median2(with_dev, group_cols, "dev2", tie_cols).withColumnRenamed(
         "median2", "mad4"
     )
-    flagged = with_dev.join(F.broadcast(mad), group_cols)
+    flagged = with_dev.join(mad, group_cols)
     return (
         flagged.groupBy(*group_cols)
         .agg(

@@ -177,7 +177,14 @@ def kmv_distinct(
 
     m = 1 << MD5_LONG_BITS
     h = md5_long(F.col(value_col).cast("string"))
-    distinct_hashes = df.select(*group_cols, h.alias("__h")).distinct()
+    # NULL values carry no distinct-count meaning and would rank
+    # differently across engines (Spark orders NULL first, DuckDB
+    # last) — excluded by definition, mirroring bloom_build_bits.
+    distinct_hashes = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, h.alias("__h"))
+        .distinct()
+    )
     w = Window.partitionBy(*group_cols).orderBy("__h")
     kept = distinct_hashes.withColumn("__rn", F.row_number().over(w)).filter(
         F.col("__rn") <= k

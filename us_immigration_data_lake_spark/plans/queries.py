@@ -5853,10 +5853,11 @@ def q123_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bounds. Complements q96's equi-width bins; ntile's extra-row
 # distribution (first buckets take the remainder) is identical in
 # Spark and DuckDB given the deterministic order.
-# Scale note: a global ntile is a single-ordering operation — Spark
-# range-partitions the sort, but the rank assignment is one logical
-# ordering; at 100 TB prefer approx_percentile bounds (q78) unless
-# exact depth boundaries are contractual.
+# Scale note: a window with no PARTITION BY moves ALL rows through a
+# single WindowExec partition in Spark (it logs exactly that warning)
+# — the global ntile is inherently one task's sort. That is why
+# approx_percentile bounds (q78) are the 100 TB default and exact
+# equi-depth is reserved for when depth boundaries are contractual.
 # ---------------------------------------------------------------------------
 
 @_register(
@@ -6341,7 +6342,10 @@ def q132_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_intervals"),
         F.sum("dt").cast("long").alias("total_us"),
         F.round(
-            F.sum((F.col("v") * F.col("dt")).cast("decimal(38,0)")).cast("double")
+            # promote BEFORE multiplying (regress.py rule): cents ×
+            # micros as raw int64 wraps past ~2^63 (≈6-year gaps at
+            # 49k-cent values); decimal×long mirrors HUGEINT×BIGINT
+            F.sum(F.col("v").cast("decimal(38,0)") * F.col("dt")).cast("double")
             / F.sum("dt").cast("double")
         )
         .cast("long")

@@ -13,7 +13,6 @@ A plain append in foreachBatch does NOT.
 
 from __future__ import annotations
 
-import os
 from typing import Callable
 
 from pyspark.sql import DataFrame
@@ -95,8 +94,9 @@ def incremental_agg_stream(
 
     Scale: per batch this shuffles |delta keys| partial rows plus
     |state| merged rows — never re-aggregates the base data. State
-    listing is one directory scan per batch (driver-side; on object
-    stores this is the same LIST a transactional format's log replaces).
+    listing is one LIST per batch through Hadoop's FileSystem API, so
+    state_dir may live on any supported scheme (file/hdfs/s3a) — the
+    same LIST a transactional format's log would replace.
     """
     from us_immigration_data_lake_spark.operators.incremental import (
         agg_state,
@@ -107,29 +107,46 @@ def incremental_agg_stream(
         spark = batch_df.sparkSession
         delta = agg_state(batch_df, keys, sums)
         prev_versions = [
-            int(d.split("=", 1)[1])
-            for d in (os.listdir(state_dir) if os.path.isdir(state_dir) else [])
-            if d.startswith("v=") and int(d.split("=", 1)[1]) < batch_id
+            v for v in _list_versions(spark, state_dir) if v < batch_id
         ]
         if prev_versions:
-            prev = spark.read.parquet(
-                os.path.join(state_dir, f"v={max(prev_versions)}")
-            )
+            prev = spark.read.parquet(f"{state_dir}/v={max(prev_versions)}")
             merged = merge_states(prev, delta, keys)
         else:
             merged = delta
-        merged.write.mode("overwrite").parquet(
-            os.path.join(state_dir, f"v={batch_id}")
-        )
+        merged.write.mode("overwrite").parquet(f"{state_dir}/v={batch_id}")
 
     run_foreach_batch(stream_df, _fold, checkpoint_dir, name)
 
 
+def _list_versions(spark, state_dir: str) -> list[int]:
+    """v= version numbers under state_dir, via the JVM Hadoop
+    FileSystem (NOT os.listdir: the state dir is a Spark path that may
+    be hdfs://, s3a://, ... — a POSIX listing would silently see no
+    prior state there and the fold would drop history)."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = path.getFileSystem(hconf)
+    if not fs.exists(path):
+        return []
+    versions = []
+    for status in fs.listStatus(path):
+        name = status.getPath().getName()
+        if name.startswith("v="):
+            try:
+                versions.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return versions
+
+
 def read_latest_state(spark, state_dir: str) -> DataFrame:
     """Read the highest-version state written by incremental_agg_stream."""
-    versions = [
-        int(d.split("=", 1)[1])
-        for d in os.listdir(state_dir)
-        if d.startswith("v=")
-    ]
-    return spark.read.parquet(os.path.join(state_dir, f"v={max(versions)}"))
+    versions = _list_versions(spark, state_dir)
+    if not versions:
+        raise FileNotFoundError(
+            f"no v=<batch_id> state versions under {state_dir!r} — the "
+            "stream produced no micro-batches (empty source?)"
+        )
+    return spark.read.parquet(f"{state_dir}/v={max(versions)}")
