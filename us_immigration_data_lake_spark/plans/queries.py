@@ -5770,10 +5770,14 @@ def q122_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q123 — TF-IDF top-3 terms per document. idf is integer-quantized
 # per TERM (micronat bigint, same measured ln-agreement basis as q81)
 # so the per-doc score c_dt·idf_e6 and its ranking are exact integer
-# arithmetic. Plan: one tokenize pass → doc-term counts → token-keyed
-# join of the doc-frequency census → per-doc window top-k. The census
-# join shuffles on token; the window shuffles on doc_id — both keyed,
-# no broadcast of the corpus.
+# arithmetic. Plan: doc-term counts → token-keyed join of the
+# doc-frequency census → per-doc window top-k (WindowGroupLimit keeps
+# it partial). Both shuffles are keyed; the corpus is never broadcast.
+# HONEST PLAN NOTE: census and n_docs derive LOGICALLY from the
+# doc-term table but Spark re-scans/re-tokenizes per branch (no
+# subplan reuse without materialization) — a production pipeline
+# caches or checkpoints the tokenized table first, as
+# pipelines/corpus.py does between its stages.
 # ---------------------------------------------------------------------------
 
 @_register(
