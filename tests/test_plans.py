@@ -157,3 +157,59 @@ def test_q58_multiterm_topk_is_take_ordered(spark):
         for m in re.finditer(r"\((\d+)\) (TakeOrderedAndProject|Window)", plan)
     }
     assert ids["TakeOrderedAndProject"] < ids["Window"]
+
+
+def test_q117_part_filter_pushed_and_threshold_broadcast(spark):
+    # Q17 shape: the brand filter must reach the part scan; both the
+    # filtered dim and the per-part moments are broadcast (never a
+    # fact-side shuffle for the threshold lookup).
+    plan = _plan(spark, "q117_small_qty_revenue")
+    assert "EqualTo(p_brand,Brand#13)" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q119_derived_dim_filter_reaches_part_scan(spark):
+    # Q19 shape: the hand-derived union-of-disjuncts filter must show
+    # up as pushed part-scan filters (brand In-set), proving the dim
+    # shrinks before the broadcast.
+    plan = _plan(spark, "q119_disjunctive_join")
+    read_part = plan.split("part.parquet")[1]
+    assert "p_brand" in read_part.split("ReadSchema")[0]
+
+
+def test_q120_exists_pair_stays_on_one_key(spark):
+    # Q21 shape: the EXISTS/NOT-EXISTS pair must compile to semi+anti
+    # hash joins keyed on l_orderkey with the suppkey inequality as a
+    # residual condition — never a nested-loop over the fact.
+    plan = _plan(spark, "q120_sole_blame_supplier")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q126_fact_not_shuffled_before_prune(spark):
+    # Bloom-pruned join: the full fact table must reach its semi-join
+    # prune via scan (+filter) only — any Exchange directly on the
+    # raw fact branch would defeat the runtime-filter pattern.
+    plan = _plan(spark, "q126_bloom_pruned_join")
+    assert "LeftSemi" in plan
+    # the only aggregations before the final one run on the DISTINCT
+    # probe keys / bit positions, not the fact payload
+    assert "l_extendedprice" not in plan.split("LeftSemi")[1].split("(1) Scan")[0]
+
+
+def test_q123_topk_uses_window_group_limit(spark):
+    # per-doc top-3 must use the rank-limit pushdown (partial top-k
+    # before the shuffle), not a full per-group sort + filter.
+    plan = _plan(spark, "q123_tfidf_topk")
+    assert "WindowGroupLimit" in plan
+
+
+def test_q114_single_aggregate_no_window(spark):
+    # OLS is a pure moment aggregate: one partial+final hash agg, no
+    # window, no join back to the rows.
+    plan = _plan(spark, "q114_groupwise_ols")
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
