@@ -60,3 +60,23 @@ def test_replay_overwrites_instead_of_double_counting(spark, tmp_path):
     _run(spark, src, state, ckpt, "ivm_replay")
     after = {r.k: (r.n, r.sv) for r in read_latest_state(spark, state).collect()}
     assert after == before
+
+
+def test_orphan_state_version_is_ignored_and_overwritten(spark, tmp_path):
+    # The true crash window: v=N was written but the checkpoint commit
+    # for batch N was lost. On replay, batch N must fold from v=N-1
+    # (largest version STRICTLY below N) — reading "latest" would
+    # double-count the orphan. Simulate by planting a corrupt-value
+    # orphan v=0 before the first run: batch 0 must overwrite it.
+    src, state, ckpt = (
+        str(tmp_path / "src"), str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    _write_batches(spark, src)
+    # orphan v=0 with absurd values that would poison any fold using it
+    spark.createDataFrame([(1, 999, 999_999)], ["k", "n", "sv"]).write.parquet(
+        f"{state}/v=0"
+    )
+    _run(spark, src, state, ckpt, "ivm_orphan")
+    out = {r.k: (r.n, r.sv) for r in read_latest_state(spark, state).collect()}
+    # identical to the clean-run result: the orphan never leaked in
+    assert out == {1: (3, 16), 2: (2, 21), 3: (2, 31)}
