@@ -7,10 +7,12 @@ but two public formats need none:
   raw big-endian RGB bytes. Parsed with numpy frombuffer.
 - **WAV/PCM** (RIFF spec): parsed with the stdlib ``wave`` module +
   numpy frombuffer.
+- **PNG** (ISO/IEC 15948): chunk parsing + per-scanline unfiltering
+  here, DEFLATE from the stdlib ``zlib`` — see decode_png/encode_png.
 
 These are REAL decoders — bytes to pixel/sample arrays — so the
 multimodal operators exercise a genuine decode→transform→encode path
-end-to-end. Compressed formats (png/jpeg/mp3/…) still raise
+end-to-end. Remaining compressed formats (jpeg/mp3/…) still raise
 NotImplementedError at the dispatch layer (operators/multimodal.py):
 swapping in PIL/soundfile is a one-function change, and the rest of
 the pipeline (schema, Arrow batching, partitioning) is identical.
@@ -107,3 +109,131 @@ def audio_features(rate: int, samples: np.ndarray) -> list[float]:
     zcr = float((np.signbit(mono[1:]) != np.signbit(mono[:-1])).mean()) if n > 1 else 0.0
     peak = float(np.abs(mono).max())
     return [duration, rms, zcr, peak]
+
+
+# ---------------------------------------------------------------------------
+# PNG (ISO/IEC 15948): a REAL decoder/encoder with no external codec
+# library — DEFLATE comes from stdlib zlib, the rest is chunk parsing
+# and per-scanline unfiltering per the public spec. Supported: 8-bit
+# depth, color types 0/2/4/6 (grey, RGB, grey+alpha, RGBA), no
+# interlace. This closes the "png is stubbed" gap honestly; jpeg
+# remains gated (lossy DCT needs a real codec to validate against).
+# ---------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §9.4): nearest of left/up/up-left to
+    the linear estimate a + b - c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """PNG bytes → uint8 array (height, width, channels). Validates
+    chunk CRCs; supports filter types 0-4 on every scanline."""
+    import struct
+    import zlib
+
+    if not content.startswith(PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos = len(PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    while pos < len(content):
+        (length,) = struct.unpack(">I", content[pos : pos + 4])
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", content[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    width, height, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            "unsupported PNG variant (need 8-bit, deflate, no interlace); "
+            f"got depth={depth} comp={comp} filter={filt} interlace={interlace}"
+        )
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    ch = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = bytearray(stride)
+    for y in range(height):
+        row_start = y * (stride + 1)
+        ftype = raw[row_start]
+        line = bytearray(raw[row_start + 1 : row_start + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                upleft = prev[i - ch] if i >= ch else 0
+                line[i] = (line[i] + _paeth(left, prev[i], upleft)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype} on row {y}")
+        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+        prev = line
+    return out.reshape(height, width, ch)
+
+
+def encode_png(pixels: np.ndarray, level: int = 6) -> bytes:
+    """uint8 (h, w) or (h, w, {1,2,3,4}) → PNG bytes (filter type 0
+    per scanline — simplicity over ratio; any spec decoder reads it)."""
+    import struct
+    import zlib
+
+    if pixels.dtype != np.uint8:
+        raise ValueError("expected uint8 pixels")
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, ch = pixels.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
+    if color_type is None:
+        raise ValueError(f"unsupported channel count {ch}")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    flat = pixels.reshape(h, w * ch)
+    raw = b"".join(b"\x00" + flat[y].tobytes() for y in range(h))
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, level))
+        + chunk(b"IEND", b"")
+    )

@@ -62,16 +62,19 @@ def text_as_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def decode_image(content: bytes):
     """Decode an image payload to a uint8 pixel array, dispatching on
-    the magic bytes. P6 PPM decodes for real (pure numpy — see
-    operators/codecs.py); compressed formats need a codec library this
-    container lacks, so they fail loudly instead of faking pixels."""
+    the magic bytes. P6 PPM and PNG decode for real (pure
+    numpy/zlib — see operators/codecs.py); other compressed formats
+    need a codec library this container lacks, so they fail loudly
+    instead of faking pixels."""
     from us_immigration_data_lake_spark.operators import codecs
 
     if content[:2] == b"P6":
         return codecs.decode_ppm(content)
+    if content.startswith(codecs.PNG_SIG):
+        return codecs.decode_png(content)
     raise NotImplementedError(
         "no codec for this image format in this environment; "
-        "P6 PPM decodes natively — for png/jpeg swap in "
+        "P6 PPM and PNG decode natively — for jpeg swap in "
         "PIL.Image.open(io.BytesIO(content)) in production"
     )
 
