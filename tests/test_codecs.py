@@ -64,8 +64,9 @@ def test_wav_roundtrip_and_features():
 def test_decode_image_dispatch_real_and_gated():
     pixels, blob = _ppm(4, 4)
     assert np.array_equal(mm.decode_image(blob), pixels)
+    # png is REAL now (tests/test_png_codec.py); jpeg stays gated
     with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\x89PNG\r\n\x1a\n....")
+        mm.decode_image(b"\xff\xd8\xff\xe0....")
 
 
 def test_resize_media_real_path_for_ppm(spark):

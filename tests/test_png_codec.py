@@ -126,3 +126,20 @@ def test_paeth_reference_implementation_parity():
 def test_decode_image_dispatches_png():
     px = np.arange(27, dtype=np.uint8).reshape(3, 3, 3)
     assert (decode_image(encode_png(px)) == px).all()
+
+
+def test_resize_media_real_path_for_png(spark):
+    from us_immigration_data_lake_spark.operators.multimodal import resize_media
+
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, (8, 6, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png(px)))], "media_id long, content binary"
+    )
+    out = resize_media(df, 4, 4).collect()[0]
+    decoded = decode_png(bytes(out.content))
+    assert decoded.shape == (4, 4, 3)
+    # nearest-neighbor: every output pixel is an exact source pixel
+    rows = (np.arange(4) * 8) // 4
+    cols = (np.arange(4) * 6) // 4
+    assert (decoded == px[rows][:, cols]).all()

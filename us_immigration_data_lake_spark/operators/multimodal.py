@@ -109,13 +109,13 @@ FRAME_SCHEMA = StructType([
 
 
 def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Arrow-batched resize over the binary column. P6 PPM payloads
-    take the REAL path: decode → nearest-neighbor resample (integer
-    index arithmetic, bit-deterministic) → re-encode
-    (operators/codecs.py). Other payloads keep the deterministic fake
-    (truncate/pad to width*height bytes) so the batch iteration,
-    schema, and metadata update stay exercised for formats whose codec
-    isn't in this container."""
+    """Arrow-batched resize over the binary column. P6 PPM and PNG
+    payloads take the REAL path: decode → nearest-neighbor resample
+    (integer index arithmetic, bit-deterministic) → re-encode in the
+    same container format (operators/codecs.py). Other payloads keep
+    the deterministic fake (truncate/pad to width*height bytes) so the
+    batch iteration, schema, and metadata update stay exercised for
+    formats whose codec isn't in this container."""
     from us_immigration_data_lake_spark.operators import codecs
 
     target = width * height
@@ -128,6 +128,11 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
                 if b[:2] == b"P6":
                     pixels = codecs.decode_ppm(b)
                     resized = codecs.encode_ppm(
+                        codecs.resize_nearest(pixels, width, height)
+                    )
+                elif b.startswith(codecs.PNG_SIG):
+                    pixels = codecs.decode_png(b)
+                    resized = codecs.encode_png(
                         codecs.resize_nearest(pixels, width, height)
                     )
                 else:
