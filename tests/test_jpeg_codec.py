@@ -1,0 +1,129 @@
+"""Baseline JPEG codec: transform identities, round-trip quality
+bounds, declared-unsupported variants, and multimodal dispatch."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from us_immigration_data_lake_spark.operators.jpeg import (
+    _AC_BITS,
+    _ZIGZAG,
+    decode_jpeg,
+    encode_jpeg,
+    fdct2,
+    idct2,
+)
+from us_immigration_data_lake_spark.operators.multimodal import decode_image
+
+
+def test_zigzag_generated_correctly():
+    zz = [tuple(r) for r in _ZIGZAG]
+    assert len(set(zz)) == 64
+    # spec: scan starts right, then down the first anti-diagonal
+    assert zz[:6] == [(0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2)]
+    assert zz[-1] == (7, 7)
+
+
+def test_ac_huffman_table_is_complete_and_kraft_valid():
+    assert sum(_AC_BITS) == 162  # EOB + ZRL + 16 runs × 10 sizes
+    kraft = sum(n * 2.0 ** -(i + 1) for i, n in enumerate(_AC_BITS))
+    assert kraft <= 1.0
+
+
+def test_dct_pair_is_orthonormal_inverse():
+    rng = np.random.default_rng(1)
+    b = rng.uniform(-128, 127, (8, 8))
+    assert np.abs(idct2(fdct2(b)) - b).max() < 1e-10
+    # Parseval: orthonormal transform preserves energy
+    c = fdct2(b)
+    assert abs((b * b).sum() - (c * c).sum()) < 1e-8
+
+
+def test_constant_block_is_dc_only():
+    c = fdct2(np.full((8, 8), 37.0))
+    assert abs(c[0, 0] - 37 * 8) < 1e-9
+    off_dc = np.abs(c).sum() - abs(c[0, 0])
+    assert off_dc < 1e-9
+
+
+def test_flat_color_roundtrip_exact():
+    flat = np.full((16, 24, 3), 200, np.uint8)
+    assert (decode_jpeg(encode_jpeg(flat, quality=85)) == flat).all()
+
+
+def test_smooth_gradient_roundtrip_tight():
+    xx, yy = np.meshgrid(np.arange(40), np.arange(24))
+    g = ((xx * 2 + yy * 3) % 200 + 20).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(g, quality=90))
+    err = np.abs(dec.astype(int) - g.astype(int))
+    assert dec.shape == g.shape
+    assert err.mean() < 4.0
+
+
+def test_noise_roundtrip_bounded_and_shape_preserved():
+    rng = np.random.default_rng(2)
+    px = rng.integers(0, 256, (23, 29, 3), dtype=np.uint8)  # non-×8 dims
+    dec = decode_jpeg(encode_jpeg(px, quality=95))
+    assert dec.shape == px.shape
+    err = np.abs(dec.astype(int) - px.astype(int))
+    # q95 quantization on noise: loose but meaningful bound
+    assert err.mean() < 12.0
+
+
+def test_quality_knob_monotone_on_smooth_image():
+    xx, yy = np.meshgrid(np.arange(32), np.arange(32))
+    img = (128 + 60 * np.sin(xx / 5.0) * np.cos(yy / 7.0)).astype(np.uint8)
+    errs = []
+    for q in (30, 60, 95):
+        dec = decode_jpeg(encode_jpeg(img, quality=q))
+        errs.append(np.abs(dec.astype(int) - img.astype(int)).mean())
+    assert errs[0] >= errs[1] >= errs[2]
+
+
+def test_progressive_marker_rejected():
+    blob = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+    at = bytes(blob).index(b"\xff\xc0")
+    blob[at + 1] = 0xC2  # SOF0 → SOF2 (progressive)
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(bytes(blob))
+
+
+def test_subsampling_rejected():
+    blob = bytearray(encode_jpeg(np.zeros((8, 8, 3), np.uint8)))
+    at = bytes(blob).index(b"\xff\xc0")
+    # component 1 sampling byte: SOF0 seg = marker(2) len(2) depth(1)
+    # h(2) w(2) ncomp(1) then (id, sampling, qid) triples
+    blob[at + 11] = 0x22  # 2×2 sampling on Y
+    with pytest.raises(ValueError, match="subsampling"):
+        decode_jpeg(bytes(blob))
+
+
+def test_truncated_entropy_data_raises():
+    blob = encode_jpeg(np.full((16, 16), 99, np.uint8), quality=50)
+    # chop inside the entropy segment, re-add EOI so parsing reaches it
+    cut = blob[: len(blob) - 12] + b"\xff\xd9"
+    with pytest.raises(ValueError):
+        decode_jpeg(cut)
+
+
+def test_decode_image_dispatches_jpeg():
+    g = np.full((9, 11), 90, np.uint8)
+    out = decode_image(encode_jpeg(g))
+    assert out.shape == (9, 11)
+    assert np.abs(out.astype(int) - 90).max() <= 1
+
+
+def test_resize_media_real_path_for_jpeg(spark):
+    from us_immigration_data_lake_spark.operators.multimodal import resize_media
+
+    xx, yy = np.meshgrid(np.arange(16), np.arange(16))
+    px = np.stack([(xx * 8) % 256, (yy * 8) % 256, ((xx + yy) * 4) % 256],
+                  axis=-1).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg(px, quality=95)))],
+        "media_id long, content binary",
+    )
+    out = resize_media(df, 8, 8).collect()[0]
+    dec = decode_jpeg(bytes(out.content))
+    assert dec.shape == (8, 8, 3)

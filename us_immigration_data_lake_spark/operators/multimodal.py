@@ -5,12 +5,14 @@ metadata struct; transforms run as Arrow-batched ``mapInPandas``
 (the only place Python touches data in this engine — vectorized,
 never row-at-a-time).
 
-The actual codec step is STUBBED: image/audio libraries are not in
-this container, so ``decode_image`` raises NotImplementedError and
-``extract_features`` computes a deterministic fake feature vector from
-the raw bytes. Everything around the stub — schema, batch iteration,
-partitioning, output shape — is real and tested; swapping in a real
-decoder is a one-function change.
+Codecs: P6 PPM, PNG and baseline-JPEG images plus WAV/PCM audio
+decode for REAL (pure numpy/stdlib — operators/codecs.py and
+operators/jpeg.py); remaining formats (mp3, non-baseline JPEG, video
+containers) raise NotImplementedError at the dispatch layer, and
+``extract_features`` computes a deterministic fake feature vector
+from raw bytes for them. Everything around the dispatch — schema,
+batch iteration, partitioning, output shape — is identical either
+way; swapping in a codec library is a one-function change.
 """
 
 from __future__ import annotations
@@ -62,20 +64,25 @@ def text_as_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def decode_image(content: bytes):
     """Decode an image payload to a uint8 pixel array, dispatching on
-    the magic bytes. P6 PPM and PNG decode for real (pure
-    numpy/zlib — see operators/codecs.py); other compressed formats
-    need a codec library this container lacks, so they fail loudly
-    instead of faking pixels."""
+    the magic bytes. P6 PPM, PNG (operators/codecs.py) and baseline
+    sequential JPEG (operators/jpeg.py) decode for real — pure
+    numpy/stdlib; other formats (and non-baseline JPEG variants) fail
+    loudly instead of faking pixels."""
     from us_immigration_data_lake_spark.operators import codecs
 
     if content[:2] == b"P6":
         return codecs.decode_ppm(content)
     if content.startswith(codecs.PNG_SIG):
         return codecs.decode_png(content)
+    if content[:2] == b"\xff\xd8":
+        from us_immigration_data_lake_spark.operators import jpeg
+
+        return jpeg.decode_jpeg(content)
     raise NotImplementedError(
         "no codec for this image format in this environment; "
-        "P6 PPM and PNG decode natively — for jpeg swap in "
-        "PIL.Image.open(io.BytesIO(content)) in production"
+        "P6 PPM, PNG and baseline-JPEG decode natively — for other "
+        "formats swap in PIL.Image.open(io.BytesIO(content)) in "
+        "production"
     )
 
 
@@ -109,10 +116,11 @@ FRAME_SCHEMA = StructType([
 
 
 def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Arrow-batched resize over the binary column. P6 PPM and PNG
-    payloads take the REAL path: decode → nearest-neighbor resample
-    (integer index arithmetic, bit-deterministic) → re-encode in the
-    same container format (operators/codecs.py). Other payloads keep
+    """Arrow-batched resize over the binary column. P6 PPM, PNG and
+    baseline-JPEG payloads take the REAL path: decode →
+    nearest-neighbor resample (integer index arithmetic,
+    bit-deterministic) → re-encode in the same container format
+    (operators/codecs.py, operators/jpeg.py). Other payloads keep
     the deterministic fake (truncate/pad to width*height bytes) so the
     batch iteration, schema, and metadata update stay exercised for
     formats whose codec isn't in this container."""
@@ -133,6 +141,13 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
                 elif b.startswith(codecs.PNG_SIG):
                     pixels = codecs.decode_png(b)
                     resized = codecs.encode_png(
+                        codecs.resize_nearest(pixels, width, height)
+                    )
+                elif b[:2] == b"\xff\xd8":
+                    from us_immigration_data_lake_spark.operators import jpeg
+
+                    pixels = jpeg.decode_jpeg(b)
+                    resized = jpeg.encode_jpeg(
                         codecs.resize_nearest(pixels, width, height)
                     )
                 else:
