@@ -245,3 +245,35 @@ def test_build_label_dims_from_reference_file(spark):
         1: "Business", 2: "Pleasure", 3: "Student"}
     assert dims["country"].filter(F.col("code") == 582).count() == 1
     assert {r.code: r.label for r in dims["state"].collect()}["CA"] == "CALIFORNIA"
+
+
+def test_corpus_scrub_and_decontamination_stages(spark):
+    from us_immigration_data_lake_spark.pipelines.corpus import build_training_corpus
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    docs = spark.createDataFrame(
+        [
+            (1, base * 3),
+            # contaminated: shares the benchmark's exact 5-grams
+            (2, "leaked benchmark question about spark shuffles " * 4),
+            # PII: the email must be scrubbed BEFORE the corpus ships
+            # (distinct text — must NOT near-dup-collapse into doc 1)
+            (3, "contact me at alice@example.com please send the "
+                "quarterly report totals when the numbers settle " * 3),
+        ],
+        ["doc_id", "text"],
+    )
+    benchmark = spark.createDataFrame(
+        [(100, "leaked benchmark question about spark shuffles")],
+        ["doc_id", "text"],
+    )
+    corpus, stats = build_training_corpus(
+        docs, min_quality=0.0, benchmark=benchmark, out_dir=None
+    )
+    ids = {r.doc_id for r in corpus.select("doc_id").distinct().collect()}
+    assert 2 not in ids  # decontaminated away
+    assert stats.after_decontamination == 2
+    text_all = " ".join(r.chunk_text for r in corpus.collect())
+    assert "alice@example.com" not in text_all
+    # chunker lower-cases; the placeholder survives as [email]
+    assert "[email]" in text_all

@@ -7,12 +7,16 @@ Stages, in the order a real corpus build runs them:
 
 1. language-ID + quality scoring  (operators/textstats.py)
 2. quality-gate filter
-3. exact dedup on content fingerprint — cheapest, run first
-4. MinHash-LSH near-dup pairs → connected components → survivors
+3. PII scrub (operators/pii.py) — before dedup, so scrubbed text is
+   what fingerprints/ships
+4. benchmark decontamination (optional; operators/dedup.py:
+   contaminated_docs anti-join)
+5. exact dedup on content fingerprint — cheapest dedup, run first
+6. MinHash-LSH near-dup pairs → connected components → survivors
    (operators/dedup.py)
-5. chunking into context windows  (textstats.chunk_documents)
-6. deterministic train/test split (hash of doc id)
-7. partitioned parquet write (split / predicted lang)
+7. chunking into context windows  (textstats.chunk_documents)
+8. deterministic train/test split (hash of doc id)
+9. partitioned parquet write (split / predicted lang)
 
 Every stage is declarative DataFrame work; the only iteration is the
 component loop (checkpointed). At 100 TB the stage order matters:
@@ -30,6 +34,7 @@ from pyspark.sql import functions as F
 
 from us_immigration_data_lake_spark.functions.splits import split_label
 from us_immigration_data_lake_spark.operators import dedup as dd
+from us_immigration_data_lake_spark.operators import pii
 from us_immigration_data_lake_spark.operators import textstats as ts
 from us_immigration_data_lake_spark.sources.writers import write_parquet
 
@@ -38,6 +43,7 @@ from us_immigration_data_lake_spark.sources.writers import write_parquet
 class CorpusStats:
     input_docs: int
     after_quality: int
+    after_decontamination: int
     after_exact_dedup: int
     after_near_dedup: int
     chunks: int
@@ -60,6 +66,8 @@ def build_training_corpus(
     train_pct: int = 80,
     out_dir: str | None = None,
     max_bucket_size: int = 1000,
+    benchmark: DataFrame | None = None,
+    scrub: bool = True,
 ) -> tuple[DataFrame, CorpusStats]:
     """Run the full corpus build; returns (chunked corpus, stage stats).
 
@@ -79,7 +87,23 @@ def build_training_corpus(
     scored.cache()
     n_quality = scored.count()
 
-    # 3: exact dedup — smallest doc id survives per normalized content
+    # 3: PII scrub — replaces the text column in place so every
+    # downstream stage (fingerprints, chunks, the written corpus)
+    # only ever sees scrubbed text. Map-side regexes, no shuffle.
+    if scrub:
+        scored = pii.scrub_pii(scored, text_col, out_col=text_col)
+
+    # 4: benchmark decontamination — anti-join away documents sharing
+    # any 5-gram with the (broadcast) benchmark set.
+    if benchmark is not None:
+        flagged = dd.contaminated_docs(scored, benchmark, id_col, text_col)
+        scored = scored.join(
+            flagged.select(id_col), id_col, "left_anti"
+        )
+        scored.cache()
+    n_decontam = scored.count()
+
+    # 5: exact dedup — smallest doc id survives per normalized content
     exact = dd.dedup_exact_by_content(scored, id_col, text_col)
     exact.cache()
     n_exact = exact.count()
@@ -124,5 +148,5 @@ def build_training_corpus(
         frame.unpersist()
 
     return corpus, CorpusStats(
-        n_in, n_quality, n_exact, n_near, n_chunks, n_oversized
+        n_in, n_quality, n_decontam, n_exact, n_near, n_chunks, n_oversized
     )
