@@ -91,7 +91,8 @@ def test_audio_feature_table_matches_reference(spark):
         samples = rng.randint(-2000, 2000, size=(400, 2)).astype(np.int16)
         rows.append((mid, "audio", bytearray(codecs.encode_wav(rate, samples)),
                      "wav", None, None))
-        refs[mid] = codecs.audio_features(rate, samples)
+        refs[mid] = codecs.audio_features(rate, samples) + \
+            codecs.spectral_features(rate, samples)
     media = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
     got = {r.media_id: r for r in mm.audio_feature_table(media).collect()}
     for mid, ref in refs.items():

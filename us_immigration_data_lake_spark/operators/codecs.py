@@ -116,8 +116,9 @@ def audio_features(rate: int, samples: np.ndarray) -> list[float]:
 # library — DEFLATE comes from stdlib zlib, the rest is chunk parsing
 # and per-scanline unfiltering per the public spec. Supported: 8-bit
 # depth, color types 0/2/4/6 (grey, RGB, grey+alpha, RGBA), no
-# interlace. This closes the "png is stubbed" gap honestly; jpeg
-# remains gated (lossy DCT needs a real codec to validate against).
+# interlace. Baseline JPEG lives in operators/jpeg.py; together they
+# close the "compressed images are stubbed" gap for the two dominant
+# formats.
 # ---------------------------------------------------------------------------
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -237,3 +238,30 @@ def encode_png(pixels: np.ndarray, level: int = 6) -> bytes:
         + chunk(b"IDAT", zlib.compress(raw, level))
         + chunk(b"IEND", b"")
     )
+
+
+def spectral_features(rate: int, samples: np.ndarray) -> list[float]:
+    """FFT-based spectral features: centroid (Hz), bandwidth (Hz),
+    85% rolloff (Hz), flatness (geometric/arithmetic power mean,
+    0 = pure tone … 1 = white noise). Magnitude spectrum of the whole
+    mono-mixed signal — the deterministic one-shot variant; framed
+    STFT features are this computation per window."""
+    mono = (
+        samples.astype(np.float64).mean(axis=1)
+        if samples.ndim > 1
+        else samples.astype(np.float64)
+    )
+    n = len(mono)
+    if n < 2:
+        return [0.0, 0.0, 0.0, 0.0]
+    mag = np.abs(np.fft.rfft(mono))
+    freqs = np.fft.rfftfreq(n, 1.0 / rate)
+    total = mag.sum()
+    if total == 0.0:
+        return [0.0, 0.0, 0.0, 0.0]
+    centroid = float((freqs * mag).sum() / total)
+    bandwidth = float(np.sqrt(((freqs - centroid) ** 2 * mag).sum() / total))
+    rolloff = float(freqs[np.searchsorted(np.cumsum(mag), 0.85 * total)])
+    power = mag * mag + 1e-12
+    flatness = float(np.exp(np.log(power).mean()) / power.mean())
+    return [centroid, bandwidth, rolloff, flatness]

@@ -5,10 +5,11 @@ metadata struct; transforms run as Arrow-batched ``mapInPandas``
 (the only place Python touches data in this engine — vectorized,
 never row-at-a-time).
 
-Codecs: P6 PPM, PNG and baseline-JPEG images plus WAV/PCM audio
-decode for REAL (pure numpy/stdlib — operators/codecs.py and
-operators/jpeg.py); remaining formats (mp3, non-baseline JPEG, video
-containers) raise NotImplementedError at the dispatch layer, and
+Codecs: P6 PPM, PNG and baseline-JPEG images, WAV/PCM audio, and
+MJPEG-AVI video all decode for REAL (pure numpy/stdlib —
+operators/codecs.py, operators/jpeg.py, operators/avi.py); remaining
+formats (mp3, non-baseline JPEG, inter-frame-coded video)
+raise NotImplementedError at the dispatch layer, and
 ``extract_features`` computes a deterministic fake feature vector
 from raw bytes for them. Everything around the dispatch — schema,
 batch iteration, partitioning, output shape — is identical either
@@ -172,9 +173,11 @@ AUDIO_FEATURE_SCHEMA = StructType([
 def audio_feature_table(media: DataFrame) -> DataFrame:
     """Arrow-batched REAL audio feature extraction for WAV/PCM
     payloads: decode (stdlib wave + numpy) → duration / RMS /
-    zero-crossing rate / peak (operators/codecs.py:audio_features).
-    Non-RIFF payloads raise — swap the decoder dispatch for a codec
-    library to widen format support."""
+    zero-crossing rate / peak + FFT spectral centroid / bandwidth /
+    rolloff / flatness (operators/codecs.py:audio_features,
+    spectral_features — 8 features total). Non-RIFF payloads raise —
+    swap the decoder dispatch for a codec library to widen format
+    support."""
     from us_immigration_data_lake_spark.operators import codecs
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -184,7 +187,8 @@ def audio_feature_table(media: DataFrame) -> DataFrame:
                 if blob is None:  # null payload: no row, not a crash
                     continue
                 rate, samples = decode_audio(bytes(blob))
-                feats = codecs.audio_features(rate, samples)
+                feats = codecs.audio_features(rate, samples) + \
+                    codecs.spectral_features(rate, samples)
                 rows.append((int(mid), rate, len(samples), feats))
             yield pd.DataFrame(
                 rows,
@@ -195,17 +199,27 @@ def audio_feature_table(media: DataFrame) -> DataFrame:
 
 
 def sample_frames(media: DataFrame, frame_bytes: int = 64, every_nth: int = 4) -> DataFrame:
-    """Frame sampling for video payloads: split the binary into
-    fixed-size frames, keep every n-th — one output row per sampled
-    frame. The codec is STUBBED (frames = fixed-size byte chunks); the
+    """Frame sampling for video payloads — one output row per sampled
+    frame (every n-th). MJPEG-AVI payloads take the REAL path: the
+    RIFF container is demuxed (operators/avi.py) and each sampled
+    frame is an independent baseline JPEG our own decoder reads. For
+    other containers the codec is STUBBED (frames = fixed-size byte
+    chunks); either way the
     explode-shaped mapInPandas output, frame indexing, and stride are
     the real structure a decoder drops into."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from us_immigration_data_lake_spark.operators import avi
+
         for pdf in it:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(blob) if blob is not None else b""
+                if b[:4] == b"RIFF" and b[8:12] == avi.AVI_FOURCC:
+                    frames = avi.decode_mjpeg_avi(b)
+                    for i in range(0, len(frames), every_nth):
+                        rows.append((int(mid), i, frames[i]))
+                    continue
                 n_frames = max(len(b) // frame_bytes, 1)
                 for i in range(0, n_frames, every_nth):
                     rows.append(
