@@ -60,3 +60,91 @@ def running_user_stats(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas — the successor API (Spark 4): typed
+# state handles (ValueState/ListState/MapState) + timers instead of a
+# single state tuple. The operator below is a threshold alerter: one
+# ValueState per key holds the running exact-cents total; a row is
+# EMITTED ONLY when the total crosses a multiple of the threshold —
+# per-key state with data-dependent emission, which neither windows
+# nor applyInPandasWithState's emit-per-batch shape express directly.
+# ---------------------------------------------------------------------------
+
+ALERT_SCHEMA = StructType([
+    StructField("user_id", LongType(), True),
+    StructField("total_c", LongType(), True),
+    StructField("thresholds_crossed", LongType(), True),
+])
+
+
+def spend_alerts(stream: DataFrame, threshold_cents: int = 100_000) -> DataFrame:
+    """Emit (user, running total, thresholds crossed) whenever a
+    user's cumulative value crosses another multiple of
+    ``threshold_cents``. State per key: 16 bytes (total + crossed).
+
+    Scale: state is hash-partitioned by key in the state store like
+    any streaming agg; emission volume is bounded by total/threshold,
+    not by event count.
+
+    ENVIRONMENT GATE: transformWithStateInPandas talks to the state
+    server over protobuf; this container's google.protobuf is broken
+    (``cannot import name 'descriptor'``), so the operator raises a
+    clear NotImplementedError here instead of crashing the streaming
+    Python runner mid-query. The applyInPandasWithState operator
+    above (running_user_stats, q28) is the working stateful path in
+    this environment; this function is the drop-in successor wherever
+    protobuf is installed.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires a working google.protobuf "
+            f"(state-server protocol); this environment's import fails: {e}. "
+            "Use running_user_stats (applyInPandasWithState) instead."
+        ) from e
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _Alerter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals",
+                StructType([
+                    StructField("total_c", LongType(), True),
+                    StructField("crossed", LongType(), True),
+                ]),
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            total, crossed = (
+                self._state.get() if self._state.exists() else (0, 0)
+            )
+            for pdf in rows:
+                if len(pdf):
+                    total += int(
+                        (pdf["value"] * 100).round().astype("int64").sum()
+                    )
+            new_crossed = total // threshold_cents
+            self._state.update((total, crossed))
+            if new_crossed > crossed:
+                self._state.update((total, new_crossed))
+                yield pd.DataFrame(
+                    [(int(key[0]), total, new_crossed)],
+                    columns=["user_id", "total_c", "thresholds_crossed"],
+                )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_Alerter(),
+            outputStructType=ALERT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
