@@ -65,8 +65,9 @@ def text_as_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def decode_image(content: bytes):
     """Decode an image payload to a uint8 pixel array, dispatching on
-    the magic bytes. P6 PPM, PNG (operators/codecs.py) and baseline
-    sequential JPEG (operators/jpeg.py) decode for real — pure
+    the magic bytes. P6 PPM, PNG (operators/codecs.py), GIF
+    (operators/gif.py) and baseline sequential JPEG
+    (operators/jpeg.py) decode for real — pure
     numpy/stdlib; other formats (and non-baseline JPEG variants) fail
     loudly instead of faking pixels."""
     from us_immigration_data_lake_spark.operators import codecs
@@ -79,11 +80,15 @@ def decode_image(content: bytes):
         from us_immigration_data_lake_spark.operators import jpeg
 
         return jpeg.decode_jpeg(content)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        from us_immigration_data_lake_spark.operators import gif
+
+        return gif.decode_gif(content)
     raise NotImplementedError(
         "no codec for this image format in this environment; "
-        "P6 PPM, PNG and baseline-JPEG decode natively — for other "
-        "formats swap in PIL.Image.open(io.BytesIO(content)) in "
-        "production"
+        "P6 PPM, PNG, GIF and baseline-JPEG decode natively — for "
+        "other formats swap in PIL.Image.open(io.BytesIO(content)) "
+        "in production"
     )
 
 
