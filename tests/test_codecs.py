@@ -64,10 +64,11 @@ def test_wav_roundtrip_and_features():
 def test_decode_image_dispatch_real_and_gated():
     pixels, blob = _ppm(4, 4)
     assert np.array_equal(mm.decode_image(blob), pixels)
-    # png/jpeg/gif are REAL now (test_png_codec.py, test_jpeg_codec.py,
-    # test_gif_codec.py); formats without an offline codec stay gated
+    # png/jpeg/gif/bmp are REAL now (test_png_codec.py,
+    # test_jpeg_codec.py, test_gif_codec.py); formats without an
+    # offline codec stay gated
     with pytest.raises(NotImplementedError):
-        mm.decode_image(b"BM......")  # bmp
+        mm.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")  # webp
 
 
 def test_resize_media_real_path_for_ppm(spark):

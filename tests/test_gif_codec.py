@@ -84,3 +84,21 @@ def test_truncated_stream_raises():
 def test_decode_image_dispatches_gif():
     px = np.full((5, 6, 3), 17, np.uint8)
     assert (decode_image(encode_gif(px)) == px).all()
+
+
+def test_bmp_roundtrip_and_dispatch():
+    from us_immigration_data_lake_spark.operators.codecs import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(12)
+    for shape in [(7, 5, 3), (3, 9, 3)]:  # widths needing row padding
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert (decode_bmp(encode_bmp(px)) == px).all()
+        assert (decode_image(encode_bmp(px)) == px).all()
+    with pytest.raises(ValueError, match="24-bit"):
+        # 8-bit BMP header
+        blob = bytearray(encode_bmp(np.zeros((2, 2, 3), np.uint8)))
+        blob[28] = 8
+        decode_bmp(bytes(blob))

@@ -265,3 +265,50 @@ def spectral_features(rate: int, samples: np.ndarray) -> list[float]:
     power = mag * mag + 1e-12
     flatness = float(np.exp(np.log(power).mean()) / power.mean())
     return [centroid, bandwidth, rolloff, flatness]
+
+
+# ---------------------------------------------------------------------------
+# BMP (Windows DIB, BITMAPINFOHEADER): uncompressed 24-bit — rows
+# bottom-up, BGR order, 4-byte padded. The simplest container in the
+# dispatch set; pure struct + numpy.
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp(content: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP bytes → uint8 RGB (h, w, 3)."""
+    import struct
+
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack("<I", content[10:14])
+    hdr_size, w, h, _planes, bpp, comp = struct.unpack(
+        "<IiiHHI", content[14:34]
+    )
+    if bpp != 24 or comp != 0:
+        raise ValueError(
+            f"only 24-bit uncompressed BMP supported (bpp={bpp}, comp={comp})"
+        )
+    flip = h > 0  # positive height = bottom-up storage
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        content, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    rgb = rows[:, :, ::-1]  # BGR → RGB
+    return rgb[::-1] if flip else rgb
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """uint8 RGB (h, w, 3) → 24-bit bottom-up BMP bytes."""
+    import struct
+
+    if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("expected uint8 RGB (h, w, 3)")
+    h, w = pixels.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)
+    data = body.tobytes()
+    header = b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + info + data

@@ -84,9 +84,11 @@ def decode_image(content: bytes):
         from us_immigration_data_lake_spark.operators import gif
 
         return gif.decode_gif(content)
+    if content[:2] == b"BM":
+        return codecs.decode_bmp(content)
     raise NotImplementedError(
         "no codec for this image format in this environment; "
-        "P6 PPM, PNG, GIF and baseline-JPEG decode natively — for "
+        "P6 PPM, PNG, GIF, BMP and baseline-JPEG decode natively — for "
         "other formats swap in PIL.Image.open(io.BytesIO(content)) "
         "in production"
     )
