@@ -1,0 +1,73 @@
+"""Custom Python DataSource writer: two-phase commit protocol —
+manifest atomicity, checksum verification, abort invisibility."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from us_immigration_data_lake_spark.sources.manifest_sink import (
+    read_manifest,
+    register_manifest_sink,
+)
+
+
+def test_write_commit_and_manifest_readback(spark, tmp_path):
+    register_manifest_sink(spark)
+    out = str(tmp_path / "sink")
+    df = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(20)], ["id", "s"]
+    ).repartition(3)
+    df.write.format("manifest_jsonl").option("path", out).mode("append").save()
+
+    with open(os.path.join(out, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    assert manifest["total_rows"] == 20
+    assert len(manifest["files"]) == 3
+    back = read_manifest(spark, out)
+    assert back.count() == 20
+    assert {r.id for r in back.collect()} == set(range(20))
+
+
+def test_orphan_files_invisible_without_manifest_entry(spark, tmp_path):
+    register_manifest_sink(spark)
+    out = str(tmp_path / "sink2")
+    spark.createDataFrame([(1,)], ["id"]).coalesce(1).write.format(
+        "manifest_jsonl"
+    ).option("path", out).mode("append").save()
+    # simulate a crashed speculative task: orphan part file on disk
+    with open(os.path.join(out, "part-99999-deadbeef.jsonl"), "w") as f:
+        f.write('{"id": 999}\n')
+    back = read_manifest(spark, out)
+    assert [r.id for r in back.collect()] == [1]  # orphan never read
+
+
+def test_checksum_corruption_detected_at_read(spark, tmp_path):
+    register_manifest_sink(spark)
+    out = str(tmp_path / "sink3")
+    spark.createDataFrame([(1,), (2,)], ["id"]).coalesce(1).write.format(
+        "manifest_jsonl"
+    ).option("path", out).mode("append").save()
+    part = [p for p in os.listdir(out) if p.startswith("part-")][0]
+    with open(os.path.join(out, part), "a") as f:
+        f.write('{"id": 666}\n')  # tamper after commit
+    with pytest.raises(ValueError, match="checksum"):
+        read_manifest(spark, out)
+
+
+def test_failed_job_leaves_no_manifest(spark, tmp_path):
+    register_manifest_sink(spark)
+    out = str(tmp_path / "sink4")
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1,), (0,)], ["id"]).select(
+        # ANSI division by zero mid-write → task failure → job abort
+        (F.lit(10) / F.col("id")).alias("v")
+    )
+    with pytest.raises(Exception):
+        df.write.format("manifest_jsonl").option("path", out).mode(
+            "append"
+        ).save()
+    assert not os.path.exists(os.path.join(out, "_MANIFEST.json"))

@@ -1,0 +1,128 @@
+"""Custom Python DataSource WRITER (Spark 4 API): ``manifest_jsonl``
+— a JSONL sink with an atomic commit manifest, demonstrating the
+two-phase task/driver commit protocol a transactional sink is built
+on.
+
+Protocol (the part worth studying):
+- each TASK writes ``part-<partition>-<attempt-unique>.jsonl`` and
+  returns a commit message (path, rows, crc32) — side files only, no
+  shared mutable state;
+- the DRIVER's ``commit(messages)`` writes ``_MANIFEST.json`` listing
+  exactly the committed files with row counts and checksums. Readers
+  that consult the manifest never see uncommitted/orphaned task
+  output — the same reader contract as a table-format transaction
+  log, in one file;
+- ``abort(messages)`` deletes whatever partial task output is known.
+  A crashed driver can leave orphan part files, but without a
+  manifest they are invisible to manifest-respecting readers — atomic
+  visibility comes from the single manifest write, not from cleanup.
+
+Speculative/retried tasks: each attempt writes a UNIQUE file name
+(uuid suffix); only the attempt whose message reaches commit() lands
+in the manifest, so duplicate attempts cannot double-count.
+
+``read_manifest(spark, dir)`` loads exactly the committed files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+import zlib
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+class _PartFile(WriterCommitMessage):
+    def __init__(self, path: str, rows: int, crc32: int) -> None:
+        self.path = path
+        self.rows = rows
+        self.crc32 = crc32
+
+
+class ManifestJsonlDataSource(DataSource):
+    """``df.write.format("manifest_jsonl").option("path", dir)
+    .mode("append").save()``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_jsonl"
+
+    def writer(self, schema, overwrite: bool) -> "ManifestJsonlWriter":
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("manifest_jsonl requires option 'path'")
+        return ManifestJsonlWriter(path, [f.name for f in schema.fields])
+
+
+class ManifestJsonlWriter(DataSourceWriter):
+    def __init__(self, path: str, columns: list[str]) -> None:
+        self._path = path
+        self._columns = columns
+
+    def write(self, iterator) -> _PartFile:
+        from pyspark import TaskContext
+
+        os.makedirs(self._path, exist_ok=True)
+        pid = TaskContext.get().partitionId()
+        fname = f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl"
+        fpath = os.path.join(self._path, fname)
+        rows = 0
+        crc = 0
+        with open(fpath, "wb") as f:
+            for row in iterator:
+                line = (
+                    json.dumps(dict(zip(self._columns, row)), default=str)
+                    + "\n"
+                ).encode()
+                crc = zlib.crc32(line, crc)
+                f.write(line)
+                rows += 1
+        return _PartFile(fname, rows, crc & 0xFFFFFFFF)
+
+    def commit(self, messages) -> None:
+        manifest = {
+            "files": [
+                {"path": m.path, "rows": m.rows, "crc32": m.crc32}
+                for m in messages
+                if m is not None
+            ],
+        }
+        manifest["total_rows"] = sum(f["rows"] for f in manifest["files"])
+        tmp = os.path.join(self._path, "_MANIFEST.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, os.path.join(self._path, "_MANIFEST.json"))
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(os.path.join(self._path, m.path))
+            except OSError:
+                pass
+
+
+def register_manifest_sink(spark) -> None:
+    spark.dataSource.register(ManifestJsonlDataSource)
+
+
+def read_manifest(spark, path: str):
+    """Load exactly the committed files (and verify their checksums)."""
+    with open(os.path.join(path, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    for entry in manifest["files"]:
+        crc = 0
+        with open(os.path.join(path, entry["path"]), "rb") as fh:
+            for line in fh:
+                crc = zlib.crc32(line, crc)
+        if crc & 0xFFFFFFFF != entry["crc32"]:
+            raise ValueError(f"checksum mismatch in {entry['path']}")
+    files = [os.path.join(path, e["path"]) for e in manifest["files"]]
+    return spark.read.json(files) if files else None
