@@ -76,6 +76,37 @@ from us_immigration_data_lake_spark.operators.sketches import (
     bloom_probe,
 )
 
+from us_immigration_data_lake_spark.operators.regress import (
+    ewma_smooth,
+    group_median2,
+    groupwise_ols,
+    mad_outlier_stats,
+)
+from us_immigration_data_lake_spark.operators.incremental import (
+    agg_state,
+    merge_states,
+)
+from us_immigration_data_lake_spark.operators.graph import (
+    canonical_edges,
+    pagerank_quantized,
+    triangle_count,
+)
+from us_immigration_data_lake_spark.operators.sketches import kmv_distinct
+from us_immigration_data_lake_spark.operators.audit import constraint_report
+from us_immigration_data_lake_spark.operators.codecs import (
+    decode_bmp,
+    decode_png,
+    encode_bmp,
+    encode_png,
+    spectral_features,
+)
+from us_immigration_data_lake_spark.operators.jpeg import decode_jpeg, encode_jpeg
+from us_immigration_data_lake_spark.operators.gif import decode_gif, encode_gif
+from us_immigration_data_lake_spark.operators.avi import (
+    decode_mjpeg_avi,
+    encode_mjpeg_avi,
+)
+
 __all__ = [
     "grouped_agg",
     "pivot_agg",
@@ -130,4 +161,26 @@ __all__ = [
     "bloom_build_bits",
     "bloom_contract",
     "bloom_probe",
+    "ewma_smooth",
+    "group_median2",
+    "groupwise_ols",
+    "mad_outlier_stats",
+    "agg_state",
+    "merge_states",
+    "canonical_edges",
+    "pagerank_quantized",
+    "triangle_count",
+    "kmv_distinct",
+    "constraint_report",
+    "decode_bmp",
+    "decode_png",
+    "encode_bmp",
+    "encode_png",
+    "spectral_features",
+    "decode_jpeg",
+    "encode_jpeg",
+    "decode_gif",
+    "encode_gif",
+    "decode_mjpeg_avi",
+    "encode_mjpeg_avi",
 ]

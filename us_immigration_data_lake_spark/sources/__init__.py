@@ -21,6 +21,14 @@ from us_immigration_data_lake_spark.sources.events import (
 )
 from us_immigration_data_lake_spark.sources.writers import write_parquet
 from us_immigration_data_lake_spark.sources.catalog import Catalog, TESTDATA_TABLES
+from us_immigration_data_lake_spark.sources.replay_stream import (
+    drain_replay,
+    register_replay_stream,
+)
+from us_immigration_data_lake_spark.sources.manifest_sink import (
+    read_manifest,
+    register_manifest_sink,
+)
 
 __all__ = [
     "read_csv",
@@ -39,4 +47,8 @@ __all__ = [
     "I94_VISA_CATEGORIES",
     "Catalog",
     "TESTDATA_TABLES",
+    "drain_replay",
+    "register_replay_stream",
+    "read_manifest",
+    "register_manifest_sink",
 ]
