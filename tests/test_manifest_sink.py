@@ -71,3 +71,29 @@ def test_failed_job_leaves_no_manifest(spark, tmp_path):
             "append"
         ).save()
     assert not os.path.exists(os.path.join(out, "_MANIFEST.json"))
+
+
+def test_second_append_keeps_first_jobs_rows(spark, tmp_path):
+    register_manifest_sink(spark)
+    out = str(tmp_path / "sink5")
+    for lo in (0, 10):
+        spark.createDataFrame(
+            [(i,) for i in range(lo, lo + 10)], ["id"]
+        ).coalesce(1).write.format("manifest_jsonl").option("path", out).mode(
+            "append"
+        ).save()
+    back = read_manifest(spark, out)
+    assert {r.id for r in back.collect()} == set(range(20))
+
+
+def test_overwrite_mode_replaces_snapshot(spark, tmp_path):
+    register_manifest_sink(spark)
+    out = str(tmp_path / "sink6")
+    spark.createDataFrame([(1,)], ["id"]).coalesce(1).write.format(
+        "manifest_jsonl"
+    ).option("path", out).mode("append").save()
+    spark.createDataFrame([(2,)], ["id"]).coalesce(1).write.format(
+        "manifest_jsonl"
+    ).option("path", out).mode("overwrite").save()
+    back = read_manifest(spark, out)
+    assert [r.id for r in back.collect()] == [2]

@@ -178,32 +178,45 @@ def decode_png(content: bytes) -> np.ndarray:
     stride = width * ch
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG pixel data length mismatch")
-    out = np.zeros((height, stride), dtype=np.uint8)
-    prev = bytearray(stride)
+    # unfilter: channel-vectorized — Up is a whole-row numpy op; Sub/
+    # Average/Paeth carry a left-pixel dependency, so they loop per
+    # PIXEL (width iterations) with vector ops across channels, never
+    # per byte (this sits on the mapInPandas decode hot path).
+    out = np.zeros((height, width, ch), dtype=np.int32)
+    prev = np.zeros((width, ch), dtype=np.int32)
     for y in range(height):
         row_start = y * (stride + 1)
         ftype = raw[row_start]
-        line = bytearray(raw[row_start + 1 : row_start + 1 + stride])
+        cur = (
+            np.frombuffer(raw, dtype=np.uint8, count=stride, offset=row_start + 1)
+            .astype(np.int32)
+            .reshape(width, ch)
+            .copy()
+        )
         if ftype == 1:  # Sub
-            for i in range(ch, stride):
-                line[i] = (line[i] + line[i - ch]) & 0xFF
+            for x in range(1, width):
+                cur[x] = (cur[x] + cur[x - 1]) & 0xFF
         elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
+            cur = (cur + prev) & 0xFF
         elif ftype == 3:  # Average
-            for i in range(stride):
-                left = line[i - ch] if i >= ch else 0
-                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+            cur[0] = (cur[0] + (prev[0] >> 1)) & 0xFF
+            for x in range(1, width):
+                cur[x] = (cur[x] + ((cur[x - 1] + prev[x]) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth
-            for i in range(stride):
-                left = line[i - ch] if i >= ch else 0
-                upleft = prev[i - ch] if i >= ch else 0
-                line[i] = (line[i] + _paeth(left, prev[i], upleft)) & 0xFF
+            cur[0] = (cur[0] + prev[0]) & 0xFF  # a=c=0 → predictor is b
+            for x in range(1, width):
+                a, b, c = cur[x - 1], prev[x], prev[x - 1]
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                )
+                cur[x] = (cur[x] + pred) & 0xFF
         elif ftype != 0:
             raise ValueError(f"bad PNG filter type {ftype} on row {y}")
-        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
-        prev = line
-    return out.reshape(height, width, ch)
+        out[y] = cur
+        prev = cur
+    return out.astype(np.uint8)
 
 
 def encode_png(pixels: np.ndarray, level: int = 6) -> bytes:

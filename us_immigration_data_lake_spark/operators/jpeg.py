@@ -111,15 +111,11 @@ def _ac_table_spec() -> tuple[list[int], list[int]]:
         return min(16, max(2, 2 + run + size))
 
     pairs = sorted(((length(s), i, s) for i, s in enumerate(syms)))
-    # canonical assignment with overflow push-down: walk lengths
-    # ascending, track code space; if a length is oversubscribed,
-    # push symbols to longer lengths.
+    # greedy canonical assignment: walk lengths ascending and give
+    # each symbol the shortest length ≥ its heuristic that still has
+    # Kraft room when all remaining symbols take 16 bits
     bits = [0] * 17
     assigned: list[tuple[int, int]] = []  # (length, sym)
-    code_space = 1.0
-    budget = {l: 0 for l in range(1, 17)}
-    # greedy: give each symbol the shortest length ≥ its heuristic
-    # that still has Kraft room when all remaining symbols take 16
     remaining = len(pairs)
     used = 0.0
     for l, _, s in pairs:

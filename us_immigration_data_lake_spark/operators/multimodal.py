@@ -124,11 +124,12 @@ FRAME_SCHEMA = StructType([
 
 
 def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Arrow-batched resize over the binary column. P6 PPM, PNG and
-    baseline-JPEG payloads take the REAL path: decode →
-    nearest-neighbor resample (integer index arithmetic,
-    bit-deterministic) → re-encode in the same container format
-    (operators/codecs.py, operators/jpeg.py). Other payloads keep
+    """Arrow-batched resize over the binary column. Every format the
+    engine decodes (P6 PPM, PNG, GIF, BMP, baseline JPEG) takes the
+    REAL path: decode → nearest-neighbor resample (integer index
+    arithmetic, bit-deterministic) → re-encode in the same container
+    format — keeping the dispatch set identical to decode_image's, so
+    a resized payload is always re-decodable. Other payloads keep
     the deterministic fake (truncate/pad to width*height bytes) so the
     batch iteration, schema, and metadata update stay exercised for
     formats whose codec isn't in this container."""
@@ -156,6 +157,20 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
 
                     pixels = jpeg.decode_jpeg(b)
                     resized = jpeg.encode_jpeg(
+                        codecs.resize_nearest(pixels, width, height)
+                    )
+                elif b[:6] in (b"GIF87a", b"GIF89a"):
+                    from us_immigration_data_lake_spark.operators import gif
+
+                    # nearest-neighbor keeps the palette closed (no new
+                    # colors), so GIF re-encode always succeeds
+                    pixels = gif.decode_gif(b)
+                    resized = gif.encode_gif(
+                        codecs.resize_nearest(pixels, width, height)
+                    )
+                elif b[:2] == b"BM":
+                    pixels = codecs.decode_bmp(b)
+                    resized = codecs.encode_bmp(
                         codecs.resize_nearest(pixels, width, height)
                     )
                 else:

@@ -76,39 +76,54 @@ def build_training_corpus(
     """
     n_in = docs.count()
 
-    # 1-2: score and gate
-    feats = ts.quality_score(ts.text_features(docs, id_col, text_col))
-    lang = ts.lang_id(docs, id_col, text_col).select(id_col, "predicted_lang")
-    scored = (
-        docs.join(feats.select(id_col, "quality_score"), id_col)
-        .join(lang, id_col)
+    # cache() pins a PLAN: every cached frame is appended here and
+    # released at the end — rebinding a name after cache() would
+    # otherwise leak the pinned blocks in a long-lived session.
+    cached = []
+
+    # 1-2: score and gate; 3: PII scrub — in place, BEFORE anything
+    # caches or fingerprints, so downstream stages only ever see
+    # scrubbed text. Map-side regexes, no shuffle, no row change.
+    gated = (
+        docs.join(
+            ts.quality_score(ts.text_features(docs, id_col, text_col))
+            .select(id_col, "quality_score"),
+            id_col,
+        )
+        .join(
+            ts.lang_id(docs, id_col, text_col).select(id_col, "predicted_lang"),
+            id_col,
+        )
         .filter(F.col("quality_score") >= min_quality)
     )
-    scored.cache()
-    n_quality = scored.count()
-
-    # 3: PII scrub — replaces the text column in place so every
-    # downstream stage (fingerprints, chunks, the written corpus)
-    # only ever sees scrubbed text. Map-side regexes, no shuffle.
     if scrub:
-        scored = pii.scrub_pii(scored, text_col, out_col=text_col)
+        gated = pii.scrub_pii(gated, text_col, out_col=text_col)
 
     # 4: benchmark decontamination — anti-join away documents sharing
-    # any 5-gram with the (broadcast) benchmark set.
+    # any 5-gram with the (broadcast) benchmark set. Without a
+    # benchmark the stage is the identity and n_quality == n_decontam
+    # (one count serves both — no extra pass).
     if benchmark is not None:
-        flagged = dd.contaminated_docs(scored, benchmark, id_col, text_col)
-        scored = scored.join(
-            flagged.select(id_col), id_col, "left_anti"
-        )
-        scored.cache()
+        gated.cache()
+        cached.append(gated)
+        n_quality = gated.count()
+        flagged = dd.contaminated_docs(gated, benchmark, id_col, text_col)
+        scored = gated.join(flagged.select(id_col), id_col, "left_anti")
+    else:
+        scored = gated
+    scored.cache()
+    cached.append(scored)
     n_decontam = scored.count()
+    if benchmark is None:
+        n_quality = n_decontam
 
     # 5: exact dedup — smallest doc id survives per normalized content
     exact = dd.dedup_exact_by_content(scored, id_col, text_col)
     exact.cache()
+    cached.append(exact)
     n_exact = exact.count()
 
-    # 4: near-dup clustering — keep one survivor per cluster.
+    # 6: near-dup clustering — keep one survivor per cluster.
     # recover_oversized: mega-buckets (boilerplate clusters) contribute
     # anchor-star candidates instead of being dropped, so they still
     # collapse to one survivor; the bucket count lands in CorpusStats.
@@ -122,12 +137,13 @@ def build_training_corpus(
     survivors = dd.dedup_survivors(exact, pairs, id_col).filter(F.col("keep"))
     deduped = exact.join(survivors.select(id_col), id_col)
     deduped.cache()
+    cached.append(deduped)
     n_near = deduped.count()
 
-    # 5: chunk
+    # 7: chunk
     chunks = ts.chunk_documents(deduped, id_col, text_col, chunk_tokens, overlap)
 
-    # 6: deterministic split — shared helper so the pipeline can never
+    # 8: deterministic split — shared helper so the pipeline can never
     # diverge from the gate-checked q48 definition
     meta = deduped.select(
         id_col, "predicted_lang", "quality_score",
@@ -135,16 +151,17 @@ def build_training_corpus(
     )
     corpus = chunks.join(meta, id_col)
     corpus.cache()  # one execution serves both the count and the write
+    cached.append(corpus)
     n_chunks = corpus.count()
 
-    # 7: partitioned write
+    # 9: partitioned write
     if out_dir is not None:
         write_parquet(corpus, out_dir, "corpus", partition_by=["split", "predicted_lang"])
 
     # release the stage caches: the returned frame recomputes if
     # re-executed, but a long-lived session (driver loops, repeated
     # builds) doesn't accumulate pinned storage blocks per call
-    for frame in (scored, exact, deduped, corpus):
+    for frame in cached:
         frame.unpersist()
 
     return corpus, CorpusStats(

@@ -57,13 +57,16 @@ class ManifestJsonlDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("manifest_jsonl requires option 'path'")
-        return ManifestJsonlWriter(path, [f.name for f in schema.fields])
+        return ManifestJsonlWriter(
+            path, [f.name for f in schema.fields], overwrite
+        )
 
 
 class ManifestJsonlWriter(DataSourceWriter):
-    def __init__(self, path: str, columns: list[str]) -> None:
+    def __init__(self, path: str, columns: list[str], overwrite: bool) -> None:
         self._path = path
         self._columns = columns
+        self._overwrite = overwrite
 
     def write(self, iterator) -> _PartFile:
         from pyspark import TaskContext
@@ -86,18 +89,29 @@ class ManifestJsonlWriter(DataSourceWriter):
         return _PartFile(fname, rows, crc & 0xFFFFFFFF)
 
     def commit(self, messages) -> None:
+        new_files = [
+            {"path": m.path, "rows": m.rows, "crc32": m.crc32}
+            for m in messages
+            if m is not None
+        ]
+        target = os.path.join(self._path, "_MANIFEST.json")
+        files = new_files
+        if not self._overwrite and os.path.exists(target):
+            # append: the new snapshot = previous committed files + this
+            # job's files (the one-file analog of adding a table-format
+            # log entry). overwrite: the new files ARE the snapshot;
+            # superseded part files stay on disk but are invisible to
+            # manifest readers (vacuum is a separate concern).
+            with open(target) as f:
+                files = json.load(f)["files"] + new_files
         manifest = {
-            "files": [
-                {"path": m.path, "rows": m.rows, "crc32": m.crc32}
-                for m in messages
-                if m is not None
-            ],
+            "files": files,
+            "total_rows": sum(e["rows"] for e in files),
         }
-        manifest["total_rows"] = sum(f["rows"] for f in manifest["files"])
-        tmp = os.path.join(self._path, "_MANIFEST.json.tmp")
+        tmp = target + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)
-        os.replace(tmp, os.path.join(self._path, "_MANIFEST.json"))
+        os.replace(tmp, target)
 
     def abort(self, messages) -> None:
         for m in messages:

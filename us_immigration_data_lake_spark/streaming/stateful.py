@@ -127,9 +127,8 @@ def spend_alerts(stream: DataFrame, threshold_cents: int = 100_000) -> DataFrame
                         (pdf["value"] * 100).round().astype("int64").sum()
                     )
             new_crossed = total // threshold_cents
-            self._state.update((total, crossed))
+            self._state.update((total, max(crossed, new_crossed)))
             if new_crossed > crossed:
-                self._state.update((total, new_crossed))
                 yield pd.DataFrame(
                     [(int(key[0]), total, new_crossed)],
                     columns=["user_id", "total_c", "thresholds_crossed"],
