@@ -89,13 +89,18 @@ def test_progressive_marker_rejected():
         decode_jpeg(bytes(blob))
 
 
-def test_subsampling_rejected():
-    blob = bytearray(encode_jpeg(np.zeros((8, 8, 3), np.uint8)))
+def test_non_integer_sampling_ratio_rejected():
+    # 4:2:0 (Y 2×2) with chroma patched to 3×3: 3 does not divide 2 —
+    # the decoder must name the bad ratio, not mis-tile silently
+    blob = bytearray(
+        encode_jpeg(np.zeros((8, 8, 3), np.uint8), subsampling="4:2:0")
+    )
     at = bytes(blob).index(b"\xff\xc0")
-    # component 1 sampling byte: SOF0 seg = marker(2) len(2) depth(1)
-    # h(2) w(2) ncomp(1) then (id, sampling, qid) triples
-    blob[at + 11] = 0x22  # 2×2 sampling on Y
-    with pytest.raises(ValueError, match="subsampling"):
+    # SOF0 seg: marker(2) len(2) depth(1) h(2) w(2) ncomp(1), then
+    # (id, sampling, qid) triples → comp-2 sampling byte at +14
+    assert blob[at + 11] == 0x22 and blob[at + 14] == 0x11
+    blob[at + 14] = 0x33
+    with pytest.raises(ValueError, match="sampling ratio"):
         decode_jpeg(bytes(blob))
 
 
@@ -127,3 +132,52 @@ def test_resize_media_real_path_for_jpeg(spark):
     out = resize_media(df, 8, 8).collect()[0]
     dec = decode_jpeg(bytes(out.content))
     assert dec.shape == (8, 8, 3)
+
+
+@pytest.mark.parametrize("sub", ["4:4:4", "4:2:2", "4:2:0"])
+def test_subsampled_roundtrip_bounded(sub):
+    xx, yy = np.meshgrid(np.arange(37), np.arange(29))
+    img = np.stack(
+        [(xx * 5) % 256, (yy * 5) % 256, ((xx + yy) * 3) % 256], axis=-1
+    ).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=92, subsampling=sub))
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int)).mean()
+    assert err < 3.0  # chroma loss stays small on smooth gradients
+
+
+def test_restart_markers_roundtrip_identical_to_without():
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    no_rst = decode_jpeg(encode_jpeg(img, quality=90))
+    with_rst = decode_jpeg(encode_jpeg(img, quality=90, restart_interval=2))
+    # restart segmentation is lossless re-sync: pixel-identical output
+    assert (no_rst == with_rst).all()
+
+
+def test_restart_stream_contains_rst_markers_and_dri():
+    img = np.zeros((24, 24), np.uint8)
+    blob = encode_jpeg(img, restart_interval=1)
+    assert b"\xff\xdd" in blob  # DRI segment
+    assert any(bytes([0xFF, 0xD0 + i]) in blob for i in range(8))
+
+
+def test_corrupt_restart_marker_detected():
+    img = np.zeros((24, 24), np.uint8)
+    blob = bytearray(encode_jpeg(img, restart_interval=1))
+    at = bytes(blob).index(b"\xff\xd0")
+    blob[at + 1] = 0xC8  # clobber the first RST marker
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(blob))
+
+
+def test_dc_predictors_reset_at_restart():
+    # a bright-then-dark image: without predictor reset, the DC chain
+    # after a restart would decode wrong — verify exactness per block
+    img = np.concatenate(
+        [np.full((8, 16), 230, np.uint8), np.full((8, 16), 20, np.uint8)],
+        axis=0,
+    )
+    dec = decode_jpeg(encode_jpeg(img, quality=95, restart_interval=1))
+    assert abs(int(dec[0, 0]) - 230) <= 2
+    assert abs(int(dec[15, 0]) - 20) <= 2

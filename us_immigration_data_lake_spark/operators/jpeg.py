@@ -3,10 +3,14 @@ stdlib, no codec library.
 
 Scope (declared, not silently degraded):
 - 8-bit baseline sequential (SOF0), Huffman entropy coding
-- grayscale (1 component) and 4:4:4 color (3 components, no chroma
-  subsampling); subsampled or progressive streams raise with the
+- grayscale and color with ANY integer-ratio sampling factors —
+  4:4:4, 4:2:2 and 4:2:0 (what real cameras emit) round-trip through
+  both sides; box-mean downsample on encode, nearest upsample on
+  decode
+- restart markers: encoder emits DRI/RSTn on request, decoder resyncs
+  and resets DC predictors at every interval
+- progressive (SOF2) and 16-bit-quantizer streams raise with the
   exact unsupported feature named
-- no restart markers (DRI=0; encoder never emits them)
 
 Design notes for verifiability:
 - The zigzag permutation is GENERATED (diagonal walk), not
@@ -250,6 +254,22 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
+    def expect_restart(self) -> None:
+        """Drop the current byte's padding bits and consume the next
+        RSTn marker (T.81 §E.1.4: entropy segments are byte-aligned
+        before each restart marker)."""
+        self.acc = 0
+        self.nbits = 0
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not (0xD0 <= self.data[self.pos + 1] <= 0xD7)
+        ):
+            raise ValueError(
+                f"expected restart marker at entropy offset {self.pos}"
+            )
+        self.pos += 2
+
     def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
         code, length = 0, 0
         while length <= 16:
@@ -277,6 +297,12 @@ def _category(v: int) -> int:
 # encoder
 # ---------------------------------------------------------------------------
 
+_SUBSAMPLING = {
+    "4:4:4": ((1, 1), (1, 1), (1, 1)),
+    "4:2:2": ((2, 1), (1, 1), (1, 1)),
+    "4:2:0": ((2, 2), (1, 1), (1, 1)),
+}
+
 
 def _scale_qtable(base: np.ndarray, quality: int) -> np.ndarray:
     quality = min(100, max(1, quality))
@@ -303,6 +329,16 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     g = y - 0.344136286 * cb - 0.714136286 * cr
     b = y + 1.772 * cb
     return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype(np.uint8)
+
+
+def _box_downsample(plane: np.ndarray, fx: int, fy: int) -> np.ndarray:
+    """Mean over fy×fx boxes (edge-padded to factor multiples)."""
+    if fx == 1 and fy == 1:
+        return plane
+    h, w = plane.shape
+    ph, pw = (h + fy - 1) // fy * fy, (w + fx - 1) // fx * fx
+    p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    return p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
 
 
 def _encode_block(
@@ -347,28 +383,51 @@ def _encode_block(
     return int(zz[0])
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
-    """uint8 (h, w) grayscale or (h, w, 3) RGB → baseline JPEG bytes
-    (4:4:4, tables embedded, no restart markers)."""
+def encode_jpeg(
+    pixels: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """uint8 (h, w) grayscale or (h, w, 3) RGB → baseline JPEG bytes.
+
+    ``subsampling``: 4:4:4 (default, exact chroma), 4:2:2, or 4:2:0
+    (box-mean chroma downsample — the format real cameras emit).
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    every N MCUs (the stream-resync feature real decoders rely on).
+    """
     if pixels.dtype != np.uint8:
         raise ValueError("expected uint8 pixels")
     gray = pixels.ndim == 2
     h, w = pixels.shape[:2]
     if not gray and pixels.shape[2] != 3:
         raise ValueError("expected (h, w) grayscale or (h, w, 3) RGB")
+    if subsampling not in _SUBSAMPLING:
+        raise ValueError(f"subsampling must be one of {sorted(_SUBSAMPLING)}")
+    factors = ((1, 1),) if gray else _SUBSAMPLING[subsampling]
+    h_max = max(f[0] for f in factors)
+    v_max = max(f[1] for f in factors)
     qy = _scale_qtable(_Q_LUMA, quality)
     qc = _scale_qtable(_Q_CHROMA, quality)
 
-    planes = (
+    full = (
         [pixels.astype(np.float64)]
         if gray
         else list(np.moveaxis(_rgb_to_ycbcr(pixels), -1, 0))
     )
-    # pad to block multiples with edge replication
-    bh, bw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    planes = [
-        np.pad(p, ((0, bh - h), (0, bw - w)), mode="edge") for p in planes
-    ]
+    mcux = (w + 8 * h_max - 1) // (8 * h_max)
+    mcuy = (h + 8 * v_max - 1) // (8 * v_max)
+    planes = []
+    for ci, (hi, vi) in enumerate(factors):
+        p = _box_downsample(full[ci], h_max // hi, v_max // vi)
+        th, tw = mcuy * vi * 8, mcux * hi * 8
+        planes.append(
+            np.pad(
+                p,
+                ((0, th - p.shape[0]), (0, tw - p.shape[1])),
+                mode="edge",
+            )
+        )
 
     out = bytearray()
     out += b"\xff\xd8"  # SOI
@@ -384,9 +443,10 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
 
     ncomp = 1 if gray else 3
     sof = struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
-    for cid in range(1, ncomp + 1):
-        qid = 0 if cid == 1 else 1
-        sof += struct.pack(">BBB", cid, 0x11, qid)  # 1×1 sampling
+    for ci in range(ncomp):
+        hi, vi = factors[ci]
+        qid = 0 if ci == 0 else 1
+        sof += struct.pack(">BBB", ci + 1, (hi << 4) | vi, qid)
     out += b"\xff\xc0" + sof
 
     def dht(tclass: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
@@ -398,6 +458,9 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
     if not gray:
         out += dht(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
         out += dht(1, 1, _AC_BITS, _AC_VALS)
+
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
 
     sos = struct.pack(">HB", 6 + 2 * ncomp, ncomp)
     for cid in range(1, ncomp + 1):
@@ -411,13 +474,25 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
     ac = _build_codes(_AC_BITS, _AC_VALS)
     writer = _BitWriter()
     preds = [0] * ncomp
-    for by in range(bh // 8):
-        for bx in range(bw // 8):
-            for ci in range(ncomp):
-                block = planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                q = qy if ci == 0 else qc
-                dc = dc_y if ci == 0 else dc_c
-                preds[ci] = _encode_block(writer, block, q, preds[ci], dc, ac)
+    rst = 0
+    for m in range(mcuy * mcux):
+        if restart_interval and m and m % restart_interval == 0:
+            out += writer.flush()
+            out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            writer = _BitWriter()
+            preds = [0] * ncomp
+        my, mx = divmod(m, mcux)
+        for ci in range(ncomp):
+            hi, vi = factors[ci]
+            q = qy if ci == 0 else qc
+            dc = dc_y if ci == 0 else dc_c
+            for byy in range(vi):
+                for bxx in range(hi):
+                    r0 = (my * vi + byy) * 8
+                    c0 = (mx * hi + bxx) * 8
+                    block = planes[ci][r0 : r0 + 8, c0 : c0 + 8]
+                    preds[ci] = _encode_block(writer, block, q, preds[ci], dc, ac)
     out += writer.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -428,10 +503,35 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+def _decode_block(reader, dc_tab, ac_tab, q, pred: int):
+    zz = np.zeros(64, dtype=np.int64)
+    size = reader.read_symbol(dc_tab)
+    pred += _extend(reader.read_bits(size), size)
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        sym = reader.read_symbol(ac_tab)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        run, size = sym >> 4, sym & 0xF
+        k += run
+        if k > 63:
+            raise ValueError("AC run past block end")
+        zz[k] = _extend(reader.read_bits(size), size)
+        k += 1
+    coef = np.zeros((8, 8))
+    coef[_ZZ_ROWS, _ZZ_COLS] = zz * q[_ZZ_ROWS, _ZZ_COLS]
+    return idct2(coef) + 128.0, pred
+
+
 def decode_jpeg(content: bytes) -> np.ndarray:
     """Baseline JPEG bytes → uint8 array (h, w) or (h, w, 3). Tables
-    are read from the stream; unsupported variants raise with the
-    feature named."""
+    are read from the stream. Supports 4:4:4 / 4:2:2 / 4:2:0 (any
+    integer-ratio sampling factors), restart intervals, grayscale;
+    progressive/16-bit variants raise with the feature named."""
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -439,6 +539,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
     scan = None
+    restart_interval = 0
     while pos < len(content):
         if content[pos] != 0xFF:
             raise ValueError(f"marker expected at offset {pos}")
@@ -477,21 +578,14 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             comps = []
             for i in range(ncomp):
                 cid, sampling, qid = seg[6 + 3 * i : 9 + 3 * i]
-                if sampling != 0x11:
-                    raise ValueError(
-                        "chroma subsampling unsupported (4:4:4 only); "
-                        f"component {cid} has sampling 0x{sampling:02x}"
-                    )
-                comps.append((cid, qid))
+                comps.append((cid, sampling >> 4, sampling & 0xF, qid))
             frame = (fh, fw, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(
                 f"non-baseline JPEG (SOF marker 0xFF{marker:02X}) unsupported"
             )
         elif marker == 0xDD:  # DRI
-            (interval,) = struct.unpack(">H", seg[:2])
-            if interval != 0:
-                raise ValueError("restart intervals unsupported")
+            (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             ncomp_s = seg[0]
             mapping = []
@@ -505,50 +599,52 @@ def decode_jpeg(content: bytes) -> np.ndarray:
         raise ValueError("JPEG missing SOF0/SOS")
     fh, fw, comps = frame
     mapping, data_start = scan
-    # entropy data runs until EOI
     end = content.rfind(b"\xff\xd9")
     if end < 0:
         raise ValueError("JPEG missing EOI")
     reader = _BitReader(content[data_start:end])
 
-    ncomp = len(comps)
-    bh, bw = (fh + 7) // 8 * 8, (fw + 7) // 8 * 8
-    planes = [np.zeros((bh, bw)) for _ in range(ncomp)]
-    comp_q = {cid: qid for cid, qid in comps}
-    preds = {cid: 0 for cid, _ in comps}
-    for by in range(bh // 8):
-        for bx in range(bw // 8):
-            for ci, (cid, dc_id, ac_id) in enumerate(mapping):
-                dc_tab = huff[(0, dc_id)]
-                ac_tab = huff[(1, ac_id)]
-                q = qtables[comp_q[cid]]
-                zz = np.zeros(64, dtype=np.int64)
-                size = reader.read_symbol(dc_tab)
-                diff = _extend(reader.read_bits(size), size)
-                preds[cid] += diff
-                zz[0] = preds[cid]
-                k = 1
-                while k < 64:
-                    sym = reader.read_symbol(ac_tab)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = sym >> 4, sym & 0xF
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run past block end")
-                    zz[k] = _extend(reader.read_bits(size), size)
-                    k += 1
-                coef = np.zeros((8, 8))
-                coef[_ZZ_ROWS, _ZZ_COLS] = zz * q[_ZZ_ROWS, _ZZ_COLS]
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                    idct2(coef) + 128.0
-                )
-    planes = [p[:fh, :fw] for p in planes]
-    if ncomp == 1:
-        return np.clip(planes[0].round(), 0, 255).astype(np.uint8)
-    if ncomp == 3:
-        return _ycbcr_to_rgb(np.stack(planes, axis=-1))
-    raise ValueError(f"unsupported component count {ncomp}")
+    by_cid = {cid: (hi, vi, qid) for cid, hi, vi, qid in comps}
+    h_max = max(hi for _, hi, _, _ in comps)
+    v_max = max(vi for _, _, vi, _ in comps)
+    for cid, hi, vi, _ in comps:
+        if h_max % hi or v_max % vi:
+            raise ValueError(
+                f"non-integer sampling ratio for component {cid} "
+                f"({hi}x{vi} vs max {h_max}x{v_max})"
+            )
+    mcux = (fw + 8 * h_max - 1) // (8 * h_max)
+    mcuy = (fh + 8 * v_max - 1) // (8 * v_max)
+    planes = {
+        cid: np.zeros((mcuy * vi * 8, mcux * hi * 8))
+        for cid, hi, vi, _ in comps
+    }
+    preds = {cid: 0 for cid, *_ in comps}
+    for m in range(mcuy * mcux):
+        if restart_interval and m and m % restart_interval == 0:
+            reader.expect_restart()
+            preds = {cid: 0 for cid, *_ in comps}
+        my, mx = divmod(m, mcux)
+        for cid, dc_id, ac_id in mapping:
+            hi, vi, qid = by_cid[cid]
+            q = qtables[qid]
+            for byy in range(vi):
+                for bxx in range(hi):
+                    block, preds[cid] = _decode_block(
+                        reader, huff[(0, dc_id)], huff[(1, ac_id)], q,
+                        preds[cid],
+                    )
+                    r0 = (my * vi + byy) * 8
+                    c0 = (mx * hi + bxx) * 8
+                    planes[cid][r0 : r0 + 8, c0 : c0 + 8] = block
+    # upsample each component back to full resolution and crop
+    full = []
+    for cid, hi, vi, _ in comps:
+        p = planes[cid]
+        p = np.repeat(np.repeat(p, v_max // vi, axis=0), h_max // hi, axis=1)
+        full.append(p[:fh, :fw])
+    if len(full) == 1:
+        return np.clip(full[0].round(), 0, 255).astype(np.uint8)
+    if len(full) == 3:
+        return _ycbcr_to_rgb(np.stack(full, axis=-1))
+    raise ValueError(f"unsupported component count {len(full)}")
