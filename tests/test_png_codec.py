@@ -143,3 +143,38 @@ def test_resize_media_real_path_for_png(spark):
     rows = (np.arange(4) * 8) // 4
     cols = (np.arange(4) * 6) // 4
     assert (decoded == px[rows][:, cols]).all()
+
+
+def test_adaptive_filters_roundtrip_and_compress_better():
+    xx, yy = np.meshgrid(np.arange(120), np.arange(90))
+    img = np.stack(
+        [(xx + yy) % 256, (xx * 2) % 256, (yy * 2) % 256], axis=-1
+    ).astype(np.uint8)
+    adaptive = encode_png(img, filter_strategy="adaptive")
+    plain = encode_png(img, filter_strategy="none")
+    assert (decode_png(adaptive) == img).all()
+    assert (decode_png(plain) == img).all()
+    # gradients filter to near-constant rows → dramatic DEFLATE gain
+    assert len(adaptive) * 5 < len(plain)
+
+
+def test_adaptive_uses_multiple_filter_types():
+    # mixed content: flat region + gradient + noise rows should make
+    # the per-row chooser pick at least two distinct filter types
+    import zlib as _z
+
+    rng = np.random.default_rng(8)
+    img = np.concatenate([
+        np.full((10, 64), 7, np.uint8),
+        (np.arange(64)[None, :] * np.ones((10, 1))).astype(np.uint8),
+        rng.integers(0, 256, (10, 64), dtype=np.uint8),
+    ])
+    blob = encode_png(img)
+    # pull filter bytes back out of the decompressed stream
+    idat_at = blob.index(b"IDAT") + 4
+    (ln,) = __import__("struct").unpack(">I", blob[idat_at - 8 : idat_at - 4])
+    raw = _z.decompress(blob[idat_at : idat_at + ln])
+    stride = 64 * 1
+    ftypes = {raw[y * (stride + 1)] for y in range(30)}
+    assert len(ftypes) >= 2
+    assert (decode_png(blob) == img[:, :, None]).all()
