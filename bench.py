@@ -61,8 +61,8 @@ def main() -> None:
     # q24 (SRP-LSH ANN, the 100 TB scale path, promoted per the r3
     # verdict) and q105 (TPC-H Q5 multi-join) were added. Cross-round
     # TOTALS are therefore not comparable; compare per-query timings.
-    # The r3-comparable 10-query subset measured 7.17 s on an idle
-    # host at r4 head (vs 7.982 s in r3, q01 0.93 s).
+    # The r3-comparable 10-query subset measured 5.5-7.2 s across r4
+    # idle-host runs (vs 7.982 s in r3; q01 0.93-0.96 s, q20 1.34-1.81 s).
     #
     # Measurement honesty notes (r4 root-cause of the r1→r3 "regressions"):
     # - Per-query numbers carry ±30% host noise: q01's plan is unchanged
