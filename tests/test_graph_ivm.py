@@ -77,3 +77,35 @@ def test_ivm_merge_keys_only_in_one_side_survive(spark):
     )
     out = {r.k: (r.n, r.sv) for r in merge_states(base, delta, ["k"]).collect()}
     assert out == {1: (1, 10), 2: (2, 25), 3: (1, 30)}
+
+
+def test_ivm_merge_random_split_property(spark):
+    # any split point must merge to the full recompute (hypothesis-lite:
+    # several random cuts over one dataset in a single session)
+    import random
+
+    rnd = random.Random(17)
+    rows = [(rnd.randrange(12), rnd.randrange(1000)) for _ in range(400)]
+    df = spark.createDataFrame(rows, ["k", "v"]).cache()
+    full = {
+        r.k: (r.n, r.sv) for r in agg_state(df, ["k"], {"sv": "v"}).collect()
+    }
+    for cut in (0, 1, 137, 399, 400):
+        base = agg_state(
+            spark.createDataFrame(rows[:cut] or [(0, 0)], ["k", "v"]).limit(
+                cut
+            ),
+            ["k"], {"sv": "v"},
+        )
+        delta = agg_state(
+            spark.createDataFrame(rows[cut:] or [(0, 0)], ["k", "v"]).limit(
+                len(rows) - cut
+            ),
+            ["k"], {"sv": "v"},
+        )
+        merged = {
+            r.k: (r.n, r.sv)
+            for r in merge_states(base, delta, ["k"]).collect()
+        }
+        assert merged == full, cut
+    df.unpersist()
