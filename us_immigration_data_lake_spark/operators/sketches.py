@@ -209,3 +209,101 @@ def kmv_distinct(
             .alias("est_distinct"),
         )
     )
+
+
+def kmv_hashes(
+    df: DataFrame, group_cols: list[str], value_col: str, k: int = 64
+) -> DataFrame:
+    """The KMV sketch's mergeable STATE: per group, the k smallest
+    distinct md5_long hashes as (group_cols..., __h) rows. Same
+    WindowGroupLimit-partial plan as kmv_distinct; NULL values are
+    excluded (no distinct meaning)."""
+    from pyspark.sql import Window
+
+    from us_immigration_data_lake_spark.functions.hashing import md5_long
+
+    h = md5_long(F.col(value_col).cast("string"))
+    distinct_hashes = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, h.alias("__h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__h")
+    return (
+        distinct_hashes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_union(sk_a: DataFrame, sk_b: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
+    """Merge two KMV states: union the hash sets, re-take the k
+    smallest per group — the closure property that makes KMV a
+    distributed sketch (states merge associatively, like Spark's own
+    partial aggregates)."""
+    from pyspark.sql import Window
+
+    merged = sk_a.unionByName(sk_b).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("__h")
+    return (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_estimate(sk: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
+    """Distinct-count estimate from a KMV state (exact below k — same
+    estimator as kmv_distinct)."""
+    from us_immigration_data_lake_spark.functions.hashing import MD5_LONG_BITS
+
+    m = 1 << MD5_LONG_BITS
+    agg = sk.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.max("__h").alias("max_h"),
+    )
+    return agg.select(
+        *group_cols,
+        F.when(F.col("n_kept") < k, F.col("n_kept"))
+        .otherwise(
+            F.expr(
+                f"CAST((CAST({k - 1} AS DECIMAL(38,0)) * "
+                f"CAST({m} AS DECIMAL(38,0))) div max_h AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("est_distinct"),
+    )
+
+
+def kmv_jaccard(
+    sk_a: DataFrame, sk_b: DataFrame, group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """Jaccard similarity estimate between two keyed sets from their
+    KMV states alone (no rescan of the data): with M = the k smallest
+    hashes of A∪B, estimate J = |M ∩ A ∩ B| / |M| — the standard
+    k-min-values Jaccard estimator. Exact when |A∪B| ≤ k.
+
+    Returns group_cols + n_union_kept, n_both, jaccard_permille
+    (integer permille — exact arithmetic end to end).
+    """
+    union_k = kmv_union(sk_a, sk_b, group_cols, k)
+    in_a = union_k.join(sk_a, [*group_cols, "__h"], "left_semi")
+    both = in_a.join(sk_b, [*group_cols, "__h"], "left_semi")
+    n_union = union_k.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_union_kept")
+    )
+    n_both = both.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_both")
+    )
+    return (
+        n_union.join(n_both, group_cols, "left")
+        .select(
+            *group_cols,
+            "n_union_kept",
+            F.coalesce("n_both", F.lit(0)).alias("n_both"),
+            F.expr(
+                "CAST((coalesce(n_both, 0) * 1000) div n_union_kept AS BIGINT)"
+            ).alias("jaccard_permille"),
+        )
+    )
