@@ -1,0 +1,62 @@
+"""Count-min sketch: never-undercount guarantee, ε-bounded overcount,
+and cell-sum mergeability."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from us_immigration_data_lake_spark.operators.sketches import (
+    countmin_build,
+    countmin_query,
+)
+
+
+def _skewed(rng, n):
+    # zipf-ish: few heavy keys, long tail
+    return [int(min(rng.zipf(1.5), 500)) for _ in range(n)]
+
+
+def test_never_undercounts_and_bounded_overcount(spark):
+    rng = np.random.default_rng(21)
+    vals = _skewed(rng, 5000)
+    truth = Counter(vals)
+    df = spark.createDataFrame([(v,) for v in vals], ["k"])
+    sk = countmin_build(df, "k", depth=4, width=2048)
+    keys = spark.createDataFrame([(k,) for k in truth], ["k"])
+    est = {r.k: r.est_count for r in countmin_query(sk, keys, "k").collect()}
+    n = len(vals)
+    eps_bound = int(np.e / 2048 * n) + 1  # ε·N
+    for k, true_c in truth.items():
+        assert est[k] >= true_c  # CM never undercounts
+        assert est[k] <= true_c + 3 * eps_bound  # generous ε band
+
+
+def test_merge_by_cell_sum_equals_single_build(spark):
+    rng = np.random.default_rng(22)
+    vals = _skewed(rng, 2000)
+    half = len(vals) // 2
+    d1 = spark.createDataFrame([(v,) for v in vals[:half]], ["k"])
+    d2 = spark.createDataFrame([(v,) for v in vals[half:]], ["k"])
+    merged = (
+        countmin_build(d1, "k")
+        .unionByName(countmin_build(d2, "k"))
+        .groupBy("__row", "__bucket")
+        .agg(F.sum("__count").cast("long").alias("__count"))
+    )
+    single = countmin_build(spark.createDataFrame([(v,) for v in vals], ["k"]), "k")
+    m = {(r["__row"], r["__bucket"]): r["__count"] for r in merged.collect()}
+    s = {(r["__row"], r["__bucket"]): r["__count"] for r in single.collect()}
+    assert m == s
+
+
+def test_weighted_counts(spark):
+    df = spark.createDataFrame([("a", 5), ("a", 7), ("b", 1)], ["k", "w"])
+    sk = countmin_build(df, "k", weight_col="w")
+    keys = spark.createDataFrame([("a",), ("b",), ("zz",)], ["k"])
+    est = {r.k: r.est_count for r in countmin_query(sk, keys, "k").collect()}
+    assert est["a"] >= 12 and est["b"] >= 1
+    # tiny key space: 'zz' may collide but never exceeds total mass
+    assert est["zz"] <= 13

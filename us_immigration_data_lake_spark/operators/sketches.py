@@ -307,3 +307,72 @@ def kmv_jaccard(
             ).alias("jaccard_permille"),
         )
     )
+
+
+def countmin_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Portable count-min sketch of key frequencies: a (row, bucket,
+    count) DataFrame of depth×width cells — row r hashes the key with
+    md5_long seed r. Build is one explode(×depth) + groupBy(cell);
+    cells are the mergeable state (union sketches by summing cells).
+
+    Guarantee: point estimates never undercount, and overcount by at
+    most ε·N with probability 1-δ, ε = e/width, δ = e^-depth — the
+    standard CM bound, exact integer arithmetic throughout.
+    """
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("__row"),
+                _bit_pos(F.col(key_col), r, width).alias("__bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(F.explode(cells).alias("c"), w.alias("__w"))
+        .groupBy(F.col("c.__row").alias("__row"), F.col("c.__bucket").alias("__bucket"))
+        .agg(F.sum("__w").cast("long").alias("__count"))
+    )
+
+
+def countmin_query(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Point-frequency estimates: per key, MIN over its depth cells
+    (missing cell → 0). Keys explode ×depth and broadcast-join the
+    sketch — the query side never shuffles the sketch."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("__row"),
+                _bit_pos(F.col(key_col), r, width).alias("__bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    exploded = keys.filter(F.col(key_col).isNotNull()).select(
+        F.col(key_col),
+        F.explode(cells).alias("c"),
+    ).select(key_col, F.col("c.__row").alias("__row"), F.col("c.__bucket").alias("__bucket"))
+    joined = exploded.join(F.broadcast(sketch), ["__row", "__bucket"], "left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("__count"), F.lit(0)))
+        .cast("long")
+        .alias("est_count")
+    )
