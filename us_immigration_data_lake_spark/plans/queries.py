@@ -6742,3 +6742,368 @@ def q140_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_drawdown_cents"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q141 — portable count-min frequency sketch (sketches.py:
+# countmin_build/countmin_query): per-partkey order-line frequency
+# estimated from a 4×2048-cell sketch, exact count alongside. The
+# md5-seeded cells are engine-portable, so the oracle rebuilds the
+# SAME sketch and replays the same MIN-over-rows estimates — the gate
+# checks the estimator itself, not just its bound. never_under is the
+# CM guarantee (estimate ≥ truth), true for every row by construction.
+# Scale: build is explode(×4)+groupBy (≤ 8192 cells regardless of
+# input size); probe broadcasts the sketch — the fact side never
+# shuffles.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q141_countmin_freq",
+    oracle="""
+    WITH keys AS (
+      SELECT l_partkey AS k FROM lineitem WHERE l_partkey IS NOT NULL
+    ),
+    rows4 AS (SELECT * FROM (VALUES (0),(1),(2),(3)) AS t(r)),
+    cells AS (
+      SELECT r,
+             ('0x' || substr(md5(r::VARCHAR || '|' || k::VARCHAR), 1, 15))::BIGINT
+               % 2048 AS bucket
+      FROM keys CROSS JOIN rows4
+    ),
+    sk AS (
+      SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM cells GROUP BY 1, 2
+    ),
+    probe AS (
+      SELECT DISTINCT l_partkey AS k FROM lineitem
+      WHERE l_partkey % 97 = 0
+    ),
+    pcells AS (
+      SELECT k, r,
+             ('0x' || substr(md5(r::VARCHAR || '|' || k::VARCHAR), 1, 15))::BIGINT
+               % 2048 AS bucket
+      FROM probe CROSS JOIN rows4
+    ),
+    est AS (
+      SELECT k, CAST(MIN(COALESCE(sk.cnt, 0)) AS BIGINT) AS est_count
+      FROM pcells LEFT JOIN sk USING (r, bucket) GROUP BY k
+    ),
+    exact AS (
+      SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS exact_count
+      FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1
+    )
+    SELECT est.k AS l_partkey, est.est_count, exact.exact_count,
+           est.est_count >= exact.exact_count AS never_under
+    FROM est JOIN exact USING (k)
+    """,
+    tags=("sketch", "count-min", "frequency", "portable"),
+)
+def q141_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.sketches import (
+        countmin_build,
+        countmin_query,
+    )
+
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    sketch = countmin_build(li, "l_partkey", depth=4, width=2048)
+    probe = (
+        li.select("l_partkey")
+        .filter((F.col("l_partkey") % 97) == 0)
+        .distinct()
+    )
+    est = countmin_query(sketch, probe, "l_partkey", depth=4, width=2048)
+    exact = (
+        li.filter(F.col("l_partkey").isNotNull())
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+    )
+    return est.join(exact, "l_partkey").select(
+        "l_partkey",
+        "est_count",
+        "exact_count",
+        (F.col("est_count") >= F.col("exact_count")).alias("never_under"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q142 — KMV set-similarity from sketch STATE alone (sketches.py:
+# kmv_hashes/kmv_union/kmv_jaccard): Jaccard between the part-key
+# sets of returned ('R') vs accepted ('A') lines per linestatus,
+# estimated purely from the two 64-hash KMV states — no rescan of the
+# data at compare time, the property that lets a catalog keep one
+# tiny sketch per partition and answer cross-partition overlap
+# questions later. Exact Jaccard joined alongside for the error
+# story. Oracle replays hashes, ranks, union re-rank, and the
+# membership intersection bit-for-bit.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q142_kmv_jaccard",
+    oracle="""
+    WITH ha AS (
+      SELECT DISTINCT l_linestatus,
+             ('0x' || substr(md5(l_partkey::VARCHAR), 1, 15))::BIGINT AS h
+      FROM lineitem WHERE l_returnflag = 'A' AND l_partkey IS NOT NULL
+    ),
+    ka AS (
+      SELECT l_linestatus, h FROM (
+        SELECT l_linestatus, h,
+               ROW_NUMBER() OVER (PARTITION BY l_linestatus ORDER BY h) AS rn
+        FROM ha
+      ) WHERE rn <= 64
+    ),
+    hb AS (
+      SELECT DISTINCT l_linestatus,
+             ('0x' || substr(md5(l_partkey::VARCHAR), 1, 15))::BIGINT AS h
+      FROM lineitem WHERE l_returnflag = 'R' AND l_partkey IS NOT NULL
+    ),
+    kb AS (
+      SELECT l_linestatus, h FROM (
+        SELECT l_linestatus, h,
+               ROW_NUMBER() OVER (PARTITION BY l_linestatus ORDER BY h) AS rn
+        FROM hb
+      ) WHERE rn <= 64
+    ),
+    u AS (SELECT l_linestatus, h FROM ka UNION SELECT l_linestatus, h FROM kb),
+    uk AS (
+      SELECT l_linestatus, h FROM (
+        SELECT l_linestatus, h,
+               ROW_NUMBER() OVER (PARTITION BY l_linestatus ORDER BY h) AS rn
+        FROM u
+      ) WHERE rn <= 64
+    ),
+    bth AS (
+      SELECT uk.l_linestatus, uk.h FROM uk
+      WHERE EXISTS (SELECT 1 FROM ka
+                    WHERE ka.l_linestatus = uk.l_linestatus AND ka.h = uk.h)
+        AND EXISTS (SELECT 1 FROM kb
+                    WHERE kb.l_linestatus = uk.l_linestatus AND kb.h = uk.h)
+    ),
+    nu AS (
+      SELECT l_linestatus, CAST(COUNT(*) AS BIGINT) AS n_union_kept
+      FROM uk GROUP BY 1
+    ),
+    nb AS (
+      SELECT l_linestatus, CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM bth GROUP BY 1
+    ),
+    ex AS (
+      SELECT COALESCE(a.l_linestatus, b.l_linestatus) AS l_linestatus,
+             CAST((COUNT(*) FILTER (WHERE a.pk IS NOT NULL
+                                      AND b.pk IS NOT NULL)) * 1000
+                  // COUNT(*) AS BIGINT) AS exact_permille
+      FROM (SELECT DISTINCT l_linestatus, l_partkey AS pk FROM lineitem
+            WHERE l_returnflag = 'A' AND l_partkey IS NOT NULL) a
+      FULL JOIN (SELECT DISTINCT l_linestatus, l_partkey AS pk FROM lineitem
+                 WHERE l_returnflag = 'R' AND l_partkey IS NOT NULL) b
+        USING (l_linestatus, pk)
+      GROUP BY 1
+    )
+    SELECT nu.l_linestatus, nu.n_union_kept,
+           COALESCE(nb.n_both, 0) AS n_both,
+           CAST((COALESCE(nb.n_both, 0) * 1000) // nu.n_union_kept AS BIGINT)
+             AS jaccard_permille,
+           ex.exact_permille
+    FROM nu
+    LEFT JOIN nb USING (l_linestatus)
+    JOIN ex USING (l_linestatus)
+    """,
+    tags=("sketch", "kmv", "jaccard", "portable"),
+)
+def q142_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.sketches import (
+        kmv_hashes,
+        kmv_jaccard,
+    )
+
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    sk_a = kmv_hashes(
+        li.filter(F.col("l_returnflag") == "A"), ["l_linestatus"], "l_partkey", k=64
+    )
+    sk_b = kmv_hashes(
+        li.filter(F.col("l_returnflag") == "R"), ["l_linestatus"], "l_partkey", k=64
+    )
+    est = kmv_jaccard(sk_a, sk_b, ["l_linestatus"], k=64)
+    a_keys = (
+        li.filter((F.col("l_returnflag") == "A") & F.col("l_partkey").isNotNull())
+        .select("l_linestatus", F.col("l_partkey").alias("pk"))
+        .distinct()
+        .withColumn("in_a", F.lit(1))
+    )
+    b_keys = (
+        li.filter((F.col("l_returnflag") == "R") & F.col("l_partkey").isNotNull())
+        .select("l_linestatus", F.col("l_partkey").alias("pk"))
+        .distinct()
+        .withColumn("in_b", F.lit(1))
+    )
+    ex = (
+        a_keys.join(b_keys, ["l_linestatus", "pk"], "full")
+        .groupBy("l_linestatus")
+        .agg(
+            F.expr(
+                "CAST((sum(CASE WHEN in_a IS NOT NULL AND in_b IS NOT NULL"
+                " THEN 1 ELSE 0 END) * 1000) div count(*) AS BIGINT)"
+            ).alias("exact_permille")
+        )
+    )
+    return est.join(F.broadcast(ex), "l_linestatus").select(
+        "l_linestatus", "n_union_kept", "n_both", "jaccard_permille",
+        "exact_permille",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q143 — two-nation trade volume (TPC-H Q7 shape): revenue shipped
+# between supplier-nation and customer-nation pairs by ship year.
+# Scale: both dim chains (supplier→nation, customer→nation) are
+# pre-FILTERED to the two nations before touching facts — ~8% of
+# suppliers/customers survive, comfortably broadcastable even at
+# 100 TB — so the only big-big operation is the lineitem⋈orders
+# equi-join; the pair predicate (n1≠n2) runs map-side after the
+# broadcasts. Exact cents throughout (rules header).
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q143_nation_trade_volume",
+    oracle="""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(CAST(l.l_shipdate AS DATE)) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_c,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+      AND n2.n_name IN ('NATION_1', 'NATION_2')
+      AND n1.n_name <> n2.n_name
+      AND CAST(l.l_shipdate AS DATE) BETWEEN DATE '1995-01-01'
+                                         AND DATE '1996-12-31'
+    GROUP BY 1, 2, 3
+    """,
+    tags=("tpch-q7", "multi-join", "broadcast"),
+)
+def q143_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    nation = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date").between("1995-01-01", "1996-12-31")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.col("l_shipdate").cast("date")).cast("long").alias("l_year"),
+        )
+        .agg(
+            F.sum(rev).cast("long").alias("revenue_c"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q144 — national market share (TPC-H Q8 shape): NATION_3 suppliers'
+# share of STANDARD-part revenue sold into ASIA customers, per order
+# year. Share is an exact integer permille of two exact-cent sums —
+# no double division crosses the compare boundary. Scale: part is
+# pre-filtered on p_type (selective, broadcast); the customer→
+# nation→region chain collapses to a broadcast of ASIA custkeys; the
+# supplier-nation flag rides along as a 0/1 from a broadcast join, so
+# the share needs no second pass over facts.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q144_market_share",
+    oracle="""
+    WITH vol AS (
+      SELECT CAST(year(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS o_year,
+             CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT) AS rev_c,
+             CASE WHEN ns.n_name = 'NATION_3' THEN 1 ELSE 0 END AS is_nat
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN part p     ON l.l_partkey = p.p_partkey AND p.p_type = 'STANDARD'
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+      JOIN region r   ON nc.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+    )
+    SELECT o_year,
+           CAST(SUM(rev_c) AS BIGINT) AS total_c,
+           CAST(SUM(CASE WHEN is_nat = 1 THEN rev_c ELSE 0 END) AS BIGINT)
+             AS nation_c,
+           CAST((SUM(CASE WHEN is_nat = 1 THEN rev_c ELSE 0 END) * 1000)
+                // SUM(rev_c) AS BIGINT) AS share_permille
+    FROM vol GROUP BY o_year
+    """,
+    tags=("tpch-q8", "market-share", "multi-join", "broadcast"),
+)
+def q144_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "s_suppkey",
+            (F.col("n_name") == "NATION_3").cast("int").alias("is_nat"),
+        )
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    vol = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year(F.col("o_orderdate").cast("date")).cast("long").alias("o_year"),
+            rev.alias("rev_c"),
+            "is_nat",
+        )
+    )
+    return vol.groupBy("o_year").agg(
+        F.sum("rev_c").cast("long").alias("total_c"),
+        F.sum(F.when(F.col("is_nat") == 1, F.col("rev_c")).otherwise(0))
+        .cast("long")
+        .alias("nation_c"),
+        F.expr(
+            "CAST((sum(CASE WHEN is_nat = 1 THEN rev_c ELSE 0 END) * 1000)"
+            " div sum(rev_c) AS BIGINT)"
+        ).alias("share_permille"),
+    )
