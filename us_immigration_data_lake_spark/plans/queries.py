@@ -7107,3 +7107,88 @@ def q144_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div sum(rev_c) AS BIGINT)"
         ).alias("share_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q145 — order-priority check (TPC-H Q4 shape): orders from one
+# quarter having AT LEAST ONE late line (shipped >60 days after the
+# order date), counted by priority. The correlated EXISTS compiles to
+# a LEFT SEMI hash join on o_orderkey with the date comparison as a
+# residual join predicate — one shuffle, no fan-out (semi stops at
+# first match, the reason this beats join+distinct). The quarter
+# filter is pushed to the orders scan before the join.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q145_priority_check",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND CAST(l.l_shipdate AS DATE)
+              > CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("tpch-q4", "exists", "semi-join", "residual-predicate"),
+)
+def q145_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1996-04-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (
+            F.col("l_shipdate").cast("date")
+            > F.date_add(F.col("o_orderdate").cast("date"), 60)
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("order_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q146 — customer order-count distribution (TPC-H Q13 shape): how
+# many customers placed exactly N orders, INCLUDING the zero-order
+# customers a plain groupBy(orders) would silently drop — the left
+# outer join is the point of the shape. Two-level aggregation: the
+# first groups |customers| keys, the second collapses to |distinct
+# counts| rows (tiny), so the expensive shuffle happens exactly once.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q146_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+    tags=("tpch-q13", "left-outer", "count-of-counts"),
+)
+def q146_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
