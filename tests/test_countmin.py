@@ -6,6 +6,7 @@ from __future__ import annotations
 from collections import Counter
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from us_immigration_data_lake_spark.operators.sketches import (
@@ -60,3 +61,37 @@ def test_weighted_counts(spark):
     assert est["a"] >= 12 and est["b"] >= 1
     # tiny key space: 'zz' may collide but never exceeds total mass
     assert est["zz"] <= 13
+
+
+def test_negative_weight_raises(spark):
+    from pyspark.sql import functions as F
+    from us_immigration_data_lake_spark.operators.sketches import (
+        countmin_build,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 3), ("b", -1)], ["k", "w"]
+    )
+    sk = countmin_build(df, "k", depth=2, width=64, weight_col="w")
+    with pytest.raises(Exception, match="negative weight"):
+        sk.collect()
+
+
+def test_null_weight_counts_as_zero(spark):
+    from us_immigration_data_lake_spark.operators.sketches import (
+        countmin_build,
+        countmin_query,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 3), ("a", None), ("b", 2)],
+        schema="k string, w long",
+    )
+    sk = countmin_build(df, "k", depth=4, width=256, weight_col="w")
+    keys = df.select("k").distinct()
+    est = {
+        r["k"]: r["est_count"]
+        for r in countmin_query(sk, keys, "k", depth=4, width=256).collect()
+    }
+    # NULL weight contributes 0, so totals are still never-under
+    assert est["a"] >= 3 and est["b"] >= 2

@@ -181,3 +181,33 @@ def test_dc_predictors_reset_at_restart():
     dec = decode_jpeg(encode_jpeg(img, quality=95, restart_interval=1))
     assert abs(int(dec[0, 0]) - 230) <= 2
     assert abs(int(dec[15, 0]) - 20) <= 2
+
+
+def test_zero_sampling_factor_rejected_not_zerodivision():
+    # hostile stream: Y sampling byte 0x01 (h=0) must raise the
+    # contractual ValueError, not ZeroDivisionError
+    for bad in (0x01, 0x10, 0x00):
+        blob = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+        at = bytes(blob).index(b"\xff\xc0")
+        assert blob[at + 11] == 0x11  # Y sampling byte
+        blob[at + 11] = bad
+        with pytest.raises(ValueError, match="sampling factors"):
+            decode_jpeg(bytes(blob))
+
+
+def test_grayscale_nonunit_sampling_decodes_noninterleaved():
+    # T.81 A.2.2: a single-component scan is NON-interleaved — one
+    # block per MCU in the component's raster order, whatever the
+    # declared sampling factors. For a single-component FRAME the
+    # component's dimensions equal the frame's, so patching the
+    # sampling byte from 0x11 to 0x22 must not change the decode
+    # (the old interleaved tiling read 2×2 blocks per MCU and went
+    # out of phase with the entropy stream).
+    rng = np.random.default_rng(7)
+    g = rng.integers(0, 255, (24, 24), dtype=np.uint8)
+    blob = bytearray(encode_jpeg(g, quality=95))
+    at = bytes(blob).index(b"\xff\xc0")
+    assert blob[at + 11] == 0x11
+    expected = decode_jpeg(bytes(blob))
+    blob[at + 11] = 0x22
+    assert (decode_jpeg(bytes(blob)) == expected).all()

@@ -281,23 +281,25 @@ def encode_png(
         )
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    flat = pixels.reshape(h, w * ch).astype(np.int32)
+    flat = np.ascontiguousarray(pixels.reshape(h, w * ch))
     parts = []
     prev = np.zeros(w * ch, dtype=np.int32)
     for y in range(h):
-        cur = flat[y].astype(np.uint8)
+        cur = flat[y]
         if filter_strategy == "none":
             parts.append(b"\x00" + cur.tobytes())
         else:
             cands = _png_filter_candidates(cur, prev, ch)
-            # minimum sum of |signed byte| (bytes >128 count as 256-b)
-            costs = [
-                int(np.minimum(f.astype(np.int32), 256 - f).sum())
-                for f in cands
-            ]
+            # minimum sum of |signed byte| (bytes >128 count as 256-b);
+            # widen before `256 - f` — on uint8 that literal overflows
+            # under NumPy 2 promotion rules
+            costs = []
+            for f in cands:
+                fi = f.astype(np.int32)
+                costs.append(int(np.minimum(fi, 256 - fi).sum()))
             best = int(np.argmin(costs))
             parts.append(bytes([best]) + cands[best].tobytes())
-        prev = flat[y]
+        prev = cur.astype(np.int32)
     raw = b"".join(parts)
     return (
         PNG_SIG

@@ -237,7 +237,8 @@ class _BitReader:
             else:
                 raise ValueError(
                     f"unexpected marker 0xFF{marker:02X} in entropy data "
-                    "(restart intervals are not supported)"
+                    "(RSTn markers are consumed only at declared "
+                    "restart-interval boundaries)"
                 )
         self.acc = (self.acc << 8) | byte
         self.nbits += 8
@@ -608,6 +609,11 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     h_max = max(hi for _, hi, _, _ in comps)
     v_max = max(vi for _, _, vi, _ in comps)
     for cid, hi, vi, _ in comps:
+        if not (1 <= hi <= 4 and 1 <= vi <= 4):
+            raise ValueError(
+                f"invalid sampling factors {hi}x{vi} for component {cid} "
+                "(T.81 allows 1-4)"
+            )
         if h_max % hi or v_max % vi:
             raise ValueError(
                 f"non-integer sampling ratio for component {cid} "
@@ -620,23 +626,54 @@ def decode_jpeg(content: bytes) -> np.ndarray:
         for cid, hi, vi, _ in comps
     }
     preds = {cid: 0 for cid, *_ in comps}
-    for m in range(mcuy * mcux):
-        if restart_interval and m and m % restart_interval == 0:
-            reader.expect_restart()
-            preds = {cid: 0 for cid, *_ in comps}
-        my, mx = divmod(m, mcux)
-        for cid, dc_id, ac_id in mapping:
-            hi, vi, qid = by_cid[cid]
-            q = qtables[qid]
-            for byy in range(vi):
-                for bxx in range(hi):
-                    block, preds[cid] = _decode_block(
-                        reader, huff[(0, dc_id)], huff[(1, ac_id)], q,
-                        preds[cid],
-                    )
-                    r0 = (my * vi + byy) * 8
-                    c0 = (mx * hi + bxx) * 8
-                    planes[cid][r0 : r0 + 8, c0 : c0 + 8] = block
+    if len(mapping) == 1 and len(comps) > 1:
+        # only the first SOS is parsed, so per-component scans of a
+        # multi-component frame cannot be fully decoded
+        raise ValueError(
+            "multi-scan baseline JPEG (separate per-component scans) "
+            "unsupported"
+        )
+    if len(mapping) == 1:
+        # Non-interleaved scan (T.81 §A.2.2): one block per MCU in the
+        # component's own raster order over ceil(cw/8)×ceil(ch/8)
+        # blocks — NOT the hi×vi interleaved tiling, even when the
+        # component declares sampling factors > 1.
+        cid, dc_id, ac_id = mapping[0]
+        hi, vi, qid = by_cid[cid]
+        cw = -((-fw * hi) // h_max)
+        chh = -((-fh * vi) // v_max)
+        bw, bh = (cw + 7) // 8, (chh + 7) // 8
+        plane = np.zeros((bh * 8, bw * 8))
+        pred = 0
+        for b in range(bh * bw):
+            if restart_interval and b and b % restart_interval == 0:
+                reader.expect_restart()
+                pred = 0
+            byy, bxx = divmod(b, bw)
+            block, pred = _decode_block(
+                reader, huff[(0, dc_id)], huff[(1, ac_id)], qtables[qid],
+                pred,
+            )
+            plane[byy * 8 : byy * 8 + 8, bxx * 8 : bxx * 8 + 8] = block
+        planes[cid] = plane
+    else:
+        for m in range(mcuy * mcux):
+            if restart_interval and m and m % restart_interval == 0:
+                reader.expect_restart()
+                preds = {cid: 0 for cid, *_ in comps}
+            my, mx = divmod(m, mcux)
+            for cid, dc_id, ac_id in mapping:
+                hi, vi, qid = by_cid[cid]
+                q = qtables[qid]
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        block, preds[cid] = _decode_block(
+                            reader, huff[(0, dc_id)], huff[(1, ac_id)], q,
+                            preds[cid],
+                        )
+                        r0 = (my * vi + byy) * 8
+                        c0 = (mx * hi + bxx) * 8
+                        planes[cid][r0 : r0 + 8, c0 : c0 + 8] = block
     # upsample each component back to full resolution and crop
     full = []
     for cid, hi, vi, _ in comps:

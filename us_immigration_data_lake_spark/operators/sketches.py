@@ -143,6 +143,22 @@ def bloom_contract(
     )
 
 
+def _k_smallest(
+    hashes: DataFrame, group_cols: list[str], k: int
+) -> DataFrame:
+    """Per group, the k smallest ``__h`` rows, with their rank kept as
+    ``__rn``. The single definition of the KMV rank-k step (shared by
+    build, state extraction, and merge): the rank filter compiles to
+    Spark's WindowGroupLimit pushdown, so each partition keeps only
+    its local top-k candidates before the shuffle."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("__h")
+    return hashes.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+
+
 def kmv_distinct(
     df: DataFrame,
     group_cols: list[str],
@@ -161,15 +177,11 @@ def kmv_distinct(
     distinct hashes report their exact count (the sketch IS exact
     below k).
 
-    Scale: distinct → rank-k per group. The rank filter compiles to
-    Spark's WindowGroupLimit pushdown, so each partition keeps only
-    its local top-k candidates before the shuffle — the sketch never
-    materializes a full per-group sort. The k hashes per group are
-    also the mergeable state: union two groups' hash sets, re-take the
-    k smallest, re-estimate.
+    Scale: distinct → rank-k per group (``_k_smallest``) — the sketch
+    never materializes a full per-group sort. The k hashes per group
+    are also the mergeable state: union two groups' hash sets, re-take
+    the k smallest, re-estimate.
     """
-    from pyspark.sql import Window
-
     from us_immigration_data_lake_spark.functions.hashing import (
         MD5_LONG_BITS,
         md5_long,
@@ -185,10 +197,7 @@ def kmv_distinct(
         .select(*group_cols, h.alias("__h"))
         .distinct()
     )
-    w = Window.partitionBy(*group_cols).orderBy("__h")
-    kept = distinct_hashes.withColumn("__rn", F.row_number().over(w)).filter(
-        F.col("__rn") <= k
-    )
+    kept = _k_smallest(distinct_hashes, group_cols, k)
     return (
         kept.groupBy(*group_cols)
         .agg(
@@ -218,8 +227,6 @@ def kmv_hashes(
     distinct md5_long hashes as (group_cols..., __h) rows. Same
     WindowGroupLimit-partial plan as kmv_distinct; NULL values are
     excluded (no distinct meaning)."""
-    from pyspark.sql import Window
-
     from us_immigration_data_lake_spark.functions.hashing import md5_long
 
     h = md5_long(F.col(value_col).cast("string"))
@@ -228,12 +235,7 @@ def kmv_hashes(
         .select(*group_cols, h.alias("__h"))
         .distinct()
     )
-    w = Window.partitionBy(*group_cols).orderBy("__h")
-    return (
-        distinct_hashes.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    return _k_smallest(distinct_hashes, group_cols, k).drop("__rn")
 
 
 def kmv_union(sk_a: DataFrame, sk_b: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
@@ -241,15 +243,8 @@ def kmv_union(sk_a: DataFrame, sk_b: DataFrame, group_cols: list[str], k: int = 
     smallest per group — the closure property that makes KMV a
     distributed sketch (states merge associatively, like Spark's own
     partial aggregates)."""
-    from pyspark.sql import Window
-
     merged = sk_a.unionByName(sk_b).distinct()
-    w = Window.partitionBy(*group_cols).orderBy("__h")
-    return (
-        merged.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    return _k_smallest(merged, group_cols, k).drop("__rn")
 
 
 def kmv_estimate(sk: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
@@ -324,9 +319,27 @@ def countmin_build(
     Guarantee: point estimates never undercount, and overcount by at
     most ε·N with probability 1-δ, ε = e/width, δ = e^-depth — the
     standard CM bound, exact integer arithmetic throughout.
+
+    The guarantee requires NON-NEGATIVE weights (a negative weight can
+    drive a colliding cell below another key's true total — inherent
+    to count-min, not to this implementation); negative weights raise
+    at evaluation time. NULL weights count as 0 on both the sketch and
+    any truth the caller compares against.
     """
     w = (
-        F.col(weight_col).cast("long")
+        F.coalesce(
+            F.when(
+                F.col(weight_col).cast("long") < 0,
+                F.raise_error(
+                    F.concat(
+                        F.lit("countmin_build: negative weight "),
+                        F.col(weight_col).cast("string"),
+                        F.lit(" breaks the never-undercount guarantee"),
+                    )
+                ).cast("long"),
+            ).otherwise(F.col(weight_col).cast("long")),
+            F.lit(0).cast("long"),
+        )
         if weight_col
         else F.lit(1).cast("long")
     )
