@@ -213,3 +213,20 @@ def test_q114_single_aggregate_no_window(spark):
     plan = _plan(spark, "q114_groupwise_ols")
     assert "HashAggregate" in plan
     assert "Window" not in plan
+
+
+def test_q145_semi_join_with_residual_date_predicate(spark):
+    # Q4 shape: the EXISTS compiles to a LEFT SEMI hash join (never a
+    # nested loop) with the quarter filter pushed into the orders scan.
+    plan = _plan(spark, "q145_priority_check")
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q141_sketch_probe_broadcasts_sketch(spark):
+    # count-min probe side: the bounded cell table is broadcast; the
+    # fact never shuffles through the sketch join.
+    plan = _plan(spark, "q141_countmin_freq")
+    assert "BroadcastHashJoin" in plan

@@ -7192,3 +7192,50 @@ def q146_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_cust.groupBy("c_count").agg(
         F.count(F.lit(1)).cast("long").alias("custdist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q147 — heavy hitters via count-min candidates (sketches.py):
+# part keys appearing on ≥45 lines, found sketch-first: estimate every
+# distinct key against the broadcast 4×65536-cell sketch, keep keys
+# whose estimate clears the threshold (count-min never undercounts →
+# NO false negatives), then exact-count only the candidate rows and
+# re-apply the threshold to kill the collision false positives. The
+# ORACLE is the plain GROUP BY … HAVING spec — deliberately not a
+# sketch replay — so the gate proves the two-phase algorithm returns
+# exactly the true heavy-hitter set. Scale: the sketch is ≤256k cells
+# whatever the input; the exact pass aggregates only candidate-key
+# rows (the skewed tail), not the full key space.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q147_heavy_hitters",
+    oracle="""
+    SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_partkey IS NOT NULL
+    GROUP BY l_partkey
+    HAVING COUNT(*) >= 45
+    """,
+    tags=("sketch", "count-min", "heavy-hitters", "two-phase"),
+)
+def q147_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.sketches import (
+        countmin_build,
+        countmin_query,
+    )
+
+    _tune(spark)
+    threshold = 45
+    li = _t(spark, sf_dir, "lineitem")
+    sketch = countmin_build(li, "l_partkey", depth=4, width=65536)
+    keys = li.select("l_partkey").filter(F.col("l_partkey").isNotNull()).distinct()
+    cand = countmin_query(sketch, keys, "l_partkey", depth=4, width=65536).filter(
+        F.col("est_count") >= threshold
+    )
+    return (
+        li.join(F.broadcast(cand.select("l_partkey")), "l_partkey", "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_lines"))
+        .filter(F.col("n_lines") >= threshold)
+    )
