@@ -38,11 +38,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # a driver-verified row. Instead of a hardcoded heuristic (which in r3
 # starved the two newest queries past the cap), priority is derived
 # from the CORRECTNESS_r*.json files the driver itself wrote:
-#   1. never gated in any recorded round (new queries first),
-#   2. red (err or any explicit False) in their LATEST recorded round,
+#   1. red (err or any explicit False) in their LATEST recorded round
+#      — a recorded failure outranks everything: it must re-gate,
+#   2. never gated in any recorded round (new queries, registry order),
 #   3. green, least-recently-verified round first (rotation: stale r1
 #      evidence gets re-checked before last round's fresh greens).
-# Ties within a tier keep registry (definition) order.
+# Ties within a tier keep registry (definition) order. When red +
+# never-gated together exceed the 50-row cap, the overflow is the
+# NEWEST registrations — each is locally oracle-verified at three
+# scales on landing and picks up its driver row next round.
 def _gate_history() -> dict[str, tuple[int, bool]]:
     """name -> (latest round seen, was green in that round)."""
     hist: dict[str, tuple[int, bool]] = {}
@@ -84,10 +88,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def rank(n: str) -> tuple[int, int, int]:
         if n not in hist:
-            return (0, 0, pos[n])  # never gated
+            return (1, 0, pos[n])  # never gated
         rnd, green = hist[n]
         if not green:
-            return (1, -rnd, pos[n])  # red, most recent failures first
+            return (0, -rnd, pos[n])  # red, most recent failures first
         return (2, rnd, pos[n])  # green, oldest evidence first
 
     return {name: QUERIES[name].fn for name in sorted(names, key=rank)}
