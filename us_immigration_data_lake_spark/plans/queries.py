@@ -7239,3 +7239,490 @@ def q147_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_lines"))
         .filter(F.col("n_lines") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q148 — min-price supplier per part (TPC-H Q2 shape, adapted: no
+# partsupp table exists, so the part↔supplier offer relation is
+# derived from lineitem and "cost" is the observed unit price).
+# The correlated scalar-MIN subquery becomes a window MIN over
+# p_partkey — one shuffle on the (already small) offers relation.
+# Scale: region/nation/supplier collapse to a broadcast before facts;
+# part is pre-filtered (selective class) and broadcast; lineitem is
+# the only big input and both filters reach its scan. Unit price is
+# one double division of identical operands in both engines, then
+# cents-rounded per row (rules header) before any aggregation.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q148_min_price_supplier",
+    oracle="""
+    WITH eur_supp AS (
+      SELECT s.s_suppkey, s.s_name, n.n_name,
+             CAST(ROUND(s.s_acctbal * 100) AS BIGINT) AS acctbal_c
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+    ), offers AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             MIN(CAST(ROUND(l.l_extendedprice / l.l_quantity * 100)
+                      AS BIGINT)) AS unit_c
+      FROM lineitem l
+      JOIN eur_supp es ON l.l_suppkey = es.s_suppkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+                 AND p.p_type = 'LARGE' AND p.p_size <= 10
+      GROUP BY 1, 2
+    ), best AS (
+      SELECT o.*, MIN(o.unit_c) OVER (PARTITION BY o.l_partkey) AS best_c
+      FROM offers o
+    )
+    SELECT p.p_partkey, p.p_brand, es.s_name, es.n_name, es.acctbal_c,
+           b.unit_c AS min_unit_c
+    FROM best b
+    JOIN part p ON b.l_partkey = p.p_partkey
+    JOIN eur_supp es ON b.l_suppkey = es.s_suppkey
+    WHERE b.unit_c = b.best_c
+    """,
+    tags=("tpch-q2", "correlated-min", "window", "broadcast"),
+)
+def q148_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    _tune(spark)
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eur_supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            _cents(F.col("s_acctbal")).alias("acctbal_c"),
+        )
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 10)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    unit_c = F.round(F.col("l_extendedprice") / F.col("l_quantity") * 100).cast(
+        "long"
+    )
+    offers = (
+        li.join(
+            F.broadcast(eur_supp.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(unit_c).alias("unit_c"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = offers.withColumn("best_c", F.min("unit_c").over(w)).filter(
+        F.col("unit_c") == F.col("best_c")
+    )
+    return (
+        best.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(eur_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            "n_name",
+            "acctbal_c",
+            F.col("unit_c").alias("min_unit_c"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q149 — forecast revenue change (TPC-H Q6 shape): the pure
+# filter-and-aggregate query — no join, no group keys. All three
+# predicates and the 3-column projection reach the parquet scan
+# (min/max row-group pruning takes the year predicate); a single
+# partial+final agg returns one row. The canonical scan-throughput
+# probe at 100 TB.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q149_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT))
+                AS BIGINT) AS forecast_revenue_c,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01'
+                                       AND DATE '1996-12-31'
+      AND l_discount BETWEEN 0.04 AND 0.06
+      AND l_quantity < 24
+    """,
+    tags=("tpch-q6", "scan-agg", "pushdown"),
+)
+def q149_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            F.col("l_shipdate").cast("date").between("1996-01-01", "1996-12-31")
+            & F.col("l_discount").between(0.04, 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * F.col("l_discount")))
+            .cast("long")
+            .alias("forecast_revenue_c"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q150 — returned-item report (TPC-H Q10 shape): top-20 customers by
+# revenue lost to returns in one quarter. Scale: the quarter filter
+# prunes orders at the scan; the R-flag filter prunes lineitem; the
+# big-big orders⋈lineitem shuffles once on orderkey, re-aggregates on
+# custkey (second, smaller shuffle), and only then joins the customer
+# dim — facts never carry customer payload columns through a shuffle.
+# Deterministic LIMIT: ties broken by c_custkey (rules header).
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q150_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS acctbal_c,
+           agg.revenue_c
+    FROM (
+      SELECT o.o_custkey,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS revenue_c
+      FROM orders o
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE CAST(o.o_orderdate AS DATE) BETWEEN DATE '1996-01-01'
+                                            AND DATE '1996-03-31'
+        AND l.l_returnflag = 'R'
+      GROUP BY 1
+    ) agg
+    JOIN customer c ON agg.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ORDER BY agg.revenue_c DESC, c.c_custkey
+    LIMIT 20
+    """,
+    tags=("tpch-q10", "top-k", "two-phase-agg"),
+)
+def q150_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date").between("1996-01-01", "1996-03-31")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    agg = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("long")
+            .alias("revenue_c")
+        )
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        agg.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            _cents(F.col("c_acctbal")).alias("acctbal_c"),
+            "revenue_c",
+        )
+        .orderBy(F.col("revenue_c").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q151 — promotion revenue share (TPC-H Q14 shape): what permille of
+# one ship-month's revenue came from PROMO parts. The share is an
+# exact integer division of two exact-cent sums — no double crosses
+# the compare boundary (rules header). Scale: month filter prunes
+# lineitem row groups; part is broadcast; single partial+final agg.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q151_promo_revenue",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN rev_c ELSE 0 END)
+                AS BIGINT) AS promo_c,
+           CAST(SUM(rev_c) AS BIGINT) AS total_c,
+           CAST((SUM(CASE WHEN p.p_type = 'PROMO' THEN rev_c ELSE 0 END)
+                 * 1000) // SUM(rev_c) AS BIGINT) AS promo_permille
+    FROM (
+      SELECT l_partkey,
+             CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT) AS rev_c
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-09-01'
+                                         AND DATE '1996-09-30'
+    ) l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+    tags=("tpch-q14", "conditional-agg", "broadcast"),
+)
+def q151_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date").between("1996-09-01", "1996-09-30")
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    joined = li.select(
+        "l_partkey",
+        _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_c"),
+    ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev_c")).otherwise(0))
+    return joined.agg(
+        promo.cast("long").alias("promo_c"),
+        F.sum("rev_c").cast("long").alias("total_c"),
+        F.expr(
+            "CAST((sum(CASE WHEN p_type = 'PROMO' THEN rev_c ELSE 0 END) * 1000)"
+            " div sum(rev_c) AS BIGINT)"
+        ).alias("promo_permille"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q152 — supplier diversity per part class (TPC-H Q16 shape, adapted:
+# the part↔supplier relation comes from lineitem; the excluded-
+# supplier list is the negative-balance set rather than Q16's
+# comment-pattern match). The NOT IN becomes a broadcast anti-join —
+# null-safe by construction since s_suppkey is a key. Scale: part is
+# pre-filtered and broadcast; the exclusion list is tiny and
+# broadcast; COUNT(DISTINCT) shuffles (brand, size, suppkey) once,
+# then re-aggregates — Spark's two-phase distinct expansion.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q152_supplier_diversity",
+    oracle="""
+    SELECT p.p_brand, CAST(p.p_size AS BIGINT) AS p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_type <> 'STANDARD'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2
+    """,
+    tags=("tpch-q16", "count-distinct", "anti-join", "broadcast"),
+)
+def q152_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") != "STANDARD")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    excluded = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(excluded),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q153 — discount-class-dominant shippers (TPC-H Q20 shape, adapted:
+# no partsupp/availqty, so the "more than half" correlated threshold
+# compares a supplier's shipped quantity of one part class against
+# half their OWN total — the same nested-aggregate-vs-correlated-
+# bound shape). Both aggregates come out of ONE pass over facts as a
+# conditional sum, then the region-filtered supplier dim joins the
+# (supplier-sized) aggregate — never the raw facts.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q153_class_dominant_shippers",
+    oracle="""
+    WITH per AS (
+      SELECT l.l_suppkey,
+             CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+             CAST(SUM(CASE WHEN p.p_type IN ('PROMO', 'ECONOMY', 'SMALL')
+                           THEN CAST(l.l_quantity AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS class_qty
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1
+    )
+    SELECT s.s_name, n.n_name, per.total_qty, per.class_qty
+    FROM per
+    JOIN supplier s ON per.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'AFRICA'
+    WHERE per.class_qty * 2 > per.total_qty
+    """,
+    tags=("tpch-q20", "nested-agg", "conditional-agg"),
+)
+def q153_class_dominant_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_type").isin("PROMO", "ECONOMY", "SMALL").alias("in_class"),
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("long")
+    per = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(qty).cast("long").alias("total_qty"),
+            F.sum(F.when(F.col("in_class"), qty).otherwise(0))
+            .cast("long")
+            .alias("class_qty"),
+        )
+        .filter(F.col("class_qty") * 2 > F.col("total_qty"))
+    )
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    return per.join(
+        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select("s_name", "n_name", "total_qty", "class_qty")
+
+
+# ---------------------------------------------------------------------------
+# Q154 — product-line profit by nation and year (TPC-H Q9 shape,
+# adapted: supply cost is modeled as 10% of p_retailprice per unit
+# since no partsupp exists). The profit expression is evaluated
+# per-row with left-associative double arithmetic — identical
+# operand bits in both engines — then cents-rounded before the sum.
+# Scale: the LIKE filter prunes part hard (~13%) and broadcasts; the
+# supplier→nation chain broadcasts; lineitem is the only shuffle
+# input, grouped on (nation, year) — 25×7 groups, partial-agg heavy.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q154_product_profit",
+    oracle="""
+    SELECT n.n_name,
+           CAST(year(CAST(l.l_shipdate AS DATE)) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)
+                                - p.p_retailprice * 0.1 * l.l_quantity) * 100)
+                         AS BIGINT)) AS BIGINT) AS profit_c,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%widget%'
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+    tags=("tpch-q9", "profit", "like-pushdown", "broadcast"),
+)
+def q154_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    profit_c = _cents(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * 0.1 * F.col("l_quantity")
+    )
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_retailprice")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            "n_name",
+            F.year(F.col("l_shipdate").cast("date")).cast("long").alias("l_year"),
+        )
+        .agg(
+            F.sum(profit_c).cast("long").alias("profit_c"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q155 — late-shipment priority split (TPC-H Q12 shape, adapted: the
+# testdata has no l_shipmode/commitdate, so the mode axis becomes
+# l_returnflag and "late" means shipped >90 days after the order
+# date). The CASE-split double count is the Q12 signature; the date
+# arithmetic is exact integer day_diff in both engines. Scale: the
+# ship-year filter prunes lineitem; one big-big equi-join on
+# orderkey; 3-group final agg.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q155_late_priority_split",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE CAST(l.l_shipdate AS DATE) BETWEEN DATE '1997-01-01'
+                                         AND DATE '1997-12-31'
+      AND date_diff('day', CAST(o.o_orderdate AS DATE),
+                    CAST(l.l_shipdate AS DATE)) > 90
+    GROUP BY 1
+    """,
+    tags=("tpch-q12", "case-split", "date-arith"),
+)
+def q155_late_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date").between("1997-01-01", "1997-12-31")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+            )
+            > 90
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+    )
