@@ -389,3 +389,113 @@ def countmin_query(
         .cast("long")
         .alias("est_count")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — the third sketch family (KMV estimates distinct via
+# order statistics, count-min estimates frequency; HLL estimates
+# distinct in O(m) registers with ~1.04/sqrt(m) relative error).
+# Portable by the same rule as the others: registers derive from
+# md5_long, the estimator is exact integer arithmetic, so an external
+# engine replays the state AND the estimate bit-for-bit.
+# ---------------------------------------------------------------------------
+
+# α_m constants from Flajolet, Fusy, Gandouet, Meunier (2007),
+# "HyperLogLog: the analysis of a near-optimal cardinality estimation
+# algorithm" (AofA), scaled to exact parts-per-million so the bias
+# correction never involves a float: α16=0.673, α32=0.697, α64=0.709.
+HLL_ALPHA_PPM = {4: 673000, 5: 697000, 6: 709000}
+
+
+def hll_bitlen_sql(col: str, bits: int) -> str:
+    """Integer bit-length (floor(log2(w))+1, 0 for w=0) as a CASE
+    chain — shared SQL text for the Spark expression and any external
+    oracle. A float log2 would round wrong exactly at the powers of
+    two that matter (log2(2^54-1) rounds to 54.0 in IEEE double);
+    the comparison chain cannot."""
+    whens = " ".join(
+        f"WHEN {col} >= {1 << (k - 1)} THEN {k}" for k in range(bits, 0, -1)
+    )
+    return f"CASE {whens} ELSE 0 END"
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], value_col: str, log2m: int = 6
+) -> DataFrame:
+    """HLL state: per group, (register id j, max leading-zero rank).
+    j = top log2m bits of the 60-bit portable hash, rho = position of
+    the highest set bit in the remaining w bits counted from the top
+    (w=0 → wbits+1). Only HIT registers materialize — at most m rows
+    per group — and the groupBy(max) is partial-aggregated map-side,
+    so the full scan reduces to m-row states before any shuffle.
+    NULLs carry no distinct-count meaning and are excluded (same
+    convention as kmv_distinct / bloom_build_bits)."""
+    from us_immigration_data_lake_spark.functions.hashing import (
+        MD5_LONG_BITS,
+        md5_long,
+    )
+
+    if log2m not in HLL_ALPHA_PPM:
+        raise ValueError(f"log2m must be one of {sorted(HLL_ALPHA_PPM)}")
+    wbits = MD5_LONG_BITS - log2m
+    h = md5_long(F.col(value_col).cast("string"))
+    rows = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, h.alias("__hll_h"))
+        .select(
+            *group_cols,
+            F.expr(f"__hll_h div {1 << wbits}").alias("__j"),
+            F.expr(f"__hll_h % {1 << wbits}").alias("__w"),
+        )
+    )
+    rho = F.expr(f"{wbits + 1} - ({hll_bitlen_sql('__w', wbits)})")
+    return (
+        rows.select(*group_cols, "__j", rho.alias("__rho"))
+        .groupBy(*group_cols, "__j")
+        .agg(F.max("__rho").cast("int").alias("max_rho"))
+    )
+
+
+def hll_merge(
+    sk_a: DataFrame, sk_b: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Union two HLL states: per (group, register), the max rank —
+    the closure property that makes HLL a distributed sketch. Exact:
+    merge(HLL(A), HLL(B)) is bit-identical to HLL(A ∪ B)."""
+    return (
+        sk_a.unionByName(sk_b)
+        .groupBy(*group_cols, "__j")
+        .agg(F.max("max_rho").cast("int").alias("max_rho"))
+    )
+
+
+def hll_estimate(
+    regs: DataFrame, group_cols: list[str], log2m: int = 6
+) -> DataFrame:
+    """Cardinality estimate from an HLL state, exact-integer: the
+    harmonic sum Z = Σ 2^-rho_j is scaled by 2^(wbits+1) so every
+    term (and the m-n implicit zero registers' 2^0 terms) is a plain
+    BIGINT; the raw estimate α_ppm·m²·scale div S div 10^6 is one
+    decimal integer division — no float crosses an engine boundary.
+    Raw HLL (no small/large-range correction): callers targeting
+    n < 2.5m should use kmv_distinct, which is exact there."""
+    from us_immigration_data_lake_spark.functions.hashing import MD5_LONG_BITS
+
+    m = 1 << log2m
+    wbits = MD5_LONG_BITS - log2m
+    scale = 1 << (wbits + 1)
+    alpha_ppm = HLL_ALPHA_PPM[log2m]
+    agg = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(F.expr(f"shiftright(CAST({scale} AS BIGINT), max_rho)"))
+        .cast("long")
+        .alias("__s_present"),
+    )
+    s_total = f"(__s_present + ({m} - __n) * CAST({scale} AS BIGINT))"
+    return agg.select(
+        *group_cols,
+        F.expr(
+            f"CAST((CAST({alpha_ppm} AS DECIMAL(38,0)) * {m * m} * {scale})"
+            f" div {s_total} div 1000000 AS BIGINT)"
+        ).alias("est_distinct"),
+    )

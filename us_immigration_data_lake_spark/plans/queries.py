@@ -7726,3 +7726,118 @@ def q155_late_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("low_line_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q156 — HyperLogLog distinct-count (operators/sketches.py): the
+# third portable sketch family next to KMV (q130/q142) and count-min
+# (q141/q147). The oracle rebuilds the registers from md5 in SQL and
+# replays the exact-integer estimator, so the value hash checks the
+# whole algorithm, not just the estimate's ballpark; the merged
+# estimate (two half-scans of lineitem, states max-merged) must be
+# BIT-IDENTICAL to the direct estimate — the closure property that
+# makes HLL the 100 TB distinct-count: per-partition m-register
+# states, merged associatively, never a distinct shuffle.
+# ---------------------------------------------------------------------------
+
+def _q156_oracle_sql() -> str:
+    from us_immigration_data_lake_spark.operators.sketches import hll_bitlen_sql
+
+    two54 = 1 << 54
+    two55 = 1 << 55
+    bitlen = hll_bitlen_sql("w", 54)
+    est = (
+        f"CAST((CAST(709000 AS HUGEINT) * 4096 * {two55})"
+        f" // (s_present + (64 - n) * CAST({two55} AS HUGEINT))"
+        f" // 1000000 AS BIGINT)"
+    )
+    return f"""
+    WITH vals AS (
+      SELECT l_returnflag, l_linenumber,
+             ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM lineitem WHERE l_orderkey IS NOT NULL
+    ),
+    rows_ AS (
+      SELECT l_returnflag, l_linenumber,
+             h // {two54} AS j, h % {two54} AS w
+      FROM vals
+    ),
+    regs AS (
+      SELECT l_returnflag, j, MAX(55 - ({bitlen})) AS max_rho
+      FROM rows_ GROUP BY 1, 2
+    ),
+    regs_a AS (
+      SELECT l_returnflag, j, MAX(55 - ({bitlen})) AS max_rho
+      FROM rows_ WHERE l_linenumber <= 3 GROUP BY 1, 2
+    ),
+    regs_b AS (
+      SELECT l_returnflag, j, MAX(55 - ({bitlen})) AS max_rho
+      FROM rows_ WHERE l_linenumber > 3 GROUP BY 1, 2
+    ),
+    merged AS (
+      SELECT l_returnflag, j, MAX(max_rho) AS max_rho
+      FROM (SELECT * FROM regs_a UNION ALL SELECT * FROM regs_b)
+      GROUP BY 1, 2
+    ),
+    est_d AS (
+      SELECT l_returnflag, {est} AS est_distinct
+      FROM (SELECT l_returnflag, COUNT(*) AS n,
+                   SUM({two55} >> max_rho) AS s_present
+            FROM regs GROUP BY 1)
+    ),
+    est_m AS (
+      SELECT l_returnflag, {est} AS est_merged
+      FROM (SELECT l_returnflag, COUNT(*) AS n,
+                   SUM({two55} >> max_rho) AS s_present
+            FROM merged GROUP BY 1)
+    ),
+    ex AS (
+      SELECT l_returnflag,
+             CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct
+      FROM lineitem GROUP BY 1
+    )
+    SELECT est_d.l_returnflag, est_d.est_distinct, est_m.est_merged,
+           (est_d.est_distinct = est_m.est_merged) AS merge_ok,
+           ex.exact_distinct
+    FROM est_d
+    JOIN est_m USING (l_returnflag)
+    JOIN ex USING (l_returnflag)
+    """
+
+
+@_register(
+    "q156_hll_distinct",
+    oracle=_q156_oracle_sql(),
+    tags=("sketch", "hll", "approx-distinct", "portable", "mergeable"),
+)
+def q156_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    g = ["l_returnflag"]
+    est_d = hll_estimate(hll_registers(li, g, "l_orderkey"), g)
+    merged = hll_merge(
+        hll_registers(li.filter(F.col("l_linenumber") <= 3), g, "l_orderkey"),
+        hll_registers(li.filter(F.col("l_linenumber") > 3), g, "l_orderkey"),
+        g,
+    )
+    est_m = hll_estimate(merged, g).withColumnRenamed("est_distinct", "est_merged")
+    exact = li.groupBy(g).agg(
+        F.countDistinct("l_orderkey").cast("long").alias("exact_distinct")
+    )
+    return (
+        est_d.join(est_m, g)
+        .join(F.broadcast(exact), g)
+        .select(
+            "l_returnflag",
+            "est_distinct",
+            "est_merged",
+            (F.col("est_distinct") == F.col("est_merged")).alias("merge_ok"),
+            "exact_distinct",
+        )
+    )
