@@ -425,3 +425,282 @@ def srp_lsh_knn(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cosine_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze, Schmid, "Product Quantization
+# for Nearest Neighbor Search", TPAMI 2011): split the vector into
+# n_sub subspaces, vector-quantize each against a small per-subspace
+# codebook, and approximate distances from the code words alone
+# (ADC — asymmetric distance computation). PQ is the COMPRESSION leg
+# of large-scale ANN: a 64-dim float64 vector becomes n_sub small
+# ints, so a 100 TB corpus's index fits in a fraction of the space,
+# while IVF cells (above) remain the PRUNING leg — ivfpq_knn below
+# composes both, the structure of a production IVF-PQ index.
+#
+# Engine-portability: every distance is integer-ized per (subspace,
+# code) — CAST(ROUND(sqdist * 1e6) AS BIGINT) of a left-associative
+# double chain over literal centroids — so ADC sums are exact BIGINT
+# adds (order-independent across partial aggregation) and an external
+# engine replays encode, probe, and scoring bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def sq_dist_fixed_sql(
+    vec: str, centroid: list[float], offset: int, one_based: bool
+) -> str:
+    """Unrolled squared-L2 distance between ``vec[offset:offset+d]``
+    and a literal centroid, as ONE SQL string (same codegen rationale
+    as _dot_fixed_sql). ``one_based`` renders DuckDB's 1-based array
+    indexing; addition is left-associative in both engines, so the
+    double result is bit-identical."""
+    base = 1 if one_based else 0
+    terms = " + ".join(
+        f"({vec}[{offset + j + base}]-({c!r}))*({vec}[{offset + j + base}]-({c!r}))"
+        for j, c in enumerate(centroid)
+    )
+    return f"(CAST(0.0 AS DOUBLE) + {terms})"
+
+
+def sq_dist_c_sql(
+    vec: str, centroid: list[float], offset: int, one_based: bool
+) -> str:
+    """``sq_dist_fixed_sql`` scaled to exact micro-units (BIGINT)."""
+    return (
+        f"CAST(ROUND({sq_dist_fixed_sql(vec, centroid, offset, one_based)}"
+        f" * 1000000) AS BIGINT)"
+    )
+
+
+def argmin_code_sql(
+    vec: str, centroids: list[list[float]], offset: int, one_based: bool
+) -> str:
+    """Index of the nearest centroid (ties → lowest index, via struct
+    sort on (integer distance, index)) — the PQ encoder / IVF coarse
+    assigner as one portable expression. Spark spelling uses
+    named_struct + array_sort; callers on other engines build the
+    equivalent list_sort (see q157's oracle)."""
+    structs = ", ".join(
+        f"named_struct('d', {sq_dist_c_sql(vec, c, offset, one_based)}, 'c', {i})"
+        for i, c in enumerate(centroids)
+    )
+    return f"array_sort(array({structs}))[0].c"
+
+
+def pq_codebooks(
+    dim: int, n_sub: int, k_codes: int, seed: int = 42
+) -> list[list[list[float]]]:
+    """Seed-fixed random codebooks (codebooks[s][c] is a sub_dim
+    vector) — the literal-parameter model for gate queries, same role
+    as srp_planes / q92's centroids. Production models come from
+    pq_train_codebooks."""
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    rng = np.random.RandomState(seed)
+    sub = dim // n_sub
+    return [
+        [[float(x) for x in rng.randn(sub)] for _ in range(k_codes)]
+        for _ in range(n_sub)
+    ]
+
+
+def pq_encode(
+    df: DataFrame, id_col: str, vec_col: str, codebooks: list[list[list[float]]]
+) -> DataFrame:
+    """(id, codes array<int>): per subspace, the nearest codebook
+    entry. Pure map-side JVM expressions — at 100 TB this is the
+    one-pass compression job whose output (a few bytes/vector)
+    replaces the raw embedding column in the index."""
+    sub = len(codebooks[0][0])
+    codes = ", ".join(
+        argmin_code_sql("__pqv", cb, s * sub, one_based=False)
+        for s, cb in enumerate(codebooks)
+    )
+    return df.select(
+        F.col(id_col),
+        _as_double(vec_col).alias("__pqv"),
+    ).select(id_col, F.expr(f"array({codes})").alias("codes"))
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_sub: int,
+    k_codes: int,
+    iters: int = 5,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """In-engine PQ training: independent Lloyd k-means per subspace
+    over the SLICED vectors, all subspaces in ONE pass per iteration
+    (the subspace id rides the exploded rows, so iteration cost is one
+    scan + one (n_sub·k·sub_dim)-row shuffle regardless of n_sub).
+    Seeding mirrors train_ivf_centroids: per subspace, the k vectors
+    with the lowest md5(seed || sub || id) — deterministic on any
+    cluster layout. Empty cells keep their previous centroid."""
+    first = corpus.select(_as_double(vec_col).alias("v")).first()
+    if first is None:
+        raise ValueError("pq_train_codebooks: empty corpus")
+    dim = len(first.v)
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    sub = dim // n_sub
+    base = corpus.select(
+        F.col(id_col).alias("_id"), _as_double(vec_col).alias("v")
+    ).select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("v", s * sub + 1, sub).alias("sv"),
+                    )
+                    for s in range(n_sub)
+                ]
+            )
+        ).alias("e"),
+    ).select("_id", F.col("e.s").alias("s"), F.col("e.sv").alias("sv"))
+
+    from pyspark.sql import Window as _W
+
+    seed_rank = F.row_number().over(
+        _W.partitionBy("s").orderBy(
+            F.md5(
+                F.concat_ws(
+                    "|", F.lit(str(seed)), F.col("s").cast("string"),
+                    F.col("_id").cast("string"),
+                )
+            )
+        )
+    )
+    seed_rows = (
+        base.withColumn("_rn", seed_rank).filter(F.col("_rn") <= k_codes).collect()
+    )
+    books: list[list[list[float]]] = [[None] * k_codes for _ in range(n_sub)]  # type: ignore[list-item]
+    for r in seed_rows:
+        books[int(r.s)][int(r._rn) - 1] = [float(x) for x in r.sv]
+    for s in range(n_sub):
+        if any(c is None for c in books[s]):
+            raise ValueError(
+                f"subspace {s}: corpus too small for k_codes={k_codes}"
+            )
+    for _ in range(iters):
+        code_case = (
+            "CASE s "
+            + " ".join(
+                f"WHEN {s} THEN {argmin_code_sql('sv', books[s], 0, False)}"
+                for s in range(n_sub)
+            )
+            + " END"
+        )
+        assigned = base.withColumn("c", F.expr(code_case))
+        sums = (
+            assigned.select("s", "c", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("s", "c", "pos")
+            .agg(F.sum("x").alias("sum_x"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        fresh: dict[tuple[int, int], list[float]] = {}
+        for r in sums:
+            fresh.setdefault((int(r.s), int(r.c)), [0.0] * sub)[int(r.pos)] = (
+                r.sum_x / r.n
+            )
+        books = [
+            [fresh.get((s, c), books[s][c]) for c in range(k_codes)]
+            for s in range(n_sub)
+        ]
+    return books
+
+
+def ivfpq_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    coarse_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 3,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-PQ approximate KNN: coarse cells prune (only nprobe cells'
+    codes are touched per query), PQ codes compress (the join carries
+    (cell, subspace, code) ints, never raw vectors), and ADC scores
+    (per query, a small (subspace, code) → distance table, broadcast;
+    the corpus side just sums its n_sub looked-up BIGINTs).
+
+    Scale shape: corpus encodes map-side and shuffles once on cell id;
+    both query-side frames (probed cells, distance tables) are
+    queries×small and broadcast; the aggregate is an exact-integer
+    partial-agged sum. No raw corpus vector crosses a shuffle and
+    nothing is all-pairs. Returns (query_id, neighbor_id, adist_c)
+    with ties broken by neighbor_id."""
+    n_sub = len(codebooks)
+    sub = len(codebooks[0][0])
+
+    cell_expr = F.expr(argmin_code_sql("__pqv", coarse_centroids, 0, False))
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__pqv")
+        )
+        .withColumn("cell", cell_expr)
+        .withColumn(
+            "codes",
+            F.expr(
+                "array("
+                + ", ".join(
+                    argmin_code_sql("__pqv", cb, s * sub, False)
+                    for s, cb in enumerate(codebooks)
+                )
+                + ")"
+            ),
+        )
+        .select("neighbor_id", "cell", F.posexplode("codes").alias("s", "code"))
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__pqv")
+    )
+    cell_structs = ", ".join(
+        f"named_struct('d', {sq_dist_c_sql('__pqv', cc, 0, False)}, 'c', {i})"
+        for i, cc in enumerate(coarse_centroids)
+    )
+    probed = q.select(
+        "query_id",
+        F.explode(
+            F.expr(
+                f"transform(slice(array_sort(array({cell_structs})), 1, {nprobe}),"
+                " x -> x.c)"
+            )
+        ).alias("cell"),
+    )
+    table_structs = ", ".join(
+        f"named_struct('s', {s}, 'code', {ci},"
+        f" 'pdist_c', {sq_dist_c_sql('__pqv', cb[ci], s * sub, False)})"
+        for s, cb in enumerate(codebooks)
+        for ci in range(len(cb))
+    )
+    table = q.select(
+        "query_id", F.explode(F.expr(f"array({table_structs})")).alias("t")
+    ).select(
+        "query_id",
+        F.col("t.s").alias("s"),
+        F.col("t.code").alias("code"),
+        F.col("t.pdist_c").alias("pdist_c"),
+    )
+
+    scored = (
+        c.join(F.broadcast(probed), "cell")
+        .join(F.broadcast(table), ["query_id", "s", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("pdist_c").cast("long").alias("adist_c"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist_c"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "adist_c")
+    )

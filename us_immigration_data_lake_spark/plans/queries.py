@@ -7841,3 +7841,114 @@ def q156_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_distinct",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q157 — IVF-PQ ANN (operators/similarity.py:ivfpq_knn): product-
+# quantization search gated end-to-end. Like q92, the models (coarse
+# centroids + per-subspace codebooks) are seed-fixed literals
+# rendered into both sides; the oracle replays encode (struct-sort
+# argmin per subspace), probing (nprobe coarse cells), and ADC
+# scoring (CASE over code words, exact BIGINT micro-unit sums), so
+# the value hash checks the complete IVF-PQ pipeline. In-engine
+# training (pq_train_codebooks) is pytest-verified — its oracle
+# would require k-means in SQL.
+# ---------------------------------------------------------------------------
+
+_Q157_N_SUB = 4
+_Q157_K_CODES = 8
+_Q157_NPROBE = 2
+
+
+def _q157_models() -> tuple[list[list[float]], list[list[list[float]]]]:
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    coarse = [[float(x) for x in row] for row in rng.randn(4, EMBEDDING_DIM)]
+    books = sim_ops.pq_codebooks(
+        EMBEDDING_DIM, _Q157_N_SUB, _Q157_K_CODES, seed=12
+    )
+    return coarse, books
+
+
+def _q157_oracle_sql() -> str:
+    from us_immigration_data_lake_spark.operators.similarity import sq_dist_c_sql
+
+    coarse, books = _q157_models()
+    sub = EMBEDDING_DIM // _Q157_N_SUB
+
+    def cell_sorted(vec: str) -> str:
+        structs = ", ".join(
+            "{'d': " + sq_dist_c_sql(vec, cc, 0, True) + ", 'c': " + str(i) + "}"
+            for i, cc in enumerate(coarse)
+        )
+        return f"list_sort([{structs}])"
+
+    def code_col(vec: str, s: int) -> str:
+        structs = ", ".join(
+            "{'d': "
+            + sq_dist_c_sql(vec, books[s][ci], s * sub, True)
+            + ", 'c': "
+            + str(ci)
+            + "}"
+            for ci in range(_Q157_K_CODES)
+        )
+        return f"list_sort([{structs}])[1].c"
+
+    def adist_case(s: int) -> str:
+        whens = " ".join(
+            f"WHEN {ci} THEN {sq_dist_c_sql('p.qv', books[s][ci], s * sub, True)}"
+            for ci in range(_Q157_K_CODES)
+        )
+        return f"(CASE e.code{s} {whens} END)"
+
+    code_cols = ",\n             ".join(
+        f"{code_col('v', s)} AS code{s}" for s in range(_Q157_N_SUB)
+    )
+    adist = " + ".join(adist_case(s) for s in range(_Q157_N_SUB))
+    probes = ", ".join(f"cells[{i + 1}].c" for i in range(_Q157_NPROBE))
+    return f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    enc AS (
+      SELECT vec_id AS neighbor_id,
+             {cell_sorted('v')}[1].c AS cell,
+             {code_cols}
+      FROM base),
+    q AS (
+      SELECT vec_id AS query_id, v AS qv, {cell_sorted('v')} AS cells
+      FROM base WHERE vec_id % 100 = 7),
+    probe AS (
+      SELECT query_id, qv, unnest([{probes}]) AS cell FROM q),
+    scored AS (
+      SELECT p.query_id, e.neighbor_id, ({adist}) AS adist_c
+      FROM probe p JOIN enc e USING (cell)
+      WHERE e.neighbor_id != p.query_id),
+    topk AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY adist_c, neighbor_id) AS rn
+      FROM scored)
+    SELECT query_id, neighbor_id, CAST(adist_c AS BIGINT) AS adist_c
+    FROM topk WHERE rn <= 3
+    """
+
+
+@_register(
+    "q157_ivfpq_knn",
+    oracle=_q157_oracle_sql(),
+    tags=("similarity", "pq", "ivf-pq", "ann", "adc"),
+)
+def q157_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    coarse, books = _q157_models()
+    queries = emb.filter(F.col("vec_id") % 100 == 7)
+    return sim_ops.ivfpq_knn(
+        emb,
+        queries,
+        "vec_id",
+        "embedding",
+        coarse,
+        books,
+        k=3,
+        nprobe=_Q157_NPROBE,
+    )
