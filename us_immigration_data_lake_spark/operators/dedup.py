@@ -623,3 +623,103 @@ def postings_jaccard_pairs(
     if min_jaccard > 0.0:
         out = out.filter(F.col("jaccard") >= min_jaccard)
     return out
+
+
+def doc_segments(
+    df: DataFrame, id_col: str, text_col: str, seg_words: int = 10
+) -> DataFrame:
+    """Split each document into fixed-width word windows — the
+    segment axis for sub-document dedup/boilerplate analysis (the
+    role paragraphs play in CCNet-style pipelines; this corpus is
+    single-line, so the window is positional). Returns (id, seg_id,
+    seg) with seg_id 0-based in document order; the last segment may
+    be short. Pure map-side: split + sequence + explode + slice."""
+    words = F.split(F.col(text_col), " ")
+    n_segs = F.ceil(F.size(words) / F.lit(seg_words)).cast("int")
+    return (
+        df.select(F.col(id_col), words.alias("__words"), n_segs.alias("__n"))
+        .select(
+            id_col,
+            "__words",
+            F.explode(F.sequence(F.lit(0), F.col("__n") - 1)).alias("seg_id"),
+        )
+        .select(
+            id_col,
+            "seg_id",
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("__words"),
+                    F.col("seg_id") * seg_words + 1,
+                    seg_words,
+                ),
+            ).alias("seg"),
+        )
+    )
+
+
+def boilerplate_segments(
+    segments: DataFrame, id_col: str, min_docs: int = 2
+) -> DataFrame:
+    """Segment hashes appearing in >= min_docs DISTINCT documents —
+    the repeated-content (boilerplate) set. One shuffle on the
+    16-byte hash; raw segment text never shuffles."""
+    return (
+        segments.select(F.col(id_col), F.md5("seg").alias("seg_hash"))
+        .groupBy("seg_hash")
+        .agg(F.countDistinct(id_col).cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_words: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Sub-document boilerplate removal: drop every fixed-width word
+    window whose content repeats across >= min_docs documents, then
+    reassemble each document from its surviving windows in order.
+    Returns (id, n_segments, n_kept, cleaned_md5) — the md5 of the
+    reassembled text (a digest, so the gate compares full content
+    without shipping text through the comparator).
+
+    Scale: the boilerplate set is hashes-only (broadcastable: its
+    size is bounded by repeated content, not corpus size), the
+    reassembly is one groupBy over (doc, seg) rows with an in-group
+    array_sort — no window sort over the corpus, no self-join.
+    A 100 TB corpus pays: segment scan → hash-key shuffle for the
+    boilerplate census → broadcast anti-join → per-doc regroup.
+    """
+    segs = doc_segments(df, id_col, text_col, seg_words)
+    boiler = boilerplate_segments(segs, id_col, min_docs).select("seg_hash")
+    flagged = segs.withColumn("__h", F.md5("seg")).join(
+        F.broadcast(boiler),
+        F.col("__h") == F.col("seg_hash"),
+        "left_anti",
+    )
+    totals = segs.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments")
+    )
+    kept = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seg_id", "seg"))
+                    ),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            )
+        ).alias("cleaned_md5"),
+    )
+    return totals.join(kept, id_col, "left").select(
+        id_col,
+        "n_segments",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("cleaned_md5", F.md5(F.lit(""))).alias("cleaned_md5"),
+    )

@@ -7952,3 +7952,60 @@ def q157_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         nprobe=_Q157_NPROBE,
     )
+
+
+# ---------------------------------------------------------------------------
+# Q158 — sub-document boilerplate removal (operators/dedup.py:
+# remove_boilerplate): fixed-width word windows whose content repeats
+# across >= 2 documents are dropped and each document is reassembled
+# from its surviving windows — the segment-level leg of the dedup
+# family (exact q15 / MinHash q20 / SimHash q21 operate at document
+# grain). The oracle rebuilds windows with DuckDB list slicing and
+# compares the reassembled text by md5 digest, so content equality is
+# checked end-to-end without shipping raw text through the gate.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q158_segment_boilerplate",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    segrows AS (
+      SELECT doc_id, w,
+             unnest(range(0, CAST(ceil(len(w) / 10.0) AS INT))) AS seg_id
+      FROM words
+    ),
+    segs AS (
+      SELECT doc_id, seg_id,
+             array_to_string(w[seg_id * 10 + 1 : seg_id * 10 + 10], ' ') AS seg
+      FROM segrows
+    ),
+    boiler AS (
+      SELECT md5(seg) AS h FROM segs
+      GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    kept AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_kept,
+             md5(string_agg(seg, ' ' ORDER BY seg_id)) AS cleaned_md5
+      FROM segs WHERE md5(seg) NOT IN (SELECT h FROM boiler)
+      GROUP BY 1
+    ),
+    totals AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments
+      FROM segs GROUP BY 1
+    )
+    SELECT t.doc_id, t.n_segments,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           COALESCE(k.cleaned_md5, md5('')) AS cleaned_md5
+    FROM totals t LEFT JOIN kept k USING (doc_id)
+    """,
+    tags=("dedup", "boilerplate", "segments", "llm-pipeline"),
+)
+def q158_segment_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.remove_boilerplate(
+        docs, "doc_id", "text", seg_words=10, min_docs=2
+    )
