@@ -230,3 +230,78 @@ def test_q141_sketch_probe_broadcasts_sketch(spark):
     # fact never shuffles through the sketch join.
     plan = _plan(spark, "q141_countmin_freq")
     assert "BroadcastHashJoin" in plan
+
+
+def test_q149_pure_scan_agg_all_pushed(spark):
+    # Q6 shape: no join, no window; all three predicates reach the
+    # lineitem scan and the projection prunes to the 4 used columns.
+    plan = _plan(spark, "q149_forecast_revenue")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "PushedFilters: [" in plan
+    read = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_discount" in read and "l_quantity" in read
+    assert "l_orderkey" not in read and "l_partkey" not in read
+
+
+def test_q150_topk_is_take_ordered(spark):
+    # Q10 shape: global top-20 must be TakeOrderedAndProject (partial
+    # top-k per partition), never a full sort; the quarter filter is
+    # pushed into the orders scan.
+    plan = _plan(spark, "q150_returned_items")
+    assert "TakeOrderedAndProject" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_q153_one_fact_pass_conditional_agg(spark):
+    # Q20 shape: both the total and the class-restricted quantity come
+    # out of ONE aggregate over lineitem — no second fact scan, no
+    # window, part broadcast.
+    plan = _plan(spark, "q153_class_dominant_shippers")
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q154_dims_broadcast_no_sort_merge(spark):
+    # Q9 shape: part (LIKE-filtered) and the supplier→nation chain are
+    # broadcast; lineitem is the only shuffle input.
+    plan = _plan(spark, "q154_product_profit")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q148_no_cartesian_and_part_filter_pushed(spark):
+    # Q2 shape: the correlated MIN is a window over the (small) offers
+    # relation, never a nested loop; the part class filter reaches the
+    # part scan.
+    plan = _plan(spark, "q148_min_price_supplier")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EqualTo(p_type,LARGE)" in plan
+
+
+def test_q152_exclusion_is_broadcast_anti(spark):
+    # Q16 shape: NOT IN over a key column compiles to a broadcast
+    # LEFT ANTI hash join, never a nested loop.
+    plan = _plan(spark, "q152_supplier_diversity")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q157_ivfpq_no_corpus_broadcast(spark):
+    # IVF-PQ: the query-side frames broadcast; the corpus side never
+    # appears under a BroadcastExchange and nothing is all-pairs.
+    plan = _plan(spark, "q157_ivfpq_knn")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q158_boilerplate_prune_is_broadcast_anti(spark):
+    # segment boilerplate: the (bounded) repeated-hash set broadcasts
+    # into a LEFT ANTI join against the segment rows.
+    plan = _plan(spark, "q158_segment_boilerplate")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
