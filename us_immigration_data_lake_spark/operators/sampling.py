@@ -97,3 +97,67 @@ def stratified_sample(
     for stratum, pct in sorted(rates_pct.items()):
         rate = F.when(F.col(stratum_col) == stratum, F.lit(pct)).otherwise(rate)
     return df.filter(sample_bucket(id_col) < rate)
+
+
+def token_budget_fill(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    token_col: Column | str,
+    budget_permille: dict[str, int],
+    default_permille: int = 500,
+) -> DataFrame:
+    """Greedy token-budget fill per stratum — the mixture-weighting
+    step of assembling a training corpus ("p% of source X's tokens"):
+    within each group, documents are taken in deterministic
+    md5(id)-hash order until the group's token budget is filled; the
+    document that crosses the boundary is kept (overshoot bounded by
+    one document), so every group with a positive budget contributes.
+
+    The budget is relative — permille of the group's OWN token total
+    (two aggregates, no global state); weights are exact integers so
+    the cut is engine-reproducible.
+
+    Returns the kept rows: (group, id, tokens, cum_before, budget).
+
+    Scale: one shuffle for the totals, one window per group for the
+    running sum. The hash order means the window sort is over random
+    keys; at 100 TB shard each group by a hash prefix and fill
+    shard-level sub-budgets (same two-level layout as
+    packing.pack_sequences) — the greedy boundary then overshoots by
+    at most one document PER SHARD, an explicitly bounded error.
+    """
+    from pyspark.sql import Window
+
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    base = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        tok.cast("long").alias("tokens"),
+        F.md5(F.col(id_col).cast("string")).alias("__ord"),
+    )
+    totals = base.groupBy(group_col).agg(
+        F.sum("tokens").cast("long").alias("__total")
+    )
+    permille = F.lit(default_permille)
+    for key, p in sorted(budget_permille.items()):
+        permille = F.when(F.col(group_col) == key, F.lit(int(p))).otherwise(
+            permille
+        )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("__ord")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        base.join(F.broadcast(totals), group_col)
+        .withColumn("__p", permille)
+        .withColumn(
+            "budget", F.expr("CAST((__total * __p) div 1000 AS BIGINT)")
+        )
+        .withColumn(
+            "cum_before", F.coalesce(F.sum("tokens").over(w), F.lit(0)).cast("long")
+        )
+        .filter(F.col("cum_before") < F.col("budget"))
+        .select(group_col, id_col, "tokens", "cum_before", "budget")
+    )

@@ -653,3 +653,47 @@ def unigram_cross_entropy(
     return per_doc.select(
         F.col(id_col), F.col("n_tokens"), F.round(xent, 6).alias("xent")
     )
+
+
+def linear_quality_classifier(
+    features: DataFrame,
+    weights_mu: dict[str, int],
+    bias_mu: int,
+    threshold_mu: int = 0,
+) -> DataFrame:
+    """Model-based quality filtering with a FIXED linear model — the
+    classifier stage (fastText-style) of a corpus pipeline, distinct
+    from the heuristic quality_score above: weights are trained
+    offline and applied at scale as pure arithmetic.
+
+    Engine-portable by construction: the four derived features are
+    exact integers (permille / milli ratios via integer div, a capped
+    count), weights are integer micro-units, so the logit is a BIGINT
+    and keep/reject never hinges on a float rounding. Map-side only —
+    the score adds zero shuffles to whatever produced the features.
+
+    ``weights_mu`` keys: uniq_pm, stop_pm, len_cap, meanlen_milli.
+    Input must carry text_features' columns (n_tokens,
+    n_distinct_tokens, n_stopwords, sum_token_len).
+    """
+    nt = F.col("n_tokens")
+    uniq_pm = F.when(nt == 0, F.lit(0)).otherwise(
+        F.expr("(n_distinct_tokens * 1000) div n_tokens")
+    )
+    stop_pm = F.when(nt == 0, F.lit(0)).otherwise(
+        F.expr("(n_stopwords * 1000) div n_tokens")
+    )
+    len_cap = F.least(nt, F.lit(200)).cast("long")
+    ml_milli = F.when(nt == 0, F.lit(0)).otherwise(
+        F.expr("(sum_token_len * 1000) div n_tokens")
+    )
+    logit = (
+        F.lit(int(bias_mu)).cast("long")
+        + F.lit(int(weights_mu["uniq_pm"])) * uniq_pm
+        + F.lit(int(weights_mu["stop_pm"])) * stop_pm
+        + F.lit(int(weights_mu["len_cap"])) * len_cap
+        + F.lit(int(weights_mu["meanlen_milli"])) * ml_milli
+    ).cast("long")
+    return features.withColumn("logit_mu", logit).withColumn(
+        "keep", F.col("logit_mu") >= F.lit(int(threshold_mu))
+    )

@@ -8009,3 +8009,146 @@ def q158_segment_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.remove_boilerplate(
         docs, "doc_id", "text", seg_words=10, min_docs=2
     )
+
+
+# ---------------------------------------------------------------------------
+# Q159 — token-budget mixture fill (operators/sampling.py:
+# token_budget_fill): assemble a training mix by taking each source's
+# documents in deterministic hash order until a per-source permille
+# of its own token total is filled — the corpus-mixing step between
+# dedup and packing in an LLM data pipeline. Exact-integer budgets
+# and token counts; the boundary document is kept (overshoot <= 1
+# doc per stratum). The oracle replays the greedy fill with a
+# cumulative window over the same md5 ordering.
+# ---------------------------------------------------------------------------
+
+_Q159_PERMILLE = {"src0": 200, "src1": 800, "src2": 350}
+
+
+@_register(
+    "q159_token_budget_mix",
+    oracle="""
+    WITH toks AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS ord_key
+      FROM documents
+    ),
+    tot AS (
+      SELECT source, CAST(SUM(tokens) AS BIGINT) AS total,
+             CAST(CASE source WHEN 'src0' THEN 200
+                              WHEN 'src1' THEN 800
+                              WHEN 'src2' THEN 350
+                              ELSE 500 END AS BIGINT) AS p
+      FROM toks GROUP BY source
+    ),
+    cum AS (
+      SELECT t.source, t.doc_id, t.tokens,
+             CAST(COALESCE(SUM(t.tokens) OVER (
+               PARTITION BY t.source ORDER BY t.ord_key
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS cum_before,
+             CAST((tot.total * tot.p) // 1000 AS BIGINT) AS budget
+      FROM toks t JOIN tot USING (source)
+    ),
+    kept AS (SELECT * FROM cum WHERE cum_before < budget)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(tokens) AS BIGINT) AS tokens_kept,
+           CAST(MIN(budget) AS BIGINT) AS budget_tokens
+    FROM kept GROUP BY source
+    """,
+    tags=("sampling", "mixture", "token-budget", "llm-pipeline"),
+)
+def q159_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.sampling import (
+        token_budget_fill,
+    )
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    kept = token_budget_fill(
+        docs.withColumn(
+            "tokens", F.size(F.split(F.col("text"), " ")).cast("long")
+        ),
+        "source",
+        "doc_id",
+        "tokens",
+        _Q159_PERMILLE,
+        default_permille=500,
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+        F.sum("tokens").cast("long").alias("tokens_kept"),
+        F.min("budget").cast("long").alias("budget_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q160 — linear quality classifier (operators/textstats.py:
+# linear_quality_classifier): model-BASED corpus filtering next to
+# the heuristic score (q17) — fixed offline-trained weights applied
+# as exact-integer arithmetic, so keep/reject never hinges on float
+# rounding and the oracle replays feature extraction AND scoring.
+# Weights live in the query as literals (the deployed-model pattern,
+# like q24's planes / q157's codebooks).
+# ---------------------------------------------------------------------------
+
+_Q160_W = {"uniq_pm": 400, "stop_pm": 300, "len_cap": 1500, "meanlen_milli": 40}
+_Q160_BIAS = -480000
+
+
+@_register(
+    "q160_quality_classifier",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, lang,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+             CAST(len(list_filter(t, x -> list_contains(
+               ['the','a','and','of','to','is','in','it'], x))) AS BIGINT)
+               AS n_stop,
+             CAST(COALESCE(list_sum(list_transform(t, x -> length(x))), 0)
+                  AS BIGINT) AS sum_len
+      FROM toks
+    ),
+    scored AS (
+      SELECT lang,
+             (-480000
+              + 400 * (CASE WHEN n_tokens = 0 THEN 0
+                            ELSE (n_distinct * 1000) // n_tokens END)
+              + 300 * (CASE WHEN n_tokens = 0 THEN 0
+                            ELSE (n_stop * 1000) // n_tokens END)
+              + 1500 * LEAST(n_tokens, 200)
+              + 40 * (CASE WHEN n_tokens = 0 THEN 0
+                           ELSE (sum_len * 1000) // n_tokens END)
+             ) AS logit_mu
+      FROM feat
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN logit_mu >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(logit_mu) AS BIGINT) AS sum_logit_mu
+    FROM scored GROUP BY lang
+    """,
+    tags=("textstats", "classifier", "llm-pipeline", "portable"),
+)
+def q160_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    feats = ts_ops.text_features(docs, "doc_id", "text").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    scored = ts_ops.linear_quality_classifier(
+        feats, _Q160_W, _Q160_BIAS, threshold_mu=0
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum("logit_mu").cast("long").alias("sum_logit_mu"),
+    )
