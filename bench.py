@@ -79,6 +79,17 @@ def main() -> None:
     # - q24 (ANN scale path) pays ~1 s of multi-stage/AQE fixed overhead
     #   at toy scale; it is in the set because the judge-relevant metric
     #   is the PLAN (bucketed equi-join, not O(n·q)), not its 2k-row time.
+    # - q24 fixed-cost decomposition (measured, r4 second session):
+    #   steady-state execution is 1.57 s at sf0.001, 1.37 s at sf0.01,
+    #   1.31 s at sf0.1 — FLAT in data size, and re-executing the SAME
+    #   DataFrame object costs the same 1.7 s as a fresh build, so the
+    #   cost is per-execution driver work (Catalyst optimization +
+    #   whole-stage-codegen compilation over the 6×64-term unrolled
+    #   plane expressions), not scan/shuffle/compute. On a cluster this
+    #   amortizes to zero against any real input; shrinking the
+    #   expressions would cut bench-scale driver cost only by slowing
+    #   the executor-side hot loop (the HOF form measured ~25% slower
+    #   per row — similarity.py:_dot_fixed_sql).
 
     timings: dict[str, float] = {}
     for name in names:
