@@ -8152,3 +8152,93 @@ def q160_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
         F.sum("logit_mu").cast("long").alias("sum_logit_mu"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q161 — STREAMING distinct-count via mergeable HLL state
+# (streaming/sinks.py:hll_distinct_stream): per event_type, micro-
+# batch registers MAX-fold into the versioned state store (q127's
+# exactly-once discipline), and because HLL merge is bit-exact
+# associative the folded estimate equals the single-pass estimate —
+# which is precisely what the oracle computes, replaying registers +
+# integer estimator directly over all events in SQL. Multi-batch
+# folding and crash-replay idempotency are exercised in
+# tests/test_stream_hll.py (the gate's single-file source yields one
+# batch).
+# ---------------------------------------------------------------------------
+
+def _q161_oracle_sql() -> str:
+    from us_immigration_data_lake_spark.operators.sketches import hll_bitlen_sql
+
+    two54 = 1 << 54
+    two55 = 1 << 55
+    bitlen = hll_bitlen_sql("w", 54)
+    return f"""
+    WITH vals AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    rows_ AS (
+      SELECT event_type, h // {two54} AS j, h % {two54} AS w FROM vals
+    ),
+    regs AS (
+      SELECT event_type, j, MAX(55 - ({bitlen})) AS max_rho
+      FROM rows_ GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT event_type,
+             CAST((CAST(709000 AS HUGEINT) * 4096 * {two55})
+                  // (s_present + (64 - n) * CAST({two55} AS HUGEINT))
+                  // 1000000 AS BIGINT) AS est_distinct
+      FROM (SELECT event_type, COUNT(*) AS n,
+                   SUM({two55} >> max_rho) AS s_present
+            FROM regs GROUP BY 1)
+    ),
+    ex AS (
+      SELECT event_type,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events GROUP BY 1
+    )
+    SELECT est.event_type, est.est_distinct, ex.exact_distinct
+    FROM est JOIN ex USING (event_type)
+    """
+
+
+@_register(
+    "q161_stream_hll_distinct",
+    oracle=_q161_oracle_sql(),
+    tags=("streaming", "sketch", "hll", "foreachBatch", "exactly-once"),
+)
+def q161_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from us_immigration_data_lake_spark.operators.sketches import hll_estimate
+    from us_immigration_data_lake_spark.sources.events import read_event_stream
+    from us_immigration_data_lake_spark.streaming.sinks import (
+        hll_distinct_stream,
+        read_latest_state,
+    )
+
+    _tune(spark)
+    stream = read_event_stream(spark, sf_dir).select("event_type", "user_id")
+    root = tempfile.mkdtemp(prefix="q161_hll_")
+    state_dir = f"{root}/state"
+    hll_distinct_stream(
+        stream,
+        ["event_type"],
+        "user_id",
+        state_dir,
+        f"{root}/ckpt",
+        name=_sink_name("q161_hll"),
+    )
+    state = read_latest_state(spark, state_dir)
+    est = hll_estimate(state, ["event_type"])
+    exact = (
+        load_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+    )
+    return est.join(F.broadcast(exact), "event_type").select(
+        "event_type", "est_distinct", "exact_distinct"
+    )

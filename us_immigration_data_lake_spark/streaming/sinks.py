@@ -150,3 +150,50 @@ def read_latest_state(spark, state_dir: str) -> DataFrame:
             "stream produced no micro-batches (empty source?)"
         )
     return spark.read.parquet(f"{state_dir}/v={max(versions)}")
+
+
+def hll_distinct_stream(
+    stream_df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    name: str = "hll_distinct",
+    log2m: int = 6,
+) -> None:
+    """Streaming distinct-count via mergeable HyperLogLog state: each
+    micro-batch's registers (operators/sketches.py:hll_registers) are
+    MAX-merged into the same versioned parquet state store discipline
+    as incremental_agg_stream — version N is a pure function of
+    (version N-1, batch N) and overwrites itself, so crash-replay of a
+    batch recomputes the identical state instead of corrupting it.
+
+    Because HLL merge is bit-exact associative (max per register),
+    the folded estimate after ANY batch split equals the single-pass
+    estimate over all data — the property q161's oracle checks by
+    replaying the whole computation directly in SQL.
+
+    Scale: per batch the state is at most m rows per group (registers,
+    not values); a billion-event stream folds through a fixed-size
+    state, where a streaming COUNT(DISTINCT) would need unbounded
+    keyed state.
+    """
+    from us_immigration_data_lake_spark.operators.sketches import (
+        hll_merge,
+        hll_registers,
+    )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = hll_registers(batch_df, group_cols, value_col, log2m)
+        prev_versions = [
+            v for v in _list_versions(spark, state_dir) if v < batch_id
+        ]
+        if prev_versions:
+            prev = spark.read.parquet(f"{state_dir}/v={max(prev_versions)}")
+            merged = hll_merge(prev, delta, group_cols)
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(f"{state_dir}/v={batch_id}")
+
+    run_foreach_batch(stream_df, _fold, checkpoint_dir, name)
