@@ -1,0 +1,86 @@
+"""Streaming count-min fold: cell-sum merge across micro-batches is
+bit-identical to a single-pass build, and replay cannot double-count."""
+
+from __future__ import annotations
+
+import shutil
+
+from us_immigration_data_lake_spark.operators.sketches import (
+    countmin_build,
+    countmin_query,
+)
+from us_immigration_data_lake_spark.streaming.sinks import (
+    countmin_stream,
+    read_latest_state,
+)
+
+W = 64  # tiny width → real collisions exercised
+
+
+def _write_batches(spark, src_dir):
+    batches = [
+        [(k,) for k in [1, 1, 1, 2, 3]],
+        [(k,) for k in [1, 2, 2, 4]],
+        [(k,) for k in [3, 3, 5, 1]],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, ["k"]).coalesce(1).write.parquet(
+            f"{src_dir}/f{i}", mode="overwrite"
+        )
+
+
+def _run(spark, src_dir, state_dir, ckpt_dir, name):
+    stream = (
+        spark.readStream.schema("k bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/f*")
+    )
+    countmin_stream(
+        stream, "k", state_dir, ckpt_dir, name=name, depth=4, width=W
+    )
+
+
+def _cells(df):
+    return {(r["__row"], r["__bucket"]): r["__count"] for r in df.collect()}
+
+
+def test_folded_cells_equal_single_pass(spark, tmp_path):
+    src, state, ckpt = (
+        str(tmp_path / "src"), str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    _write_batches(spark, src)
+    _run(spark, src, state, ckpt, "cm_fold")
+    folded = _cells(read_latest_state(spark, state))
+    all_rows = spark.read.schema("k bigint").parquet(f"{src}/f*")
+    direct = _cells(countmin_build(all_rows, "k", depth=4, width=W))
+    assert folded == direct
+
+
+def test_folded_estimates_never_undercount(spark, tmp_path):
+    src, state, ckpt = (
+        str(tmp_path / "src"), str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    _write_batches(spark, src)
+    _run(spark, src, state, ckpt, "cm_bound")
+    sketch = read_latest_state(spark, state)
+    keys = spark.createDataFrame([(k,) for k in [1, 2, 3, 4, 5]], ["k"])
+    est = {
+        r.k: r.est_count
+        for r in countmin_query(sketch, keys, "k", depth=4, width=W).collect()
+    }
+    truth = {1: 5, 2: 3, 3: 3, 4: 1, 5: 1}
+    for k, t in truth.items():
+        assert est[k] >= t, (k, est[k], t)
+
+
+def test_replay_does_not_double_count(spark, tmp_path):
+    src, state, ckpt = (
+        str(tmp_path / "src"), str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    _write_batches(spark, src)
+    _run(spark, src, state, ckpt, "cm_first")
+    before = _cells(read_latest_state(spark, state))
+    shutil.rmtree(ckpt)
+    _run(spark, src, state, ckpt, "cm_replay")
+    after = _cells(read_latest_state(spark, state))
+    assert after == before

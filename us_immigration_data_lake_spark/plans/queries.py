@@ -8242,3 +8242,97 @@ def q161_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(F.broadcast(exact), "event_type").select(
         "event_type", "est_distinct", "exact_distinct"
     )
+
+
+# ---------------------------------------------------------------------------
+# Q162 — STREAMING frequency sketch (streaming/sinks.py:
+# countmin_stream): count-min cells SUM-fold through the versioned
+# state store; since cell addition is the sketch's exact merge, the
+# folded sketch is bit-identical to a single-pass build and the
+# oracle replays the whole thing (hash cells, MIN-of-rows estimates,
+# never-undercount flag) directly over all events in SQL. Completes
+# the streaming-sketch family next to q161 (HLL max-fold): the two
+# folds cover both mergeable-state shapes (max / sum).
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q162_stream_countmin",
+    oracle="""
+    WITH keys AS (
+      SELECT user_id AS k FROM events WHERE user_id IS NOT NULL
+    ),
+    rows4 AS (SELECT * FROM (VALUES (0),(1),(2),(3)) AS t(r)),
+    cells AS (
+      SELECT r,
+             ('0x' || substr(md5(r::VARCHAR || '|' || k::VARCHAR), 1, 15))::BIGINT
+               % 2048 AS bucket
+      FROM keys CROSS JOIN rows4
+    ),
+    sk AS (
+      SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM cells GROUP BY 1, 2
+    ),
+    probe AS (
+      SELECT DISTINCT user_id AS k FROM events
+      WHERE user_id % 37 = 0
+    ),
+    pcells AS (
+      SELECT k, r,
+             ('0x' || substr(md5(r::VARCHAR || '|' || k::VARCHAR), 1, 15))::BIGINT
+               % 2048 AS bucket
+      FROM probe CROSS JOIN rows4
+    ),
+    est AS (
+      SELECT k, CAST(MIN(COALESCE(sk.cnt, 0)) AS BIGINT) AS est_count
+      FROM pcells LEFT JOIN sk USING (r, bucket) GROUP BY k
+    ),
+    exact AS (
+      SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS exact_count
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    )
+    SELECT est.k AS user_id, est.est_count, exact.exact_count,
+           est.est_count >= exact.exact_count AS never_under
+    FROM est JOIN exact USING (k)
+    """,
+    tags=("streaming", "sketch", "count-min", "foreachBatch", "exactly-once"),
+)
+def q162_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from us_immigration_data_lake_spark.operators.sketches import countmin_query
+    from us_immigration_data_lake_spark.sources.events import read_event_stream
+    from us_immigration_data_lake_spark.streaming.sinks import (
+        countmin_stream,
+        read_latest_state,
+    )
+
+    _tune(spark)
+    stream = read_event_stream(spark, sf_dir).select("user_id")
+    root = tempfile.mkdtemp(prefix="q162_cm_")
+    state_dir = f"{root}/state"
+    countmin_stream(
+        stream, "user_id", state_dir, f"{root}/ckpt",
+        name=_sink_name("q162_cm"),
+    )
+    sketch = read_latest_state(spark, state_dir)
+    ev = load_events(spark, sf_dir)
+    probe = (
+        ev.filter(F.col("user_id") % 37 == 0)
+        .select("user_id")
+        .distinct()
+    )
+    est = countmin_query(sketch, probe, "user_id", depth=4, width=2048)
+    exact = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+    )
+    return (
+        est.join(exact, "user_id")
+        .select(
+            "user_id",
+            "est_count",
+            "exact_count",
+            (F.col("est_count") >= F.col("exact_count")).alias("never_under"),
+        )
+    )

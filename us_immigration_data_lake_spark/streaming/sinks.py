@@ -197,3 +197,47 @@ def hll_distinct_stream(
         merged.write.mode("overwrite").parquet(f"{state_dir}/v={batch_id}")
 
     run_foreach_batch(stream_df, _fold, checkpoint_dir, name)
+
+
+def countmin_stream(
+    stream_df: DataFrame,
+    key_col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    name: str = "countmin",
+    depth: int = 4,
+    width: int = 2048,
+) -> None:
+    """Streaming frequency sketch: each micro-batch's count-min cells
+    (operators/sketches.py:countmin_build) SUM-merge into the
+    versioned state store. Cell addition is the sketch's merge
+    operation (associative, exact integers), so the folded sketch is
+    bit-identical to one built over all data — and the never-
+    undercount guarantee carries through the fold. Same exactly-once
+    versioning discipline as incremental_agg_stream / q127: a replayed
+    batch recomputes its version from the PRIOR version and overwrites
+    itself.
+
+    Scale: state is at most depth×width cells regardless of stream
+    length — the fixed-memory alternative to unbounded keyed counts.
+    """
+    from us_immigration_data_lake_spark.operators.sketches import countmin_build
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = countmin_build(batch_df, key_col, depth=depth, width=width)
+        prev_versions = [
+            v for v in _list_versions(spark, state_dir) if v < batch_id
+        ]
+        if prev_versions:
+            prev = spark.read.parquet(f"{state_dir}/v={max(prev_versions)}")
+            merged = (
+                prev.unionByName(delta)
+                .groupBy("__row", "__bucket")
+                .agg(F.sum("__count").cast("long").alias("__count"))
+            )
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(f"{state_dir}/v={batch_id}")
+
+    run_foreach_batch(stream_df, _fold, checkpoint_dir, name)
