@@ -84,3 +84,39 @@ def test_replay_does_not_double_count(spark, tmp_path):
     _run(spark, src, state, ckpt, "cm_replay")
     after = _cells(read_latest_state(spark, state))
     assert after == before
+
+
+def test_vacuum_keeps_fold_correct(spark, tmp_path):
+    from us_immigration_data_lake_spark.streaming.sinks import vacuum_state
+
+    src, state, ckpt = (
+        str(tmp_path / "src"), str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    _write_batches(spark, src)
+    _run(spark, src, state, ckpt, "cm_vac")
+    removed = vacuum_state(spark, state, keep_last=1)
+    assert removed == [0, 1]  # three batches → v=0,1 superseded
+    # live state unchanged by the vacuum
+    all_rows = spark.read.schema("k bigint").parquet(f"{src}/f*")
+    direct = _cells(countmin_build(all_rows, "k", depth=4, width=W))
+    assert _cells(read_latest_state(spark, state)) == direct
+    # and a NEW batch still folds from the retained version
+    spark.createDataFrame([(1,)], ["k"]).coalesce(1).write.parquet(
+        f"{src}/f3", mode="overwrite"
+    )
+    _run(spark, src, state, ckpt, "cm_vac2")
+    est = countmin_query(
+        read_latest_state(spark, state),
+        spark.createDataFrame([(1,)], ["k"]),
+        "k", depth=4, width=W,
+    ).collect()[0]
+    assert est.est_count >= 6  # 5 before + 1 new
+
+
+def test_vacuum_validates_keep_last(spark, tmp_path):
+    import pytest
+
+    from us_immigration_data_lake_spark.streaming.sinks import vacuum_state
+
+    with pytest.raises(ValueError, match="keep_last"):
+        vacuum_state(spark, str(tmp_path / "none"), keep_last=0)

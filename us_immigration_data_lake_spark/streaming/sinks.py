@@ -241,3 +241,31 @@ def countmin_stream(
         merged.write.mode("overwrite").parquet(f"{state_dir}/v={batch_id}")
 
     run_foreach_batch(stream_df, _fold, checkpoint_dir, name)
+
+
+def vacuum_state(spark, state_dir: str, keep_last: int = 2) -> list[int]:
+    """Retention for the versioned state stores written by the fold
+    sinks above: delete all but the newest ``keep_last`` versions.
+    Returns the version numbers removed.
+
+    Only SUPERSEDED versions are eligible — the newest version is the
+    live state and the fold only ever reads the largest version below
+    the incoming batch id, so removing older versions can never change
+    a future fold (each version is a pure function of its predecessor,
+    not of the full history). keep_last >= 2 retains one rollback
+    point for the crash window where v=N exists but batch N's
+    checkpoint commit was lost: on replay the fold reads v=N-1.
+
+    Uses the JVM Hadoop FileSystem (same reason as _list_versions:
+    state_dir may be hdfs://, s3a://, ...).
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = sorted(_list_versions(spark, state_dir))
+    doomed = versions[:-keep_last] if keep_last < len(versions) else []
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for v in doomed:
+        path = jvm.org.apache.hadoop.fs.Path(f"{state_dir}/v={v}")
+        path.getFileSystem(hconf).delete(path, True)
+    return doomed
