@@ -97,3 +97,77 @@ def test_overwrite_mode_replaces_snapshot(spark, tmp_path):
     ).option("path", out).mode("overwrite").save()
     back = read_manifest(spark, out)
     assert [r.id for r in back.collect()] == [2]
+
+
+def test_time_travel_reads_historical_snapshot(spark, tmp_path):
+    from us_immigration_data_lake_spark.sources.manifest_sink import (
+        manifest_versions,
+        read_manifest,
+        register_manifest_sink,
+    )
+
+    register_manifest_sink(spark)
+    out = str(tmp_path / "tt")
+    spark.createDataFrame([(1, "a")], ["id", "v"]).write.format(
+        "manifest_jsonl"
+    ).option("path", out).mode("append").save()
+    spark.createDataFrame([(2, "b")], ["id", "v"]).write.format(
+        "manifest_jsonl"
+    ).option("path", out).mode("append").save()
+    assert manifest_versions(out) == [0, 1]
+    v0 = read_manifest(spark, out, version=0)
+    latest = read_manifest(spark, out)
+    assert v0.count() == 1 and latest.count() == 2
+    assert {r.id for r in v0.collect()} == {1}
+
+
+def test_overwrite_snapshot_keeps_history_readable(spark, tmp_path):
+    from us_immigration_data_lake_spark.sources.manifest_sink import (
+        read_manifest,
+        register_manifest_sink,
+    )
+
+    register_manifest_sink(spark)
+    out = str(tmp_path / "ow")
+    spark.createDataFrame([(1,)], ["id"]).write.format("manifest_jsonl").option(
+        "path", out
+    ).mode("append").save()
+    spark.createDataFrame([(9,)], ["id"]).write.format("manifest_jsonl").option(
+        "path", out
+    ).mode("overwrite").save()
+    assert {r.id for r in read_manifest(spark, out).collect()} == {9}
+    # pre-overwrite snapshot still time-travels
+    assert {r.id for r in read_manifest(spark, out, version=0).collect()} == {1}
+
+
+def test_vacuum_removes_unreferenced_and_keeps_live(spark, tmp_path):
+    import os
+
+    from us_immigration_data_lake_spark.sources.manifest_sink import (
+        manifest_versions,
+        read_manifest,
+        register_manifest_sink,
+        vacuum_manifest,
+    )
+
+    register_manifest_sink(spark)
+    out = str(tmp_path / "vac")
+    for ids, mode in [([1], "append"), ([2], "append"), ([9], "overwrite")]:
+        spark.createDataFrame([(i,) for i in ids], ["id"]).write.format(
+            "manifest_jsonl"
+        ).option("path", out).mode(mode).save()
+    removed = vacuum_manifest(out, keep_last=1)
+    # v0/v1 manifests gone; the v0/v1-only part files gone too
+    assert manifest_versions(out) == [2]
+    assert any(n.startswith("_MANIFEST-") for n in removed)
+    assert any(n.startswith("part-") for n in removed)
+    # latest snapshot intact and checksum-verified
+    assert {r.id for r in read_manifest(spark, out).collect()} == {9}
+    # vacuumed version no longer readable
+    try:
+        read_manifest(spark, out, version=0)
+        raised = False
+    except FileNotFoundError:
+        raised = True
+    assert raised
+    assert os.path.exists(os.path.join(out, "_MANIFEST.json"))

@@ -89,29 +89,39 @@ class ManifestJsonlWriter(DataSourceWriter):
         return _PartFile(fname, rows, crc & 0xFFFFFFFF)
 
     def commit(self, messages) -> None:
+        # Every commit is a numbered SNAPSHOT (the one-file analog of a
+        # table-format log entry): append snapshots extend the previous
+        # snapshot's file list, overwrite snapshots start fresh.
+        # Superseded part files stay on disk but are invisible to
+        # manifest readers; older snapshots remain readable as-of
+        # (time travel) until vacuum_manifest removes them. Single
+        # concurrent writer (one Spark driver) — same assumption as
+        # the rest of this sink's protocol.
         new_files = [
             {"path": m.path, "rows": m.rows, "crc32": m.crc32}
             for m in messages
             if m is not None
         ]
         target = os.path.join(self._path, "_MANIFEST.json")
+        versions = manifest_versions(self._path)
         files = new_files
-        if not self._overwrite and os.path.exists(target):
-            # append: the new snapshot = previous committed files + this
-            # job's files (the one-file analog of adding a table-format
-            # log entry). overwrite: the new files ARE the snapshot;
-            # superseded part files stay on disk but are invisible to
-            # manifest readers (vacuum is a separate concern).
+        if not self._overwrite and versions:
+            files = _load_manifest(self._path, versions[-1])["files"] + new_files
+        elif not self._overwrite and os.path.exists(target):
+            # pre-versioning layout: latest pointer only
             with open(target) as f:
                 files = json.load(f)["files"] + new_files
+        version = (versions[-1] + 1) if versions else 0
         manifest = {
+            "version": version,
             "files": files,
             "total_rows": sum(e["rows"] for e in files),
         }
-        tmp = target + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1)
-        os.replace(tmp, target)
+        for out in (_manifest_name(self._path, version), target):
+            tmp = out + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f, indent=1)
+            os.replace(tmp, out)
 
     def abort(self, messages) -> None:
         for m in messages:
@@ -127,10 +137,67 @@ def register_manifest_sink(spark) -> None:
     spark.dataSource.register(ManifestJsonlDataSource)
 
 
-def read_manifest(spark, path: str):
-    """Load exactly the committed files (and verify their checksums)."""
-    with open(os.path.join(path, "_MANIFEST.json")) as f:
-        manifest = json.load(f)
+def _manifest_name(path: str, version: int) -> str:
+    return os.path.join(path, f"_MANIFEST-{version:010d}.json")
+
+
+def _load_manifest(path: str, version: int) -> dict:
+    with open(_manifest_name(path, version)) as f:
+        return json.load(f)
+
+
+def manifest_versions(path: str) -> list[int]:
+    """Committed snapshot versions under ``path``, ascending."""
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for name in os.listdir(path):
+        if name.startswith("_MANIFEST-") and name.endswith(".json"):
+            try:
+                out.append(int(name[len("_MANIFEST-"):-len(".json")]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def vacuum_manifest(path: str, keep_last: int = 2) -> list[str]:
+    """Remove snapshots older than the newest ``keep_last`` and every
+    part file no retained snapshot references. Returns removed file
+    names. The latest pointer (_MANIFEST.json) is never touched, so
+    plain readers are unaffected; time travel simply loses the
+    vacuumed versions — the exact trade a table format's VACUUM makes.
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = manifest_versions(path)
+    retained = versions[-keep_last:]
+    referenced = {
+        e["path"] for v in retained for e in _load_manifest(path, v)["files"]
+    }
+    removed = []
+    for v in versions[:-keep_last] if len(versions) > keep_last else []:
+        os.remove(_manifest_name(path, v))
+        removed.append(os.path.basename(_manifest_name(path, v)))
+    for name in os.listdir(path):
+        if (
+            name.startswith("part-")
+            and name.endswith(".jsonl")
+            and name not in referenced
+        ):
+            os.remove(os.path.join(path, name))
+            removed.append(name)
+    return removed
+
+
+def read_manifest(spark, path: str, version: int | None = None):
+    """Load exactly the committed files (and verify their checksums).
+    ``version`` reads a historical snapshot (time travel); default is
+    the latest commit."""
+    if version is not None:
+        manifest = _load_manifest(path, version)
+    else:
+        with open(os.path.join(path, "_MANIFEST.json")) as f:
+            manifest = json.load(f)
     for entry in manifest["files"]:
         crc = 0
         with open(os.path.join(path, entry["path"]), "rb") as fh:
