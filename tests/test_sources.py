@@ -198,3 +198,42 @@ def test_write_table_json_lines_partitioned(spark, tmp_path):
     assert any(d.startswith("ym=") for d in os.listdir(path))
     back = spark.read.json(path)
     assert back.count() == 2 and set(back.columns) == {"id", "s", "ym"}
+
+
+def test_read_parquet_evolved_merges_added_columns(spark, tmp_path):
+    from us_immigration_data_lake_spark.sources.readers import (
+        read_parquet_evolved,
+    )
+
+    out = str(tmp_path / "evolved")
+    spark.createDataFrame([(1, "x")], ["id", "a"]).write.parquet(f"{out}/g=1")
+    spark.createDataFrame([(2, "y", 7)], ["id", "a", "b"]).write.parquet(
+        f"{out}/g=2"
+    )
+    df = read_parquet_evolved(spark, out)
+    assert set(df.columns) == {"id", "a", "b", "g"}
+    rows = {r.id: (r.a, r.b) for r in df.collect()}
+    assert rows == {1: ("x", None), 2: ("y", 7)}
+    # predicate on the NEW column still prunes old-generation rows
+    assert df.filter("b = 7").count() == 1
+
+
+def test_read_parquet_evolved_rejects_type_conflict(spark, tmp_path):
+    import pytest
+    from pyspark.errors import SparkUpgradeException
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from us_immigration_data_lake_spark.sources.readers import (
+        read_parquet_evolved,
+    )
+
+    out = str(tmp_path / "conflict")
+    spark.createDataFrame([(1,)], "id int").write.parquet(f"{out}/g=1")
+    spark.createDataFrame([("not-an-int",)], "id string").write.parquet(
+        f"{out}/g=2"
+    )
+    with pytest.raises(Exception) as exc:
+        read_parquet_evolved(spark, out).collect()
+    assert "merge" in str(exc.value).lower() or "incompatible" in str(
+        exc.value
+    ).lower()

@@ -98,3 +98,29 @@ def read_json(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_parquet_evolved(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Parquet scan across SCHEMA-EVOLVED file generations
+    (``mergeSchema=true``): columns added by later writes surface as
+    NULL in older files' rows, so a table that grew columns over time
+    reads as one coherent frame.
+
+    Scale cost, and why this is not the default reader: schema merging
+    reads EVERY file's footer in a distributed pre-job before the scan
+    (the default reader samples one footer). On a 100 TB table that is
+    millions of footer reads per query — the right home for the merged
+    schema is a catalog entry written ONCE at commit time; this reader
+    is for the exploration/backfill path where no catalog exists.
+    Incompatible type changes (e.g. INT32 → INT64 on the same column)
+    fail the merge loudly rather than silently coercing — retype via
+    an explicit projection instead.
+    """
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    if columns:
+        df = df.select(*columns)
+    return df
