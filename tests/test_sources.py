@@ -220,8 +220,6 @@ def test_read_parquet_evolved_merges_added_columns(spark, tmp_path):
 
 def test_read_parquet_evolved_rejects_type_conflict(spark, tmp_path):
     import pytest
-    from pyspark.errors import SparkUpgradeException
-    from pyspark.errors.exceptions.captured import AnalysisException
 
     from us_immigration_data_lake_spark.sources.readers import (
         read_parquet_evolved,
