@@ -1,0 +1,108 @@
+"""Plan linter: known-bad plans produce the right findings, and the
+repo's own gate queries stay clean of error-severity findings."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from us_immigration_data_lake_spark.plans.lint import lint_plan, lint_report
+from us_immigration_data_lake_spark.plans.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rules(findings, severity=None):
+    return {
+        f.rule
+        for f in findings
+        if severity is None or f.severity == severity
+    }
+
+
+def _no_broadcast(spark):
+    import contextlib
+
+    @contextlib.contextmanager
+    def ctx():
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    return ctx()
+
+
+def test_cartesian_product_flagged(spark):
+    # tiny inputs broadcast by default (BroadcastNestedLoopJoin); turn
+    # broadcasting off to get the true CartesianProduct plan
+    a = spark.range(10)
+    b = spark.range(10).withColumnRenamed("id", "id2")
+    with _no_broadcast(spark):
+        findings = lint_plan(a.crossJoin(b))
+    assert "cartesian-product" in _rules(findings, "error")
+
+
+def test_nested_loop_join_flagged(spark):
+    a = spark.range(10)
+    b = spark.range(10).withColumnRenamed("id", "id2")
+    findings = lint_plan(a.crossJoin(b))
+    assert "nested-loop-join" in _rules(findings, "warn")
+
+
+def test_python_udf_flagged(spark):
+    from pyspark.sql.types import LongType
+
+    bad = F.udf(lambda x: x + 1, LongType())
+    findings = lint_plan(spark.range(10).select(bad("id").alias("y")))
+    assert "python-udf" in _rules(findings, "error")
+
+
+def test_global_sort_without_limit_flagged(spark):
+    # sort by an expression: Range's natural ordering satisfies a plain
+    # orderBy("id") and Catalyst removes that sort entirely
+    findings = lint_plan(
+        spark.range(100).orderBy((F.col("id") % 7).alias("k"))
+    )
+    assert "global-sort" in _rules(findings, "warn")
+
+
+def test_topk_not_flagged_as_global_sort(spark):
+    findings = lint_plan(spark.range(100).orderBy("id").limit(5))
+    assert "global-sort" not in _rules(findings)
+
+
+def test_clean_aggregate_has_no_errors(spark):
+    df = spark.range(1000).groupBy((F.col("id") % 7).alias("k")).count()
+    assert _rules(lint_plan(df), "error") == set()
+
+
+def test_shuffle_count_reported(spark):
+    df = spark.range(1000).groupBy((F.col("id") % 7).alias("k")).count()
+    info = [f for f in lint_plan(df) if f.rule == "shuffle-count"]
+    assert len(info) == 1 and "Exchange" in info[0].message
+
+
+def test_report_orders_errors_first(spark):
+    a = spark.range(10)
+    b = spark.range(10).withColumnRenamed("id", "id2")
+    with _no_broadcast(spark):
+        report = lint_report(a.crossJoin(b))
+    assert report.index("[ERROR") < report.index("[INFO")
+
+
+def test_flagship_queries_lint_clean(spark):
+    # the bench headliners must carry no error-severity findings —
+    # the linter mechanizes what tests/test_plans.py asserts piecewise
+    for name, spec in QUERIES.items():
+        if not spec.bench:
+            continue
+        findings = lint_plan(spec.fn(spark, SF))
+        errors = _rules(findings, "error")
+        # q22 is the documented brute-force verification baseline: its
+        # broadcast cross join is input-restricted by contract
+        if name == "q22_knn_cosine":
+            assert errors <= {"cartesian-product"}
+            continue
+        assert errors == set(), (name, errors)

