@@ -72,8 +72,15 @@ def lint_plan(df: DataFrame) -> list[Finding]:
             "JVM↔Python boundary individually. Use built-in expressions, "
             "or an Arrow-batched pandas_udf / mapInPandas.",
         ))
-    if re.search(r"\n\(\d+\) Sort\b", plan) and "TakeOrderedAndProject" not in plan:
-        # a Sort not feeding a window/SMJ and without a limit = global sort
+    # Sort blocks print "Arguments: [keys...], <global>, 0" — only a
+    # global=true Sort is a full range-partitioned sort of the input;
+    # partition-local sorts (SortAggregate inputs, SMJ sides, window
+    # partitions) print false and are the normal cost of those plans.
+    has_global_sort = any(
+        re.search(r"\(\d+\) Sort\b.*?Arguments: \[.*?\], true, ", block, re.S)
+        for block in re.split(r"\n\n", plan)
+    )
+    if has_global_sort and "TakeOrderedAndProject" not in plan:
         windowless = "Window" not in plan and "SortMergeJoin" not in plan
         if windowless and "GlobalLimit" not in plan:
             findings.append(Finding(
