@@ -8336,3 +8336,95 @@ def q162_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est_count") >= F.col("exact_count")).alias("never_under"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q163 — sketch-partialized cube rollup: per-(lang, source) HLL
+# states roll up to per-lang and grand-total distinct-count estimates
+# by MERGING REGISTERS, never rescanning documents — the reason
+# warehouses store sketches in cubes: COUNT(DISTINCT) is not
+# additive across cells, but HLL states are. All three levels'
+# estimates are bit-identical to direct single-pass sketches (the
+# oracle replays every level from scratch in SQL and the value hash
+# must agree), proving the rollup loses nothing. At 100 TB the base
+# cells are the only pass over data; every further rollup touches
+# ≤ m rows per cell.
+# ---------------------------------------------------------------------------
+
+def _q163_oracle_sql() -> str:
+    from us_immigration_data_lake_spark.operators.sketches import hll_bitlen_sql
+
+    two54 = 1 << 54
+    two55 = 1 << 55
+    bitlen = hll_bitlen_sql("w", 54)
+    est = (
+        f"CAST((CAST(709000 AS HUGEINT) * 4096 * {two55})"
+        f" // (s_present + (64 - n) * CAST({two55} AS HUGEINT))"
+        f" // 1000000 AS BIGINT)"
+    )
+
+    def level(keys: str, keysel: str) -> str:
+        return f"""
+      SELECT {keysel},
+             {est} AS est_distinct
+      FROM (SELECT {keys} COUNT(*) AS n, SUM({two55} >> max_rho) AS s_present
+            FROM (SELECT {keys} j, MAX(55 - ({bitlen})) AS max_rho
+                  FROM rows_ GROUP BY {'ALL' if keys else 'j'})
+            {f'GROUP BY {keys.rstrip(", ")}' if keys else ''})
+        """
+
+    return f"""
+    WITH vals AS (
+      SELECT lang, source,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM documents WHERE doc_id IS NOT NULL
+    ),
+    rows_ AS (
+      SELECT lang, source, h // {two54} AS j, h % {two54} AS w FROM vals
+    ),
+    cell AS ({level("lang, source,", "lang, source")}),
+    lang_lvl AS ({level("lang,", "lang AS l2, CAST(NULL AS VARCHAR) AS s2")}),
+    total AS ({level("", "CAST(NULL AS VARCHAR) AS l3, CAST(NULL AS VARCHAR) AS s3")})
+    SELECT 'cell' AS level, lang, source, est_distinct FROM cell
+    UNION ALL
+    SELECT 'lang', l2, s2, est_distinct FROM lang_lvl
+    UNION ALL
+    SELECT 'total', l3, s3, est_distinct FROM total
+    """
+
+
+@_register(
+    "q163_sketch_cube",
+    oracle=_q163_oracle_sql(),
+    tags=("sketch", "hll", "cube", "rollup", "mergeable"),
+)
+def q163_sketch_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    # ONE pass over data: the base-cell registers
+    cells = hll_registers(docs, ["lang", "source"], "doc_id")
+    # rollups merge registers (max per j) — no rescan of documents
+    lang_regs = cells.groupBy("lang", "__j").agg(
+        F.max("max_rho").cast("int").alias("max_rho")
+    )
+    total_regs = cells.groupBy("__j").agg(
+        F.max("max_rho").cast("int").alias("max_rho")
+    )
+    null_s = F.lit(None).cast("string")
+    out_cell = hll_estimate(cells, ["lang", "source"]).select(
+        F.lit("cell").alias("level"), "lang", "source", "est_distinct"
+    )
+    out_lang = hll_estimate(lang_regs, ["lang"]).select(
+        F.lit("lang").alias("level"), "lang", null_s.alias("source"),
+        "est_distinct",
+    )
+    out_total = hll_estimate(total_regs, []).select(
+        F.lit("total").alias("level"), null_s.alias("lang"),
+        null_s.alias("source"), "est_distinct",
+    )
+    return out_cell.unionByName(out_lang).unionByName(out_total)
