@@ -80,3 +80,48 @@ def test_classifier_threshold_splits(spark):
     }
     assert out[1] is True  # uniq_pm 1000 - 500 >= 0
     assert out[2] is False  # uniq_pm 250 - 500 < 0
+
+
+def test_interpolate_fill_hand_case(spark):
+    from us_immigration_data_lake_spark.operators.windows import (
+        interpolate_fill,
+    )
+
+    rows = [("u", 0, 100), ("u", 4, 300), ("u", 6, 0)]
+    df = spark.createDataFrame(rows, ["k", "slot", "v"])
+    out = {
+        r.slot: (r.value, r.is_observed)
+        for r in interpolate_fill(df, "k", "slot", "v").collect()
+    }
+    # rising gap 100→300 over 4 slots: +50/slot
+    assert out[0] == (100, True)
+    assert out[1] == (150, False)
+    assert out[2] == (200, False)
+    assert out[3] == (250, False)
+    assert out[4] == (300, True)
+    # falling gap 300→0 over 2 slots: floor(-300*1/2) = -150
+    assert out[5] == (150, False)
+    assert out[6] == (0, True)
+
+
+def test_interpolate_fill_floor_on_negative_slope(spark):
+    from us_immigration_data_lake_spark.operators.windows import (
+        interpolate_fill,
+    )
+
+    # delta -7 over 2 slots: floor(-7/2) = -4 → 10-4 = 6 (NOT 10-3)
+    df = spark.createDataFrame([("u", 0, 10), ("u", 2, 3)], ["k", "slot", "v"])
+    out = {r.slot: r.value for r in interpolate_fill(df, "k", "slot", "v").collect()}
+    assert out[1] == 6
+
+
+def test_interpolate_fill_keys_independent(spark):
+    from us_immigration_data_lake_spark.operators.windows import (
+        interpolate_fill,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 0, 0), ("a", 2, 2), ("b", 10, 100)], ["k", "slot", "v"]
+    )
+    out = interpolate_fill(df, "k", "slot", "v").collect()
+    assert {(r.k, r.slot) for r in out} == {("a", 0), ("a", 1), ("a", 2), ("b", 10)}

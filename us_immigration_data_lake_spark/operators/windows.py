@@ -119,3 +119,75 @@ def resample_fill(
         else:
             filled.append(F.last(F.col(c), ignorenulls=True).over(w).alias(c))
     return joined.select(key_col, slot_col, *filled)
+
+
+def interpolate_fill(
+    df: DataFrame,
+    key_col: str,
+    slot_col: str,
+    value_col: str,
+    step: int = 1,
+) -> DataFrame:
+    """Time-series LINEAR interpolation over a densified slot axis —
+    the ``interpolate`` companion to resample_fill's zero/ffill modes
+    (the gap-fill trio of a hypertable rollup). Missing interior slots
+    get ``prev + floor((next-prev)·(slot-prev_t) / (next_t-prev_t))``;
+    observed slots keep their exact value. Values must be integral
+    units (cents, micros): the interpolation is exact FLOOR division
+    (the pmod identity, exact at any magnitude — same rationale as
+    binned_range_join), so engines agree bit-for-bit, including on
+    negative slopes.
+
+    The dense axis spans each key's own [min, max] observed slots, so
+    every gap has both neighbors — no extrapolation mode exists by
+    construction. Returns (key, slot, value, is_observed).
+
+    Scale: spans + dense axis + one left join + two windows over the
+    same (key, slot) ordering — a single sort-shuffle per key, state
+    never crosses keys.
+    """
+    spans = df.groupBy(key_col).agg(
+        F.min(slot_col).alias("__lo"), F.max(slot_col).alias("__hi")
+    )
+    dense = spans.select(
+        key_col,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step))
+        ).alias(slot_col),
+    )
+    obs = df.select(
+        key_col, slot_col, F.col(value_col).cast("long").alias("__v")
+    )
+    j = dense.join(obs, [key_col, slot_col], "left")
+    w_back = (
+        Window.partitionBy(key_col)
+        .orderBy(slot_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(key_col)
+        .orderBy(slot_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_slot = F.when(F.col("__v").isNotNull(), F.col(slot_col))
+    labeled = (
+        j.withColumn("__pt", F.last(obs_slot, ignorenulls=True).over(w_back))
+        .withColumn("__pv", F.last("__v", ignorenulls=True).over(w_back))
+        .withColumn("__nt", F.first(obs_slot, ignorenulls=True).over(w_fwd))
+        .withColumn("__nv", F.first("__v", ignorenulls=True).over(w_fwd))
+    )
+    # exact floor division (DuckDB's // semantics): denominator > 0
+    num = "((__nv - __pv) * (%s - __pt))" % slot_col
+    den = "(__nt - __pt)"
+    interp = F.expr(
+        f"__pv + CAST(({num} - pmod({num}, {den})) div {den} AS BIGINT)"
+    )
+    return labeled.select(
+        key_col,
+        slot_col,
+        F.when(F.col("__v").isNotNull(), F.col("__v"))
+        .otherwise(interp)
+        .cast("long")
+        .alias("value"),
+        F.col("__v").isNotNull().alias("is_observed"),
+    )

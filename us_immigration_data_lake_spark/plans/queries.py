@@ -8428,3 +8428,92 @@ def q163_sketch_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_s.alias("source"), "est_distinct",
     )
     return out_cell.unionByName(out_lang).unionByName(out_total)
+
+
+# ---------------------------------------------------------------------------
+# Q164 — linear-interpolation gap fill (operators/windows.py:
+# interpolate_fill): the hypertable trio's third mode next to q83's
+# zero/ffill — missing hourly slots in each user's cents series get
+# the exact floor-division linear interpolation between neighbors.
+# The oracle replays the dense axis, both IGNORE NULLS windows, and
+# DuckDB's native // (floor) division, which the Spark side matches
+# via the pmod floor-div identity — bit-equal including negative
+# slopes.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q164_interpolate_gaps",
+    oracle="""
+    WITH obs AS (
+      -- integer epoch path: epoch() returns DOUBLE and DuckDB's //
+      -- does NOT floor doubles (and CAST double->BIGINT rounds), so
+      -- the hour slot must come from BIGINT // BIGINT, which floors
+      SELECT user_id,
+             (epoch_ms(CAST(ts AS TIMESTAMP)) // 1000) // 3600 AS slot,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events WHERE user_id % 25 = 3
+      GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT user_id, MIN(slot) AS lo, MAX(slot) AS hi FROM obs GROUP BY 1
+    ),
+    dense AS (
+      SELECT user_id, unnest(range(lo, hi + 1)) AS slot FROM spans
+    ),
+    j AS (
+      SELECT d.user_id, d.slot, o.v
+      FROM dense d LEFT JOIN obs o USING (user_id, slot)
+    ),
+    w AS (
+      SELECT user_id, slot, v,
+             last_value(CASE WHEN v IS NOT NULL THEN slot END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY slot
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             last_value(v IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY slot
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             first_value(CASE WHEN v IS NOT NULL THEN slot END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY slot
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt,
+             first_value(v IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY slot
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+      FROM j
+    )
+    SELECT user_id, slot,
+           -- FLOOR division on integers: DuckDB's BIGINT // truncates
+           -- toward zero, so negative slopes need the -1 adjustment
+           -- to match the engine's exact pmod floor-div
+           CAST(CASE WHEN v IS NOT NULL THEN v
+                     ELSE pv + ((nv - pv) * (slot - pt)) // (nt - pt)
+                          - (CASE WHEN ((nv - pv) * (slot - pt)) % (nt - pt) != 0
+                                   AND (nv - pv) * (slot - pt) < 0
+                                  THEN 1 ELSE 0 END)
+                END AS BIGINT) AS value,
+           (v IS NOT NULL) AS is_observed
+    FROM w
+    """,
+    tags=("time-series", "interpolate", "gap-fill", "window"),
+)
+def q164_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.windows import (
+        interpolate_fill,
+    )
+
+    _tune(spark)
+    ev = load_events(spark, sf_dir).filter(F.col("user_id") % 25 == 3)
+    obs = (
+        ev.select(
+            "user_id",
+            # exact hour slot: pmod floor-div on integer seconds (the
+            # double path /3600 + cast would round, not floor)
+            F.expr(
+                "CAST((unix_timestamp(ts) - pmod(unix_timestamp(ts), 3600))"
+                " div 3600 AS BIGINT)"
+            ).alias("slot"),
+            _cents(F.col("value")).alias("cents"),
+        )
+        .groupBy("user_id", "slot")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    return interpolate_fill(obs, "user_id", "slot", "cents")
