@@ -261,3 +261,64 @@ def test_asof_forward_matches_bruteforce(spark, points, intervals_raw):
         cands = [(rt, rid) for _, rid, rt in rights if rt >= t]
         expect = min(cands)[1] if cands else None
         assert got[i] == expect, (i, t, cands)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),
+            st.integers(min_value=-10_000, max_value=10_000),
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_interpolate_fill_matches_python_reference(spark, series):
+    """interpolate_fill == a pure-Python floor-division interpolation
+    over arbitrary (slot, value) series, negative slopes included."""
+    from us_immigration_data_lake_spark.operators.windows import (
+        interpolate_fill,
+    )
+
+    df = spark.createDataFrame([("k", s, v) for s, v in series], ["k", "slot", "v"])
+    got = {
+        r.slot: (r.value, r.is_observed)
+        for r in interpolate_fill(df, "k", "slot", "v").collect()
+    }
+    pts = sorted(series)
+    want = {}
+    for (s0, v0), (s1, v1) in zip(pts, pts[1:]):
+        want[s0] = (v0, True)
+        for s in range(s0 + 1, s1):
+            want[s] = (v0 + ((v1 - v0) * (s - s0)) // (s1 - s0), False)
+    want[pts[-1][0]] = (pts[-1][1], True)
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.text(min_size=0, max_size=12), min_size=1, max_size=150)
+)
+def test_hll_registers_match_python_reference(spark, values):
+    """hll_registers == the pure-Python md5 register computation over
+    arbitrary strings (including empty and unicode)."""
+    import hashlib
+
+    from us_immigration_data_lake_spark.operators.sketches import (
+        hll_registers,
+    )
+
+    df = spark.createDataFrame([("g", v) for v in values], ["g", "v"])
+    got = {
+        (r["__j"], r["max_rho"])
+        for r in hll_registers(df, ["g"], "v").collect()
+    }
+    regs: dict = {}
+    for v in set(values):
+        h = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+        j, w = h >> 54, h % (1 << 54)
+        rho = 55 - w.bit_length()
+        regs[j] = max(regs.get(j, 0), rho)
+    assert got == set(regs.items())
