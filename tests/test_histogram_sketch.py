@@ -1,0 +1,63 @@
+"""Histogram quantile sketch: hand-computed estimates, the ±1-bin
+error bound against exact quantiles, bit-exact merge, and clipping."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from us_immigration_data_lake_spark.operators.sketches import (
+    histogram_build,
+    histogram_merge,
+    histogram_quantile,
+)
+
+
+def _df(spark, values):
+    return spark.createDataFrame([("g", int(v)) for v in values], ["g", "v"])
+
+
+def test_hand_computed_median(spark):
+    # 10 values 0..9, bins of width 2 → bins {0:2,1:2,...}; target for
+    # p500 = ceil(10*0.5)=5 → bin 2 (cum_before 4, n 2):
+    # est = 0 + 2*2 + ((5-4)*2)//2 = 5
+    sk = histogram_build(_df(spark, range(10)), ["g"], "v", 0, 2, 16)
+    est = histogram_quantile(sk, ["g"], 500, 0, 2).collect()[0]
+    assert est.p500_est == 5
+
+
+def test_error_bound_one_bin(spark):
+    rng = np.random.RandomState(3)
+    vals = rng.randint(0, 10_000, size=2_000)
+    sk = histogram_build(_df(spark, vals), ["g"], "v", 0, 100, 100)
+    for qp in (100, 500, 900):
+        est = histogram_quantile(sk, ["g"], qp, 0, 100).collect()[0][1]
+        exact = int(np.sort(vals)[int(np.ceil(len(vals) * qp / 1000)) - 1])
+        assert abs(est - exact) <= 100, (qp, est, exact)
+
+
+def test_merge_is_bit_exact(spark):
+    rng = np.random.RandomState(4)
+    vals = rng.randint(0, 5_000, size=1_000)
+    a = histogram_build(_df(spark, vals[:400]), ["g"], "v", 0, 50, 100)
+    b = histogram_build(_df(spark, vals[400:]), ["g"], "v", 0, 50, 100)
+    direct = histogram_build(_df(spark, vals), ["g"], "v", 0, 50, 100)
+    merged = histogram_merge(a, b, ["g"])
+    d = {(r["bin"]): r["n"] for r in direct.collect()}
+    m = {(r["bin"]): r["n"] for r in merged.collect()}
+    assert d == m
+
+
+def test_out_of_domain_clips_to_edge_bins(spark):
+    sk = histogram_build(_df(spark, [-100, 5, 999_999]), ["g"], "v", 0, 10, 4)
+    bins = {r["bin"]: r["n"] for r in sk.collect()}
+    assert bins == {0: 2, 3: 1}  # -100 clips to bin 0, 999999 to bin 3
+    # total mass preserved → quantiles still defined
+    est = histogram_quantile(sk, ["g"], 990, 0, 10).collect()[0]
+    assert est.p990_est is not None
+
+
+def test_nulls_excluded(spark):
+    df = spark.createDataFrame([("g", 1), ("g", None)], ["g", "v"])
+    sk = histogram_build(df, ["g"], "v", 0, 10, 4)
+    assert sum(r["n"] for r in sk.collect()) == 1

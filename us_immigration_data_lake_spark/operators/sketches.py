@@ -499,3 +499,96 @@ def hll_estimate(
             f" div {s_total} div 1000000 AS BIGINT)"
         ).alias("est_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram sketch — the QUANTILE member of the portable
+# sketch family (KMV/HLL: distinct, count-min: frequency). Unlike
+# approx_percentile's KLL-style summary (implementation-defined, only
+# tolerance-checkable), a fixed-bin histogram is exact integer state:
+# mergeable by cell addition, and its quantile estimator is one floor
+# division — an external engine replays both bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def histogram_build(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: int,
+    width: int,
+    nbins: int,
+) -> DataFrame:
+    """Histogram state: per group, (bin, count) over the integer
+    domain [lo, lo + width·nbins); values outside clip into the edge
+    bins (count preserved — quantiles of clipped mass sit at the
+    domain edge, they do not vanish). One groupBy on (group, bin):
+    partial-aggregated map-side, ≤ nbins rows per group cross the
+    shuffle. Merge = unionByName + sum(n) (see histogram_merge).
+    NULLs are excluded (no rank meaning)."""
+    v = F.col(value_col).cast("long")
+    # exact integer floor division (pmod identity) — F.floor(x / w)
+    # promotes to double and mis-bins integral inputs >= 2^53
+    d = f"(CAST(`{value_col}` AS BIGINT) - ({int(lo)}))"
+    raw = F.expr(f"({d} - pmod({d}, {int(width)})) div {int(width)}")
+    bin_id = F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1)).cast("long")
+    return (
+        df.filter(v.isNotNull())
+        .select(*group_cols, bin_id.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def histogram_merge(
+    sk_a: DataFrame, sk_b: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Union two histogram states: cell addition — exact, associative."""
+    return (
+        sk_a.unionByName(sk_b)
+        .groupBy(*group_cols, "bin")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+
+
+def histogram_quantile(
+    sk: DataFrame,
+    group_cols: list[str],
+    q_permille: int,
+    lo: int,
+    width: int,
+) -> DataFrame:
+    """Quantile estimate from a histogram state, exact-integer: find
+    the first bin where the running count reaches ceil(q·N/1000), then
+    interpolate uniformly inside it with floor division —
+    est = lo + bin·width + ((target - cum_before) · width) div n_bin.
+    Determinism: ceil-target (not a double multiply), integer div,
+    ties impossible. Error bound: ± one bin width by construction.
+    """
+    from pyspark.sql import Window as _W
+
+    cum = (
+        _W.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(_W.unboundedPreceding, -1)
+    )
+    tot = _W.partitionBy(*group_cols)
+    ranked = (
+        sk.withColumn("cum_before", F.coalesce(F.sum("n").over(cum), F.lit(0)))
+        .withColumn("total", F.sum("n").over(tot))
+        .withColumn(
+            "target",
+            F.expr(
+                f"CAST((total * {int(q_permille)} + 999) div 1000 AS BIGINT)"
+            ),
+        )
+        .filter(
+            (F.col("cum_before") < F.col("target"))
+            & (F.col("cum_before") + F.col("n") >= F.col("target"))
+        )
+    )
+    est = F.expr(
+        f"CAST({lo} + bin * {width} + "
+        f"((target - cum_before) * {width}) div n AS BIGINT)"
+    )
+    return ranked.select(*group_cols, est.alias(f"p{q_permille}_est"))

@@ -8517,3 +8517,119 @@ def q164_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cents").cast("long").alias("cents"))
     )
     return interpolate_fill(obs, "user_id", "slot", "cents")
+
+
+# ---------------------------------------------------------------------------
+# Q165 — histogram-sketch quantiles (operators/sketches.py): the
+# quantile member of the portable sketch family. Exact-integer state
+# (bin counts over $500-wide cent bins), cell-addition merge, and a
+# floor-division estimator the oracle replays in SQL — unlike
+# approx_percentile (q78), which is implementation-defined and only
+# tolerance-checkable. The merged estimate (two half-scans) must be
+# bit-identical to the direct one; 100 TB shape: per-partition bins,
+# one ≤nbins-row shuffle per group, quantiles from state alone.
+# ---------------------------------------------------------------------------
+
+_Q165_LO, _Q165_W, _Q165_NBINS = 0, 50_000, 256
+
+
+@_register(
+    "q165_histogram_quantiles",
+    oracle=f"""
+    WITH cents AS (
+      SELECT l_returnflag, l_linenumber,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c
+      FROM lineitem
+    ),
+    binned AS (
+      SELECT l_returnflag, l_linenumber,
+             LEAST(GREATEST(c // 50000, 0), 255) AS bin
+      FROM cents
+    ),
+    sk AS (
+      SELECT l_returnflag, bin, CAST(COUNT(*) AS BIGINT) AS n
+      FROM binned GROUP BY 1, 2
+    ),
+    sk_m AS (
+      -- two half-builds merged by cell addition (the mergeable state)
+      SELECT l_returnflag, bin, CAST(SUM(n) AS BIGINT) AS n FROM (
+        SELECT l_returnflag, bin, COUNT(*) AS n FROM binned
+        WHERE l_linenumber <= 3 GROUP BY 1, 2
+        UNION ALL
+        SELECT l_returnflag, bin, COUNT(*) AS n FROM binned
+        WHERE l_linenumber > 3 GROUP BY 1, 2
+      ) GROUP BY 1, 2
+    ),
+    wind AS (
+      SELECT l_returnflag, bin, n,
+             COALESCE(SUM(n) OVER (PARTITION BY l_returnflag ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before,
+             SUM(n) OVER (PARTITION BY l_returnflag) AS total
+      FROM sk
+    ),
+    windm AS (
+      SELECT l_returnflag, bin, n,
+             COALESCE(SUM(n) OVER (PARTITION BY l_returnflag ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before,
+             SUM(n) OVER (PARTITION BY l_returnflag) AS total
+      FROM sk_m
+    ),
+    est_d AS (
+      SELECT w.l_returnflag,
+             MIN(CASE WHEN w.cum_before < ((w.total * 500 + 999) // 1000) AND w.cum_before + w.n >= ((w.total * 500 + 999) // 1000) THEN 0 + w.bin * 50000 + ((((w.total * 500 + 999) // 1000) - w.cum_before) * 50000) // w.n END) AS p500_est,
+             MIN(CASE WHEN w.cum_before < ((w.total * 950 + 999) // 1000) AND w.cum_before + w.n >= ((w.total * 950 + 999) // 1000) THEN 0 + w.bin * 50000 + ((((w.total * 950 + 999) // 1000) - w.cum_before) * 50000) // w.n END) AS p950_est
+      FROM wind w GROUP BY 1
+    ),
+    est_m AS (
+      SELECT w.l_returnflag, MIN(CASE WHEN w.cum_before < ((w.total * 500 + 999) // 1000) AND w.cum_before + w.n >= ((w.total * 500 + 999) // 1000) THEN 0 + w.bin * 50000 + ((((w.total * 500 + 999) // 1000) - w.cum_before) * 50000) // w.n END) AS p500_merged
+      FROM windm w GROUP BY 1
+    )
+    SELECT est_d.l_returnflag,
+           CAST(est_d.p500_est AS BIGINT) AS p500_est,
+           CAST(est_d.p950_est AS BIGINT) AS p950_est,
+           (est_d.p500_est = est_m.p500_merged) AS merge_ok
+    FROM est_d JOIN est_m USING (l_returnflag)
+    """,
+    tags=("sketch", "histogram", "quantile", "mergeable", "portable"),
+)
+def q165_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.sketches import (
+        histogram_build,
+        histogram_merge,
+        histogram_quantile,
+    )
+
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "cents", _cents(F.col("l_extendedprice"))
+    )
+    g = ["l_returnflag"]
+    sk = histogram_build(li, g, "cents", _Q165_LO, _Q165_W, _Q165_NBINS)
+    p50 = histogram_quantile(sk, g, 500, _Q165_LO, _Q165_W)
+    p95 = histogram_quantile(sk, g, 950, _Q165_LO, _Q165_W)
+    merged = histogram_merge(
+        histogram_build(
+            li.filter(F.col("l_linenumber") <= 3), g, "cents",
+            _Q165_LO, _Q165_W, _Q165_NBINS,
+        ),
+        histogram_build(
+            li.filter(F.col("l_linenumber") > 3), g, "cents",
+            _Q165_LO, _Q165_W, _Q165_NBINS,
+        ),
+        g,
+    )
+    p50_m = histogram_quantile(merged, g, 500, _Q165_LO, _Q165_W).withColumnRenamed(
+        "p500_est", "p500_merged"
+    )
+    return (
+        p50.join(p95, g)
+        .join(p50_m, g)
+        .select(
+            "l_returnflag",
+            "p500_est",
+            "p950_est",
+            (F.col("p500_est") == F.col("p500_merged")).alias("merge_ok"),
+        )
+    )
