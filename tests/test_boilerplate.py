@@ -82,3 +82,72 @@ def test_threshold_disables_removal(spark):
         df, "doc_id", "text", seg_words=3, min_docs=99
     ).collect()
     assert all(r.n_kept == r.n_segments for r in out)
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered set-similarity join (same dedup family, small corpus)
+# ---------------------------------------------------------------------------
+
+
+def _sets_df(spark, sets):
+    return spark.createDataFrame(
+        [(i, list(s)) for i, s in sets.items()], ["doc_id", "shingles"]
+    )
+
+
+def _brute(sets, t_pm):
+    out = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(set(sets[a]) & set(sets[b]))
+            union = len(set(sets[a]) | set(sets[b]))
+            if union and inter * 1000 >= t_pm * union:
+                out[(a, b)] = (inter, union)
+    return out
+
+
+def test_prefix_join_matches_brute_force(spark):
+    from us_immigration_data_lake_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    sets = {
+        1: ["a", "b", "c", "d"],
+        2: ["a", "b", "c", "e"],      # J(1,2)=3/5=0.6
+        3: ["x", "y", "z"],
+        4: ["x", "y", "q", "r"],      # J(3,4)=2/5=0.4
+        5: ["unique1", "unique2"],
+        6: ["a", "m", "n", "o", "p"], # J(1,6)=1/8=0.125
+    }
+    got = {
+        (r.id1, r.id2): (r.inter, r.union_sz)
+        for r in prefix_jaccard_pairs(
+            _sets_df(spark, sets), "doc_id", 300
+        ).collect()
+    }
+    assert got == _brute(sets, 300)
+
+
+def test_prefix_join_boundary_threshold(spark):
+    from us_immigration_data_lake_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    # J exactly == t must be KEPT (>=): two sets with J = 1/2
+    sets = {1: ["a", "b"], 2: ["a", "c"]}  # inter 1, union 3 → 333‰
+    got = prefix_jaccard_pairs(_sets_df(spark, sets), "doc_id", 333).collect()
+    assert len(got) == 1 and got[0].jaccard_permille == 333
+    got2 = prefix_jaccard_pairs(_sets_df(spark, sets), "doc_id", 334).collect()
+    assert got2 == []
+
+
+def test_prefix_join_validates_threshold(spark):
+    import pytest
+
+    from us_immigration_data_lake_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    with pytest.raises(ValueError, match="threshold"):
+        prefix_jaccard_pairs(_sets_df(spark, {1: ["a"]}), "doc_id", 0)

@@ -723,3 +723,94 @@ def remove_boilerplate(
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce("cleaned_md5", F.md5(F.lit(""))).alias("cleaned_md5"),
     )
+
+
+def prefix_jaccard_pairs(
+    shingled: DataFrame,
+    id_col: str,
+    threshold_permille: int,
+) -> DataFrame:
+    """Prefix-filtered EXACT set-similarity join (the All-Pairs /
+    SSJoin prefix optimization: Bayardo, Ma, Srikant WWW'07;
+    Chaudhuri, Ganti, Kaushik ICDE'06): a pair with Jaccard >= t must
+    share at least one token among each set's first
+    ``p = |s| - ceil(t·|s|) + 1`` tokens under a GLOBAL canonical
+    order — ascending document frequency, ties by token — so
+    candidates materialize only through shared PREFIX tokens instead
+    of every shared token (postings_jaccard_pairs) or every pair
+    (the q19 all-pairs form). Rare tokens go first, so the hottest
+    (stopword-like) postings never generate candidates at all — this
+    is the guard max_doc_freq approximates, derived instead of tuned.
+
+    Entirely exact integer arithmetic: the threshold is permille, the
+    prefix length uses ceil-division, and the final test is
+    ``inter·1000 >= t_pm·(|A|+|B|-inter)`` — no float ever decides a
+    pair. Returns (id1, id2, inter, union_sz, jaccard_permille) for
+    pairs meeting the threshold, id1 < id2.
+
+    Scale: token df is one hash agg; per-doc ranking is one window by
+    id; candidate generation shuffles only prefix postings (bounded by
+    (1-t)·|s|+1 per set); verification joins candidates against full
+    token lists — |cand|·|s| rows, never |corpus|².
+    """
+    if not 0 < threshold_permille <= 1000:
+        raise ValueError("threshold_permille must be in (0, 1000]")
+    t = int(threshold_permille)
+    toks = shingled.select(
+        F.col(id_col).alias("__id"), F.explode("shingles").alias("tok")
+    ).distinct()
+    df_counts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("__df")
+    )
+    sized = toks.withColumn(
+        "__sz", F.count(F.lit(1)).over(Window.partitionBy("__id")).cast("long")
+    )
+    ranked = (
+        sized.join(df_counts, "tok")
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("__id").orderBy("__df", "tok")
+            ),
+        )
+        .withColumn(
+            "__p", F.expr(f"__sz - ((__sz * {t} + 999) div 1000) + 1")
+        )
+    )
+    prefix = ranked.filter(F.col("__rn") <= F.col("__p")).select(
+        "__id", "tok", "__sz"
+    )
+    cand = (
+        prefix.select(
+            F.col("__id").alias("id1"), "tok", F.col("__sz").alias("sz1")
+        )
+        .join(
+            prefix.select(
+                F.col("__id").alias("id2"), "tok", F.col("__sz").alias("sz2")
+            ),
+            "tok",
+        )
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "sz1", "sz2")
+        .distinct()
+    )
+    a_toks = toks.select(F.col("__id").alias("id1"), "tok")
+    b_toks = toks.select(F.col("__id").alias("id2"), "tok")
+    verified = (
+        cand.join(a_toks, "id1")
+        .join(b_toks, ["id2", "tok"], "inner")
+        .groupBy("id1", "id2", "sz1", "sz2")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    union_sz = F.col("sz1") + F.col("sz2") - F.col("inter")
+    return (
+        verified.filter(F.col("inter") * 1000 >= F.lit(t) * union_sz)
+        .select(
+            "id1",
+            "id2",
+            "inter",
+            union_sz.cast("long").alias("union_sz"),
+            F.expr("CAST((inter * 1000) div (sz1 + sz2 - inter) AS BIGINT)")
+            .alias("jaccard_permille"),
+        )
+    )

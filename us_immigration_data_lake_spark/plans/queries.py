@@ -8633,3 +8633,59 @@ def q165_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("p500_est") == F.col("p500_merged")).alias("merge_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q166 — prefix-filtered set-similarity join (operators/dedup.py:
+# prefix_jaccard_pairs): the All-Pairs/SSJoin prefix optimization
+# over 3-gram shingle sets. The ORACLE is the plain all-pairs
+# threshold join over the same sets — exact equality proves the
+# prefix filter generated every qualifying pair (no false negatives,
+# the property the p = |s| - ceil(t·|s|) + 1 bound guarantees) and
+# the integer verify admitted no extras. Threshold and jaccard are
+# exact permille; no float decides a pair.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q166_prefix_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, len(toks)-1)]) AS shingles
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM documents WHERE doc_id < 1000)
+      WHERE len(toks) >= 3
+    )
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT)
+             AS inter,
+           CAST(len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles)) AS BIGINT)
+             AS union_sz,
+           CAST((len(list_intersect(a.shingles, b.shingles)) * 1000)
+                // (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles)))
+             AS BIGINT) AS jaccard_permille
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.shingles, b.shingles)) * 1000
+          >= 150 * (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles)))
+    """,
+    tags=("dedup", "jaccard", "prefix-filter", "ssjoin", "scale"),
+)
+def q166_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    tok = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(tok) - 3),
+                lambda i: F.array_join(F.slice(tok, i + 1, 3), " "),
+            )
+        ).alias("shingles"),
+    ).filter(F.size(tok) >= 3)
+    return dedup_ops.prefix_jaccard_pairs(sh, "doc_id", 150)
