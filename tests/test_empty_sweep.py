@@ -1,0 +1,59 @@
+"""Empty-input sweep: every batch query must run (0 rows is fine)
+against a zero-row mirror of the full schema — production tables have
+empty partitions and fresh deployments have empty lakes, and an
+operator that crashes there (ordinal access on missing first(),
+division by a zero count crossing a non-null path, a .first() probe
+assuming data) would take a 10-hour job down at hour zero.
+
+Deliberate loud errors are allowed ONLY where documented: an operator
+whose OUTPUT is undefined on empty input (pagerank's fixpoint over no
+nodes) raises a named ValueError rather than fabricating a result."""
+
+from __future__ import annotations
+
+import pytest
+
+from us_immigration_data_lake_spark.plans.queries import QUERIES
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+# operators whose result is undefined on empty input by contract;
+# they must raise a ValueError mentioning 'empty'
+EXPECTED_LOUD = {"q122_pagerank_events"}
+
+
+@pytest.fixture(scope="module")
+def empty_sf(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("empty_sf"))
+    for t in TABLES:
+        df = spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+        df.limit(0).write.mode("overwrite").parquet(f"{root}/{t}.parquet")
+    return root
+
+
+def test_every_batch_query_survives_empty_tables(spark, empty_sf):
+    failures = {}
+    for name, spec in QUERIES.items():
+        if "streaming" in spec.tags:
+            continue
+        try:
+            spec.fn(spark, empty_sf).count()
+        except ValueError as e:
+            if name in EXPECTED_LOUD and "empty" in str(e):
+                continue
+            failures[name] = f"{type(e).__name__}: {e}"
+        except Exception as e:  # noqa: BLE001 — collecting all failures
+            failures[name] = f"{type(e).__name__}: {str(e).splitlines()[0][:100]}"
+    assert failures == {}, failures
+
+
+def test_expected_loud_errors_still_loud(spark, empty_sf):
+    # if someone 'fixes' pagerank to silently return nothing on an
+    # empty graph, this fails: the undefined-fixpoint contract says
+    # raise, not fabricate
+    for name in EXPECTED_LOUD:
+        with pytest.raises(ValueError, match="empty"):
+            QUERIES[name].fn(spark, empty_sf).count()
