@@ -1,0 +1,103 @@
+"""Perceptual image hashing: invariance to re-encode/resize/noise,
+discrimination between unrelated images, and the banded near-dup
+join's pigeonhole completeness vs brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from us_immigration_data_lake_spark.operators.codecs import (
+    encode_png,
+    encode_ppm,
+    resize_nearest,
+)
+from us_immigration_data_lake_spark.operators.multimodal import (
+    perceptual_hash_media,
+    phash64_pixels,
+    phash_near_dups,
+)
+
+
+def _image(seed: int, h: int = 48, w: int = 48) -> np.ndarray:
+    # smooth gradient + blobs: structured content, not white noise
+    # (pHash of pure noise is meaningless by design)
+    rng = np.random.RandomState(seed)
+    y, x = np.mgrid[0:h, 0:w]
+    base = (x * 255 / w + y * 128 / h) % 256
+    for _ in range(4):
+        cy, cx, r = rng.randint(0, h), rng.randint(0, w), rng.randint(6, 14)
+        base = np.where((y - cy) ** 2 + (x - cx) ** 2 < r * r, 255 - base, base)
+    return np.stack([base, base * 0.7, base * 0.4], axis=2).astype(np.uint8)
+
+
+def _hamming(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def test_phash_invariant_to_resize_and_noise():
+    img = _image(1)
+    h0 = phash64_pixels(img)
+    assert _hamming(h0, phash64_pixels(resize_nearest(img, 96, 96))) <= 4
+    noisy = img.astype(int) + np.random.RandomState(0).randint(-6, 7, img.shape)
+    assert _hamming(h0, phash64_pixels(np.clip(noisy, 0, 255).astype(np.uint8))) <= 6
+
+
+def test_phash_discriminates_unrelated_images():
+    hashes = [phash64_pixels(_image(s)) for s in range(6)]
+    for i in range(6):
+        for j in range(i + 1, 6):
+            assert _hamming(hashes[i], hashes[j]) >= 10, (i, j)
+
+
+def test_phash_container_independent():
+    img = _image(2)
+    from us_immigration_data_lake_spark.operators.multimodal import decode_image
+
+    assert phash64_pixels(decode_image(encode_ppm(img))) == phash64_pixels(
+        decode_image(encode_png(img))
+    )
+
+
+def _media_df(spark, imgs):
+    return spark.createDataFrame(
+        [(i, bytearray(encode_ppm(px))) for i, px in imgs.items()],
+        "media_id long, content binary",
+    )
+
+
+def test_banded_join_matches_brute_force(spark):
+    imgs = {}
+    for s in range(5):
+        img = _image(s + 10)
+        imgs[s * 10] = img
+        noisy = np.clip(
+            img.astype(int)
+            + np.random.RandomState(s).randint(-5, 6, img.shape),
+            0, 255,
+        ).astype(np.uint8)
+        imgs[s * 10 + 1] = noisy  # near-dup partner
+    df = _media_df(spark, imgs)
+    hashed = perceptual_hash_media(df)
+    got = {
+        (r.id1, r.id2): r.hamming
+        for r in phash_near_dups(hashed, max_hamming=6, bands=7).collect()
+    }
+    hs = {r.media_id: r.phash for r in hashed.collect()}
+    want = {
+        (a, b): _hamming(hs[a], hs[b])
+        for a in hs
+        for b in hs
+        if a < b and _hamming(hs[a], hs[b]) <= 6
+    }
+    assert got == want
+    # the planted pairs are all found
+    for s in range(5):
+        assert (s * 10, s * 10 + 1) in got
+
+
+def test_band_count_validated(spark):
+    df = _media_df(spark, {1: _image(1)})
+    hashed = perceptual_hash_media(df)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        phash_near_dups(hashed, max_hamming=5, bands=3)

@@ -275,3 +275,129 @@ def extract_features(media: DataFrame, num_features: int = 8) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "byte_len", "features"])
 
     return media.mapInPandas(_batches, schema=FEATURE_SCHEMA)
+
+
+PHASH_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("phash", LongType(), True),
+])
+
+
+def _dct_matrix_n(n: int):
+    import numpy as np
+
+    # orthonormal DCT-II basis, the n×n generalization of jpeg.py's
+    # 8×8 matrix (same formula, same normalization)
+    k = np.arange(n)
+    mat = np.sqrt(2.0 / n) * np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / (2 * n))
+    mat[0, :] = np.sqrt(1.0 / n)
+    return mat
+
+
+def phash64_pixels(pixels) -> int:
+    """64-bit perceptual hash of a decoded uint8 image (classic pHash:
+    32×32 luma → 2-D DCT → 8×8 low-frequency block → median
+    threshold, DC excluded). Pure numpy, deterministic: nearest-
+    neighbor resize is integer index arithmetic and the DCT/median
+    run in IEEE doubles on identical inputs. Robust to re-encoding,
+    resizing and small noise; brittle to crops/rotations by design."""
+    import numpy as np
+
+    from us_immigration_data_lake_spark.operators.codecs import resize_nearest
+
+    px = pixels
+    if px.ndim == 2:
+        px = np.repeat(px[:, :, None], 3, axis=2)
+    small = resize_nearest(px.astype(np.uint8), 32, 32)
+    # ITU-R BT.601 luma — the same weighting jpeg.py's color transform uses
+    gray = (
+        0.299 * small[:, :, 0] + 0.587 * small[:, :, 1] + 0.114 * small[:, :, 2]
+    )
+    d = _dct_matrix_n(32)
+    coef = d @ gray @ d.T
+    low = coef[:8, :8].flatten()
+    vals = low[1:]  # DC carries mean brightness, not structure
+    med = float(np.median(vals))
+    bits = 0
+    for i, v in enumerate(vals):
+        if v > med:
+            bits |= 1 << i
+    # top bit unused (63 coefficients) → always fits signed int64
+    return bits
+
+
+def perceptual_hash_media(media: DataFrame) -> DataFrame:
+    """(media_id, phash) over the binary content column — Arrow-
+    batched mapInPandas like every codec op; each batch decodes and
+    hashes without the raw bytes ever crossing a shuffle."""
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids, hashes = [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                ids.append(mid)
+                hashes.append(phash64_pixels(decode_image(bytes(content))))
+            yield pd.DataFrame({"media_id": ids, "phash": hashes})
+
+    return media.select("media_id", "content").mapInPandas(
+        batches, schema=PHASH_SCHEMA
+    )
+
+
+def phash_near_dups(
+    hashed: DataFrame, max_hamming: int = 3, bands: int | None = None
+) -> DataFrame:
+    """Near-duplicate image pairs from perceptual hashes WITHOUT an
+    all-pairs comparison: split the 64-bit hash into ``bands``
+    16-bit-ish bands and equi-join on (band index, band value) — the
+    pigeonhole guarantee is that two hashes within Hamming distance
+    ``bands - 1`` share at least one identical band, so with the
+    default bands = max_hamming + 1 candidate generation is lossless.
+    Exact Hamming verification then removes band-collision false
+    positives. Same shape as the MinHash band join (dedup.py): corpus
+    shuffles once on the band key, never broadcasts, never pairs all.
+    Returns (id1, id2, hamming), id1 < id2, hamming <= max_hamming.
+    """
+    from us_immigration_data_lake_spark.operators.dedup import hamming64
+
+    if bands is None:
+        bands = max_hamming + 1
+    if bands < max_hamming + 1:
+        raise ValueError(
+            f"bands={bands} cannot guarantee distance {max_hamming}: "
+            "need bands >= max_hamming + 1 (pigeonhole)"
+        )
+    width = (64 + bands - 1) // bands
+    mask = (1 << width) - 1
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("b"),
+                F.expr(f"shiftright(phash, {i * width}) & {mask}").alias("v"),
+            )
+            for i in range(bands)
+        ]
+    )
+    exploded = hashed.select(
+        F.col("media_id"), F.col("phash"), F.explode(band_arr).alias("bd")
+    ).select(
+        "media_id", "phash", F.col("bd.b").alias("b"), F.col("bd.v").alias("v")
+    )
+    a = exploded.select(
+        F.col("media_id").alias("id1"), F.col("phash").alias("h1"), "b", "v"
+    )
+    bfr = exploded.select(
+        F.col("media_id").alias("id2"), F.col("phash").alias("h2"), "b", "v"
+    )
+    cand = (
+        a.join(bfr, ["b", "v"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "h1", "h2")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", hamming64("h1", "h2"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", F.col("hamming").cast("long").alias("hamming"))
+    )
