@@ -101,3 +101,72 @@ def test_band_count_validated(spark):
     hashed = perceptual_hash_media(df)
     with pytest.raises(ValueError, match="pigeonhole"):
         phash_near_dups(hashed, max_hamming=5, bands=3)
+
+
+# ---------------------------------------------------------------------------
+# audio constellation fingerprints (same multimodal dedup family)
+# ---------------------------------------------------------------------------
+
+
+def _tone_track(freqs, rate=8000, dur=0.25, seed=None):
+    t = np.arange(int(rate * dur)) / rate
+    sig = np.concatenate(
+        [np.sin(2 * np.pi * f * t) * 12000 for f in freqs]
+    )
+    if seed is not None:
+        sig = sig + np.random.RandomState(seed).normal(0, 300, len(sig))
+    return np.clip(sig, -32768, 32767).astype(np.int16)
+
+
+def _audio_df(spark, tracks, rate=8000):
+    from us_immigration_data_lake_spark.operators.codecs import encode_wav
+
+    return spark.createDataFrame(
+        [(i, bytearray(encode_wav(rate, s))) for i, s in tracks.items()],
+        "media_id long, content binary",
+    )
+
+
+def test_audio_match_finds_noisy_duplicate_not_unrelated(spark):
+    from us_immigration_data_lake_spark.operators.multimodal import (
+        audio_fingerprints,
+        audio_match_pairs,
+    )
+
+    melody = [440, 660, 550, 880, 495, 770]
+    tracks = {
+        1: _tone_track(melody),
+        2: _tone_track(melody, seed=7),          # same melody + noise
+        3: _tone_track([1000, 1200, 900, 1500, 1100, 1300]),  # different
+    }
+    fps = audio_fingerprints(_audio_df(spark, tracks))
+    # tone-onset frames coincide across any two constant-tempo tracks,
+    # so unrelated pairs score ~25 matches here while the true dup
+    # scores ~1900 — the threshold separates by ~75×
+    pairs = {
+        (r.id1, r.id2): (r.offset, r.matches)
+        for r in audio_match_pairs(fps, min_matches=100).collect()
+    }
+    assert (1, 2) in pairs
+    off, m = pairs[(1, 2)]
+    assert off == 0 and m >= 1000
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_audio_match_detects_time_offset(spark):
+    from us_immigration_data_lake_spark.operators.multimodal import (
+        audio_fingerprints,
+        audio_match_pairs,
+    )
+
+    rate = 8000
+    melody = _tone_track([440, 660, 550, 880], rate=rate)
+    silence = np.zeros(rate // 2, dtype=np.int16)  # 0.5 s lead-in
+    tracks = {1: melody, 2: np.concatenate([silence, melody])}
+    fps = audio_fingerprints(_audio_df(spark, tracks, rate=rate))
+    pairs = {
+        (r.id1, r.id2): r.offset
+        for r in audio_match_pairs(fps, min_matches=5).collect()
+    }
+    # 0.5 s lead-in at hop 256 → offset of -(4000/256) ≈ -15 frames
+    assert pairs[(1, 2)] < -10

@@ -401,3 +401,116 @@ def phash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("id1", "id2", F.col("hamming").cast("long").alias("hamming"))
     )
+
+
+FINGERPRINT_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("fp_hash", LongType(), False),
+    StructField("t_anchor", LongType(), False),
+])
+
+
+def audio_fingerprints(
+    media: DataFrame,
+    frame: int = 512,
+    hop: int = 256,
+    peaks_per_frame: int = 3,
+    fanout: int = 5,
+) -> DataFrame:
+    """Constellation-map audio fingerprints (the Shazam scheme, Wang
+    ISMIR 2003): per STFT frame keep the strongest spectral peaks,
+    pair each anchor peak with peaks in the next ``fanout`` frames,
+    and hash (f_anchor, f_target, dt) into one BIGINT. Matching
+    audio shares many hashes at a CONSISTENT time offset; noise and
+    re-encoding perturb magnitudes but not peak locations.
+
+    Arrow-batched mapInPandas over the WAV binary column (the same
+    pattern as every codec op); output is (media_id, fp_hash,
+    t_anchor) rows — the shuffle-joinable form of the fingerprint.
+    """
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids, hashes, anchors = [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                _, samples = decode_audio(bytes(content))
+                # decode_wav yields (n, channels); mix down to mono
+                x = (
+                    samples.astype(np.float64)
+                    .reshape(len(samples), -1)
+                    .mean(axis=1)
+                )
+                n_frames = max(0, (len(x) - frame) // hop + 1)
+                peak_list = []
+                for t in range(n_frames):
+                    seg = x[t * hop : t * hop + frame]
+                    mag = np.abs(np.fft.rfft(seg * np.hanning(frame)))
+                    mag[0] = 0.0  # DC is loudness, not pitch
+                    order = np.argsort(mag, kind="stable")[::-1]
+                    peak_list.append(
+                        [int(b) for b in order[:peaks_per_frame] if mag[b] > 0]
+                    )
+                for t, anchor_bins in enumerate(peak_list):
+                    for f1 in anchor_bins:
+                        for dt in range(1, fanout + 1):
+                            if t + dt >= len(peak_list):
+                                break
+                            for f2 in peak_list[t + dt]:
+                                h = (f1 << 24) | (f2 << 12) | dt
+                                ids.append(mid)
+                                hashes.append(h)
+                                anchors.append(t)
+            yield pd.DataFrame(
+                {"media_id": ids, "fp_hash": hashes, "t_anchor": anchors}
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        batches, schema=FINGERPRINT_SCHEMA
+    )
+
+
+def audio_match_pairs(fps: DataFrame, min_matches: int = 5) -> DataFrame:
+    """Audio near-duplicate pairs from fingerprints: equi-join on the
+    hash (never all-pairs — a pair only materializes through a shared
+    peak constellation), then score by the LARGEST group of matches
+    agreeing on one time offset (t1 - t2) — the offset-consistency
+    test that separates true containment/duplication from hash
+    coincidence. Returns (id1, id2, offset, matches) with
+    matches >= min_matches, id1 < id2.
+
+    Scale shape: one shuffle on fp_hash; the offset histogram is a
+    (id1, id2, dt)-keyed count + argmax-by-struct — all partial-
+    aggregated, no window sort.
+    """
+    a = fps.select(
+        F.col("media_id").alias("id1"),
+        "fp_hash",
+        F.col("t_anchor").alias("t1"),
+    )
+    b = fps.select(
+        F.col("media_id").alias("id2"),
+        "fp_hash",
+        F.col("t_anchor").alias("t2"),
+    )
+    hist = (
+        a.join(b, "fp_hash")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2", (F.col("t1") - F.col("t2")).alias("offset"))
+        .agg(F.count(F.lit(1)).cast("long").alias("matches"))
+    )
+    best = F.struct(
+        F.col("matches").alias("m"), (-F.col("offset")).alias("no")
+    )
+    return (
+        hist.groupBy("id1", "id2")
+        .agg(F.max(best).alias("b"))
+        .select(
+            "id1",
+            "id2",
+            (-F.col("b.no")).cast("long").alias("offset"),
+            F.col("b.m").alias("matches"),
+        )
+        .filter(F.col("matches") >= min_matches)
+    )
