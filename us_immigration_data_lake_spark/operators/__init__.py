@@ -184,3 +184,35 @@ __all__ = [
     "decode_mjpeg_avi",
     "encode_mjpeg_avi",
 ]
+
+# round-4 second-session additions
+from us_immigration_data_lake_spark.operators.sketches import (
+    hll_registers,
+    hll_merge,
+    hll_estimate,
+    histogram_build,
+    histogram_merge,
+    histogram_quantile,
+)
+from us_immigration_data_lake_spark.operators.similarity import (
+    pq_codebooks,
+    pq_encode,
+    pq_train_codebooks,
+    ivfpq_knn,
+)
+from us_immigration_data_lake_spark.operators.dedup import (
+    doc_segments,
+    remove_boilerplate,
+    prefix_jaccard_pairs,
+)
+from us_immigration_data_lake_spark.operators.sampling import token_budget_fill
+from us_immigration_data_lake_spark.operators.textstats import (
+    linear_quality_classifier,
+)
+from us_immigration_data_lake_spark.operators.windows import interpolate_fill
+from us_immigration_data_lake_spark.operators.multimodal import (
+    perceptual_hash_media,
+    phash_near_dups,
+    audio_fingerprints,
+    audio_match_pairs,
+)
