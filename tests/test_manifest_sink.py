@@ -171,3 +171,69 @@ def test_vacuum_removes_unreferenced_and_keeps_live(spark, tmp_path):
         raised = True
     assert raised
     assert os.path.exists(os.path.join(out, "_MANIFEST.json"))
+
+
+def test_vacuum_refuses_to_touch_legacy_table(spark, tmp_path):
+    # pre-versioning layout: _MANIFEST.json only, no _MANIFEST-N files.
+    # vacuum must remove NOTHING (the review-pass bug deleted every
+    # part file of such a table as "unreferenced")
+    import json
+    import os
+
+    from us_immigration_data_lake_spark.sources.manifest_sink import (
+        read_manifest,
+        vacuum_manifest,
+    )
+
+    out = str(tmp_path / "legacy")
+    os.makedirs(out)
+    line = b'{"id": 1}\n'
+    import zlib
+
+    with open(os.path.join(out, "part-00000-legacy.jsonl"), "wb") as f:
+        f.write(line)
+    with open(os.path.join(out, "_MANIFEST.json"), "w") as f:
+        json.dump(
+            {"files": [{"path": "part-00000-legacy.jsonl", "rows": 1,
+                        "crc32": zlib.crc32(line) & 0xFFFFFFFF}],
+             "total_rows": 1},
+            f,
+        )
+    assert vacuum_manifest(out, keep_last=1) == []
+    assert read_manifest(spark, out).count() == 1
+
+
+def test_orphan_versioned_manifest_not_resurrected(spark, tmp_path):
+    # crash window: _MANIFEST-N written, pointer replace lost → the
+    # job FAILED. The next commit must fold from the POINTER, not the
+    # orphan, and must overwrite the orphan's version slot.
+    import json
+
+    from us_immigration_data_lake_spark.sources.manifest_sink import (
+        _manifest_name,
+        read_manifest,
+        register_manifest_sink,
+    )
+
+    register_manifest_sink(spark)
+    out = str(tmp_path / "orphan")
+    spark.createDataFrame([(1,)], ["id"]).write.format("manifest_jsonl").option(
+        "path", out
+    ).mode("append").save()
+    # plant an orphan v=1 claiming a poison file from a failed job
+    with open(_manifest_name(out, 1), "w") as f:
+        json.dump(
+            {"version": 1,
+             "files": [{"path": "part-99999-failedjob.jsonl", "rows": 999,
+                        "crc32": 0}],
+             "total_rows": 999},
+            f,
+        )
+    spark.createDataFrame([(2,)], ["id"]).write.format("manifest_jsonl").option(
+        "path", out
+    ).mode("append").save()
+    latest = read_manifest(spark, out)
+    assert {r.id for r in latest.collect()} == {1, 2}
+    # the overwritten v=1 snapshot is the committed one, poison-free
+    v1 = read_manifest(spark, out, version=1)
+    assert {r.id for r in v1.collect()} == {1, 2}

@@ -128,6 +128,20 @@ def test_ivfpq_k_bound_and_no_self(spark):
     per = {}
     for r in out:
         assert r.query_id != r.neighbor_id
-        per.setdefault(r.query_id, []).append(r.adist_c)
+        per.setdefault(r.query_id, []).append((r.adist_c, r.neighbor_id))
     assert all(len(v) == 3 for v in per.values())
-    assert all(v == sorted(v) or True for v in per.values())
+    # the k rows returned per query ARE its k smallest ADC distances:
+    # no corpus vector outside the result may beat the returned worst
+    all_scored = {
+        (r.query_id, r.neighbor_id): r.adist_c
+        for r in ivfpq_knn(
+            df, df.limit(4), "vec_id", "embedding", coarse, books,
+            k=10**6, nprobe=1,
+        ).collect()
+    }
+    for qid, rows in per.items():
+        worst = max(a for a, _ in rows)
+        chosen = {n for _, n in rows}
+        for (q2, n2), a2 in all_scored.items():
+            if q2 == qid and n2 not in chosen:
+                assert a2 >= worst, (qid, n2, a2, worst)

@@ -216,3 +216,26 @@ from us_immigration_data_lake_spark.operators.multimodal import (
     audio_fingerprints,
     audio_match_pairs,
 )
+
+__all__ += [
+    "hll_registers",
+    "hll_merge",
+    "hll_estimate",
+    "histogram_build",
+    "histogram_merge",
+    "histogram_quantile",
+    "pq_codebooks",
+    "pq_encode",
+    "pq_train_codebooks",
+    "ivfpq_knn",
+    "doc_segments",
+    "remove_boilerplate",
+    "prefix_jaccard_pairs",
+    "token_budget_fill",
+    "linear_quality_classifier",
+    "interpolate_fill",
+    "perceptual_hash_media",
+    "phash_near_dups",
+    "audio_fingerprints",
+    "audio_match_pairs",
+]

@@ -432,6 +432,7 @@ def audio_fingerprints(
         import numpy as np
         import pandas as pd
 
+        win = np.hanning(frame)  # invariant: hoisted out of the hot loop
         for pdf in it:
             ids, hashes, anchors = [], [], []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
@@ -446,12 +447,17 @@ def audio_fingerprints(
                 peak_list = []
                 for t in range(n_frames):
                     seg = x[t * hop : t * hop + frame]
-                    mag = np.abs(np.fft.rfft(seg * np.hanning(frame)))
+                    mag = np.abs(np.fft.rfft(seg * win))
                     mag[0] = 0.0  # DC is loudness, not pitch
-                    order = np.argsort(mag, kind="stable")[::-1]
-                    peak_list.append(
-                        [int(b) for b in order[:peaks_per_frame] if mag[b] > 0]
+                    # top-k via argpartition (O(n)), then order the k
+                    # descending with the index tiebreak stable
+                    cand = np.argpartition(mag, -peaks_per_frame)[
+                        -peaks_per_frame:
+                    ]
+                    ordered = sorted(
+                        (int(b) for b in cand), key=lambda b: (-mag[b], b)
                     )
+                    peak_list.append([b for b in ordered if mag[b] > 0])
                 for t, anchor_bins in enumerate(peak_list):
                     for f1 in anchor_bins:
                         for dt in range(1, fanout + 1):

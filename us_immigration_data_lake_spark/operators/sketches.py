@@ -567,6 +567,8 @@ def histogram_quantile(
     """
     from pyspark.sql import Window as _W
 
+    if not 0 < q_permille <= 1000:
+        raise ValueError("q_permille must be in (0, 1000]")
     cum = (
         _W.partitionBy(*group_cols)
         .orderBy("bin")

@@ -126,7 +126,6 @@ def interpolate_fill(
     key_col: str,
     slot_col: str,
     value_col: str,
-    step: int = 1,
 ) -> DataFrame:
     """Time-series LINEAR interpolation over a densified slot axis —
     the ``interpolate`` companion to resample_fill's zero/ffill modes
@@ -138,9 +137,13 @@ def interpolate_fill(
     binned_range_join), so engines agree bit-for-bit, including on
     negative slopes.
 
-    The dense axis spans each key's own [min, max] observed slots, so
-    every gap has both neighbors — no extrapolation mode exists by
-    construction. Returns (key, slot, value, is_observed).
+    The dense axis spans each key's own [min, max] observed slots at
+    UNIT step, so every gap has both neighbors — no extrapolation
+    mode exists by construction. (No step parameter on purpose: a
+    coarser grid needs resample_fill's off-grid raise_error guard,
+    and an observation off the dense axis here would silently vanish
+    in the join — pre-bucket slots to units, as q164 does with its
+    hour slots.) Returns (key, slot, value, is_observed).
 
     Scale: spans + dense axis + one left join + two windows over the
     same (key, slot) ordering — a single sort-shuffle per key, state
@@ -152,7 +155,7 @@ def interpolate_fill(
     dense = spans.select(
         key_col,
         F.explode(
-            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step))
+            F.sequence(F.col("__lo"), F.col("__hi"))
         ).alias(slot_col),
     )
     obs = df.select(

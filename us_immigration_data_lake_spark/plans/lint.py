@@ -92,9 +92,21 @@ def lint_plan(df: DataFrame) -> list[Finding]:
 
     for block in _scan_blocks(plan):
         first_line = block.splitlines()[0] if block.splitlines() else ""
-        m = re.search(r"PushedFilters: \[\]", block)
-        if m and "Filter" in plan.split("Scan ")[0]:
-            pass  # filter may legitimately be un-pushable (computed col)
+        if (
+            re.search(r"PushedFilters: \[\]", block)
+            and re.search(r"\n\(\d+\) Filter\b", plan)
+        ):
+            # info, not warn: the filter may legitimately be
+            # un-pushable (computed column, post-join predicate) —
+            # but a scan-side predicate that COULD push and didn't is
+            # the single most expensive miss at 100 TB, so surface it
+            findings.append(Finding(
+                "unpushed-scan", "info",
+                f"Scan {first_line.split()[0] if first_line else ''} has "
+                "PushedFilters: [] while the plan contains Filter nodes. "
+                "If any predicate references only this scan's columns, "
+                "restructure so it reaches the reader.",
+            ))
         rs = re.search(r"ReadSchema: struct<([^>]*)>", block)
         if rs:
             n_cols = len([c for c in rs.group(1).split(",") if c.strip()])
@@ -106,11 +118,14 @@ def lint_plan(df: DataFrame) -> list[Finding]:
                     "project earlier so pruning reaches the reader.",
                 ))
 
-    n_exchanges = plan.count("Exchange")
+    # count only shuffle-exchange DETAIL headers: each node prints
+    # twice in formatted mode (tree + detail) and BroadcastExchange
+    # is not a data shuffle
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", plan))
     findings.append(Finding(
         "shuffle-count", "info",
-        f"{n_exchanges} Exchange(s) in the plan. Each is a full shuffle "
-        "of its input; check that adjacent operations reuse one "
+        f"{n_exchanges} shuffle Exchange(s) in the plan. Each is a full "
+        "shuffle of its input; check that adjacent operations reuse one "
         "partitioning where keys allow.",
     ))
     if "WholeStageCodegen" not in plan and "AdaptiveSparkPlan" not in plan:

@@ -103,15 +103,25 @@ class ManifestJsonlWriter(DataSourceWriter):
             if m is not None
         ]
         target = os.path.join(self._path, "_MANIFEST.json")
-        versions = manifest_versions(self._path)
+        # The LATEST POINTER (_MANIFEST.json) is the single source of
+        # truth for "previous snapshot" — never max(versioned files):
+        # a crash after the versioned write but before the pointer
+        # replace leaves an ORPHAN _MANIFEST-N whose job was reported
+        # FAILED, and deriving state from it would resurrect that
+        # job's files as committed data. Instead the next commit
+        # reads the pointer, takes version = pointer+1, and its
+        # versioned write OVERWRITES the orphan — the same
+        # deterministic-replay discipline as the streaming state
+        # stores. The pointer replace is the sole commit point.
+        pointer = _load_pointer(self._path)
         files = new_files
-        if not self._overwrite and versions:
-            files = _load_manifest(self._path, versions[-1])["files"] + new_files
-        elif not self._overwrite and os.path.exists(target):
-            # pre-versioning layout: latest pointer only
-            with open(target) as f:
-                files = json.load(f)["files"] + new_files
-        version = (versions[-1] + 1) if versions else 0
+        if not self._overwrite and pointer is not None:
+            files = pointer["files"] + new_files
+        # legacy pre-versioning pointers carry no "version": treat as
+        # snapshot 0 so history numbering continues from them
+        version = (
+            int(pointer.get("version", 0)) + 1 if pointer is not None else 0
+        )
         manifest = {
             "version": version,
             "files": files,
@@ -141,6 +151,16 @@ def _manifest_name(path: str, version: int) -> str:
     return os.path.join(path, f"_MANIFEST-{version:010d}.json")
 
 
+def _load_pointer(path: str) -> dict | None:
+    """The latest-pointer manifest (_MANIFEST.json), or None if the
+    table has never committed."""
+    target = os.path.join(path, "_MANIFEST.json")
+    if not os.path.exists(target):
+        return None
+    with open(target) as f:
+        return json.load(f)
+
+
 def _load_manifest(path: str, version: int) -> dict:
     with open(_manifest_name(path, version)) as f:
         return json.load(f)
@@ -161,23 +181,41 @@ def manifest_versions(path: str) -> list[int]:
 
 
 def vacuum_manifest(path: str, keep_last: int = 2) -> list[str]:
-    """Remove snapshots older than the newest ``keep_last`` and every
-    part file no retained snapshot references. Returns removed file
-    names. The latest pointer (_MANIFEST.json) is never touched, so
-    plain readers are unaffected; time travel simply loses the
-    vacuumed versions — the exact trade a table format's VACUUM makes.
+    """Remove snapshots older than the newest ``keep_last`` COMMITTED
+    versions and every part file neither the latest pointer nor a
+    retained snapshot references. Returns removed file names.
+
+    Safety rules, each load-bearing:
+    - the latest pointer's files are ALWAYS referenced — on a
+      pre-versioning (legacy) table with no _MANIFEST-N files at all,
+      vacuum therefore removes nothing instead of destroying the
+      table;
+    - committed = versions <= the pointer's version. An orphan
+      _MANIFEST-N ABOVE the pointer is a failed commit (crash before
+      the pointer replace): its manifest and its unreferenced part
+      files are removed — vacuum doubles as the failed-commit
+      cleaner;
+    - the pointer itself is never touched, so plain readers are
+      unaffected; time travel simply loses the vacuumed versions —
+      the exact trade a table format's VACUUM makes.
     """
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
+    pointer = _load_pointer(path)
+    if pointer is None:
+        return []  # never committed: nothing is safely removable
+    head = int(pointer.get("version", 0))
     versions = manifest_versions(path)
-    retained = versions[-keep_last:]
-    referenced = {
-        e["path"] for v in retained for e in _load_manifest(path, v)["files"]
-    }
+    committed = [v for v in versions if v <= head]
+    retained = set(committed[-keep_last:])
+    referenced = {e["path"] for e in pointer["files"]}
+    for v in retained:
+        referenced |= {e["path"] for e in _load_manifest(path, v)["files"]}
     removed = []
-    for v in versions[:-keep_last] if len(versions) > keep_last else []:
-        os.remove(_manifest_name(path, v))
-        removed.append(os.path.basename(_manifest_name(path, v)))
+    for v in versions:
+        if v not in retained:
+            os.remove(_manifest_name(path, v))
+            removed.append(os.path.basename(_manifest_name(path, v)))
     for name in os.listdir(path):
         if (
             name.startswith("part-")
