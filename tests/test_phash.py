@@ -170,3 +170,73 @@ def test_audio_match_detects_time_offset(spark):
     }
     # 0.5 s lead-in at hop 256 → offset of -(4000/256) ≈ -15 frames
     assert pairs[(1, 2)] < -10
+
+
+# ---------------------------------------------------------------------------
+# video near-dup: frame-sampled pHash sequences + offset consistency
+# ---------------------------------------------------------------------------
+
+
+def _video_bytes(frames_px):
+    from us_immigration_data_lake_spark.operators.avi import encode_mjpeg_avi
+    from us_immigration_data_lake_spark.operators.jpeg import encode_jpeg
+
+    jpegs = [encode_jpeg(px) for px in frames_px]
+    h, w = frames_px[0].shape[:2]
+    return encode_mjpeg_avi(jpegs, w, h)
+
+
+def test_video_match_finds_shifted_noisy_copy(spark):
+    from us_immigration_data_lake_spark.operators.multimodal import (
+        video_frame_hashes,
+        video_match_pairs,
+    )
+
+    scenes = [_image(s, 48, 48) for s in range(40, 48)]  # 8 distinct scenes
+    rng = np.random.RandomState(0)
+
+    def noisy(px):
+        return np.clip(
+            px.astype(int) + rng.randint(-4, 5, px.shape), 0, 255
+        ).astype(np.uint8)
+
+    original = scenes
+    # copy: re-noised and trimmed by the first two scenes (time shift)
+    copy = [noisy(px) for px in scenes[2:]]
+    unrelated = [_image(s, 48, 48) for s in range(80, 88)]
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_video_bytes(original))),
+            (2, bytearray(_video_bytes(copy))),
+            (3, bytearray(_video_bytes(unrelated))),
+        ],
+        "media_id long, content binary",
+    )
+    hashes = video_frame_hashes(df, every_nth=1)
+    pairs = {
+        (r.id1, r.id2): (r.offset, r.matching_frames)
+        for r in video_match_pairs(
+            hashes, max_hamming=8, min_matching_frames=3
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    off, m = pairs[(1, 2)]
+    assert off == 2 and m >= 4  # trimmed two scenes → original leads by 2
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_video_non_avi_raises(spark):
+    from us_immigration_data_lake_spark.operators.multimodal import (
+        video_frame_hashes,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not-a-riff-container"))],
+        "media_id long, content binary",
+    )
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as exc:
+        video_frame_hashes(df).collect()
+    assert "MJPEG-AVI" in str(exc.value)

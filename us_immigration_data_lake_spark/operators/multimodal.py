@@ -520,3 +520,116 @@ def audio_match_pairs(fps: DataFrame, min_matches: int = 5) -> DataFrame:
         )
         .filter(F.col("matches") >= min_matches)
     )
+
+
+FRAME_HASH_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("frame_idx", LongType(), False),
+    StructField("phash", LongType(), False),
+])
+
+
+def video_frame_hashes(
+    media: DataFrame, every_nth: int = 2
+) -> DataFrame:
+    """Per-sampled-frame perceptual hashes for video payloads —
+    MJPEG-AVI demuxes for real (operators/avi.py) and each sampled
+    frame goes through the same DCT pHash as still images. Output
+    (media_id, frame_idx, phash) is the joinable fingerprint of the
+    video's visual timeline, the image-domain analog of
+    audio_fingerprints' constellation rows."""
+    def batches(it):
+        import pandas as pd
+
+        from us_immigration_data_lake_spark.operators import avi
+
+        for pdf in it:
+            ids, idxs, hashes = [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(blob)
+                if not (b[:4] == b"RIFF" and b[8:12] == avi.AVI_FOURCC):
+                    raise NotImplementedError(
+                        "video_frame_hashes: only MJPEG-AVI demuxes in "
+                        "this environment (operators/avi.py); swap in "
+                        "PyAV/ffmpeg for inter-frame codecs"
+                    )
+                frames = avi.decode_mjpeg_avi(b)
+                for i in range(0, len(frames), every_nth):
+                    ids.append(mid)
+                    idxs.append(i)
+                    hashes.append(phash64_pixels(decode_image(frames[i])))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "phash": hashes}
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        batches, schema=FRAME_HASH_SCHEMA
+    )
+
+
+def video_match_pairs(
+    frame_hashes: DataFrame,
+    max_hamming: int = 6,
+    min_matching_frames: int = 3,
+) -> DataFrame:
+    """Video near-duplicate pairs from frame-hash sequences: banded
+    pHash join per frame (pigeonhole-lossless candidates, as
+    phash_near_dups) scored by the largest set of frame matches
+    agreeing on ONE temporal offset — the same offset-consistency
+    test as audio_match_pairs, in the visual domain. A re-encoded,
+    slightly-noised or trimmed copy matches many frames at one
+    offset; two unrelated videos that happen to share one similar
+    frame do not. Returns (id1, id2, offset, matching_frames)."""
+    from us_immigration_data_lake_spark.operators.dedup import hamming64
+
+    bands = max_hamming + 1
+    width = (64 + bands - 1) // bands
+    mask = (1 << width) - 1
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("b"),
+                F.expr(f"shiftright(phash, {i * width}) & {mask}").alias("v"),
+            )
+            for i in range(bands)
+        ]
+    )
+    exploded = frame_hashes.select(
+        "media_id", "frame_idx", "phash", F.explode(band_arr).alias("bd")
+    ).select(
+        "media_id", "frame_idx", "phash",
+        F.col("bd.b").alias("b"), F.col("bd.v").alias("v"),
+    )
+    a = exploded.select(
+        F.col("media_id").alias("id1"), F.col("frame_idx").alias("t1"),
+        F.col("phash").alias("h1"), "b", "v",
+    )
+    bb = exploded.select(
+        F.col("media_id").alias("id2"), F.col("frame_idx").alias("t2"),
+        F.col("phash").alias("h2"), "b", "v",
+    )
+    frame_matches = (
+        a.join(bb, ["b", "v"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "t1", "t2", "h1", "h2")
+        .distinct()
+        .withColumn("hamming", hamming64("h1", "h2"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    hist = frame_matches.groupBy(
+        "id1", "id2", (F.col("t1") - F.col("t2")).alias("offset")
+    ).agg(F.countDistinct("t1").cast("long").alias("matching_frames"))
+    best = F.struct(
+        F.col("matching_frames").alias("m"), (-F.col("offset")).alias("no")
+    )
+    return (
+        hist.groupBy("id1", "id2")
+        .agg(F.max(best).alias("bst"))
+        .select(
+            "id1",
+            "id2",
+            (-F.col("bst.no")).cast("long").alias("offset"),
+            F.col("bst.m").alias("matching_frames"),
+        )
+        .filter(F.col("matching_frames") >= min_matching_frames)
+    )
