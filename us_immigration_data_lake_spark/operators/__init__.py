@@ -239,3 +239,10 @@ __all__ += [
     "audio_fingerprints",
     "audio_match_pairs",
 ]
+
+from us_immigration_data_lake_spark.operators.multimodal import (
+    video_frame_hashes,
+    video_match_pairs,
+)
+
+__all__ += ["video_frame_hashes", "video_match_pairs"]

@@ -8689,3 +8689,108 @@ def q166_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("shingles"),
     ).filter(F.size(tok) >= 3)
     return dedup_ops.prefix_jaccard_pairs(sh, "doc_id", 150)
+
+
+# ---------------------------------------------------------------------------
+# Q167 — SQL PIVOT / UNPIVOT clause round-trip (§2.7 surface): the
+# declarative SQL spelling of q07's DataFrame pivot — wide per-status
+# revenue columns via PIVOT, melted back with UNPIVOT, proving both
+# clauses against an oracle that spells the same thing as portable
+# CASE aggregation + VALUES-join melt. The round-trip keeps zero
+# cells distinguishable from absent combinations (INCLUDE NULLS off:
+# absent pairs drop, matching the CASE form's HAVING).
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q167_sql_pivot_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT o_orderpriority,
+             SUM(CASE WHEN o_orderstatus = 'F'
+                      THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END) AS f_c,
+             SUM(CASE WHEN o_orderstatus = 'O'
+                      THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END) AS o_c,
+             SUM(CASE WHEN o_orderstatus = 'P'
+                      THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END) AS p_c
+      FROM orders GROUP BY 1
+    )
+    SELECT w.o_orderpriority, v.o_orderstatus,
+           CAST(CASE v.o_orderstatus WHEN 'F' THEN w.f_c
+                                     WHEN 'O' THEN w.o_c
+                                     ELSE w.p_c END AS BIGINT) AS revenue_c
+    FROM wide w, (VALUES ('F'), ('O'), ('P')) AS v(o_orderstatus)
+    WHERE CASE v.o_orderstatus WHEN 'F' THEN w.f_c
+                               WHEN 'O' THEN w.o_c
+                               ELSE w.p_c END IS NOT NULL
+    """,
+    tags=("sql-surface", "pivot", "unpivot"),
+)
+def q167_sql_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q167_orders")
+    return spark.sql(
+        """
+        WITH wide AS (
+          SELECT * FROM (
+            SELECT o_orderpriority, o_orderstatus,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM q167_orders
+          )
+          PIVOT (SUM(cents) FOR o_orderstatus IN ('F' AS f_c, 'O' AS o_c,
+                                                  'P' AS p_c))
+        )
+        SELECT o_orderpriority, o_orderstatus, revenue_c FROM wide
+        UNPIVOT (revenue_c FOR o_orderstatus IN (f_c F, o_c O, p_c P))
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q168 — bag-semantics set operations (INTERSECT ALL / EXCEPT ALL,
+# §2.5): q11 covers the DISTINCT forms; the ALL forms keep
+# per-element multiplicity (min(count) for intersect, count
+# difference for except) — the semantics a dedup-accounting pipeline
+# needs when counting occurrences, not membership. Compared as
+# per-key multiplicities (group-by on top), so the gate checks the
+# exact bag, order-free.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q168_setops_bag",
+    oracle="""
+    SELECT 'both' AS tag, k, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'A'
+      INTERSECT ALL
+      SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    ) GROUP BY 2
+    UNION ALL
+    SELECT 'a_only', k, CAST(COUNT(*) AS BIGINT) FROM (
+      SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'A'
+      EXCEPT ALL
+      SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    ) GROUP BY 2
+    """,
+    tags=("sql-surface", "set-ops", "bag-semantics"),
+)
+def q168_setops_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select(
+        F.col("l_suppkey").alias("k")
+    )
+    r = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_suppkey").alias("k")
+    )
+    both = (
+        a.intersectAll(r)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.lit("both").alias("tag"), "k", "n")
+    )
+    a_only = (
+        a.exceptAll(r)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.lit("a_only").alias("tag"), "k", "n")
+    )
+    return both.unionByName(a_only)
