@@ -322,3 +322,41 @@ def test_hll_registers_match_python_reference(spark, values):
         rho = 55 - w.bit_length()
         regs[j] = max(regs.get(j, 0), rho)
     assert got == set(regs.items())
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(min_value=1, max_value=20),
+        st.sets(
+            st.sampled_from("abcdefghij"), min_size=1, max_size=8
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+    st.integers(min_value=100, max_value=900),
+)
+def test_prefix_jaccard_matches_brute_force(spark, sets, t_pm):
+    """prefix_jaccard_pairs == all-pairs threshold Jaccard on random
+    small-alphabet set families (heavy collisions, prefix boundaries
+    at every |s|), any permille threshold."""
+    from us_immigration_data_lake_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, sorted(s)) for i, s in sets.items()], ["doc_id", "shingles"]
+    )
+    got = {
+        (r.id1, r.id2): (r.inter, r.union_sz)
+        for r in prefix_jaccard_pairs(df, "doc_id", t_pm).collect()
+    }
+    want = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if inter * 1000 >= t_pm * union:
+                want[(a, b)] = (inter, union)
+    assert got == want
