@@ -1,0 +1,50 @@
+"""Registry-wide plan lint: run the physical-plan linter
+(plans/lint.py) over every registered batch query and summarize.
+
+Usage: python scripts/lint_registry.py [sf_dir]
+Exit 1 if any error-severity finding appears outside the documented
+exemptions (the input-restricted brute-force verification baselines).
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from us_immigration_data_lake_spark.plans.lint import lint_plan  # noqa: E402
+from us_immigration_data_lake_spark.plans.queries import QUERIES  # noqa: E402
+from us_immigration_data_lake_spark.session import get_spark  # noqa: E402
+
+# documented verification-grade baselines whose cross join is the
+# point (input-restricted by contract; see similarity.py docstrings)
+CARTESIAN_EXEMPT = {"q22_knn_cosine", "q19_ngram_jaccard", "q34_embedding_near_dups"}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("lint-registry")
+    spark.sparkContext.setLogLevel("ERROR")
+    bad = 0
+    for name, spec in QUERIES.items():
+        if "streaming" in spec.tags:
+            continue
+        findings = lint_plan(spec.fn(spark, sf_dir))
+        errors = [
+            f
+            for f in findings
+            if f.severity == "error"
+            and not (f.rule == "cartesian-product" and name in CARTESIAN_EXEMPT)
+        ]
+        warns = [f for f in findings if f.severity == "warn"]
+        if errors or warns:
+            print(f"{name}:")
+            for f in errors + warns:
+                print(f"  [{f.severity.upper()}] {f.rule}: {f.message}")
+            bad += len(errors)
+    print(f"\nlint sweep: {bad} unexempted error-severity finding(s)")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
