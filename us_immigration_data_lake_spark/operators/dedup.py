@@ -780,6 +780,13 @@ def prefix_jaccard_pairs(
     prefix = ranked.filter(F.col("__rn") <= F.col("__p")).select(
         "__id", "tok", "__sz"
     )
+    # size-ratio filter (safe: J >= t forces inter >= t·union >= t·max
+    # size, and inter <= min size, so 1000·min >= t·max) — kills
+    # length-incompatible candidates before the verify join pays for
+    # them; the standard companion to the prefix bound in All-Pairs
+    size_ok = F.least(F.col("sz1"), F.col("sz2")) * 1000 >= F.lit(
+        t
+    ) * F.greatest(F.col("sz1"), F.col("sz2"))
     cand = (
         prefix.select(
             F.col("__id").alias("id1"), "tok", F.col("__sz").alias("sz1")
@@ -790,7 +797,7 @@ def prefix_jaccard_pairs(
             ),
             "tok",
         )
-        .filter(F.col("id1") < F.col("id2"))
+        .filter((F.col("id1") < F.col("id2")) & size_ok)
         .select("id1", "id2", "sz1", "sz2")
         .distinct()
     )
