@@ -8794,3 +8794,115 @@ def q168_setops_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("a_only").alias("tag"), "k", "n")
     )
     return both.unionByName(a_only)
+
+
+# ---------------------------------------------------------------------------
+# Q169 — set-overlap estimate from HLL states alone (inclusion-
+# exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), with the union
+# estimated from the MERGED registers — no rescan, no pairwise data
+# join). The audience-overlap / corpus-overlap primitive: at 100 TB
+# each set's m-register state is all that ships. Exact overlap rides
+# along for calibration; the estimate may legitimately go negative
+# on small overlaps (documented property of inclusion-exclusion on
+# estimates), which the BIGINT output represents honestly.
+# ---------------------------------------------------------------------------
+
+def _q169_oracle_sql() -> str:
+    from us_immigration_data_lake_spark.operators.sketches import hll_bitlen_sql
+
+    two54 = 1 << 54
+    two55 = 1 << 55
+    bitlen = hll_bitlen_sql("w", 54)
+
+    def regs(pred: str) -> str:
+        return f"""
+      SELECT h // {two54} AS j, MAX(55 - ({bitlen})) AS max_rho
+      FROM (SELECT h, h % {two54} AS w FROM vals WHERE {pred})
+      GROUP BY 1
+        """
+
+    est = (
+        f"CAST((CAST(709000 AS HUGEINT) * 4096 * {two55})"
+        f" // (s_present + (64 - n) * CAST({two55} AS HUGEINT))"
+        f" // 1000000 AS BIGINT)"
+    )
+
+    def estimate(src: str) -> str:
+        return f"""
+      SELECT {est} AS e
+      FROM (SELECT COUNT(*) AS n, SUM({two55} >> max_rho) AS s_present
+            FROM {src})
+        """
+
+    return f"""
+    WITH vals AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IN ('view', 'purchase')
+    ),
+    ra AS ({regs("event_type = 'view'")}),
+    rb AS ({regs("event_type = 'purchase'")}),
+    ru AS (
+      SELECT j, MAX(max_rho) AS max_rho
+      FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY 1
+    ),
+    ea AS ({estimate('ra')}),
+    eb AS ({estimate('rb')}),
+    eu AS ({estimate('ru')}),
+    exact AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS exact_overlap FROM (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+        INTERSECT
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+      )
+    )
+    SELECT ea.e AS est_a, eb.e AS est_b, eu.e AS est_union,
+           CAST(ea.e + eb.e - eu.e AS BIGINT) AS est_overlap,
+           exact.exact_overlap
+    FROM ea, eb, eu, exact
+    """
+
+
+@_register(
+    "q169_hll_overlap",
+    oracle=_q169_oracle_sql(),
+    tags=("sketch", "hll", "overlap", "inclusion-exclusion", "portable"),
+)
+def q169_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    _tune(spark)
+    ev = load_events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view")
+    buys = ev.filter(F.col("event_type") == "purchase")
+    ra = hll_registers(views, [], "user_id")
+    rb = hll_registers(buys, [], "user_id")
+    ru = hll_merge(ra, rb, [])
+    ea = hll_estimate(ra, []).withColumnRenamed("est_distinct", "est_a")
+    eb = hll_estimate(rb, []).withColumnRenamed("est_distinct", "est_b")
+    eu = hll_estimate(ru, []).withColumnRenamed("est_distinct", "est_union")
+    exact = (
+        views.select("user_id")
+        .distinct()
+        .intersect(buys.select("user_id").distinct())
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_overlap"))
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union"))
+            .cast("long")
+            .alias("est_overlap"),
+            "exact_overlap",
+        )
+    )
