@@ -125,3 +125,37 @@ def test_interpolate_fill_keys_independent(spark):
     )
     out = interpolate_fill(df, "k", "slot", "v").collect()
     assert {(r.k, r.slot) for r in out} == {("a", 0), ("a", 1), ("a", 2), ("b", 10)}
+
+
+def test_sharded_fill_bounds_overshoot_per_shard(spark):
+    # the documented 100 TB layout: shard each stratum by a hash
+    # prefix and fill per (stratum, shard) — implemented as the SAME
+    # operator over a composite group column. Overshoot is bounded by
+    # one document per SHARD; the total never falls below the exact
+    # budget share minus sharding granularity.
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from us_immigration_data_lake_spark.operators.sampling import (
+        token_budget_fill,
+    )
+
+    rows = [("s", i, 10) for i in range(64)]  # 640 tokens, one stratum
+    df = spark.createDataFrame(rows, ["src", "id", "tokens"]).withColumn(
+        "shard",
+        F.concat(F.col("src"), F.lit("#"), (F.col("id") % 4).cast("string")),
+    )
+    kept = token_budget_fill(
+        df, "shard", "id", "tokens", {}, default_permille=500
+    )
+    out = kept.collect()
+    total = sum(r.tokens for r in out)
+    # each of 4 shards holds 160 tokens, budget 80; greedy overshoot
+    # <= 1 doc (10 tokens) per shard → total in [320, 360]
+    assert 320 <= total <= 360, total
+    per_shard = {}
+    for r in out:
+        per_shard.setdefault(r.shard, 0)
+        per_shard[r.shard] += r.tokens
+    assert all(80 <= v <= 90 for v in per_shard.values()), per_shard
