@@ -95,3 +95,34 @@ def test_null_weight_counts_as_zero(spark):
     }
     # NULL weight contributes 0, so totals are still never-under
     assert est["a"] >= 3 and est["b"] >= 2
+
+
+def test_inner_product_never_undercounts_and_is_tight_when_sparse(spark):
+    from us_immigration_data_lake_spark.operators.sketches import (
+        countmin_build,
+        countmin_inner_product,
+    )
+
+    a = spark.createDataFrame([(k,) for k in [1, 1, 2, 3]], ["k"])
+    b = spark.createDataFrame([(k,) for k in [1, 3, 3, 9]], ["k"])
+    # true inner product: 2*1 (k=1) + 0 (k=2) + 1*2 (k=3) + 0 (k=9) = 4
+    sk_a = countmin_build(a, "k", depth=4, width=2048)
+    sk_b = countmin_build(b, "k", depth=4, width=2048)
+    est = countmin_inner_product(sk_a, sk_b, depth=4).collect()[0]
+    assert est.est_join_size == 4  # wide sketch, 4 keys → no collisions
+
+
+def test_inner_product_zero_when_disjoint(spark):
+    from us_immigration_data_lake_spark.operators.sketches import (
+        countmin_build,
+        countmin_inner_product,
+    )
+
+    a = spark.createDataFrame([(k,) for k in range(0, 50)], ["k"])
+    b = spark.createDataFrame([(k,) for k in range(1000, 1050)], ["k"])
+    sk_a = countmin_build(a, "k", depth=4, width=8)  # tiny → collisions
+    sk_b = countmin_build(b, "k", depth=4, width=8)
+    est = countmin_inner_product(sk_a, sk_b, depth=4).collect()[0]
+    # disjoint keys but width-8 cells collide: estimate must be >= 0
+    # (true 0) and the MIN over rows keeps it from exploding
+    assert est.est_join_size >= 0

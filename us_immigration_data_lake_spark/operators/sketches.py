@@ -594,3 +594,41 @@ def histogram_quantile(
         f"((target - cum_before) * {width}) div n AS BIGINT)"
     )
     return ranked.select(*group_cols, est.alias(f"p{q_permille}_est"))
+
+
+def countmin_inner_product(
+    sk_a: DataFrame, sk_b: DataFrame, depth: int = 4
+) -> DataFrame:
+    """Equi-join SIZE estimate from two count-min sketches: the true
+    size |A ⋈_k B| = Σ_k cnt_A(k)·cnt_B(k) is estimated as
+    min over rows r of Σ_bucket cmA[r][b]·cmB[r][b] — the
+    count-min inner-product estimator (Cormode & Muthukrishnan 2005),
+    which NEVER undercounts (collisions only add mass) and
+    overcounts by at most ε·|A|·|B| per row pair. The planner's
+    question — "can I afford this join?" — answered from two
+    depth×width states without touching either table.
+
+    One (row, bucket) equi-join of two ≤depth·width-row states, one
+    aggregate. Exact integers throughout. Returns one row:
+    (est_join_size BIGINT).
+    """
+    a = sk_a.select("__row", "__bucket", F.col("__count").alias("__ca"))
+    b = sk_b.select("__row", "__bucket", F.col("__count").alias("__cb"))
+    per_row = (
+        a.join(b, ["__row", "__bucket"])
+        .groupBy("__row")
+        .agg(F.sum(F.col("__ca") * F.col("__cb")).cast("long").alias("__ip"))
+    )
+    # a row with NO overlapping cells contributes inner product 0 and
+    # must participate in the MIN — re-seed all depth rows explicitly
+    rows = per_row.sparkSession.range(depth).select(
+        F.col("id").cast("int").alias("__row")
+    )
+    return (
+        rows.join(per_row, "__row", "left")
+        .agg(
+            F.min(F.coalesce(F.col("__ip"), F.lit(0)))
+            .cast("long")
+            .alias("est_join_size")
+        )
+    )

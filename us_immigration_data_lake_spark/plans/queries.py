@@ -8906,3 +8906,76 @@ def q169_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_overlap",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q170 — join-size estimation from count-min states (the CM inner-
+# product estimator): |lineitem ⋈ orders on orderkey| predicted from
+# the two tables' depth×width sketches alone — the cardinality
+# question a cost-based planner asks before committing to a join
+# strategy, answered without touching either table. Never
+# undercounts (collisions only add mass); the oracle rebuilds both
+# sketches and replays the min-over-rows inner product, and the
+# exact join size rides along with the bound check.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q170_cm_join_size",
+    oracle="""
+    WITH rows4 AS (SELECT * FROM (VALUES (0),(1),(2),(3)) AS t(r)),
+    ca AS (
+      SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT r,
+               ('0x' || substr(md5(r::VARCHAR || '|' || l_orderkey::VARCHAR),
+                               1, 15))::BIGINT % 2048 AS bucket
+        FROM lineitem CROSS JOIN rows4 WHERE l_orderkey IS NOT NULL
+      ) GROUP BY 1, 2
+    ),
+    cb AS (
+      SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT r,
+               ('0x' || substr(md5(r::VARCHAR || '|' || o_orderkey::VARCHAR),
+                               1, 15))::BIGINT % 2048 AS bucket
+        FROM orders CROSS JOIN rows4 WHERE o_orderkey IS NOT NULL
+      ) GROUP BY 1, 2
+    ),
+    ip AS (
+      SELECT r.r, CAST(COALESCE(SUM(ca.c * cb.c), 0) AS BIGINT) AS v
+      FROM rows4 r
+      LEFT JOIN ca ON ca.r = r.r
+      LEFT JOIN cb ON cb.r = ca.r AND cb.bucket = ca.bucket
+      GROUP BY 1
+    ),
+    exact AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS exact_join_size
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT CAST(MIN(ip.v) AS BIGINT) AS est_join_size,
+           exact.exact_join_size,
+           MIN(ip.v) >= exact.exact_join_size AS never_under
+    FROM ip, exact GROUP BY exact.exact_join_size
+    """,
+    tags=("sketch", "count-min", "join-size", "cardinality", "portable"),
+)
+def q170_cm_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.sketches import (
+        countmin_build,
+        countmin_inner_product,
+    )
+
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    sk_a = countmin_build(li, "l_orderkey", depth=4, width=2048)
+    sk_b = countmin_build(orders, "o_orderkey", depth=4, width=2048)
+    est = countmin_inner_product(sk_a, sk_b, depth=4)
+    exact = li.join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).agg(F.count(F.lit(1)).cast("long").alias("exact_join_size"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est_join_size",
+        "exact_join_size",
+        (F.col("est_join_size") >= F.col("exact_join_size")).alias(
+            "never_under"
+        ),
+    )
