@@ -234,9 +234,35 @@ def test_video_non_avi_raises(spark):
         [(1, bytearray(b"not-a-riff-container"))],
         "media_id long, content binary",
     )
-    import pytest
-    from py4j.protocol import Py4JJavaError
-
     with pytest.raises(Exception) as exc:
         video_frame_hashes(df).collect()
     assert "MJPEG-AVI" in str(exc.value)
+
+
+def test_band_partition_lossless_at_hamming_8(spark):
+    # regression (round-4 review): bands=9 with uniform ceil-width 8
+    # put band 8 at shiftright(h, 64), which the JVM masks to shift 0,
+    # aliasing it to band 0 — a hamming-8 pair whose every real band
+    # differs was silently missed. Mixed-width bands keep every shift
+    # inside the word; this exact pair must now surface.
+    from pyspark.sql import Row
+
+    from us_immigration_data_lake_spark.operators.multimodal import (
+        phash_near_dups,
+        video_match_pairs,
+    )
+
+    h1, h2 = 0, 0x0101010101010101  # hamming exactly 8, one bit per byte
+    hashed = spark.createDataFrame(
+        [Row(media_id=1, phash=h1), Row(media_id=2, phash=h2)]
+    )
+    got = phash_near_dups(hashed, max_hamming=8).collect()
+    assert [(r.id1, r.id2, r.hamming) for r in got] == [(1, 2, 8)]
+    frames = spark.createDataFrame(
+        [
+            Row(media_id=1, frame_idx=0, phash=h1),
+            Row(media_id=2, frame_idx=0, phash=h2),
+        ]
+    )
+    vid = video_match_pairs(frames, max_hamming=8, min_matching_frames=1)
+    assert [(r.id1, r.id2) for r in vid.collect()] == [(1, 2)]

@@ -345,6 +345,40 @@ def perceptual_hash_media(media: DataFrame) -> DataFrame:
     )
 
 
+def _hash_band_structs(col_name: str, bands: int):
+    """Split a 64-bit hash column into ``bands`` DISJOINT bit ranges as
+    (band index, band value) structs — the pigeonhole candidate key.
+
+    Widths are mixed (64 = bands·base + rem → the first ``rem`` bands
+    get base+1 bits) so every band stays inside the word. A uniform
+    ceil-width would put the last band's shift AT or beyond 64, and
+    the JVM masks shift counts to 6 bits — shiftright(h, 64) IS
+    shiftright(h, 0) — silently aliasing that band to band 0 and
+    breaking the losslessness guarantee for bands >= 9 (caught by the
+    round-4 review, regression-tested in tests/test_phash.py).
+    Bands may be empty-width only if bands > 64, which is rejected.
+    """
+    if not 1 <= bands <= 64:
+        raise ValueError(f"bands must be in [1, 64], got {bands}")
+    base, rem = divmod(64, bands)
+    structs = []
+    shift = 0
+    for i in range(bands):
+        width = base + (1 if i < rem else 0)
+        mask = (1 << width) - 1
+        structs.append(
+            F.struct(
+                F.lit(i).alias("b"),
+                F.expr(
+                    f"shiftright({col_name}, {shift}) & {mask}"
+                ).alias("v"),
+            )
+        )
+        shift += width
+    assert shift == 64
+    return F.array(*structs)
+
+
 def phash_near_dups(
     hashed: DataFrame, max_hamming: int = 3, bands: int | None = None
 ) -> DataFrame:
@@ -368,17 +402,7 @@ def phash_near_dups(
             f"bands={bands} cannot guarantee distance {max_hamming}: "
             "need bands >= max_hamming + 1 (pigeonhole)"
         )
-    width = (64 + bands - 1) // bands
-    mask = (1 << width) - 1
-    band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("b"),
-                F.expr(f"shiftright(phash, {i * width}) & {mask}").alias("v"),
-            )
-            for i in range(bands)
-        ]
-    )
+    band_arr = _hash_band_structs("phash", bands)
     exploded = hashed.select(
         F.col("media_id"), F.col("phash"), F.explode(band_arr).alias("bd")
     ).select(
@@ -583,17 +607,7 @@ def video_match_pairs(
     from us_immigration_data_lake_spark.operators.dedup import hamming64
 
     bands = max_hamming + 1
-    width = (64 + bands - 1) // bands
-    mask = (1 << width) - 1
-    band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("b"),
-                F.expr(f"shiftright(phash, {i * width}) & {mask}").alias("v"),
-            )
-            for i in range(bands)
-        ]
-    )
+    band_arr = _hash_band_structs("phash", bands)
     exploded = frame_hashes.select(
         "media_id", "frame_idx", "phash", F.explode(band_arr).alias("bd")
     ).select(

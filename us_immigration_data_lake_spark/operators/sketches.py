@@ -597,7 +597,7 @@ def histogram_quantile(
 
 
 def countmin_inner_product(
-    sk_a: DataFrame, sk_b: DataFrame, depth: int = 4
+    sk_a: DataFrame, sk_b: DataFrame, depth: int | None = None
 ) -> DataFrame:
     """Equi-join SIZE estimate from two count-min sketches: the true
     size |A ⋈_k B| = Σ_k cnt_A(k)·cnt_B(k) is estimated as
@@ -612,6 +612,27 @@ def countmin_inner_product(
     aggregate. Exact integers throughout. Returns one row:
     (est_join_size BIGINT).
     """
+    # depth is DERIVED from the states (max row id + 1), never trusted
+    # from the caller: passing depth > the build depth would seed
+    # phantom zero rows into the MIN and silently undercount — the
+    # exact guarantee violation this function exists to rule out. The
+    # two model-sized aggregates below also catch a row-count mismatch
+    # (sketches built with different depths cannot be compared).
+    d_a = sk_a.agg(F.max("__row")).collect()[0][0]
+    d_b = sk_b.agg(F.max("__row")).collect()[0][0]
+    if d_a is None or d_b is None:
+        raise ValueError("countmin_inner_product: empty sketch state")
+    if d_a != d_b:
+        raise ValueError(
+            f"sketch depth mismatch: {d_a + 1} vs {d_b + 1} rows — "
+            "inner products need identically-parameterized builds"
+        )
+    if depth is None:
+        depth = int(d_a) + 1
+    elif depth != d_a + 1:
+        raise ValueError(
+            f"depth={depth} does not match the sketches' {d_a + 1} rows"
+        )
     a = sk_a.select("__row", "__bucket", F.col("__count").alias("__ca"))
     b = sk_b.select("__row", "__bucket", F.col("__count").alias("__cb"))
     per_row = (

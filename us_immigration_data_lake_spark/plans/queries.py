@@ -8886,10 +8886,10 @@ def q169_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ea = hll_estimate(ra, []).withColumnRenamed("est_distinct", "est_a")
     eb = hll_estimate(rb, []).withColumnRenamed("est_distinct", "est_b")
     eu = hll_estimate(ru, []).withColumnRenamed("est_distinct", "est_union")
+    # INTERSECT has set semantics (dedups both inputs itself)
     exact = (
         views.select("user_id")
-        .distinct()
-        .intersect(buys.select("user_id").distinct())
+        .intersect(buys.select("user_id"))
         .agg(F.count(F.lit(1)).cast("long").alias("exact_overlap"))
     )
     return (
