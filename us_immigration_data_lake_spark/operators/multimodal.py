@@ -501,6 +501,30 @@ def audio_fingerprints(
     )
 
 
+def _best_offset_scores(
+    hist: "DataFrame", count_col: str, min_count: int
+) -> "DataFrame":
+    """Shared offset-consistency argmax for the fingerprint matchers:
+    from a (id1, id2, offset, <count>) histogram, the single offset
+    with the most agreeing matches per pair (ties → smallest offset,
+    via the max-struct trick), filtered to >= min_count. One
+    partial-agged groupBy — no window sort."""
+    best = F.struct(
+        F.col(count_col).alias("m"), (-F.col("offset")).alias("no")
+    )
+    return (
+        hist.groupBy("id1", "id2")
+        .agg(F.max(best).alias("bst"))
+        .select(
+            "id1",
+            "id2",
+            (-F.col("bst.no")).cast("long").alias("offset"),
+            F.col("bst.m").alias(count_col),
+        )
+        .filter(F.col(count_col) >= min_count)
+    )
+
+
 def audio_match_pairs(fps: DataFrame, min_matches: int = 5) -> DataFrame:
     """Audio near-duplicate pairs from fingerprints: equi-join on the
     hash (never all-pairs — a pair only materializes through a shared
@@ -530,20 +554,7 @@ def audio_match_pairs(fps: DataFrame, min_matches: int = 5) -> DataFrame:
         .groupBy("id1", "id2", (F.col("t1") - F.col("t2")).alias("offset"))
         .agg(F.count(F.lit(1)).cast("long").alias("matches"))
     )
-    best = F.struct(
-        F.col("matches").alias("m"), (-F.col("offset")).alias("no")
-    )
-    return (
-        hist.groupBy("id1", "id2")
-        .agg(F.max(best).alias("b"))
-        .select(
-            "id1",
-            "id2",
-            (-F.col("b.no")).cast("long").alias("offset"),
-            F.col("b.m").alias("matches"),
-        )
-        .filter(F.col("matches") >= min_matches)
-    )
+    return _best_offset_scores(hist, "matches", min_matches)
 
 
 FRAME_HASH_SCHEMA = StructType([
@@ -633,17 +644,4 @@ def video_match_pairs(
     hist = frame_matches.groupBy(
         "id1", "id2", (F.col("t1") - F.col("t2")).alias("offset")
     ).agg(F.countDistinct("t1").cast("long").alias("matching_frames"))
-    best = F.struct(
-        F.col("matching_frames").alias("m"), (-F.col("offset")).alias("no")
-    )
-    return (
-        hist.groupBy("id1", "id2")
-        .agg(F.max(best).alias("bst"))
-        .select(
-            "id1",
-            "id2",
-            (-F.col("bst.no")).cast("long").alias("offset"),
-            F.col("bst.m").alias("matching_frames"),
-        )
-        .filter(F.col("matching_frames") >= min_matching_frames)
-    )
+    return _best_offset_scores(hist, "matching_frames", min_matching_frames)
