@@ -98,3 +98,55 @@ def test_replay_leaves_state_identical(spark, tmp_path):
         for r in read_latest_state(spark, state).collect()
     }
     assert after == before
+
+
+def test_histogram_fold_bit_exact_and_replay_safe(spark, tmp_path):
+    from us_immigration_data_lake_spark.operators.sketches import (
+        histogram_build,
+    )
+    from us_immigration_data_lake_spark.streaming.sinks import (
+        histogram_stream,
+    )
+
+    src, state, ckpt = (
+        str(tmp_path / "hsrc"), str(tmp_path / "hstate"), str(tmp_path / "hckpt")
+    )
+    batches = [
+        [("g", v) for v in range(0, 300)],
+        [("g", v) for v in range(150, 600)],
+        [("g", v) for v in range(500, 900)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, ["g", "v"]).coalesce(1).write.parquet(
+            f"{src}/f{i}", mode="overwrite"
+        )
+
+    def run(name):
+        stream = (
+            spark.readStream.schema("g string, v bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/f*")
+        )
+        histogram_stream(
+            stream, ["g"], "v", state, ckpt, lo=0, width=100, nbins=16,
+            name=name,
+        )
+
+    run("hist_first")
+    all_rows = spark.read.schema("g string, v bigint").parquet(f"{src}/f*")
+    direct = {
+        (r["g"], r["bin"]): r["n"]
+        for r in histogram_build(all_rows, ["g"], "v", 0, 100, 16).collect()
+    }
+    folded = {
+        (r["g"], r["bin"]): r["n"]
+        for r in read_latest_state(spark, state).collect()
+    }
+    assert folded == direct
+    shutil.rmtree(ckpt)
+    run("hist_replay")
+    again = {
+        (r["g"], r["bin"]): r["n"]
+        for r in read_latest_state(spark, state).collect()
+    }
+    assert again == direct

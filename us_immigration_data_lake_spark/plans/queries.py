@@ -8979,3 +8979,83 @@ def q170_cm_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             "never_under"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q171 — STREAMING quantiles via the histogram fold (streaming/
+# sinks.py:histogram_stream): per event_type, the p50/p95 of cents
+# read from state folded across micro-batches — bit-identical to a
+# single-pass histogram because bin addition is exact, which is
+# precisely what the oracle replays directly over all events.
+# Completes the streaming-sketch family: distinct (q161, max-fold),
+# frequency (q162, sum-fold), quantiles (this, sum-fold over bins).
+# ---------------------------------------------------------------------------
+
+_Q171_LO, _Q171_W, _Q171_NBINS = 0, 1000, 64
+
+
+@_register(
+    "q171_stream_quantiles",
+    oracle=f"""
+    WITH cents AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+    ),
+    sk AS (
+      SELECT event_type,
+             LEAST(GREATEST(c // {_Q171_W}, 0), {_Q171_NBINS - 1}) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM cents GROUP BY 1, 2
+    ),
+    wind AS (
+      SELECT event_type, bin, n,
+             COALESCE(SUM(n) OVER (PARTITION BY event_type ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before,
+             SUM(n) OVER (PARTITION BY event_type) AS total
+      FROM sk
+    )
+    SELECT w.event_type,
+           CAST(MIN(CASE WHEN w.cum_before < ((w.total * 500 + 999) // 1000)
+                     AND w.cum_before + w.n >= ((w.total * 500 + 999) // 1000)
+                    THEN {_Q171_LO} + w.bin * {_Q171_W}
+                         + ((((w.total * 500 + 999) // 1000) - w.cum_before)
+                            * {_Q171_W}) // w.n END) AS BIGINT) AS p500_est,
+           CAST(MIN(CASE WHEN w.cum_before < ((w.total * 950 + 999) // 1000)
+                     AND w.cum_before + w.n >= ((w.total * 950 + 999) // 1000)
+                    THEN {_Q171_LO} + w.bin * {_Q171_W}
+                         + ((((w.total * 950 + 999) // 1000) - w.cum_before)
+                            * {_Q171_W}) // w.n END) AS BIGINT) AS p950_est
+    FROM wind w GROUP BY 1
+    """,
+    tags=("streaming", "sketch", "histogram", "quantile", "exactly-once"),
+)
+def q171_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from us_immigration_data_lake_spark.operators.sketches import (
+        histogram_quantile,
+    )
+    from us_immigration_data_lake_spark.sources.events import read_event_stream
+    from us_immigration_data_lake_spark.streaming.sinks import (
+        histogram_stream,
+        read_latest_state,
+    )
+
+    _tune(spark)
+    stream = (
+        read_event_stream(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select("event_type", _cents(F.col("value")).alias("cents"))
+    )
+    root = tempfile.mkdtemp(prefix="q171_hist_")
+    state_dir = f"{root}/state"
+    histogram_stream(
+        stream, ["event_type"], "cents", state_dir, f"{root}/ckpt",
+        _Q171_LO, _Q171_W, _Q171_NBINS, name=_sink_name("q171_hist"),
+    )
+    state = read_latest_state(spark, state_dir)
+    g = ["event_type"]
+    p50 = histogram_quantile(state, g, 500, _Q171_LO, _Q171_W)
+    p95 = histogram_quantile(state, g, 950, _Q171_LO, _Q171_W)
+    return p50.join(p95, g).select("event_type", "p500_est", "p950_est")

@@ -269,3 +269,49 @@ def vacuum_state(spark, state_dir: str, keep_last: int = 2) -> list[int]:
         path = jvm.org.apache.hadoop.fs.Path(f"{state_dir}/v={v}")
         path.getFileSystem(hconf).delete(path, True)
     return doomed
+
+
+def histogram_stream(
+    stream_df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    lo: int,
+    width: int,
+    nbins: int,
+    name: str = "histogram",
+) -> None:
+    """Streaming quantile state: each micro-batch's histogram bins
+    (operators/sketches.py:histogram_build) SUM-merge into the
+    versioned state store — completing the streaming-sketch family
+    (q161 HLL max-fold, q162 count-min sum-fold; this is the
+    quantile member). Bin counts are exact integers, so the folded
+    state is bit-identical to a single-pass build and any quantile
+    read from it (histogram_quantile) inherits the ±1-bin bound.
+    Same exactly-once versioning discipline as the other folds.
+
+    Scale: state is ≤ nbins rows per group forever — streaming
+    percentiles without keeping values.
+    """
+    from us_immigration_data_lake_spark.operators.sketches import (
+        histogram_build,
+        histogram_merge,
+    )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = histogram_build(
+            batch_df, group_cols, value_col, lo, width, nbins
+        )
+        prev_versions = [
+            v for v in _list_versions(spark, state_dir) if v < batch_id
+        ]
+        if prev_versions:
+            prev = spark.read.parquet(f"{state_dir}/v={max(prev_versions)}")
+            merged = histogram_merge(prev, delta, group_cols)
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(f"{state_dir}/v={batch_id}")
+
+    run_foreach_batch(stream_df, _fold, checkpoint_dir, name)
