@@ -61,3 +61,21 @@ def test_nulls_excluded(spark):
     df = spark.createDataFrame([("g", 1), ("g", None)], ["g", "v"])
     sk = histogram_build(df, ["g"], "v", 0, 10, 4)
     assert sum(r["n"] for r in sk.collect()) == 1
+
+
+def test_weighted_build_mass_and_negative_guard(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [("g", 5, 3), ("g", 5, 2), ("g", 25, 1)], ["g", "v", "wt"]
+    )
+    sk = histogram_build(df, ["g"], "v", 0, 10, 4, weight_col="wt")
+    bins = {r["bin"]: r["n"] for r in sk.collect()}
+    assert bins == {0: 5, 2: 1}
+    # weighted median from the sketch: total 6, target 3 → bin 0
+    est = histogram_quantile(sk, ["g"], 500, 0, 10).collect()[0]
+    assert 0 <= est.p500_est <= 10
+    bad = spark.createDataFrame([("g", 5, -1)], ["g", "v", "wt"])
+    with pytest.raises(Exception) as exc:
+        histogram_build(bad, ["g"], "v", 0, 10, 4, weight_col="wt").collect()
+    assert "negative weight" in str(exc.value)

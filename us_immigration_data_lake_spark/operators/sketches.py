@@ -518,6 +518,7 @@ def histogram_build(
     lo: int,
     width: int,
     nbins: int,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Histogram state: per group, (bin, count) over the integer
     domain [lo, lo + width·nbins); values outside clip into the edge
@@ -525,18 +526,40 @@ def histogram_build(
     domain edge, they do not vanish). One groupBy on (group, bin):
     partial-aggregated map-side, ≤ nbins rows per group cross the
     shuffle. Merge = unionByName + sum(n) (see histogram_merge).
-    NULLs are excluded (no rank meaning)."""
+    NULLs are excluded (no rank meaning).
+
+    ``weight_col`` (integral units, NULL → 0) makes the bin mass a
+    weighted count, so histogram_quantile reads WEIGHTED quantiles
+    from the same state — q101's exact weighted median is the
+    calibration oracle. Weights must be non-negative (negative mass
+    has no quantile meaning); the plan embeds a raise_error guard,
+    same policy as countmin_build."""
     v = F.col(value_col).cast("long")
     # exact integer floor division (pmod identity) — F.floor(x / w)
     # promotes to double and mis-bins integral inputs >= 2^53
     d = f"(CAST(`{value_col}` AS BIGINT) - ({int(lo)}))"
     raw = F.expr(f"({d} - pmod({d}, {int(width)})) div {int(width)}")
     bin_id = F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1)).cast("long")
+    if weight_col is None:
+        mass = F.lit(1).cast("long")
+    else:
+        mass = F.coalesce(
+            F.when(
+                F.col(weight_col).cast("long") < 0,
+                F.raise_error(
+                    F.concat(
+                        F.lit("histogram_build: negative weight "),
+                        F.col(weight_col).cast("string"),
+                    )
+                ).cast("long"),
+            ).otherwise(F.col(weight_col).cast("long")),
+            F.lit(0).cast("long"),
+        )
     return (
         df.filter(v.isNotNull())
-        .select(*group_cols, bin_id.alias("bin"))
+        .select(*group_cols, bin_id.alias("bin"), mass.alias("__m"))
         .groupBy(*group_cols, "bin")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .agg(F.sum("__m").cast("long").alias("n"))
     )
 
 

@@ -9059,3 +9059,112 @@ def q171_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     p50 = histogram_quantile(state, g, 500, _Q171_LO, _Q171_W)
     p95 = histogram_quantile(state, g, 950, _Q171_LO, _Q171_W)
     return p50.join(p95, g).select("event_type", "p500_est", "p950_est")
+
+
+# ---------------------------------------------------------------------------
+# Q172 — WEIGHTED histogram quantiles: the sketch's bin mass is the
+# quantity-weighted count, so the same state answers q101's
+# weighted-median question approximately (±1 bin) and mergeably —
+# the exact q101 median rides along with an |Δ| ≤ width bound flag,
+# closing the loop between the exact order-statistic and its sketch.
+# The oracle replays weighted bins, estimator, AND the exact
+# weighted median.
+# ---------------------------------------------------------------------------
+
+_Q172_LO, _Q172_W, _Q172_NBINS = 0, 50_000, 256
+
+
+@_register(
+    "q172_weighted_hist_quantile",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+             CAST(l_quantity AS BIGINT) AS wt
+      FROM lineitem
+    ),
+    sk AS (
+      SELECT l_returnflag,
+             LEAST(GREATEST(v // {_Q172_W}, 0), {_Q172_NBINS - 1}) AS bin,
+             CAST(SUM(wt) AS BIGINT) AS n
+      FROM s GROUP BY 1, 2
+    ),
+    wind AS (
+      SELECT l_returnflag, bin, n,
+             COALESCE(SUM(n) OVER (PARTITION BY l_returnflag ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before,
+             SUM(n) OVER (PARTITION BY l_returnflag) AS total
+      FROM sk
+    ),
+    est AS (
+      SELECT w.l_returnflag,
+             CAST(MIN(CASE
+               WHEN w.cum_before < ((w.total * 500 + 999) // 1000)
+                AND w.cum_before + w.n >= ((w.total * 500 + 999) // 1000)
+               THEN {_Q172_LO} + w.bin * {_Q172_W}
+                    + ((((w.total * 500 + 999) // 1000) - w.cum_before)
+                       * {_Q172_W}) // w.n END) AS BIGINT) AS p500_w_est
+      FROM wind w GROUP BY 1
+    ),
+    ranked AS (
+      SELECT l_returnflag, v,
+             SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY v, wt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             SUM(wt) OVER (PARTITION BY l_returnflag) AS tw
+      FROM s
+    ),
+    exact AS (
+      SELECT l_returnflag, CAST(MIN(v) AS BIGINT) AS exact_w_median
+      FROM ranked WHERE cw * 2 >= tw GROUP BY 1
+    )
+    SELECT est.l_returnflag, est.p500_w_est, exact.exact_w_median,
+           abs(est.p500_w_est - exact.exact_w_median) <= {_Q172_W}
+             AS within_one_bin
+    FROM est JOIN exact USING (l_returnflag)
+    """,
+    tags=("sketch", "histogram", "weighted-quantile", "portable"),
+)
+def q172_weighted_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from us_immigration_data_lake_spark.operators.sketches import (
+        histogram_build,
+        histogram_quantile,
+    )
+
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        _cents(F.col("l_extendedprice")).alias("cents"),
+        F.col("l_quantity").cast("long").alias("wt"),
+    )
+    g = ["l_returnflag"]
+    sk = histogram_build(
+        li, g, "cents", _Q172_LO, _Q172_W, _Q172_NBINS, weight_col="wt"
+    )
+    est = histogram_quantile(sk, g, 500, _Q172_LO, _Q172_W).withColumnRenamed(
+        "p500_est", "p500_w_est"
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cents", "wt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    exact = (
+        li.withColumn("cw", F.sum("wt").over(w_cum))
+        .withColumn("tw", F.sum("wt").over(w_tot))
+        .filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy(g)
+        .agg(F.min("cents").cast("long").alias("exact_w_median"))
+    )
+    return est.join(exact, g).select(
+        "l_returnflag",
+        "p500_w_est",
+        "exact_w_median",
+        (
+            F.abs(F.col("p500_w_est") - F.col("exact_w_median"))
+            <= F.lit(_Q172_W)
+        ).alias("within_one_bin"),
+    )
