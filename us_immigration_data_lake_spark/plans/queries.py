@@ -9168,3 +9168,112 @@ def q172_weighted_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(_Q172_W)
         ).alias("within_one_bin"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q173 — rolling-window distinct via HLL register merge: the SCALE
+# path for q99's exact rolling distinct. Daily m-register states are
+# built ONCE from one scan; each day's trailing-3-day estimate comes
+# from max-merging three day-states (bounded ×3 fan-out of ≤m-row
+# states, never of raw data). At 100 TB the q99 rewrite fans out the
+# RAW (day, user) pairs ×window; this fans out 64-row sketches —
+# the window length stops mattering. Exact rolling distinct rides
+# along; the oracle replays registers, merge, and estimator per day.
+# ---------------------------------------------------------------------------
+
+def _q173_oracle_sql() -> str:
+    from us_immigration_data_lake_spark.operators.sketches import hll_bitlen_sql
+
+    two54 = 1 << 54
+    two55 = 1 << 55
+    bitlen = hll_bitlen_sql("w", 54)
+    return f"""
+    WITH vals AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    day_regs AS (
+      SELECT d, j, MAX(55 - ({bitlen})) AS max_rho
+      FROM (SELECT d, h // {two54} AS j, h % {two54} AS w FROM vals)
+      GROUP BY 1, 2
+    ),
+    days AS (SELECT DISTINCT d FROM vals),
+    win_regs AS (
+      SELECT days.d AS d, r.j, MAX(r.max_rho) AS max_rho
+      FROM days JOIN day_regs r
+        ON r.d BETWEEN days.d - INTERVAL 2 DAY AND days.d
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT d,
+             CAST((CAST(709000 AS HUGEINT) * 4096 * {two55})
+                  // (s_present + (64 - n) * CAST({two55} AS HUGEINT))
+                  // 1000000 AS BIGINT) AS est_rolling
+      FROM (SELECT d, COUNT(*) AS n, SUM({two55} >> max_rho) AS s_present
+            FROM win_regs GROUP BY 1)
+    ),
+    exact AS (
+      SELECT days.d AS d,
+             CAST(COUNT(DISTINCT v.h) AS BIGINT) AS exact_rolling
+      FROM days JOIN vals v
+        ON v.d BETWEEN days.d - INTERVAL 2 DAY AND days.d
+      GROUP BY 1
+    )
+    SELECT strftime(est.d, '%Y-%m-%d') AS day, est.est_rolling,
+           exact.exact_rolling
+    FROM est JOIN exact USING (d)
+    """
+
+
+@_register(
+    "q173_rolling_hll_distinct",
+    oracle=_q173_oracle_sql(),
+    tags=("sketch", "hll", "rolling-window", "mergeable", "scale"),
+)
+def q173_rolling_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    _tune(spark)
+    ev = load_events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    daily = ev.select(F.col("ts").cast("date").alias("d"), "user_id")
+    day_regs = hll_registers(daily, ["d"], "user_id")
+    days = daily.select("d").distinct()
+    # trailing 3-day window: each day joins the ≤3 day-states whose
+    # date falls in [d-2, d] — a bounded fan-out of m-row sketches
+    win_regs = (
+        days.alias("w")
+        .join(
+            day_regs.alias("r"),
+            F.col("r.d").between(
+                F.date_sub(F.col("w.d"), 2), F.col("w.d")
+            ),
+        )
+        .groupBy(F.col("w.d").alias("d"), F.col("r.__j").alias("__j"))
+        .agg(F.max("r.max_rho").cast("int").alias("max_rho"))
+    )
+    est = hll_estimate(win_regs, ["d"]).withColumnRenamed(
+        "est_distinct", "est_rolling"
+    )
+    exact = (
+        days.alias("w")
+        .join(
+            daily.alias("e"),
+            F.col("e.d").between(
+                F.date_sub(F.col("w.d"), 2), F.col("w.d")
+            ),
+        )
+        .groupBy(F.col("w.d").alias("d"))
+        .agg(F.countDistinct("e.user_id").cast("long").alias("exact_rolling"))
+    )
+    return (
+        est.join(exact, "d")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "est_rolling",
+            "exact_rolling",
+        )
+    )
