@@ -360,3 +360,28 @@ def test_prefix_jaccard_matches_brute_force(spark, sets, t_pm):
             if inter * 1000 >= t_pm * union:
                 want[(a, b)] = (inter, union)
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-50, max_value=1050), min_size=1, max_size=300),
+    st.integers(min_value=1, max_value=999),
+)
+def test_histogram_quantile_bound_vs_python(spark, values, q_pm):
+    """histogram quantile is within one bin width of the exact
+    ceil-rank quantile, for arbitrary values (clipping included) and
+    any permille — the sketch's documented error contract."""
+    from us_immigration_data_lake_spark.operators.sketches import (
+        histogram_build,
+        histogram_quantile,
+    )
+
+    LO, W, NB = 0, 100, 10  # domain [0, 1000); inputs deliberately spill
+    df = spark.createDataFrame([("g", v) for v in values], ["g", "v"])
+    sk = histogram_build(df, ["g"], "v", LO, W, NB)
+    est = histogram_quantile(sk, ["g"], q_pm, LO, W).collect()[0][1]
+    clipped = sorted(min(max(v, LO), LO + W * NB - 1) for v in values)
+    import math
+
+    exact = clipped[math.ceil(len(clipped) * q_pm / 1000) - 1]
+    assert abs(est - exact) <= W, (est, exact, q_pm)
