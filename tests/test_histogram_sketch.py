@@ -79,3 +79,38 @@ def test_weighted_build_mass_and_negative_guard(spark):
     with pytest.raises(Exception) as exc:
         histogram_build(bad, ["g"], "v", 0, 10, 4, weight_col="wt").collect()
     assert "negative weight" in str(exc.value)
+
+
+def test_rank_is_inverse_of_quantile(spark):
+    from us_immigration_data_lake_spark.operators.sketches import (
+        histogram_rank,
+    )
+
+    vals = list(range(1000))
+    df = spark.createDataFrame([("g", v) for v in vals], ["g", "v"])
+    sk = histogram_build(df, ["g"], "v", 0, 100, 10)
+    probes = spark.createDataFrame(
+        [("g", v) for v in (0, 250, 500, 999)], ["g", "v"]
+    )
+    got = {
+        r.v: r.rank_permille
+        for r in histogram_rank(sk, probes, ["g"], "v", 0, 100, 10).collect()
+    }
+    # uniform data: rank ≈ value permille, exact at bin edges
+    assert got[0] == 0
+    assert abs(got[250] - 250) <= 100
+    assert abs(got[500] - 500) <= 100
+    assert got[999] == 999
+
+
+def test_rank_null_on_empty_group(spark):
+    from us_immigration_data_lake_spark.operators.sketches import (
+        histogram_rank,
+    )
+
+    sk = histogram_build(
+        spark.createDataFrame([], "g string, v long"), ["g"], "v", 0, 10, 4
+    )
+    probes = spark.createDataFrame([("g", 5)], ["g", "v"])
+    out = histogram_rank(sk, probes, ["g"], "v", 0, 10, 4).collect()
+    assert out[0].rank_permille is None

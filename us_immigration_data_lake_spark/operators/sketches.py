@@ -676,3 +676,60 @@ def countmin_inner_product(
             .alias("est_join_size")
         )
     )
+
+
+def histogram_rank(
+    sk: DataFrame,
+    probes: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: int,
+    width: int,
+    nbins: int,
+) -> DataFrame:
+    """Percentile-rank scoring from a histogram state — the INVERSE
+    of histogram_quantile (value → estimated permille rank), the
+    normalization/calibration primitive: score a value against a
+    distribution using only the sketch. rank ≈ (mass strictly below
+    the value's bin + uniform partial mass within it) / total, exact
+    integer permille with floor division. Probe values clip into the
+    domain exactly as the build does, so ranks stay in [0, 1000].
+
+    Plan: broadcast the (≤ nbins per group) CDF rows onto the probes
+    — probes never shuffle; one map-side lookup per row.
+    """
+    from pyspark.sql import Window as _W
+
+    cum = (
+        _W.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(_W.unboundedPreceding, -1)
+    )
+    tot = _W.partitionBy(*group_cols)
+    cdf = sk.withColumn(
+        "cum_before", F.coalesce(F.sum("n").over(cum), F.lit(0))
+    ).withColumn("total", F.sum("n").over(tot))
+    d = f"(CAST(`{value_col}` AS BIGINT) - ({int(lo)}))"
+    raw = F.expr(f"({d} - pmod({d}, {int(width)})) div {int(width)}")
+    probe_bin = F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1)).cast(
+        "long"
+    )
+    joined = probes.withColumn("bin", probe_bin).join(
+        F.broadcast(cdf), [*group_cols, "bin"], "left"
+    )
+    # rank = (mass below the bin + the bin's mass scaled by the
+    # value's in-bin position) / total, everything in exact
+    # width-scaled integer units before ONE permille floor division
+    denom = F.coalesce(F.col("total"), F.lit(0)) * F.lit(int(width))
+    return joined.select(
+        *group_cols,
+        F.col(value_col),
+        F.when(denom == 0, F.lit(None).cast("long"))
+        .otherwise(F.expr(
+            f"CAST(((coalesce(cum_before, 0) * {int(width)} "
+            f"+ coalesce(n, 0) * (least(greatest(CAST(`{value_col}` AS BIGINT)"
+            f" - ({int(lo)}), 0), {int(width) * int(nbins) - 1})"
+            f" % {int(width)})) * 1000) div (total * {int(width)}) AS BIGINT)"
+        ))
+        .alias("rank_permille"),
+    )

@@ -9277,3 +9277,80 @@ def q173_rolling_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_rolling",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q174 — percentile-rank scoring from the histogram CDF (the inverse
+# of q165's quantile read): each probed order total is scored against
+# its status group's price distribution using only the sketch — the
+# normalization/calibration primitive (a model feature, an anomaly
+# score) computed from ≤nbins rows of state per group. Integer
+# permille with one floor division; the oracle replays CDF + lookup.
+# ---------------------------------------------------------------------------
+
+_Q174_LO, _Q174_W, _Q174_NBINS = 0, 100_000, 512
+
+
+@_register(
+    "q174_histogram_rank",
+    oracle=f"""
+    WITH vals AS (
+      SELECT o_orderstatus AS g, o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+    ),
+    sk AS (
+      SELECT g, LEAST(GREATEST(c // {_Q174_W}, 0), {_Q174_NBINS - 1}) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM vals GROUP BY 1, 2
+    ),
+    cdf AS (
+      SELECT g, bin, n,
+             COALESCE(SUM(n) OVER (PARTITION BY g ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before,
+             SUM(n) OVER (PARTITION BY g) AS total
+      FROM sk
+    ),
+    probes AS (SELECT g, o_orderkey, c FROM vals WHERE o_orderkey % 101 = 0)
+    SELECT p.g AS o_orderstatus, p.o_orderkey, p.c AS total_c,
+           CAST(((COALESCE(cdf.cum_before, 0) * {_Q174_W}
+                  + COALESCE(cdf.n, 0)
+                    * (LEAST(GREATEST(p.c, 0), {_Q174_W * _Q174_NBINS - 1})
+                       % {_Q174_W})) * 1000)
+                // (cdf.total * {_Q174_W}) AS BIGINT) AS rank_permille
+    FROM probes p
+    JOIN cdf ON cdf.g = p.g
+            AND cdf.bin = LEAST(GREATEST(p.c // {_Q174_W}, 0),
+                                {_Q174_NBINS - 1})
+    """,
+    tags=("sketch", "histogram", "percentile-rank", "calibration"),
+)
+def q174_histogram_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.sketches import (
+        histogram_build,
+        histogram_rank,
+    )
+
+    _tune(spark)
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("g"),
+        "o_orderkey",
+        _cents(F.col("o_totalprice")).alias("total_c"),
+    )
+    sk = histogram_build(
+        orders, ["g"], "total_c", _Q174_LO, _Q174_W, _Q174_NBINS
+    )
+    probes = orders.filter(F.col("o_orderkey") % 101 == 0)
+    ranked = histogram_rank(
+        sk, probes, ["g"], "total_c", _Q174_LO, _Q174_W, _Q174_NBINS
+    )
+    return probes.select("g", "o_orderkey", "total_c").join(
+        ranked.select("g", "total_c", "rank_permille").distinct(),
+        ["g", "total_c"],
+    ).select(
+        F.col("g").alias("o_orderstatus"),
+        "o_orderkey",
+        "total_c",
+        "rank_permille",
+    )
