@@ -9354,3 +9354,48 @@ def q174_histogram_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_c",
         "rank_permille",
     )
+
+
+# ---------------------------------------------------------------------------
+# Q175 — RECURSIVE CTE (Spark 4's native WITH RECURSIVE, §2.7): a
+# compounding schedule — bal_{k+1} = bal_k + trunc(bal_k·5%) for six
+# periods per sampled customer — iterated integer arithmetic no
+# closed-form window can express. Both engines run the SAME recursion
+# (UNION ALL + level bound; Spark does not yet support UNION-dedup
+# recursion); integer division TRUNCATES in both (Spark div, DuckDB
+# //), so negative balances round identically. Until this round the
+# engine's only recursion was driver-side loops (q43's connected
+# components); this gates the in-engine fixpoint surface.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q175_recursive_compound",
+    oracle="""
+    WITH RECURSIVE sched AS (
+      SELECT c_custkey, 0 AS k,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c
+      FROM customer WHERE c_custkey % 50 = 0
+      UNION ALL
+      SELECT c_custkey, k + 1, bal_c + (bal_c * 50) // 1000
+      FROM sched WHERE k < 6
+    )
+    SELECT c_custkey, CAST(k AS BIGINT) AS k, bal_c FROM sched
+    """,
+    tags=("sql-surface", "recursive-cte", "iteration"),
+)
+def q175_recursive_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("q175_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE sched AS (
+          SELECT c_custkey, 0 AS k,
+                 CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c
+          FROM q175_customer WHERE c_custkey % 50 = 0
+          UNION ALL
+          SELECT c_custkey, k + 1, bal_c + (bal_c * 50) div 1000
+          FROM sched WHERE k < 6
+        )
+        SELECT c_custkey, CAST(k AS BIGINT) AS k, bal_c FROM sched
+        """
+    )
