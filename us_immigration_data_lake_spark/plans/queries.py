@@ -9399,3 +9399,92 @@ def q175_recursive_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_custkey, CAST(k AS BIGINT) AS k, bal_c FROM sched
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Q176 — recursive DAG traversal in-engine: near-dup edges directed
+# low→high doc id form a DAG; WITH RECURSIVE walks each node's
+# downstream closure and counts distinct descendants — the
+# graph-reachability shape q43 could only run as a driver-side loop
+# before Spark 4's recursion. UNION ALL + level bound (Spark's
+# recursion has no dedup mode) with an outer DISTINCT collapsing
+# path multiplicity; both engines run the same text, and the shingle
+# construction mirrors the established q43/q77 cross-dialect parity.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q176_recursive_closure",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+1], ' ')
+                            for i in range(1, len(toks))]) AS shingles
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                               t -> t <> '') AS toks
+            FROM documents WHERE doc_id < 120)
+      WHERE len(toks) >= 2
+    ),
+    edges AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))) >= 0.08
+    ),
+    walk AS (
+      SELECT src, dst, 1 AS lvl FROM edges
+      UNION ALL
+      SELECT w.src, e.dst, w.lvl + 1
+      FROM walk w JOIN edges e ON w.dst = e.src
+      WHERE w.lvl < 10
+    )
+    SELECT src AS doc_id,
+           CAST(COUNT(DISTINCT dst) AS BIGINT) AS n_descendants
+    FROM walk GROUP BY 1
+    """,
+    tags=("sql-surface", "recursive-cte", "graph", "dag"),
+)
+def q176_recursive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 120
+    ).createOrReplaceTempView("q176_documents")
+    # edge construction as its own view: Spark 4's recursion resolver
+    # does not yet allow the self-referencing CTE to sit behind
+    # sibling CTEs in one WITH list
+    spark.sql(
+        r"""
+        WITH sh AS (
+          SELECT doc_id,
+                 array_distinct(transform(
+                   sequence(0, size(toks) - 2),
+                   i -> array_join(slice(toks, i + 1, 2), ' ')
+                 )) AS shingles
+          FROM (SELECT doc_id,
+                       filter(split(trim(lower(text)), '\\s+'),
+                              t -> t != '') AS toks
+                FROM q176_documents)
+          WHERE size(toks) >= 2
+        )
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(size(array_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / (size(a.shingles) + size(b.shingles)
+                 - size(array_intersect(a.shingles, b.shingles))) >= 0.08
+        """
+    ).createOrReplaceTempView("q176_edges")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk AS (
+          SELECT src, dst, 1 AS lvl FROM q176_edges
+          UNION ALL
+          SELECT w.src, e.dst, w.lvl + 1
+          FROM walk w JOIN q176_edges e ON w.dst = e.src
+          WHERE w.lvl < 10
+        )
+        SELECT src AS doc_id,
+               CAST(COUNT(DISTINCT dst) AS BIGINT) AS n_descendants
+        FROM walk GROUP BY src
+        """
+    )
