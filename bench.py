@@ -57,7 +57,11 @@ def main() -> None:
     # predicate pushdown, q01/q04 +15-20%).
     spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").cache().count()
 
-    # HEADLINE SET GROWTH (r4): the set is 12 queries (r1-r3 had 10) —
+    # HEADLINE SET GROWTH (r4, second session): 14 queries — q158
+    # (segment boilerplate removal) and q160 (linear quality
+    # classifier) joined so the LLM-pipeline document path is a
+    # first-class bench axis (both share the cached documents scan
+    # with q15/q16/q20). Earlier growth (r4 first session):
     # q24 (SRP-LSH ANN, the 100 TB scale path, promoted per the r3
     # verdict) and q105 (TPC-H Q5 multi-join) were added. Cross-round
     # TOTALS are therefore not comparable; compare per-query timings.

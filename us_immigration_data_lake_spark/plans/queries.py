@@ -8002,6 +8002,7 @@ def q157_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM totals t LEFT JOIN kept k USING (doc_id)
     """,
     tags=("dedup", "boilerplate", "segments", "llm-pipeline"),
+    bench=True,
 )
 def q158_segment_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tune(spark)
@@ -8137,6 +8138,7 @@ _Q160_BIAS = -480000
     FROM scored GROUP BY lang
     """,
     tags=("textstats", "classifier", "llm-pipeline", "portable"),
+    bench=True,
 )
 def q160_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tune(spark)
