@@ -644,7 +644,13 @@ def countmin_inner_product(
     d_a = sk_a.agg(F.max("__row")).collect()[0][0]
     d_b = sk_b.agg(F.max("__row")).collect()[0][0]
     if d_a is None or d_b is None:
-        raise ValueError("countmin_inner_product: empty sketch state")
+        # an EMPTY sketch is well-defined: its side has no rows, so
+        # the true join size — and therefore the estimate — is 0
+        # (never-undercount holds trivially). Empty input must not
+        # fail the planner question it exists to answer.
+        return sk_a.sparkSession.range(1).select(
+            F.lit(0).cast("long").alias("est_join_size")
+        )
     if d_a != d_b:
         raise ValueError(
             f"sketch depth mismatch: {d_a + 1} vs {d_b + 1} rows — "
@@ -714,16 +720,18 @@ def histogram_rank(
     probe_bin = F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1)).cast(
         "long"
     )
+    carried = [c for c in probes.columns]
     joined = probes.withColumn("bin", probe_bin).join(
         F.broadcast(cdf), [*group_cols, "bin"], "left"
     )
     # rank = (mass below the bin + the bin's mass scaled by the
     # value's in-bin position) / total, everything in exact
-    # width-scaled integer units before ONE permille floor division
+    # width-scaled integer units before ONE permille floor division.
+    # Every probe column is carried through — the score is a derived
+    # FEATURE of the probe row, not a lookup result to re-join.
     denom = F.coalesce(F.col("total"), F.lit(0)) * F.lit(int(width))
     return joined.select(
-        *group_cols,
-        F.col(value_col),
+        *carried,
         F.when(denom == 0, F.lit(None).cast("long"))
         .otherwise(F.expr(
             f"CAST(((coalesce(cum_before, 0) * {int(width)} "

@@ -9347,10 +9347,7 @@ def q174_histogram_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = histogram_rank(
         sk, probes, ["g"], "total_c", _Q174_LO, _Q174_W, _Q174_NBINS
     )
-    return probes.select("g", "o_orderkey", "total_c").join(
-        ranked.select("g", "total_c", "rank_permille").distinct(),
-        ["g", "total_c"],
-    ).select(
+    return ranked.select(
         F.col("g").alias("o_orderstatus"),
         "o_orderkey",
         "total_c",
