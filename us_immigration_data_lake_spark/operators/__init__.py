@@ -246,3 +246,10 @@ from us_immigration_data_lake_spark.operators.multimodal import (
 )
 
 __all__ += ["video_frame_hashes", "video_match_pairs"]
+
+from us_immigration_data_lake_spark.operators.sketches import (
+    countmin_inner_product,
+    histogram_rank,
+)
+
+__all__ += ["countmin_inner_product", "histogram_rank"]
