@@ -9487,3 +9487,139 @@ def q176_recursive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM walk GROUP BY src
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Q177 — corpus pipeline END-TO-END gate: exact dedup (q15's
+# fingerprint) → per-source token-budget mixture fill (q159's greedy
+# hash-order fill) → sharded sequence packing (q82's running-offset
+# layout), summarized per source. Each stage is individually gated;
+# THIS row proves they compose deterministically — the oracle chains
+# the three stages' SQL and every count must match, which pins stage
+# boundaries (survivor selection feeds the fill's totals, the fill's
+# kept set feeds the packer's offsets) and not just stage internals.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q177_corpus_pipeline",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+             CAST(array_length(list_filter(
+               string_split_regex(trim(lower(text)), '\\s+'),
+               t -> t <> '')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    surv_ids AS (SELECT MIN(doc_id) AS doc_id FROM toks GROUP BY fp),
+    sdocs AS (
+      SELECT t.* FROM toks t
+      WHERE t.doc_id IN (SELECT doc_id FROM surv_ids)
+    ),
+    tot AS (
+      SELECT source, CAST(SUM(n_tok) AS BIGINT) AS total
+      FROM sdocs GROUP BY 1
+    ),
+    cum AS (
+      SELECT s.source, s.doc_id, s.n_tok,
+             COALESCE(SUM(s.n_tok) OVER (PARTITION BY s.source
+               ORDER BY md5(CAST(s.doc_id AS VARCHAR))
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before,
+             (tot.total * 500) // 1000 AS budget
+      FROM sdocs s JOIN tot USING (source)
+    ),
+    kept AS (SELECT * FROM cum WHERE cum_before < budget),
+    packed AS (
+      SELECT source, doc_id, n_tok,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 4))::INTEGER)
+               % 8 AS shard
+      FROM kept
+    ),
+    off AS (
+      SELECT source, shard,
+             (CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT)) // 1024
+               AS seq_id
+      FROM packed
+    ),
+    base AS (SELECT source, COUNT(*) AS n FROM toks GROUP BY 1)
+    SELECT base.source,
+           CAST(base.n AS BIGINT) AS n_docs,
+           CAST((SELECT COUNT(*) FROM sdocs s WHERE s.source = base.source)
+                AS BIGINT) AS n_survivors,
+           CAST((SELECT COUNT(*) FROM kept k WHERE k.source = base.source)
+                AS BIGINT) AS n_kept,
+           CAST(COALESCE((SELECT SUM(k.n_tok) FROM kept k
+                          WHERE k.source = base.source), 0) AS BIGINT)
+             AS tokens_kept,
+           CAST((SELECT COUNT(DISTINCT (o.shard, o.seq_id)) FROM off o
+                 WHERE o.source = base.source) AS BIGINT) AS n_seqs_touched
+    FROM base
+    """,
+    tags=("llm-pipeline", "end-to-end", "dedup", "mixture", "packing"),
+)
+def q177_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.functions.text import token_count
+    from us_immigration_data_lake_spark.operators.packing import pack_sequences
+    from us_immigration_data_lake_spark.operators.sampling import (
+        sample_bucket,
+        token_budget_fill,
+    )
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(normalized_text(F.col("text"))).alias("fp"),
+        token_count(F.lower(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    surv_ids = docs.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id"
+    )
+    sdocs = docs.join(surv_ids, "doc_id", "left_semi")
+    kept = token_budget_fill(
+        sdocs, "source", "doc_id", "n_tok", {}, default_permille=500
+    )
+    packed = pack_sequences(
+        kept.select("doc_id", F.col("tokens").alias("n_tok")),
+        "doc_id",
+        "n_tok",
+        budget=1024,
+        shard_col=sample_bucket("doc_id", 8).cast("long"),
+    )
+    seqs = (
+        kept.select("source", "doc_id")
+        .join(packed.select("doc_id", "shard", "seq_id"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.countDistinct(F.struct("shard", "seq_id"))
+            .cast("long")
+            .alias("n_seqs_touched")
+        )
+    )
+    base = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    surv_cnt = sdocs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_survivors")
+    )
+    kept_agg = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("tokens").cast("long").alias("tokens_kept"),
+    )
+    return (
+        base.join(surv_cnt, "source")
+        .join(kept_agg, "source", "left")
+        .join(seqs, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_survivors",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("tokens_kept", F.lit(0)).cast("long").alias("tokens_kept"),
+            F.coalesce("n_seqs_touched", F.lit(0))
+            .cast("long")
+            .alias("n_seqs_touched"),
+        )
+    )
