@@ -9623,3 +9623,42 @@ def q177_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_seqs_touched"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q178 — scalar string-function breadth #2 (§2.6, complements q31):
+# levenshtein / lpad / repeat / translate / left / right / split_part
+# over supplier names, probed for cross-engine parity before landing
+# (all seven agree byte-for-byte between Spark and DuckDB; overlay
+# was probed and EXCLUDED — DuckDB only accepts the PLACING syntax
+# Spark lacks).
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q178_string_breadth",
+    oracle="""
+    SELECT s_suppkey,
+           levenshtein(s_name, 'Supplier#1') AS lev_to_one,
+           lpad(CAST(s_suppkey AS VARCHAR), 6, '0') AS padded_key,
+           left(s_name, 4) AS name_left,
+           right(s_name, 3) AS name_right,
+           split_part(s_name, '#', 2) AS name_num,
+           translate(s_name, '#', '-') AS name_dashed,
+           repeat(left(s_name, 1), 3) AS tripled
+    FROM supplier WHERE s_suppkey % 7 = 0
+    """,
+    tags=("scalar-functions", "strings", "sql-surface"),
+)
+def q178_string_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    supp = _t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") % 7 == 0)
+    return supp.select(
+        "s_suppkey",
+        F.levenshtein(F.col("s_name"), F.lit("Supplier#1")).alias("lev_to_one"),
+        F.lpad(F.col("s_suppkey").cast("string"), 6, "0").alias("padded_key"),
+        F.expr("left(s_name, 4)").alias("name_left"),
+        F.expr("right(s_name, 3)").alias("name_right"),
+        F.expr("split_part(s_name, '#', 2)").alias("name_num"),
+        F.translate(F.col("s_name"), "#", "-").alias("name_dashed"),
+        F.repeat(F.expr("left(s_name, 1)"), 3).alias("tripled"),
+    )
