@@ -9662,3 +9662,46 @@ def q178_string_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.translate(F.col("s_name"), "#", "-").alias("name_dashed"),
         F.repeat(F.expr("left(s_name, 1)"), 3).alias("tripled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q179 — calendar-function breadth #2 (§2.6, complements q52):
+# week/quarter truncation, last_day, add_months (including the
+# Jan-31 + 1 month → month-end clamp both engines share), ISO
+# weekofyear, dayofyear, quarter — each probed for cross-engine
+# agreement before landing (DuckDB's month interval returns a
+# TIMESTAMP, cast back to DATE in the oracle).
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q179_calendar_breadth",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE)
+             AS week_start,
+           CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE)
+             AS quarter_start,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE)
+             AS next_month,
+           CAST(weekofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_week,
+           CAST(dayofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS doy,
+           CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) AS qtr
+    FROM orders WHERE o_orderkey % 211 = 0
+    """,
+    tags=("scalar-functions", "calendar", "dates"),
+)
+def q179_calendar_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 211 == 0)
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.date_trunc("week", d).cast("date").alias("week_start"),
+        F.date_trunc("quarter", d).cast("date").alias("quarter_start"),
+        F.last_day(d).alias("month_end"),
+        F.add_months(d, 1).alias("next_month"),
+        F.weekofyear(d).cast("long").alias("iso_week"),
+        F.dayofyear(d).cast("long").alias("doy"),
+        F.quarter(d).cast("long").alias("qtr"),
+    )
