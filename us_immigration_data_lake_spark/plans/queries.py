@@ -9705,3 +9705,51 @@ def q179_calendar_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofyear(d).cast("long").alias("doy"),
         F.quarter(d).cast("long").alias("qtr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q180 — bitwise/integer-math breadth (§2.6): and/or/xor, shifts,
+# popcount, hex, abs/sign, positive modulus, factorial — probed for
+# cross-engine agreement first (DuckDB spells xor()/<<>>/explicit
+# pmod; Spark's sign() returns DOUBLE, cast to BIGINT both sides).
+# Bit manipulation is the substrate the sketch family builds on;
+# this row gates the primitives directly.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q180_bitmath_breadth",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_partkey & 1023 AS and_mask,
+           l_partkey | 4096 AS or_mask,
+           xor(l_partkey, l_suppkey) AS xored,
+           l_suppkey << 4 AS shifted_l,
+           l_partkey >> 3 AS shifted_r,
+           CAST(bit_count(CAST(l_partkey AS BIGINT)) AS INTEGER) AS popcount,
+           hex(l_partkey) AS hexed,
+           CAST(sign(l_partkey - l_suppkey) AS BIGINT) AS sgn,
+           ((l_partkey - l_suppkey) % 7 + 7) % 7 AS pos_mod,
+           factorial(CAST(l_linenumber AS INTEGER)) AS fact
+    FROM lineitem WHERE l_orderkey % 977 = 0
+    """,
+    tags=("scalar-functions", "bitwise", "math"),
+)
+def q180_bitmath_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 977 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("l_partkey & 1023").alias("and_mask"),
+        F.expr("l_partkey | 4096").alias("or_mask"),
+        F.expr("l_partkey ^ l_suppkey").alias("xored"),
+        F.expr("shiftleft(l_suppkey, 4)").alias("shifted_l"),
+        F.expr("shiftright(l_partkey, 3)").alias("shifted_r"),
+        F.expr("CAST(bit_count(CAST(l_partkey AS BIGINT)) AS INT)").alias(
+            "popcount"
+        ),
+        F.expr("hex(l_partkey)").alias("hexed"),
+        F.expr("CAST(sign(l_partkey - l_suppkey) AS BIGINT)").alias("sgn"),
+        F.expr("pmod(l_partkey - l_suppkey, 7)").alias("pos_mod"),
+        F.expr("factorial(CAST(l_linenumber AS INT))").alias("fact"),
+    )
