@@ -103,6 +103,29 @@ def test_rank_is_inverse_of_quantile(spark):
     assert got[999] == 999
 
 
+def test_rank_interior_gap_bin_scores_mass_below(spark):
+    # r4 advisor repro: build over {5, 25} (lo=0, width=10, nbins=4)
+    # materializes only bins 0 and 2; a probe at 15 lands in the EMPTY
+    # bin 1 and must score the mass strictly below it (1 of 2 → 500),
+    # not NULL — the densified CDF carries n=0 bins with real
+    # cum_before/total.
+    from us_immigration_data_lake_spark.operators.sketches import (
+        histogram_rank,
+    )
+
+    df = spark.createDataFrame([("g", 5), ("g", 25)], ["g", "v"])
+    sk = histogram_build(df, ["g"], "v", 0, 10, 4)
+    probes = spark.createDataFrame(
+        [("g", 15), ("g", 35)], ["g", "v"]
+    )
+    got = {
+        r.v: r.rank_permille
+        for r in histogram_rank(sk, probes, ["g"], "v", 0, 10, 4).collect()
+    }
+    assert got[15] == 500  # 1 of 2 values below bin 1
+    assert got[35] == 1000  # trailing gap bin: all mass below
+
+
 def test_rank_null_on_empty_group(spark):
     from us_immigration_data_lake_spark.operators.sketches import (
         histogram_rank,

@@ -153,6 +153,26 @@ def test_audio_match_finds_noisy_duplicate_not_unrelated(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_audio_fingerprint_rejects_packing_overflow(spark):
+    # r4 advisor finding: fp_hash packs (f1<<24)|(f2<<12)|dt in 12-bit
+    # fields; a frame > 8190 yields rfft bins past 4095 and a fanout
+    # > 4095 overflows dt — both must raise up front, not corrupt
+    # hashes silently.
+    import pytest
+
+    from us_immigration_data_lake_spark.operators.multimodal import (
+        audio_fingerprints,
+    )
+
+    df = _audio_df(spark, {1: _tone_track([440])})
+    with pytest.raises(ValueError, match="rfft bins"):
+        audio_fingerprints(df, frame=16384)
+    with pytest.raises(ValueError, match="fanout"):
+        audio_fingerprints(df, fanout=5000)
+    with pytest.raises(ValueError, match="fanout"):
+        audio_fingerprints(df, fanout=0)
+
+
 def test_audio_match_detects_time_offset(spark):
     from us_immigration_data_lake_spark.operators.multimodal import (
         audio_fingerprints,

@@ -66,6 +66,18 @@ def test_null_stats_keep_file(spark, tmp_path):
     assert len(kept) == 2
 
 
+def test_incomparable_predicate_value_keeps_file():
+    # r4 advisor finding: a predicate value whose type can't order
+    # against the column stats (int stats vs str value, or a None
+    # value) must fall back to the sound keep-the-file answer, not
+    # raise TypeError mid-prune.
+    assert RangePredicate("k", ">=", "abc").keeps(1, 10) is True
+    assert RangePredicate("k", "=", None).keeps(1, 10) is True
+    assert RangePredicate("k", "<", (1, 2)).keeps(1, 10) is True
+    # comparable values still decide
+    assert RangePredicate("k", ">=", 11).keeps(1, 10) is False
+
+
 def test_unsorted_layout_prunes_nothing(spark, tmp_path):
     # round-robin layout: every file spans the whole domain → stats
     # keep everything; the test documents WHY clustering exists

@@ -451,7 +451,25 @@ def audio_fingerprints(
     Arrow-batched mapInPandas over the WAV binary column (the same
     pattern as every codec op); output is (media_id, fp_hash,
     t_anchor) rows — the shuffle-joinable form of the fingerprint.
+
+    Packing layout: (f1 << 24) | (f2 << 12) | dt — each field 12
+    bits, so frequency bins must fit 0..4095 (rfft of ``frame``
+    samples yields frame//2 + 1 bins) and ``fanout`` must stay
+    <= 4095, or fields silently bleed into each other. Validated
+    here, mirroring the bands guard in _hash_band_structs.
     """
+    if frame // 2 + 1 > 4096:
+        raise ValueError(
+            f"frame={frame} yields {frame // 2 + 1} rfft bins; the "
+            "12-bit fp_hash frequency fields hold at most 4096 "
+            "(frame must be <= 8190)"
+        )
+    if not 1 <= fanout <= 4095:
+        raise ValueError(
+            f"fanout={fanout} must be in [1, 4095] to fit the 12-bit "
+            "dt field of fp_hash"
+        )
+
     def batches(it):
         import numpy as np
         import pandas as pd

@@ -701,8 +701,15 @@ def histogram_rank(
     integer permille with floor division. Probe values clip into the
     domain exactly as the build does, so ranks stay in [0, 1000].
 
-    Plan: broadcast the (≤ nbins per group) CDF rows onto the probes
-    — probes never shuffle; one map-side lookup per row.
+    Plan: broadcast the (exactly nbins per group) CDF rows onto the
+    probes — probes never shuffle; one map-side lookup per row.
+
+    The CDF is DENSIFIED to all nbins bins per group before the
+    cumulative sums: histogram_build materializes only hit bins, so a
+    probe landing in a gap bin of a populated group would otherwise
+    miss the (group, bin) join and score NULL instead of the mass
+    below it (r4 advisor finding). A gap bin carries n=0 and the
+    running cum_before/total of its group, so its rank is exact.
     """
     from pyspark.sql import Window as _W
 
@@ -712,7 +719,21 @@ def histogram_rank(
         .rowsBetween(_W.unboundedPreceding, -1)
     )
     tot = _W.partitionBy(*group_cols)
-    cdf = sk.withColumn(
+    all_bins = (
+        sk.select(*group_cols)
+        .distinct()
+        .select(
+            *group_cols,
+            F.explode(F.sequence(F.lit(0), F.lit(int(nbins) - 1))).alias(
+                "bin"
+            ),
+        )
+        .select(*group_cols, F.col("bin").cast("long").alias("bin"))
+    )
+    dense = all_bins.join(sk, [*group_cols, "bin"], "left").select(
+        *group_cols, "bin", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
+    cdf = dense.withColumn(
         "cum_before", F.coalesce(F.sum("n").over(cum), F.lit(0))
     ).withColumn("total", F.sum("n").over(tot))
     d = f"(CAST(`{value_col}` AS BIGINT) - ({int(lo)}))"

@@ -58,19 +58,26 @@ class RangePredicate:
 
     def keeps(self, mn, mx) -> bool:
         """True iff a file with [mn, mx] for this column MIGHT contain
-        a matching row. None stats keep the file (unknown ⊇ match)."""
-        if mn is None or mx is None:
+        a matching row. None stats keep the file (unknown ⊇ match);
+        so does an incomparable predicate value (None, or a type the
+        stats don't order against, e.g. int vs str) — skipping is an
+        OPTIMIZATION, so any comparison that can't be decided must
+        fall back to reading the file, never raise mid-prune."""
+        if mn is None or mx is None or self.value is None:
             return True
-        if self.op == ">=":
-            return mx >= self.value
-        if self.op == ">":
-            return mx > self.value
-        if self.op == "<=":
-            return mn <= self.value
-        if self.op == "<":
-            return mn < self.value
-        if self.op == "=":
-            return mn <= self.value <= mx
+        try:
+            if self.op == ">=":
+                return mx >= self.value
+            if self.op == ">":
+                return mx > self.value
+            if self.op == "<=":
+                return mn <= self.value
+            if self.op == "<":
+                return mn < self.value
+            if self.op == "=":
+                return bool(mn <= self.value <= mx)
+        except TypeError:
+            return True
         raise ValueError(f"unsupported op {self.op!r}")
 
 
