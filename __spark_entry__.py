@@ -47,9 +47,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # never-gated together exceed the 50-row cap, the overflow is the
 # NEWEST registrations — each is locally oracle-verified at three
 # scales on landing and picks up its driver row next round.
-def _gate_history() -> dict[str, tuple[int, bool]]:
-    """name -> (latest round seen, was green in that round)."""
-    hist: dict[str, tuple[int, bool]] = {}
+def _gate_history() -> dict[str, tuple[int, bool, bool]]:
+    """name -> (latest round seen, was green, was rows-only)."""
+    hist: dict[str, tuple[int, bool, bool]] = {}
     for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -77,7 +77,7 @@ def _gate_history() -> dict[str, tuple[int, bool]]:
             )
             prev = hist.get(name)
             if prev is None or rnd >= prev[0]:
-                hist[name] = (rnd, green)
+                hist[name] = (rnd, green, ran_rows_only)
     return hist
 
 
@@ -89,9 +89,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def rank(n: str) -> tuple[int, int, int]:
         if n not in hist:
             return (1, 0, pos[n])  # never gated
-        rnd, green = hist[n]
+        rnd, green, rows_only = hist[n]
         if not green:
             return (0, -rnd, pos[n])  # red, most recent failures first
+        if rows_only and QUERIES[n].oracle is not None:
+            # every recorded gate was the weak rows-only check but the
+            # query NOW has an oracle (r5 upgraded q20/q28): the
+            # driver has never hash-checked it — rank with never-gated
+            # so the new oracle earns its driver row immediately
+            return (1, 0, pos[n])
         return (2, rnd, pos[n])  # green, oldest evidence first
 
     return {name: QUERIES[name].fn for name in sorted(names, key=rank)}

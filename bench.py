@@ -57,6 +57,19 @@ def main() -> None:
     # predicate pushdown, q01/q04 +15-20%).
     spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").cache().count()
 
+    # HEADLINE SET GROWTH (r5): 18 queries — q97 (forward as-of),
+    # q127 (streaming incremental view maintenance — its timing
+    # includes the availableNow stream execution inside fn()), q163
+    # (HLL sketch-partialized cube), q177 (corpus pipeline end-to-end)
+    # joined per the r4 verdict so the operator families previously
+    # invisible to perf tracking (streaming, sketches, corpus
+    # assembly, as-of) have a bench axis. ALSO r5: q20 switched from
+    # xxhash64 to portable md5 hashing (same plan shape, hash expr
+    # swapped) so it could gain a DuckDB oracle — q20's time is NOT
+    # comparable to r4's (md5 costs more per call than xxhash64;
+    # that delta is the price of driver-checkable correctness, paid
+    # deliberately).
+    #
     # HEADLINE SET GROWTH (r4, second session): 14 queries — q158
     # (segment boilerplate removal) and q160 (linear quality
     # classifier) joined so the LLM-pipeline document path is a

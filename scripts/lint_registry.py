@@ -12,13 +12,12 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-from us_immigration_data_lake_spark.plans.lint import lint_plan  # noqa: E402
+from us_immigration_data_lake_spark.plans.lint import (  # noqa: E402
+    CARTESIAN_EXEMPT,
+    lint_plan,
+)
 from us_immigration_data_lake_spark.plans.queries import QUERIES  # noqa: E402
 from us_immigration_data_lake_spark.session import get_spark  # noqa: E402
-
-# documented verification-grade baselines whose cross join is the
-# point (input-restricted by contract; see similarity.py docstrings)
-CARTESIAN_EXEMPT = {"q22_knn_cosine", "q19_ngram_jaccard", "q34_embedding_near_dups"}
 
 
 def main() -> None:

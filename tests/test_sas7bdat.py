@@ -100,6 +100,17 @@ def test_read_sas_single_file(spark, sas_dir):
     assert row["arrdate"] == dt.datetime(2016, 1, 1)
 
 
+def test_read_sas_jvm_engine_is_explicit_and_loud(spark, sas_dir):
+    # r5: the JVM spark-sas7bdat route is opt-in and must raise when
+    # the package isn't on the classpath (this sandbox never has it) —
+    # no silent fallback to a different engine.
+    path = str(sorted(sas_dir.glob("*.sas7bdat"))[0])
+    with pytest.raises(Exception):
+        read_sas(spark, path, engine="jvm")
+    with pytest.raises(ValueError, match="engine"):
+        read_sas(spark, path, engine="arrow")
+
+
 def test_read_sas_distributed_over_directory(spark, sas_dir):
     df = read_sas_distributed(spark, str(sas_dir))
     assert df.count() == 1500

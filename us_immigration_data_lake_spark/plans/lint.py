@@ -35,6 +35,16 @@ class Finding:
     message: str
 
 
+# Documented verification-grade baselines whose cross join is the
+# point (input-restricted by contract; see the similarity.py and q19
+# docstrings). The ONLY registry queries allowed an error-severity
+# cartesian-product finding — shared by scripts/lint_registry.py and
+# tests/test_plan_lint.py so the gate and the report can't drift.
+CARTESIAN_EXEMPT = frozenset(
+    {"q22_knn_cosine", "q19_ngram_jaccard", "q34_embedding_near_dups"}
+)
+
+
 def formatted_plan(df: DataFrame) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"

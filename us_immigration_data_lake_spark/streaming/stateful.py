@@ -31,14 +31,22 @@ OUTPUT_SCHEMA = StructType([
 
 
 def _update(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
+    import numpy as np
+
     (user_id,) = key
     n, total_c = state.get if state.exists else (0, 0)
     for pdf in pdf_iter:
         if len(pdf) == 0:
             continue
         n += len(pdf)
-        # integer-ize per row (deterministic), sum exactly
-        total_c += int((pdf["value"] * 100).round().astype("int64").sum())
+        # integer-ize per row (deterministic), sum exactly. Rounding is
+        # HALF-AWAY-FROM-ZERO to match the engine-wide cents convention
+        # (plans/queries.py:_cents → Spark ROUND → DuckDB ROUND) —
+        # pandas' .round() is banker's rounding, which diverges on
+        # exact .5 ties.
+        cents = pdf["value"].to_numpy() * 100.0
+        half_away = np.sign(cents) * np.floor(np.abs(cents) + 0.5)
+        total_c += int(half_away.astype("int64").sum())
     state.update((n, total_c))
     yield pd.DataFrame(
         [(user_id, n, total_c, float(total_c) / n if n else None)],
