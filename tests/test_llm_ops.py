@@ -861,3 +861,69 @@ def test_unigram_xent_boilerplate_scores_low(spark):
     )
     xent = {r.doc_id: r.xent for r in unigram_cross_entropy(docs, "doc_id", "text").collect()}
     assert xent[2] > xent[1]  # all-rare doc is higher-entropy than boilerplate
+
+
+def test_semantic_dedup_planted_clusters(spark):
+    # Three planted groups of near-identical vectors (tiny jitter) plus
+    # two isolated vectors: semantic_dedup must cluster each group
+    # under its smallest id and keep exactly one survivor per group.
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    dim = 16
+    protos = [rng.randn(dim) for _ in range(3)]
+    rows = []
+    vid = 0
+    truth = {}
+    for g, p in enumerate(protos):
+        for _ in range(3):
+            rows.append((vid, (p + rng.randn(dim) * 0.01).tolist()))
+            truth[vid] = g
+            vid += 1
+    for _ in range(2):  # isolated
+        rows.append((vid, rng.randn(dim).tolist()))
+        truth[vid] = f"solo{vid}"
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: (r.cluster, r.keep)
+        for r in sim.semantic_dedup(
+            df, "vec_id", "embedding", threshold=0.9, dim=dim, num_bits=2
+        ).collect()
+    }
+    assert len(out) == len(rows)  # every row labeled
+    # group members share the group-min label; min keeps, others drop
+    for g in range(3):
+        members = [v for v, t in truth.items() if t == g]
+        labels = {out[v][0] for v in members}
+        assert labels == {min(members)}, (g, labels)
+        assert out[min(members)][1] is True
+        assert all(out[v][1] is False for v in members if v != min(members))
+    # isolated vectors are their own kept singletons
+    for v, t in truth.items():
+        if isinstance(t, str):
+            assert out[v] == (v, True)
+
+
+def test_srp_bucket_pairs_subset_of_allpairs(spark):
+    # the bucketed candidate set is exactly the all-pairs set filtered
+    # to same-bucket membership — never a pair the exact form rejects
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    dim = 8
+    rows = [(i, rng.randn(dim).tolist()) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bucketed = {
+        (r.id1, r.id2)
+        for r in sim.srp_bucket_near_dup_pairs(
+            df, "vec_id", "embedding", threshold=0.3, dim=dim, num_bits=2
+        ).collect()
+    }
+    exact = {
+        (r.id1, r.id2)
+        for r in sim.cosine_near_dup_pairs(
+            df, "vec_id", "embedding", threshold=0.3
+        ).collect()
+    }
+    assert bucketed <= exact

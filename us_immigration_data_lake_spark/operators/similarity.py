@@ -427,6 +427,87 @@ def srp_lsh_knn(
     )
 
 
+def srp_bucket_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    dim: int,
+    num_bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate pairs sought ONLY within an SRP
+    bucket — the scale path for cosine_near_dup_pairs (whose all-pairs
+    cross join is the verification baseline). The SemDeDup shape
+    (Abbas et al. 2023): partition the embedding space (there by
+    k-means cluster, here by seed-fixed random-hyperplane sign
+    buckets — deterministic, trainingless), then run exact pairwise
+    similarity inside each cell only.
+
+    Plan: one signature projection (literal-plane JVM arithmetic, no
+    UDF), one equi-join on the bucket key, exact cosine on the
+    survivors — pairs materialize only through a shared bucket, so
+    cost is Σ over buckets of |bucket|², never |corpus|². Recall
+    tunes with num_bits (fewer bits → bigger buckets → more recall,
+    more compute); a pair split across buckets is missed by design,
+    exactly as SemDeDup only dedups within a cluster.
+
+    Returns (id1, id2, cosine_sim) with id1 < id2 and
+    round(cosine, 6) >= threshold.
+    """
+    planes = srp_planes(dim, num_bits, seed)
+    sig = df.select(
+        F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v")
+    ).withColumn("bucket", srp_signature("__v", planes))
+    a = sig.select(
+        F.col("__id").alias("id1"), F.col("__v").alias("v1"), "bucket"
+    )
+    b = sig.select(
+        F.col("__id").alias("id2"), F.col("__v").alias("v2"), "bucket"
+    )
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("id1") < F.col("id2"))
+        .select(
+            "id1",
+            "id2",
+            F.round(_cosine_maybe_fixed("v1", "v2", dim), 6).alias(
+                "cosine_sim"
+            ),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    dim: int,
+    num_bits: int = 8,
+    seed: int = 42,
+    max_iter: int = 15,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication decision over an
+    embedding column: SRP-bucketed near-dup pairs →
+    connected-components clustering → keep-smallest-id-per-cluster
+    (operators/dedup.py machinery — same survivor convention as the
+    MinHash text path, so text and embedding dedup compose). Returns
+    (id, cluster, keep) for EVERY input row; rows in no pair are
+    singleton clusters that keep themselves."""
+    from us_immigration_data_lake_spark.operators.dedup import (
+        dedup_survivors,
+    )
+
+    pairs = srp_bucket_near_dup_pairs(
+        df, id_col, vec_col, threshold, dim, num_bits=num_bits, seed=seed
+    )
+    return dedup_survivors(
+        df, pairs.select("id1", "id2"), id_col, max_iter=max_iter
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (Jégou, Douze, Schmid, "Product Quantization
 # for Nearest Neighbor Search", TPAMI 2011): split the vector into

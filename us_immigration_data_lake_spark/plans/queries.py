@@ -9847,3 +9847,72 @@ def q180_bitmath_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("pmod(l_partkey - l_suppkey, 7)").alias("pos_mod"),
         F.expr("factorial(CAST(l_linenumber AS INT))").alias("fact"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q181 — semantic dedup, SemDeDup-shaped (similarity.py:semantic_dedup;
+# Abbas et al. 2023): SRP-bucketed embedding near-dup pairs (exact
+# cosine only WITHIN a sign bucket — the scale path whose all-pairs
+# twin is q34) → connected components → keep-smallest-per-cluster,
+# the same survivor convention as the MinHash text path (q43). The
+# oracle replays the whole chain: literal 4×64 hyperplanes reproduce
+# every bucket bit-for-bit (q24's technique), round-6 cosine decides
+# pairs (q34's), WITH RECURSIVE closure labels clusters (q43's).
+# ---------------------------------------------------------------------------
+
+_Q181_BITS, _Q181_TAU = 4, 0.35
+
+
+def _q181_oracle_sql() -> str:
+    planes = sim_ops.srp_planes(EMBEDDING_DIM, num_bits=_Q181_BITS, seed=42)
+
+    def dot_expr(i: int) -> str:
+        return " + ".join(
+            f"v[{j + 1}]*({float(planes[i][j])!r})" for j in range(EMBEDDING_DIM)
+        )
+
+    bits = " + ".join(
+        f"(CASE WHEN ({dot_expr(i)}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(_Q181_BITS)
+    )
+    return f"""
+    WITH RECURSIVE base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), b AS (
+      SELECT vec_id, v, CAST({bits} AS BIGINT) AS bucket FROM base
+    ), pairs AS (
+      SELECT x.vec_id AS id1, y.vec_id AS id2
+      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+      WHERE ROUND(list_cosine_similarity(x.v, y.v), 6) >= {_Q181_TAU}
+    ), edges AS (
+      SELECT id1 AS src, id2 AS dst FROM pairs
+      UNION SELECT id2, id1 FROM pairs
+    ), reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      WHERE e.dst <> r.src
+    ), labels AS (
+      SELECT src AS id, LEAST(src, MIN(dst)) AS cluster
+      FROM reach GROUP BY src
+    )
+    SELECT d.vec_id,
+           COALESCE(l.cluster, d.vec_id) AS cluster,
+           d.vec_id = COALESCE(l.cluster, d.vec_id) AS keep
+    FROM (SELECT vec_id FROM embeddings) d
+    LEFT JOIN labels l ON d.vec_id = l.id
+    """
+
+
+@_register(
+    "q181_semantic_dedup",
+    oracle=_q181_oracle_sql(),
+    tags=("similarity", "dedup", "clustering", "semdedup"),
+)
+def q181_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.semantic_dedup(
+        emb, "vec_id", "embedding", threshold=_Q181_TAU,
+        dim=EMBEDDING_DIM, num_bits=_Q181_BITS,
+    )
