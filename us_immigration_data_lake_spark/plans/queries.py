@@ -9916,3 +9916,99 @@ def q181_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", threshold=_Q181_TAU,
         dim=EMBEDDING_DIM, num_bits=_Q181_BITS,
     )
+
+
+# ---------------------------------------------------------------------------
+# Q182 — LSH mega-bucket cap + anchor-star recovery, oracle-gated
+# (operators/dedup.py:near_dup_frames recover_oversized=True): the
+# 100 TB guard the corpus pipeline runs — buckets over max_bucket_size
+# are EXCLUDED from all-pairs candidate generation (one boilerplate
+# bucket would otherwise emit O(n²) pairs on a single reducer) and
+# recovered at linear cost as anchor-star pairs (member ↔ bucket-min),
+# which downstream Jaccard verification then filters exactly. q20/q55
+# gate the uncapped pipeline; THIS row pins the truncation semantics
+# themselves: portable hashes, cap=5 (both branches fire at every sf),
+# the oracle reproduces small-bucket all-pairs ∪ mega-bucket star
+# pairs before the shared verify stage.
+# ---------------------------------------------------------------------------
+
+_Q182_CAP = 5
+
+
+def _q182_oracle_sql() -> str:
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         t -> t <> '') AS toks
+      FROM documents WHERE doc_id < 100
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 2
+                  THEN list_distinct([array_to_string(toks[i:i+1], ' ')
+                                      for i in range(1, len(toks))])
+                  ELSE [array_to_string(toks, ' ')] END AS shingles
+      FROM tok
+    ), hx AS (
+      SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+      FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+    ), sig AS (
+      SELECT doc_id,
+             {_Q55_MH_COLS}
+      FROM hx GROUP BY doc_id
+    ), bnd AS (
+      {_Q55_BAND_SELECTS}
+    ), sizes AS (
+      SELECT band_idx, band_key, COUNT(*) AS n
+      FROM bnd GROUP BY band_idx, band_key
+    ), small_pairs AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM bnd a
+      JOIN bnd b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+      JOIN sizes s ON s.band_idx = a.band_idx AND s.band_key = a.band_key
+      WHERE s.n BETWEEN 2 AND {_Q182_CAP}
+    ), anchors AS (
+      SELECT b.band_idx, b.band_key, MIN(b.doc_id) AS anchor
+      FROM bnd b JOIN sizes s
+        ON s.band_idx = b.band_idx AND s.band_key = b.band_key
+      WHERE s.n > {_Q182_CAP}
+      GROUP BY b.band_idx, b.band_key
+    ), star_pairs AS (
+      SELECT DISTINCT an.anchor AS id1, m.doc_id AS id2
+      FROM anchors an
+      JOIN bnd m ON m.band_idx = an.band_idx AND m.band_key = an.band_key
+      WHERE an.anchor < m.doc_id
+    ), cand AS (
+      SELECT id1, id2 FROM small_pairs
+      UNION
+      SELECT id1, id2 FROM star_pairs
+    ), hs AS (
+      SELECT doc_id, list(h) AS hs FROM hx GROUP BY doc_id
+    )
+    SELECT * FROM (
+      SELECT c.id1, c.id2,
+             CAST(len(list_intersect(h1.hs, h2.hs)) AS DOUBLE)
+               / (len(h1.hs) + len(h2.hs) - len(list_intersect(h1.hs, h2.hs)))
+               AS jaccard
+      FROM cand c
+      JOIN hs h1 ON c.id1 = h1.doc_id
+      JOIN hs h2 ON c.id2 = h2.doc_id
+    ) WHERE jaccard >= 0.055
+    """
+
+
+@_register(
+    "q182_lsh_bucket_cap",
+    oracle=_q182_oracle_sql(),
+    tags=("dedup", "minhash", "lsh", "portable", "skew-guard"),
+)
+def q182_lsh_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    frames = dedup_ops.near_dup_frames(
+        docs, "doc_id", "text", shingle_n=2, num_hashes=_Q55_HASHES,
+        bands=_Q55_BANDS, threshold=0.055, max_bucket_size=_Q182_CAP,
+        recover_oversized=True, portable=True,
+    )
+    return frames["pairs"]
