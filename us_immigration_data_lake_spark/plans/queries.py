@@ -9380,10 +9380,22 @@ def q173_rolling_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # its status group's price distribution using only the sketch — the
 # normalization/calibration primitive (a model feature, an anomaly
 # score) computed from ≤nbins rows of state per group. Integer
-# permille with one floor division; the oracle replays CDF + lookup.
+# permille with one floor division; the oracle replays CDF + lookup
+# over a DENSIFIED (all-nbins) CDF — r5 upgrade matching the
+# histogram_rank gap-bin fix: synthetic probes in bins guaranteed
+# EMPTY at every sf (bin 0: min order total is >$1000; bin 505: max
+# bin is 499) now gate the mass-below-a-gap-bin behavior the
+# r4 advisor showed data-drawn probes could never reach.
 # ---------------------------------------------------------------------------
 
 _Q174_LO, _Q174_W, _Q174_NBINS = 0, 100_000, 512
+# (group, sentinel key, cents) — bin 0 probe (rank 0: no mass below,
+# empty bin) and bin 505 probe (rank 1000: all mass below) per status
+_Q174_GAP_PROBES = [
+    (g, k, c)
+    for g, k in (("F", -1), ("O", -2), ("P", -3))
+    for c in (50_000, 50_550_000)
+]
 
 
 @_register(
@@ -9399,15 +9411,26 @@ _Q174_LO, _Q174_W, _Q174_NBINS = 0, 100_000, 512
              CAST(COUNT(*) AS BIGINT) AS n
       FROM vals GROUP BY 1, 2
     ),
+    dense AS (
+      SELECT gb.g, gb.bin, COALESCE(sk.n, 0) AS n
+      FROM (SELECT g, b.range AS bin
+            FROM (SELECT DISTINCT g FROM sk)
+            CROSS JOIN range(0, {_Q174_NBINS}) b) gb
+      LEFT JOIN sk ON sk.g = gb.g AND sk.bin = gb.bin
+    ),
     cdf AS (
       SELECT g, bin, n,
              COALESCE(SUM(n) OVER (PARTITION BY g ORDER BY bin
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                AS cum_before,
              SUM(n) OVER (PARTITION BY g) AS total
-      FROM sk
+      FROM dense
     ),
-    probes AS (SELECT g, o_orderkey, c FROM vals WHERE o_orderkey % 101 = 0)
+    probes AS (
+      SELECT g, o_orderkey, c FROM vals WHERE o_orderkey % 101 = 0
+      UNION ALL
+      SELECT * FROM (VALUES {", ".join(f"('{g}', CAST({k} AS BIGINT), CAST({c} AS BIGINT))" for g, k, c in _Q174_GAP_PROBES)}) v(g, o_orderkey, c)
+    )
     SELECT p.g AS o_orderstatus, p.o_orderkey, p.c AS total_c,
            CAST(((COALESCE(cdf.cum_before, 0) * {_Q174_W}
                   + COALESCE(cdf.n, 0)
@@ -9436,7 +9459,12 @@ def q174_histogram_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = histogram_build(
         orders, ["g"], "total_c", _Q174_LO, _Q174_W, _Q174_NBINS
     )
-    probes = orders.filter(F.col("o_orderkey") % 101 == 0)
+    gap_probes = spark.createDataFrame(
+        _Q174_GAP_PROBES, "g string, o_orderkey long, total_c long"
+    )
+    probes = orders.filter(F.col("o_orderkey") % 101 == 0).unionByName(
+        gap_probes
+    )
     ranked = histogram_rank(
         sk, probes, ["g"], "total_c", _Q174_LO, _Q174_W, _Q174_NBINS
     )
