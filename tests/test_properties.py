@@ -385,3 +385,46 @@ def test_histogram_quantile_bound_vs_python(spark, values, q_pm):
 
     exact = clipped[math.ceil(len(clipped) * q_pm / 1000) - 1]
     assert abs(est - exact) <= W, (est, exact, q_pm)
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-3, max_value=3, allow_nan=False,
+                      allow_infinity=False, width=32),
+            min_size=6, max_size=6,
+        ),
+        min_size=2, max_size=25, unique_by=tuple,
+    ),
+    st.floats(min_value=0.2, max_value=0.95),
+)
+def test_semantic_dedup_invariants(spark, vecs, tau):
+    """Structural invariants of semantic_dedup on arbitrary inputs:
+    every row labeled exactly once; each cluster's label is its own
+    minimum member; exactly the label-owner keeps; keep-set size ==
+    number of distinct clusters."""
+    from us_immigration_data_lake_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    # drop zero vectors (cosine undefined — the operator contract
+    # assumes unit-normalizable embeddings)
+    vecs = [v for v in vecs if any(abs(x) > 1e-6 for x in v)]
+    if len(vecs) < 2:
+        return
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    out = semantic_dedup(
+        df, "vec_id", "embedding", threshold=float(tau), dim=6, num_bits=2
+    ).collect()
+    assert sorted(r.vec_id for r in out) == list(range(len(vecs)))
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for label, members in by_cluster.items():
+        assert label == min(m.vec_id for m in members)
+        keeps = {m.vec_id for m in members if m.keep}
+        assert keeps == {label}
