@@ -591,7 +591,7 @@ def oov_rate(
 
 
 def unigram_cross_entropy(
-    df: "DataFrame", id_col: str, text_col: str
+    df: "DataFrame", id_col: str, text_col: str, as_micronats: bool = False
 ) -> "DataFrame":
     """Per-document unigram cross-entropy against the corpus's own
     unigram LM — the classic cheap perplexity proxy for quality
@@ -647,6 +647,18 @@ def unigram_cross_entropy(
             F.sum(F.col("c_dt") * surprisal_micro).alias("sum_micronats"),
         )
     )
+    if as_micronats:
+        # exact-integer per-token cross-entropy (micronats, floor
+        # division) — the form downstream INTEGER machinery consumes
+        # (histogram calibration q183); no doubles anywhere, so the
+        # value is engine-reproducible without a rounding caveat on
+        # the final division
+        xent_micro = F.expr("CAST((-sum_micronats) div n_tokens AS BIGINT)")
+        return per_doc.select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            xent_micro.alias("xent_micro"),
+        )
     xent = -(F.col("sum_micronats").cast("double") / 1e6) / F.col(
         "n_tokens"
     ).cast("double")

@@ -10040,3 +10040,107 @@ def q182_lsh_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         recover_oversized=True, portable=True,
     )
     return frames["pairs"]
+
+
+# ---------------------------------------------------------------------------
+# Q183 — perplexity-percentile calibration: per-document unigram
+# cross-entropy (q81's micronat-exact form, textstats.py) scored as a
+# permille RANK against the document's own language group's
+# distribution via the histogram sketch (q174's calibration
+# primitive). The cross-FAMILY composition a curriculum/filtering
+# pipeline actually runs — "is this doc unusually surprising FOR ITS
+# LANGUAGE?" — entirely in exact integers after the one ln() per
+# census token: xent_micro = (-Σ c_dt·round(ln p ·1e6)) div n_tokens,
+# histogram mass in bigints, rank one floor division. The oracle
+# chains q81's census SQL with q174's densified-CDF SQL.
+# ---------------------------------------------------------------------------
+
+_Q183_LO, _Q183_W, _Q183_NBINS = 3_000_000, 10_000, 128
+
+
+@_register(
+    "q183_xent_calibration",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                t -> t <> '')) AS token
+      FROM documents
+    ),
+    dc AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c_dt
+           FROM tok GROUP BY 1, 2),
+    census AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c_t
+               FROM tok GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM tok),
+    xent AS (
+      SELECT dc.doc_id,
+             CAST((-CAST(SUM(dc.c_dt
+                    * CAST(ROUND(ln(CAST(census.c_t AS DOUBLE)
+                          / CAST(tot.n_corpus AS DOUBLE)) * 1e6) AS BIGINT))
+                    AS BIGINT)) // CAST(SUM(dc.c_dt) AS BIGINT) AS BIGINT)
+               AS xent_micro
+      FROM dc JOIN census USING (token) CROSS JOIN tot
+      GROUP BY dc.doc_id
+    ),
+    probe AS (
+      SELECT d.lang, x.doc_id, x.xent_micro
+      FROM xent x JOIN documents d USING (doc_id)
+    ),
+    sk AS (
+      SELECT lang,
+             LEAST(GREATEST((xent_micro - {_Q183_LO}) // {_Q183_W}, 0),
+                   {_Q183_NBINS - 1}) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM probe GROUP BY 1, 2
+    ),
+    dense AS (
+      SELECT gb.lang, gb.bin, COALESCE(sk.n, 0) AS n
+      FROM (SELECT lang, b.range AS bin
+            FROM (SELECT DISTINCT lang FROM sk)
+            CROSS JOIN range(0, {_Q183_NBINS}) b) gb
+      LEFT JOIN sk ON sk.lang = gb.lang AND sk.bin = gb.bin
+    ),
+    cdf AS (
+      SELECT lang, bin, n,
+             COALESCE(SUM(n) OVER (PARTITION BY lang ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before,
+             SUM(n) OVER (PARTITION BY lang) AS total
+      FROM dense
+    )
+    SELECT p.lang, p.doc_id, p.xent_micro,
+           CAST(((COALESCE(cdf.cum_before, 0) * {_Q183_W}
+                  + COALESCE(cdf.n, 0)
+                    * (LEAST(GREATEST(p.xent_micro - {_Q183_LO}, 0),
+                             {_Q183_W * _Q183_NBINS - 1})
+                       % {_Q183_W})) * 1000)
+                // (cdf.total * {_Q183_W}) AS BIGINT) AS rank_permille
+    FROM probe p
+    JOIN cdf ON cdf.lang = p.lang
+            AND cdf.bin = LEAST(GREATEST((p.xent_micro - {_Q183_LO})
+                                         // {_Q183_W}, 0),
+                                {_Q183_NBINS - 1})
+    """,
+    tags=("llm", "perplexity", "sketch", "calibration", "composition"),
+)
+def q183_xent_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.sketches import (
+        histogram_build,
+        histogram_rank,
+    )
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    xent = ts_ops.unigram_cross_entropy(
+        docs, "doc_id", "text", as_micronats=True
+    )
+    probe = xent.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "lang", "doc_id", "xent_micro"
+    )
+    sk = histogram_build(
+        probe, ["lang"], "xent_micro", _Q183_LO, _Q183_W, _Q183_NBINS
+    )
+    ranked = histogram_rank(
+        sk, probe, ["lang"], "xent_micro", _Q183_LO, _Q183_W, _Q183_NBINS
+    )
+    return ranked.select("lang", "doc_id", "xent_micro", "rank_permille")
