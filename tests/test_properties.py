@@ -428,3 +428,46 @@ def test_semantic_dedup_invariants(spark, vecs, tau):
         assert label == min(m.vec_id for m in members)
         keeps = {m.vec_id for m in members if m.keep}
         assert keeps == {label}
+
+
+@SETTINGS
+@given(
+    st.lists(st.integers(min_value=-50, max_value=150), min_size=1, max_size=60),
+    st.lists(st.integers(min_value=-60, max_value=160), min_size=1, max_size=12),
+)
+def test_histogram_rank_matches_exact_rank_within_a_bin(spark, values, probes):
+    """histogram_rank on arbitrary integer data: never NULL for a
+    populated group (gap bins included — the r4 advisor finding),
+    bounded in [0, 1000], monotone in the probe value, and within
+    one bin's mass of the exact empirical rank."""
+    from us_immigration_data_lake_spark.operators.sketches import (
+        histogram_build,
+        histogram_rank,
+    )
+
+    lo, width, nbins = 0, 10, 10
+    df = spark.createDataFrame([("g", int(v)) for v in values], ["g", "v"])
+    pdf = spark.createDataFrame([("g", int(p)) for p in probes], ["g", "v"])
+    sk = histogram_build(df, ["g"], "v", lo, width, nbins)
+    got = {}
+    for r in histogram_rank(sk, pdf, ["g"], "v", lo, width, nbins).collect():
+        got.setdefault(r.v, r.rank_permille)
+    n = len(values)
+    # clip both data and probes into the domain exactly as build does
+    clipped = sorted(min(max(v, lo), lo + width * nbins - 1) for v in values)
+    for p in probes:
+        rank = got[p]
+        assert rank is not None
+        assert 0 <= rank <= 1000
+        cp = min(max(p, lo), lo + width * nbins - 1)
+        exact_below = sum(1 for v in clipped if v < cp)
+        # the uniform-within-bin model can misplace at most the probe
+        # bin's own mass, plus the permille floor division quantizes
+        # by up to one permille of the population (n/1000)
+        bin_lo = lo + ((cp - lo) // width) * width
+        bin_mass = sum(1 for v in clipped if bin_lo <= v < bin_lo + width)
+        assert abs(rank / 1000 * n - exact_below) <= bin_mass + n / 1000 + 1e-9, (
+            p, rank, exact_below, bin_mass)
+    in_order = sorted(set(probes))
+    ranks = [got[p] for p in in_order]
+    assert ranks == sorted(ranks)
