@@ -357,14 +357,19 @@ def near_dup_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     portable: bool = False,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-duplicate detection, entirely on
     hashed shingles: per-row hashed-shingle arrays → per-row minhash
     signatures (shuffle-free), banding, bucket self-join, and a
-    hashed-set exact-Jaccard verify."""
+    hashed-set exact-Jaccard verify. ``max_bucket_size`` passes
+    through to candidate generation (near_dup_frames documents the
+    truncation; oversized buckets are silently dropped HERE — use
+    near_dup_frames directly to observe or recover them)."""
     return near_dup_frames(
         df, id_col, text_col, shingle_n=shingle_n, num_hashes=num_hashes,
         bands=bands, threshold=threshold, portable=portable,
+        max_bucket_size=max_bucket_size,
     )["pairs"]
 
 

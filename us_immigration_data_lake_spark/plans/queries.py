@@ -834,32 +834,37 @@ def q19_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # selectivity at 25% less signature-aggregation and banding work
 # than 32×8 (measured ~40% faster end-to-end, same recall profile)
 _Q20_HASHES, _Q20_BANDS = 24, 6
-_Q20_ROWS = _Q20_HASHES // _Q20_BANDS
-_Q20_MH_COLS = ",\n             ".join(
-    f"MIN(('0x' || substr(md5('{i}|' || CAST(h AS VARCHAR)), 1, 15))::BIGINT) AS mh{i}"
-    for i in range(_Q20_HASHES)
-)
-# portable band key = the raw comma-joined signature slice (matches
-# operators/dedup.py:lsh_bands portable mode exactly)
-_Q20_BAND_SELECTS = "\n      UNION ALL ".join(
-    "SELECT doc_id, {b} AS band_idx, {key} AS band_key FROM sig".format(
-        b=b,
-        key=" || ',' || ".join(
-            f"CAST(mh{b * _Q20_ROWS + r} AS VARCHAR)" for r in range(_Q20_ROWS)
-        ),
+
+
+def _portable_minhash_prefix_sql(where: str, num_hashes: int, bands: int) -> str:
+    """The SHARED DuckDB replay of the portable MinHash pipeline's
+    front half (operators/dedup.py: shingles → hashed shingle sets →
+    signatures → band keys), parameterized exactly like the operator —
+    one definition for the q20 / q55 / q182 oracles instead of three
+    drifting copies (r5 review finding). Emits CTE bodies ``tok, sh,
+    hx, sig, bnd``; the caller appends its candidate CTE and the
+    shared verify tail (_minhash_verify_sql). The band key is the raw
+    comma-joined signature slice (lsh_bands portable mode; a 1-row
+    band degenerates to the bare value, matching q55's original)."""
+    rows = num_hashes // bands
+    mh_cols = ",\n             ".join(
+        f"MIN(('0x' || substr(md5('{i}|' || CAST(h AS VARCHAR)), 1, 15))::BIGINT) AS mh{i}"
+        for i in range(num_hashes)
     )
-    for b in range(_Q20_BANDS)
-)
-
-
-@_register(
-    "q20_minhash_near_dups",
-    oracle=f"""
-    WITH tok AS (
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, {key} AS band_key FROM sig".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""tok AS (
       SELECT doc_id,
              list_filter(string_split_regex(trim(lower(text)), '\\s+'),
                          t -> t <> '') AS toks
-      FROM documents
+      FROM documents{where}
     ), sh AS (
       SELECT doc_id,
              CASE WHEN len(toks) >= 2
@@ -872,16 +877,18 @@ _Q20_BAND_SELECTS = "\n      UNION ALL ".join(
       FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
     ), sig AS (
       SELECT doc_id,
-             {_Q20_MH_COLS}
+             {mh_cols}
       FROM hx GROUP BY doc_id
     ), bnd AS (
-      {_Q20_BAND_SELECTS}
-    ), cand AS (
-      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-      FROM bnd a JOIN bnd b
-        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-       AND a.doc_id < b.doc_id
-    ), hs AS (
+      {band_selects}
+    )"""
+
+
+def _minhash_verify_sql(threshold: float) -> str:
+    """Shared verify tail: exact Jaccard on the hashed shingle sets
+    for a candidate CTE named ``cand`` (id1, id2), mirroring
+    dedup.py:verify_jaccard_hashed."""
+    return f""", hs AS (
       SELECT doc_id, list(h) AS hs FROM hx GROUP BY doc_id
     )
     SELECT * FROM (
@@ -892,8 +899,19 @@ _Q20_BAND_SELECTS = "\n      UNION ALL ".join(
       FROM cand c
       JOIN hs h1 ON c.id1 = h1.doc_id
       JOIN hs h2 ON c.id2 = h2.doc_id
-    ) WHERE jaccard >= 0.055
-    """,
+    ) WHERE jaccard >= {threshold}
+    """
+
+
+@_register(
+    "q20_minhash_near_dups",
+    oracle=f"""
+    WITH {_portable_minhash_prefix_sql("", _Q20_HASHES, _Q20_BANDS)}, cand AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM bnd a JOIN bnd b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ){_minhash_verify_sql(0.055)}""",
     tags=("dedup", "minhash", "lsh", "portable"),
     bench=True,
 )
@@ -905,9 +923,15 @@ def q20_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # yields pairs (verifies the full pipeline: shingle → signature →
     # band → bucket join → exact verify) without the quadratic pair
     # explosion a 0.02-threshold run produces at sf0.1.
+    # max_bucket_size is lifted to the full corpus size so the
+    # truncation can never fire: this oracle models NO cap (a capped
+    # bucket would make DuckDB emit pairs Spark dropped — a spurious
+    # red). The cap + recovery semantics have their own dedicated
+    # oracle, q182, with a cap small enough that both branches fire.
     return dedup_ops.near_dup_pairs(
         docs, "doc_id", "text", shingle_n=2, num_hashes=_Q20_HASHES,
         bands=_Q20_BANDS, threshold=0.055, portable=True,
+        max_bucket_size=2**31,
     )
 
 
@@ -2337,12 +2361,12 @@ def q54_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup.py near_dup_pairs(portable=True)): every stage — shingle hash,
 # per-function minhash mixing, band keys, bucket join, hashed-set
 # Jaccard verify — runs on md5_long (functions/hashing.py) and is
-# replayed hash-for-hash by the DuckDB oracle. This closes the r1 gap
-# where the LSH pipeline itself (q20) could only be rows-checked: q20
-# keeps xxhash64 at bench scale; q55 proves the identical dataflow
-# against an external engine on the restricted doc_id < 100 set.
-# Small-n caveat: the oracle models no bucket cap (buckets here can't
-# exceed 100 members, far under max_bucket_size).
+# replayed hash-for-hash by the DuckDB oracle (the shared
+# _portable_minhash_prefix_sql/_minhash_verify_sql builders — q20 is
+# the full-table run, q55 the restricted doc_id < 100 slice with a
+# different banding shape). Small-n caveat: the oracle models no
+# bucket cap (buckets here can't exceed 100 members, far under
+# max_bucket_size); the cap semantics are q182's oracle.
 # ---------------------------------------------------------------------------
 
 # rows = 1 per band: on this no-planted-duplicates corpus a 2-row band
@@ -2351,59 +2375,17 @@ def q54_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # verify stage instead, exercising candidate dedup + verification on a
 # meaningful pair volume
 _Q55_HASHES, _Q55_BANDS = 8, 8
-_Q55_MH_COLS = ",\n             ".join(
-    f"MIN(('0x' || substr(md5('{i}|' || CAST(h AS VARCHAR)), 1, 15))::BIGINT) AS mh{i}"
-    for i in range(_Q55_HASHES)
-)
-_Q55_BAND_SELECTS = "\n      UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band_idx, "
-    f"CAST(mh{b} AS VARCHAR) AS band_key FROM sig"
-    for b in range(_Q55_BANDS)
-)
 
 
 @_register(
     "q55_minhash_portable",
     oracle=f"""
-    WITH tok AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-                         t -> t <> '') AS toks
-      FROM documents WHERE doc_id < 100
-    ), sh AS (
-      SELECT doc_id,
-             CASE WHEN len(toks) >= 2
-                  THEN list_distinct([array_to_string(toks[i:i+1], ' ')
-                                      for i in range(1, len(toks))])
-                  ELSE [array_to_string(toks, ' ')] END AS shingles
-      FROM tok
-    ), hx AS (
-      SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
-      FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
-    ), sig AS (
-      SELECT doc_id,
-             {_Q55_MH_COLS}
-      FROM hx GROUP BY doc_id
-    ), bnd AS (
-      {_Q55_BAND_SELECTS}
-    ), cand AS (
+    WITH {_portable_minhash_prefix_sql(" WHERE doc_id < 100", _Q55_HASHES, _Q55_BANDS)}, cand AS (
       SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
       FROM bnd a JOIN bnd b
         ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        AND a.doc_id < b.doc_id
-    ), hs AS (
-      SELECT doc_id, list(h) AS hs FROM hx GROUP BY doc_id
-    )
-    SELECT * FROM (
-      SELECT c.id1, c.id2,
-             CAST(len(list_intersect(h1.hs, h2.hs)) AS DOUBLE)
-               / (len(h1.hs) + len(h2.hs) - len(list_intersect(h1.hs, h2.hs)))
-               AS jaccard
-      FROM cand c
-      JOIN hs h1 ON c.id1 = h1.doc_id
-      JOIN hs h2 ON c.id2 = h2.doc_id
-    ) WHERE jaccard >= 0.055
-    """,
+    ){_minhash_verify_sql(0.055)}""",
     tags=("dedup", "minhash", "lsh", "portable"),
 )
 def q55_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9398,6 +9380,44 @@ _Q174_GAP_PROBES = [
 ]
 
 
+def _dense_cdf_rank_sql(
+    group: str, val: str, lo: int, width: int, nbins: int, out_select: str
+) -> str:
+    """The SHARED densified-CDF percentile-rank replay (sketches.py:
+    histogram_rank) — one definition for the q174/q183 oracles instead
+    of two drifting copies (r5 review finding). Expects prior CTEs
+    ``sk`` ({group}, bin, n) and ``probes`` ({group}, <keys>, {val});
+    emits the dense/cdf CTE bodies and the final SELECT producing
+    ({out_select}, rank_permille)."""
+    top = width * nbins - 1
+    return f"""dense AS (
+      SELECT gb.{group}, gb.bin, COALESCE(sk.n, 0) AS n
+      FROM (SELECT {group}, b.range AS bin
+            FROM (SELECT DISTINCT {group} FROM sk)
+            CROSS JOIN range(0, {nbins}) b) gb
+      LEFT JOIN sk ON sk.{group} = gb.{group} AND sk.bin = gb.bin
+    ),
+    cdf AS (
+      SELECT {group}, bin, n,
+             COALESCE(SUM(n) OVER (PARTITION BY {group} ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before,
+             SUM(n) OVER (PARTITION BY {group}) AS total
+      FROM dense
+    )
+    SELECT {out_select},
+           CAST(((COALESCE(cdf.cum_before, 0) * {width}
+                  + COALESCE(cdf.n, 0)
+                    * (LEAST(GREATEST(p.{val} - ({lo}), 0), {top})
+                       % {width})) * 1000)
+                // (cdf.total * {width}) AS BIGINT) AS rank_permille
+    FROM probes p
+    JOIN cdf ON cdf.{group} = p.{group}
+            AND cdf.bin = LEAST(GREATEST((p.{val} - ({lo})) // {width}, 0),
+                                {nbins - 1})
+    """
+
+
 @_register(
     "q174_histogram_rank",
     oracle=f"""
@@ -9411,36 +9431,13 @@ _Q174_GAP_PROBES = [
              CAST(COUNT(*) AS BIGINT) AS n
       FROM vals GROUP BY 1, 2
     ),
-    dense AS (
-      SELECT gb.g, gb.bin, COALESCE(sk.n, 0) AS n
-      FROM (SELECT g, b.range AS bin
-            FROM (SELECT DISTINCT g FROM sk)
-            CROSS JOIN range(0, {_Q174_NBINS}) b) gb
-      LEFT JOIN sk ON sk.g = gb.g AND sk.bin = gb.bin
-    ),
-    cdf AS (
-      SELECT g, bin, n,
-             COALESCE(SUM(n) OVER (PARTITION BY g ORDER BY bin
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS cum_before,
-             SUM(n) OVER (PARTITION BY g) AS total
-      FROM dense
-    ),
     probes AS (
       SELECT g, o_orderkey, c FROM vals WHERE o_orderkey % 101 = 0
       UNION ALL
       SELECT * FROM (VALUES {", ".join(f"('{g}', CAST({k} AS BIGINT), CAST({c} AS BIGINT))" for g, k, c in _Q174_GAP_PROBES)}) v(g, o_orderkey, c)
-    )
-    SELECT p.g AS o_orderstatus, p.o_orderkey, p.c AS total_c,
-           CAST(((COALESCE(cdf.cum_before, 0) * {_Q174_W}
-                  + COALESCE(cdf.n, 0)
-                    * (LEAST(GREATEST(p.c, 0), {_Q174_W * _Q174_NBINS - 1})
-                       % {_Q174_W})) * 1000)
-                // (cdf.total * {_Q174_W}) AS BIGINT) AS rank_permille
-    FROM probes p
-    JOIN cdf ON cdf.g = p.g
-            AND cdf.bin = LEAST(GREATEST(p.c // {_Q174_W}, 0),
-                                {_Q174_NBINS - 1})
+    ),
+    {_dense_cdf_rank_sql("g", "c", _Q174_LO, _Q174_W, _Q174_NBINS,
+                         "p.g AS o_orderstatus, p.o_orderkey, p.c AS total_c")}
     """,
     tags=("sketch", "histogram", "percentile-rank", "calibration"),
 )
@@ -9965,28 +9962,7 @@ _Q182_CAP = 5
 
 def _q182_oracle_sql() -> str:
     return f"""
-    WITH tok AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-                         t -> t <> '') AS toks
-      FROM documents WHERE doc_id < 100
-    ), sh AS (
-      SELECT doc_id,
-             CASE WHEN len(toks) >= 2
-                  THEN list_distinct([array_to_string(toks[i:i+1], ' ')
-                                      for i in range(1, len(toks))])
-                  ELSE [array_to_string(toks, ' ')] END AS shingles
-      FROM tok
-    ), hx AS (
-      SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
-      FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
-    ), sig AS (
-      SELECT doc_id,
-             {_Q55_MH_COLS}
-      FROM hx GROUP BY doc_id
-    ), bnd AS (
-      {_Q55_BAND_SELECTS}
-    ), sizes AS (
+    WITH {_portable_minhash_prefix_sql(" WHERE doc_id < 100", _Q55_HASHES, _Q55_BANDS)}, sizes AS (
       SELECT band_idx, band_key, COUNT(*) AS n
       FROM bnd GROUP BY band_idx, band_key
     ), small_pairs AS (
@@ -10011,19 +9987,7 @@ def _q182_oracle_sql() -> str:
       SELECT id1, id2 FROM small_pairs
       UNION
       SELECT id1, id2 FROM star_pairs
-    ), hs AS (
-      SELECT doc_id, list(h) AS hs FROM hx GROUP BY doc_id
-    )
-    SELECT * FROM (
-      SELECT c.id1, c.id2,
-             CAST(len(list_intersect(h1.hs, h2.hs)) AS DOUBLE)
-               / (len(h1.hs) + len(h2.hs) - len(list_intersect(h1.hs, h2.hs)))
-               AS jaccard
-      FROM cand c
-      JOIN hs h1 ON c.id1 = h1.doc_id
-      JOIN hs h2 ON c.id2 = h2.doc_id
-    ) WHERE jaccard >= 0.055
-    """
+    ){_minhash_verify_sql(0.055)}"""
 
 
 @_register(
@@ -10082,7 +10046,7 @@ _Q183_LO, _Q183_W, _Q183_NBINS = 3_000_000, 10_000, 128
       FROM dc JOIN census USING (token) CROSS JOIN tot
       GROUP BY dc.doc_id
     ),
-    probe AS (
+    probes AS (
       SELECT d.lang, x.doc_id, x.xent_micro
       FROM xent x JOIN documents d USING (doc_id)
     ),
@@ -10091,35 +10055,11 @@ _Q183_LO, _Q183_W, _Q183_NBINS = 3_000_000, 10_000, 128
              LEAST(GREATEST((xent_micro - {_Q183_LO}) // {_Q183_W}, 0),
                    {_Q183_NBINS - 1}) AS bin,
              CAST(COUNT(*) AS BIGINT) AS n
-      FROM probe GROUP BY 1, 2
+      FROM probes GROUP BY 1, 2
     ),
-    dense AS (
-      SELECT gb.lang, gb.bin, COALESCE(sk.n, 0) AS n
-      FROM (SELECT lang, b.range AS bin
-            FROM (SELECT DISTINCT lang FROM sk)
-            CROSS JOIN range(0, {_Q183_NBINS}) b) gb
-      LEFT JOIN sk ON sk.lang = gb.lang AND sk.bin = gb.bin
-    ),
-    cdf AS (
-      SELECT lang, bin, n,
-             COALESCE(SUM(n) OVER (PARTITION BY lang ORDER BY bin
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS cum_before,
-             SUM(n) OVER (PARTITION BY lang) AS total
-      FROM dense
-    )
-    SELECT p.lang, p.doc_id, p.xent_micro,
-           CAST(((COALESCE(cdf.cum_before, 0) * {_Q183_W}
-                  + COALESCE(cdf.n, 0)
-                    * (LEAST(GREATEST(p.xent_micro - {_Q183_LO}, 0),
-                             {_Q183_W * _Q183_NBINS - 1})
-                       % {_Q183_W})) * 1000)
-                // (cdf.total * {_Q183_W}) AS BIGINT) AS rank_permille
-    FROM probe p
-    JOIN cdf ON cdf.lang = p.lang
-            AND cdf.bin = LEAST(GREATEST((p.xent_micro - {_Q183_LO})
-                                         // {_Q183_W}, 0),
-                                {_Q183_NBINS - 1})
+    {_dense_cdf_rank_sql("lang", "xent_micro", _Q183_LO, _Q183_W,
+                         _Q183_NBINS,
+                         "p.lang, p.doc_id, p.xent_micro")}
     """,
     tags=("llm", "perplexity", "sketch", "calibration", "composition"),
 )
