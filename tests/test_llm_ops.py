@@ -927,3 +927,27 @@ def test_srp_bucket_pairs_subset_of_allpairs(spark):
         ).collect()
     }
     assert bucketed <= exact
+
+
+def test_dedup_survivors_by_keeps_highest_score_smallest_id_tie(spark):
+    # pairs: {1,2,3} one cluster, {7,8} another, 9 isolated.
+    # scores: 2 is longest in cluster 1 -> survivor 2 (not min id 1);
+    # 7 and 8 tie -> smallest id 7 survives.
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 20), (7, 5), (8, 5), (9, 1)],
+        "doc_id long, score long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id1 long, id2 long"
+    )
+    out = {
+        r.doc_id: (r.cluster, r.keep)
+        for r in dd.dedup_survivors_by(
+            docs, pairs, "doc_id", score=F.col("score")
+        ).collect()
+    }
+    assert out == {
+        1: (1, False), 2: (1, True), 3: (1, False),
+        7: (7, True), 8: (7, False),
+        9: (9, True),
+    }

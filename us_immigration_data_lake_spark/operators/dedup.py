@@ -531,6 +531,52 @@ def dedup_survivors(
     return out.withColumn("keep", (F.col(id_col) == F.col("cluster")))
 
 
+def dedup_survivors_by(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score,
+    max_iter: int = 15,
+) -> DataFrame:
+    """Keep-BEST-per-cluster dedup decision: like ``dedup_survivors``
+    (smallest id wins) but the survivor is the cluster member with the
+    highest ``score`` (a Column over ``df``'s columns — e.g. text
+    length for the keep-the-longest-duplicate policy, or a quality
+    score), ties broken by smallest id so retries can't flip the
+    choice. Cluster labels stay the smallest reachable id (label
+    choice is independent of the survivor policy). Returns (id,
+    cluster, keep).
+
+    Plan: the components fixpoint is pairs-sized; the survivor pick is
+    ONE max-struct aggregate on the cluster key joined back on the
+    same key (clusters are corpus-cardinality — singletons included —
+    so the survivor frame shuffles, never broadcasts). No window sort
+    over the corpus."""
+    comps = connected_components(pairs, max_iter=max_iter)
+    labeled = (
+        df.select(F.col(id_col).alias("id"), score.alias("__score"))
+        .join(comps, on="id", how="left")
+        .select(
+            "id",
+            F.coalesce("cluster", F.col("id")).alias("cluster"),
+            "__score",
+        )
+    )
+    # max of (score, -id) picks highest score, then smallest id
+    best = labeled.groupBy("cluster").agg(
+        F.max(F.struct(F.col("__score"), (-F.col("id")).alias("__nid")))
+        .alias("__best")
+    ).select("cluster", (-F.col("__best.__nid")).alias("__survivor"))
+    return (
+        labeled.join(best, "cluster")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster",
+            (F.col("id") == F.col("__survivor")).alias("keep"),
+        )
+    )
+
+
 def contaminated_docs(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -10084,3 +10084,75 @@ def q183_xent_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         sk, probe, ["lang"], "xent_micro", _Q183_LO, _Q183_W, _Q183_NBINS
     )
     return ranked.select("lang", "doc_id", "xent_micro", "rank_permille")
+
+
+# ---------------------------------------------------------------------------
+# Q184 — survivor-POLICY dedup: keep the LONGEST document per near-dup
+# cluster (operators/dedup.py:dedup_survivors_by) — the policy real
+# corpus builds use (the longest member usually subsumes its
+# near-duplicates), vs q43's keep-smallest-id convention. Same exact
+# candidate generation and WITH RECURSIVE cluster fixpoint as q43;
+# the survivor pick is a per-cluster max of (length, -id) — highest
+# char length, ties to the smallest id, so retries can't flip it.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q184_dedup_keep_longest",
+    oracle="""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         t -> t <> '') AS toks
+      FROM documents WHERE doc_id < 200
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 2
+                  THEN list_distinct([array_to_string(toks[i:i+1], ' ')
+                                      for i in range(1, len(toks))])
+                  ELSE [array_to_string(toks, ' ')] END AS shingles
+      FROM tok
+    ), pairs AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))) >= 0.08
+    ), edges AS (
+      SELECT id1 AS src, id2 AS dst FROM pairs
+      UNION SELECT id2, id1 FROM pairs
+    ), reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      WHERE e.dst <> r.src
+    ), labels AS (
+      SELECT src AS id, LEAST(src, MIN(dst)) AS cluster
+      FROM reach GROUP BY src
+    ), labeled AS (
+      SELECT d.doc_id,
+             COALESCE(l.cluster, d.doc_id) AS cluster,
+             CAST(length(d.text) AS BIGINT) AS n_chars
+      FROM (SELECT doc_id, text FROM documents WHERE doc_id < 200) d
+      LEFT JOIN labels l ON d.doc_id = l.id
+    ), best AS (
+      SELECT cluster, doc_id AS survivor
+      FROM (SELECT cluster, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY cluster
+                     ORDER BY n_chars DESC, doc_id ASC) AS rn
+            FROM labeled)
+      WHERE rn = 1
+    )
+    SELECT lb.doc_id, lb.cluster, lb.doc_id = b.survivor AS keep
+    FROM labeled lb JOIN best b USING (cluster)
+    """,
+    tags=("dedup", "clustering", "survivor-policy"),
+)
+def q184_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sh = dedup_ops.shingles(docs, "doc_id", "text", n=2)
+    pairs = dedup_ops.postings_jaccard_pairs(sh, "doc_id", min_jaccard=0.08)
+    return dedup_ops.dedup_survivors_by(
+        docs, pairs.select("id1", "id2"), "doc_id",
+        score=F.length("text").cast("long"),
+    )
