@@ -9830,7 +9830,10 @@ def q179_calendar_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q180 — bitwise/integer-math breadth (§2.6): and/or/xor, shifts,
 # popcount, hex, abs/sign, positive modulus, factorial — probed for
 # cross-engine agreement first (DuckDB spells xor()/<<>>/explicit
-# pmod; Spark's sign() returns DOUBLE, cast to BIGINT both sides).
+# pmod; Spark's sign() returns DOUBLE, cast to BIGINT both sides;
+# DuckDB's factorial() returns HUGEINT where Spark returns BIGINT,
+# so the oracle casts it down — values are identical, only the
+# declared type differed, and the driver hash is type-sensitive).
 # Bit manipulation is the substrate the sketch family builds on;
 # this row gates the primitives directly.
 # ---------------------------------------------------------------------------
@@ -9848,7 +9851,7 @@ def q179_calendar_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
            hex(l_partkey) AS hexed,
            CAST(sign(l_partkey - l_suppkey) AS BIGINT) AS sgn,
            ((l_partkey - l_suppkey) % 7 + 7) % 7 AS pos_mod,
-           factorial(CAST(l_linenumber AS INTEGER)) AS fact
+           CAST(factorial(CAST(l_linenumber AS INTEGER)) AS BIGINT) AS fact
     FROM lineitem WHERE l_orderkey % 977 = 0
     """,
     tags=("scalar-functions", "bitwise", "math"),
