@@ -55,6 +55,69 @@ def test_minhash_portable_finds_planted_dups(planted):
     assert (3, 4) not in j
 
 
+def test_q185_production_pairs_subset_of_exact(spark):
+    """q185 (xxhash64 production path, rows-only at the driver) must
+    emit ONLY true near-dup pairs — every emitted pair's jaccard is
+    exact-verified post-banding, so the output is a subset of the
+    all-pairs ground truth — and its banding recall on the real
+    sf0.001 corpus must match the hash-oracled portable twin's (q20)
+    to within the probabilistic wiggle of LSH: which borderline pairs
+    collide in ≥1 of the 6 bands depends on the hash family (observed:
+    xxhash64 recovers 3 true pairs md5 misses), so equality is the
+    wrong assertion — no-false-positives plus a recall floor is."""
+    from us_immigration_data_lake_spark.plans.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    prod = {
+        (r.id1, r.id2)
+        for r in QUERIES["q185_lsh_production_hash"].fn(spark, sf).collect()
+    }
+    portable = {
+        (r.id1, r.id2)
+        for r in QUERIES["q20_minhash_near_dups"].fn(spark, sf).collect()
+    }
+    # exact ground truth: token-2-gram Jaccard over all pairs, DuckDB
+    import duckdb
+
+    truth = {
+        tuple(r)
+        for r in duckdb.sql(f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             t -> t <> '') AS toks
+          FROM '{sf}/documents.parquet'
+        ), sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 2
+                      THEN list_distinct([array_to_string(toks[i:i+1], ' ')
+                                          for i in range(1, len(toks))])
+                      ELSE [array_to_string(toks, ' ')] END AS shingles
+          FROM tok
+        )
+        SELECT a.doc_id, b.doc_id
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / (len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles))) >= 0.055
+        """).fetchall()
+    }
+    assert prod, "production path found no pairs at sf0.001"
+    assert prod <= truth, f"false positives: {sorted(prod - truth)[:5]}"
+    # NOTE: absolute recall vs the 0.055-threshold ground truth is NOT
+    # asserted — at 24 hashes / 6 bands the LSH S-curve midpoint is
+    # ~(1/6)^(1/4) ≈ 0.64, so barely-above-threshold pairs are *meant*
+    # to be missed (the all-pairs truth here is ~1000× the emitted set).
+    # The contract is zero false positives (above) and that the
+    # production hash family's banding recalls at least as much as the
+    # oracled twin's, within one borderline pair per hundred found.
+    slack = max(1, len(portable) // 100)
+    assert len(prod) >= len(portable) - slack, (
+        f"production path recalls less than the oracled twin: "
+        f"{len(prod)} vs {len(portable)} pairs"
+    )
+
+
 def test_simhash_portable_separates_near_far(spark, planted):
     sig = dd.simhash(planted, "doc_id", "text", portable=True)
     s = {r.doc_id: r.simhash for r in sig.collect()}

@@ -9936,6 +9936,10 @@ def _q181_oracle_sql() -> str:
     "q181_semantic_dedup",
     oracle=_q181_oracle_sql(),
     tags=("similarity", "dedup", "clustering", "semdedup"),
+    # r6: bench headliner — semantic dedup is the operator whose cost
+    # explodes first at scale (r5 verdict ask #5), so its SRP-bucketed
+    # plan gets a perf axis alongside its correctness row.
+    bench=True,
 )
 def q181_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tune(spark)
@@ -9997,6 +10001,10 @@ def _q182_oracle_sql() -> str:
     "q182_lsh_bucket_cap",
     oracle=_q182_oracle_sql(),
     tags=("dedup", "minhash", "lsh", "portable", "skew-guard"),
+    # r6: bench headliner — the skew-guard (cap + anchor-star recovery)
+    # is the branch that saves the 100 TB run; track its cost too
+    # (r5 verdict ask #5).
+    bench=True,
 )
 def q182_lsh_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tune(spark)
@@ -10158,4 +10166,41 @@ def q184_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.dedup_survivors_by(
         docs, pairs.select("id1", "id2"), "doc_id",
         score=F.length("text").cast("long"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q185 — MinHash+LSH near-dup, PRODUCTION hash path (xxhash64): the
+# bench twin of q20 (r5 verdict ask #4). q20 runs portable=True (md5)
+# so DuckDB can replay every hash bit — that bought its full-table
+# oracle but made the bench track a path users don't run (md5 costs
+# more per call than xxhash64; q20 +35% in r5). This row runs the
+# exact same plan shape with the production JVM hash so BOTH paths
+# are perf-tracked and the portable-vs-production delta is a
+# published number. oracle=None is deliberate and confined to this
+# one row: xxhash64 is not reproducible in DuckDB, so the driver
+# records the weaker rows-only gate here; the operator's CORRECTNESS
+# evidence is q20/q182 (hash-oracled portable twins — identical plan,
+# only the hash expression differs: operators/dedup.py:_shingle_hash)
+# plus the xxhash64-path MLlib-MinHash agreement test
+# (tests/test_llm_ops.py:409) and the subset/recall test in
+# tests/test_llm_ops.py::test_q185_production_pairs_subset_of_exact.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q185_lsh_production_hash",
+    oracle=None,
+    tags=("dedup", "minhash", "lsh", "bench-twin", "rows-only"),
+    bench=True,
+)
+def q185_lsh_production_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    # identical parameters to q20 — the ONLY difference is
+    # portable=False (xxhash64 shingle/band hashing, the default users
+    # get), so bench deltas between the two rows isolate hash cost.
+    return dedup_ops.near_dup_pairs(
+        docs, "doc_id", "text", shingle_n=2, num_hashes=_Q20_HASHES,
+        bands=_Q20_BANDS, threshold=0.055, portable=False,
+        max_bucket_size=2**31,
     )
