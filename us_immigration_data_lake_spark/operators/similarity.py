@@ -452,6 +452,22 @@ def srp_bucket_near_dup_pairs(
     more compute); a pair split across buckets is missed by design,
     exactly as SemDeDup only dedups within a cluster.
 
+    The signature frame (id, vector, L2 norm, bucket) is materialized
+    ONCE with an eager localCheckpoint — it feeds BOTH sides of the
+    self-join, so without the barrier every signature (and norm)
+    computes twice, and worse, projection collapse inlines the
+    bits·dim-term signature expressions plus a 3·dim-term cosine into
+    the join stage's single consume method, which blows the JVM's
+    64 KB method limit ("Code grows beyond 64 KB") — whole-stage
+    codegen then pays a multi-second compile attempt and falls back
+    to INTERPRETED evaluation of those giant trees for every pair
+    (r6 root-cause of q181's 11.7 s bench time; 4.7× faster after).
+    With norms precomputed corpus-side (linear), the per-pair stage
+    is a plain dim-term dot ÷ norm product — small enough to stay
+    inside codegen at any pair volume. sqrt-then-multiply is the
+    same float sequence as the previous sqrt(dot)·sqrt(dot) form, so
+    values are bit-identical.
+
     Returns (id1, id2, cosine_sim) with id1 < id2 and
     round(cosine, 6) >= threshold.
     """
@@ -459,22 +475,29 @@ def srp_bucket_near_dup_pairs(
     sig = df.select(
         F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v")
     ).withColumn("bucket", srp_signature("__v", planes))
+    if dim:
+        sig = sig.withColumn(
+            "__n", F.expr(f"sqrt({_dot_fixed_sql('__v', '__v', dim)})")
+        )
+    else:
+        sig = sig.withColumn("__n", l2_norm(F.col("__v")))
+    sig = sig.localCheckpoint(eager=True)
     a = sig.select(
-        F.col("__id").alias("id1"), F.col("__v").alias("v1"), "bucket"
+        F.col("__id").alias("id1"), F.col("__v").alias("v1"),
+        F.col("__n").alias("n1"), "bucket",
     )
     b = sig.select(
-        F.col("__id").alias("id2"), F.col("__v").alias("v2"), "bucket"
+        F.col("__id").alias("id2"), F.col("__v").alias("v2"),
+        F.col("__n").alias("n2"), "bucket",
     )
+    if dim:
+        cos = F.expr(f"{_dot_fixed_sql('v1', 'v2', dim)} / (n1 * n2)")
+    else:
+        cos = dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
     return (
         a.join(b, on="bucket")
         .filter(F.col("id1") < F.col("id2"))
-        .select(
-            "id1",
-            "id2",
-            F.round(_cosine_maybe_fixed("v1", "v2", dim), 6).alias(
-                "cosine_sim"
-            ),
-        )
+        .select("id1", "id2", F.round(cos, 6).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
 
