@@ -68,6 +68,10 @@ def build_training_corpus(
     max_bucket_size: int = 1000,
     benchmark: DataFrame | None = None,
     scrub: bool = True,
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    portable: bool = False,
 ) -> tuple[DataFrame, CorpusStats]:
     """Run the full corpus build; returns (chunked corpus, stage stats).
 
@@ -128,9 +132,10 @@ def build_training_corpus(
     # anchor-star candidates instead of being dropped, so they still
     # collapse to one survivor; the bucket count lands in CorpusStats.
     frames = dd.near_dup_frames(
-        exact, id_col, text_col, shingle_n=3, num_hashes=32, bands=8,
+        exact, id_col, text_col, shingle_n=shingle_n,
+        num_hashes=num_hashes, bands=bands,
         threshold=jaccard_threshold, max_bucket_size=max_bucket_size,
-        recover_oversized=True,
+        recover_oversized=True, portable=portable,
     )
     pairs = frames["pairs"]
     n_oversized = frames["oversized"].count()
