@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""Synthesize a k×-scaled BENCH fixture from an existing testdata dir.
+
+Usage: python3 scripts/make_scaled_fixture.py SRC_DIR OUT_DIR K
+
+Purpose (r5 verdict ask #6): all bench evidence was a single scale
+factor; a super-linear query (LSH pair explosion, window skew) is
+invisible at one sf. This produces "same distribution, k× the rows"
+fixtures so the headliners can be run at two+ scale factors and the
+slope recorded (SCALE.md). BENCH-ONLY: correctness oracles stay on the
+driver-generated /root/testdata dirs.
+
+Scaling model (TPC-H convention — dims fixed, facts scale):
+
+- region / nation: copied unchanged.
+- customer / supplier / part / orders / lineitem / events: k copies,
+  every entity key offset by copy_idx * 10**7 so referential
+  integrity holds per copy and group counts scale k×. Dates/timestamps
+  unchanged: the time range is constant, density scales — which is how
+  a growing production table actually behaves.
+- documents: k copies with doc_id offset AND every token suffixed with
+  the copy index ("_<i>", copy 0 unchanged). Plain replication would
+  make each document an exact/near duplicate of its k-1 twins, so
+  near-dup pair volume would grow k² and dedup slopes would measure an
+  artifact of the generator, not the operator. Disjoint per-copy
+  shingle spaces keep the WITHIN-copy duplicate structure bit-identical
+  → pairs scale k×, the honest "more of the same data" curve.
+- embeddings: k copies with vec_id offset and the vector circularly
+  rotated by copy_idx dims (norms and within-copy geometry preserved,
+  cross-copy cosine decorrelated — same reasoning as documents).
+
+Deterministic, no RNG. DuckDB does all the work; ~seconds at sf0.1.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+KEY_OFFSET = 10**7
+
+# table -> columns to offset per copy
+OFFSET_COLS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+COPY_UNCHANGED = ["region", "nation"]
+
+
+def copy_select(table: str, src: str, i: int) -> str:
+    cols = duckdb.connect().execute(
+        f"DESCRIBE SELECT * FROM read_parquet('{src}/{table}.parquet')"
+    ).fetchall()
+    exprs = []
+    for name, _typ, *_ in cols:
+        if name in OFFSET_COLS.get(table, []):
+            exprs.append(f"{name} + {i * KEY_OFFSET} AS {name}")
+        elif table == "documents" and name == "text" and i > 0:
+            exprs.append(
+                f"regexp_replace(text, '(\\S+)', '\\1_{i}', 'g') AS text"
+            )
+        elif table == "embeddings" and name == "embedding" and i > 0:
+            exprs.append(
+                f"(embedding[{i + 1}:] || embedding[:{i}])::FLOAT[] "
+                "AS embedding"
+            )
+        else:
+            exprs.append(name)
+    return (
+        f"SELECT {', '.join(exprs)} "
+        f"FROM read_parquet('{src}/{table}.parquet')"
+    )
+
+
+def main() -> int:
+    src, out, k = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    for table in COPY_UNCHANGED:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}/{table}.parquet')) "
+            f"TO '{out}/{table}.parquet' (FORMAT PARQUET)"
+        )
+        print(f"{table}: copied")
+    for table in OFFSET_COLS:
+        union = " UNION ALL ".join(
+            copy_select(table, src, i) for i in range(k)
+        )
+        con.execute(
+            f"COPY ({union}) TO '{out}/{table}.parquet' (FORMAT PARQUET)"
+        )
+        n = con.execute(
+            f"SELECT COUNT(*) FROM read_parquet('{out}/{table}.parquet')"
+        ).fetchone()[0]
+        print(f"{table}: {n} rows ({k} copies)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -438,30 +438,42 @@ def dedup_exact_by_content(
 def connected_components(
     pairs: DataFrame,
     id_cols: tuple[str, str] = ("id1", "id2"),
-    max_iter: int = 15,
+    max_iter: int = 16,
     strict: bool = True,
 ) -> DataFrame:
     """Duplicate clustering: connected components over the near-dup
     pair graph. Returns (id, cluster) where cluster = smallest id
     reachable.
 
-    Each round combines neighbor-min propagation with pointer jumping
-    (label := label of my label), so convergence is O(log diameter) —
-    max_iter=15 covers diameters up to ~2^15, far beyond any real
-    near-dup chain. The loop is driver-coordinated but every step is a
-    DataFrame job; lineage is truncated per round with an eager
-    localCheckpoint (the classic iterative-algorithm trap). If the
-    loop still exhausts max_iter without converging, ``strict`` raises
-    instead of silently returning split clusters (which would leak
-    duplicates into a corpus build).
+    Each round combines neighbor-min propagation with ONE pointer
+    jump (label := label of my label), so convergence is
+    O(log diameter) — max_iter=16 covers diameters far beyond any
+    real near-dup chain. The loop is driver-coordinated but every
+    step is a DataFrame job; lineage is truncated per round with an
+    eager localCheckpoint (the classic iterative-algorithm trap). If
+    the loop still exhausts max_iter without converging, ``strict``
+    raises instead of silently returning split clusters (which would
+    leak duplicates into a corpus build).
 
-    Cost shape (r6): ONE Spark job per round — the changed-label count
-    rides the checkpoint job as an ``observe()`` metric instead of a
-    second join+count pass (halves per-round latency locally; at scale
-    it removes one full pass over the label frame per round). Labels
-    seed directly with min(id, min(neighbor)) — the first
-    neighbor-min round folded into initialization, one round and one
-    distinct-shuffle cheaper than starting from identity labels.
+    Cost shape (r6, all measured on q181's sf0.1 SRP graph + a
+    3000-node chain):
+    - the changed-label count rides the checkpoint job as an
+      ``observe()`` metric instead of a second join+count pass — one
+      Spark job per round, not two;
+    - labels seed with min(id, min(neighbor)): the first neighbor-min
+      round folds into initialization, one round and one
+      distinct-shuffle cheaper than identity seeding;
+    - exactly ONE jump per round: a second jump changed neither round
+      count nor labels on either graph — only per-round cost. Zero
+      jumps is 2× cheaper per round but forfeits the O(log)
+      guarantee (the 3000-chain then exhausts max_iter);
+    - rounds are NOT batched into composed multi-iteration plans:
+      each iteration references its predecessor 3× (neighbor-min,
+      left side, jump parent), so an unbroken k-iteration plan
+      re-executes subplans ~3^k times (measured 9× slower at k=2) —
+      the per-round checkpoint is what caps that, the same
+      multi-reference blowup the MATERIALIZED hints fix in the
+      DuckDB oracles.
     """
     a, b = id_cols
     edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
@@ -475,53 +487,50 @@ def connected_components(
         .select("id", F.least(F.col("id"), F.col("__m")).alias("cluster"))
         .localCheckpoint(eager=True)
     )
+
     converged = False
     for _ in range(max_iter):
+        cur = labels.withColumn("__old", F.col("cluster"))
         neighbor_min = (
-            sym.join(labels, sym.dst == labels.id)
+            sym.join(
+                cur.select(
+                    F.col("id").alias("n_id"), F.col("cluster").alias("n_cl")
+                ),
+                sym.dst == F.col("n_id"),
+            )
             .groupBy(F.col("src").alias("id"))
-            .agg(F.min("cluster").alias("n_cluster"))
+            .agg(F.min("n_cl").alias("n_cluster"))
         )
-        stepped = labels.join(neighbor_min, on="id", how="left").select(
+        stepped = cur.join(neighbor_min, on="id", how="left").select(
             "id",
             F.least(
                 F.col("cluster"), F.coalesce("n_cluster", F.col("cluster"))
             ).alias("cluster"),
-            F.col("cluster").alias("__old"),
-        )
-        # pointer jumping: adopt my current label's own label — TWICE
-        # per round (label of label, then again), so each round
-        # contracts chains 4× instead of 2×. The jumps are label-frame
-        # joins (cheap next to the edge-frame neighbor-min), and
-        # halving the round count halves the per-round barriers —
-        # checkpoints locally, stage boundaries on a cluster (measured
-        # on q181's chain-heavy sf0.1 graph: 9 rounds → 5).
-        new_cluster = F.least(
-            F.col("cluster"), F.coalesce("p_cluster", F.col("cluster"))
+            "__old",
         )
         parents = stepped.select(
             F.col("id").alias("p_id"), F.col("cluster").alias("p_cluster")
         )
-        jumped = (
-            stepped.join(parents, stepped.cluster == parents.p_id, "left")
-            .select("id", new_cluster.alias("cluster"), "__old")
-        )
-        parents2 = jumped.select(
-            F.col("id").alias("p_id"), F.col("cluster").alias("p_cluster")
+        jumped = stepped.join(
+            parents, stepped.cluster == parents.p_id, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("cluster"), F.coalesce("p_cluster", F.col("cluster"))
+            ).alias("cluster"),
+            "__old",
         )
         obs = Observation()
-        new_labels = (
-            jumped.join(parents2, jumped.cluster == parents2.p_id, "left")
-            .select(
+        labels = (
+            jumped.select(
                 "id",
-                new_cluster.alias("cluster"),
-                (new_cluster != F.col("__old")).cast("long").alias("__chg"),
+                "cluster",
+                (F.col("cluster") != F.col("__old")).cast("long").alias("__chg"),
             )
             .observe(obs, F.sum("__chg").alias("changed"))
             .drop("__chg")
             .localCheckpoint(eager=True)
         )
-        labels = new_labels
         if not (obs.get["changed"] or 0):
             converged = True
             break
