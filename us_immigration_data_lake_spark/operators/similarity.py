@@ -778,20 +778,34 @@ def ivfpq_knn(
             )
         ).alias("cell"),
     )
-    table_structs = ", ".join(
-        f"named_struct('s', {s}, 'code', {ci},"
-        f" 'pdist_c', {sq_dist_c_sql('__pqv', cb[ci], s * sub, False)})"
-        for s, cb in enumerate(codebooks)
-        for ci in range(len(cb))
-    )
-    table = q.select(
-        "query_id", F.explode(F.expr(f"array({table_structs})")).alias("t")
-    ).select(
-        "query_id",
-        F.col("t.s").alias("s"),
-        F.col("t.code").alias("code"),
-        F.col("t.pdist_c").alias("pdist_c"),
-    )
+    # one projection PER SUBSPACE, unioned: a single array over all
+    # n_sub × k_codes distance structs inlines every unrolled
+    # sq-dist chain into one generate_doConsume method, which blows
+    # janino's 64 KB method limit — whole-stage codegen then logs
+    # "Failed to compile" and interprets the stage every run. Each
+    # union arm carries only k_codes structs (1/n_sub the code), so
+    # every stage stays compiled; the union is map-side on a
+    # queries-sized frame, nothing changes in the dataflow.
+    def _sub_table(s: int, cb: list[list[float]]) -> DataFrame:
+        structs = ", ".join(
+            f"named_struct('code', {ci},"
+            f" 'pdist_c', {sq_dist_c_sql('__pqv', cb[ci], s * sub, False)})"
+            for ci in range(len(cb))
+        )
+        return q.select(
+            "query_id",
+            F.lit(s).alias("s"),
+            F.explode(F.expr(f"array({structs})")).alias("t"),
+        ).select(
+            "query_id",
+            "s",
+            F.col("t.code").alias("code"),
+            F.col("t.pdist_c").alias("pdist_c"),
+        )
+
+    table = _sub_table(0, codebooks[0])
+    for s, cb in enumerate(codebooks[1:], start=1):
+        table = table.unionAll(_sub_table(s, cb))
 
     scored = (
         c.join(F.broadcast(probed), "cell")
