@@ -1014,3 +1014,55 @@ def test_dedup_survivors_by_keeps_highest_score_smallest_id_tie(spark):
         7: (7, True), 8: (7, False),
         9: (9, True),
     }
+
+
+def test_srp_frames_cap_semantics_and_recovery(spark):
+    # r6: the SRP skew guard must mirror the text path's semantics —
+    # capped pairs = (all-pairs of small buckets) ∪ (anchor-star of
+    # mega buckets), every capped bucket counted in "oversized", and
+    # an uncapped frames run must equal srp_bucket_near_dup_pairs.
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    dim = 8
+    # one dense planted cluster (mega bucket) + scattered vectors
+    proto = rng.randn(dim)
+    rows = [(i, (proto + rng.randn(dim) * 0.01).tolist()) for i in range(12)]
+    rows += [(100 + i, rng.randn(dim).tolist()) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(threshold=0.5, dim=dim, num_bits=2)
+
+    uncapped = sim.srp_near_dup_frames(
+        df, "vec_id", "embedding", max_bucket_size=10**9, **kw
+    )
+    direct = sim.srp_bucket_near_dup_pairs(df, "vec_id", "embedding", **kw)
+    assert {(r.id1, r.id2, r.cosine_sim) for r in uncapped["pairs"].collect()} == {
+        (r.id1, r.id2, r.cosine_sim) for r in direct.collect()
+    }
+    assert uncapped["oversized"].count() == 0
+
+    capped = sim.srp_near_dup_frames(
+        df, "vec_id", "embedding", max_bucket_size=5,
+        recover_oversized=True, **kw
+    )
+    over = capped["oversized"].collect()
+    assert len(over) >= 1  # the planted cluster's bucket is capped
+    assert all(r.bucket_n > 5 for r in over)
+    capped_pairs = {(r.id1, r.id2) for r in capped["pairs"].collect()}
+    # anchor-star recovery: the planted cluster still collapses to one
+    # survivor under the smallest planted id
+    surv = sim.semantic_dedup(
+        df, "vec_id", "embedding", threshold=0.5, dim=dim, num_bits=2,
+        max_bucket_size=5, recover_oversized=True,
+    ).collect()
+    planted = {r.vec_id: (r.cluster, r.keep) for r in surv if r.vec_id < 100}
+    assert {c for c, _ in planted.values()} == {0}
+    assert [v for v, (_, k) in planted.items() if k] == [0]
+    # capped candidates never invent a pair the exact form rejects
+    exact = {
+        (r.id1, r.id2)
+        for r in sim.cosine_near_dup_pairs(
+            df, "vec_id", "embedding", threshold=0.5
+        ).collect()
+    }
+    assert capped_pairs <= exact

@@ -471,6 +471,38 @@ def srp_bucket_near_dup_pairs(
     Returns (id1, id2, cosine_sim) with id1 < id2 and
     round(cosine, 6) >= threshold.
     """
+    sig = _srp_sig_frame(df, id_col, vec_col, dim, num_bits, seed)
+    a = sig.select(
+        F.col("__id").alias("id1"), F.col("__v").alias("v1"),
+        F.col("__n").alias("n1"), "bucket",
+    )
+    b = sig.select(
+        F.col("__id").alias("id2"), F.col("__v").alias("v2"),
+        F.col("__n").alias("n2"), "bucket",
+    )
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("id1") < F.col("id2"))
+        .select(
+            "id1", "id2",
+            F.round(_pair_cosine(dim), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def _srp_sig_frame(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    num_bits: int,
+    seed: int,
+) -> DataFrame:
+    """The shared SRP signature frame (__id, __v, __n, bucket),
+    materialized once (eager localCheckpoint) — see
+    srp_bucket_near_dup_pairs's docstring for why the barrier is
+    load-bearing (double execution + codegen 64 KB collapse)."""
     planes = srp_planes(dim, num_bits, seed)
     sig = df.select(
         F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v")
@@ -481,25 +513,82 @@ def srp_bucket_near_dup_pairs(
         )
     else:
         sig = sig.withColumn("__n", l2_norm(F.col("__v")))
-    sig = sig.localCheckpoint(eager=True)
-    a = sig.select(
-        F.col("__id").alias("id1"), F.col("__v").alias("v1"),
-        F.col("__n").alias("n1"), "bucket",
-    )
-    b = sig.select(
-        F.col("__id").alias("id2"), F.col("__v").alias("v2"),
-        F.col("__n").alias("n2"), "bucket",
-    )
+    return sig.localCheckpoint(eager=True)
+
+
+def _pair_cosine(dim: int) -> F.Column:
+    """Cosine of (v1, v2) from precomputed norms (n1, n2)."""
     if dim:
-        cos = F.expr(f"{_dot_fixed_sql('v1', 'v2', dim)} / (n1 * n2)")
-    else:
-        cos = dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
-    return (
-        a.join(b, on="bucket")
-        .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2", F.round(cos, 6).alias("cosine_sim"))
+        return F.expr(f"{_dot_fixed_sql('v1', 'v2', dim)} / (n1 * n2)")
+    return dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
+
+
+def srp_near_dup_frames(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    dim: int,
+    num_bits: int = 8,
+    seed: int = 42,
+    max_bucket_size: int = 1000,
+    recover_oversized: bool = False,
+) -> dict[str, DataFrame]:
+    """srp_bucket_near_dup_pairs with the SAME mega-bucket skew guard
+    the MinHash text path has (operators/dedup.py:near_dup_frames):
+    an SRP bucket is Σ|bucket|² work, and with a FIXED number of
+    planes bucket occupancy grows linearly with the corpus — so pair
+    volume grows quadratically (measured: 21× q181 wall-clock at 3×
+    rows before capping existed). Buckets over ``max_bucket_size``
+    are excluded from all-pairs candidate generation and, with
+    ``recover_oversized``, contribute anchor-star candidates
+    (member ↔ bucket-min, linear in bucket size) instead; exact
+    cosine verification then filters both kinds identically, so a
+    dense semantic cluster still collapses to one survivor in
+    connected-components dedup rather than exploding one reducer.
+
+    Reuses the text path's bucket machinery verbatim (the SRP bucket
+    key rides the band_hash slot with a constant band_idx), so cap
+    semantics can never drift between the two pipelines. Returns
+    ``{"pairs": (id1, id2, cosine_sim), "oversized": one row per
+    capped bucket}``.
+    """
+    from us_immigration_data_lake_spark.operators.dedup import (
+        candidate_pairs,
+        oversized_bucket_star_pairs,
+        oversized_buckets,
+    )
+
+    sig = _srp_sig_frame(df, id_col, vec_col, dim, num_bits, seed)
+    band_df = sig.select(
+        "__id", F.lit(0).alias("band_idx"), F.col("bucket").alias("band_hash")
+    )
+    cand = candidate_pairs(band_df, "__id", max_bucket_size)
+    if recover_oversized:
+        cand = cand.unionByName(
+            oversized_bucket_star_pairs(band_df, "__id", max_bucket_size)
+        ).dropDuplicates()
+    v1 = sig.select(
+        F.col("__id").alias("id1"), F.col("__v").alias("v1"),
+        F.col("__n").alias("n1"),
+    )
+    v2 = sig.select(
+        F.col("__id").alias("id2"), F.col("__v").alias("v2"),
+        F.col("__n").alias("n2"),
+    )
+    pairs = (
+        cand.join(v1, "id1")
+        .join(v2, "id2")
+        .select(
+            "id1", "id2",
+            F.round(_pair_cosine(dim), 6).alias("cosine_sim"),
+        )
         .filter(F.col("cosine_sim") >= threshold)
     )
+    return {
+        "pairs": pairs,
+        "oversized": oversized_buckets(band_df, "__id", max_bucket_size),
+    }
 
 
 def semantic_dedup(
@@ -511,6 +600,8 @@ def semantic_dedup(
     num_bits: int = 8,
     seed: int = 42,
     max_iter: int = 15,
+    max_bucket_size: int | None = None,
+    recover_oversized: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication decision over an
     embedding column: SRP-bucketed near-dup pairs →
@@ -518,14 +609,26 @@ def semantic_dedup(
     (operators/dedup.py machinery — same survivor convention as the
     MinHash text path, so text and embedding dedup compose). Returns
     (id, cluster, keep) for EVERY input row; rows in no pair are
-    singleton clusters that keep themselves."""
+    singleton clusters that keep themselves.
+
+    ``max_bucket_size`` (None = uncapped exact-within-bucket, the
+    gate-query semantics) engages the srp_near_dup_frames skew guard —
+    the setting a 100 TB run wants, since fixed-plane bucket occupancy
+    grows linearly with corpus size and pair volume quadratically."""
     from us_immigration_data_lake_spark.operators.dedup import (
         dedup_survivors,
     )
 
-    pairs = srp_bucket_near_dup_pairs(
-        df, id_col, vec_col, threshold, dim, num_bits=num_bits, seed=seed
-    )
+    if max_bucket_size is None:
+        pairs = srp_bucket_near_dup_pairs(
+            df, id_col, vec_col, threshold, dim, num_bits=num_bits, seed=seed
+        )
+    else:
+        pairs = srp_near_dup_frames(
+            df, id_col, vec_col, threshold, dim, num_bits=num_bits,
+            seed=seed, max_bucket_size=max_bucket_size,
+            recover_oversized=recover_oversized,
+        )["pairs"]
     return dedup_survivors(
         df, pairs.select("id1", "id2"), id_col, max_iter=max_iter
     )

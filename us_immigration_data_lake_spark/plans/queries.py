@@ -10387,3 +10387,104 @@ def q186_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "after_near_dedup bigint, chunks bigint, "
         "oversized_lsh_buckets bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Q187 — SEMANTIC dedup with the SRP mega-bucket skew guard,
+# oracle-gated (operators/similarity.py:srp_near_dup_frames →
+# semantic_dedup(max_bucket_size=...)): q182 pins the cap + anchor-star
+# recovery semantics for the MinHash TEXT path; THIS row pins the same
+# guard on the EMBEDDING path, where it matters even more — with a
+# fixed plane count, SRP bucket occupancy grows linearly with the
+# corpus and within-bucket pair volume quadratically (the r6 scaling
+# probe measured q181 at 21× wall-clock for 3× rows before the guard
+# existed). Buckets over the cap contribute anchor-star candidates
+# (member ↔ bucket-min) instead of all-pairs; exact cosine then
+# filters both kinds, and the closure/survivor tail is q181's.
+# 8 planes + cap=5 keep BOTH branches non-vacuous at every sf
+# (probed: 123/125/73 small buckets and 11/8/169 capped buckets at
+# sf0.001/0.01/0.1). The cap machinery is dedup.py's, reused
+# verbatim, so text and embedding guards can never drift.
+# ---------------------------------------------------------------------------
+
+_Q187_BITS, _Q187_CAP = 8, 5
+
+
+def _q187_oracle_sql() -> str:
+    planes = sim_ops.srp_planes(EMBEDDING_DIM, num_bits=_Q187_BITS, seed=42)
+
+    def dot_expr(i: int) -> str:
+        return " + ".join(
+            f"v[{j + 1}]*({float(planes[i][j])!r})" for j in range(EMBEDDING_DIM)
+        )
+
+    bits = " + ".join(
+        f"(CASE WHEN ({dot_expr(i)}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(_Q187_BITS)
+    )
+    return f"""
+    WITH RECURSIVE base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), b AS MATERIALIZED (
+      SELECT vec_id, v, CAST({bits} AS BIGINT) AS bucket FROM base
+    ), sizes AS MATERIALIZED (
+      SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket
+    ), small_pairs AS (
+      SELECT x.vec_id AS id1, y.vec_id AS id2
+      FROM b x
+      JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+      JOIN sizes s ON s.bucket = x.bucket
+      WHERE s.n BETWEEN 2 AND {_Q187_CAP}
+    ), anchors AS (
+      SELECT m.bucket, MIN(m.vec_id) AS anchor
+      FROM b m JOIN sizes s ON s.bucket = m.bucket
+      WHERE s.n > {_Q187_CAP}
+      GROUP BY m.bucket
+    ), star_pairs AS (
+      SELECT an.anchor AS id1, m.vec_id AS id2
+      FROM anchors an
+      JOIN b m ON m.bucket = an.bucket
+      WHERE an.anchor < m.vec_id
+    ), cand AS MATERIALIZED (
+      SELECT id1, id2 FROM small_pairs
+      UNION
+      SELECT id1, id2 FROM star_pairs
+    ), pairs AS MATERIALIZED (
+      SELECT c.id1, c.id2
+      FROM cand c
+      JOIN b x ON c.id1 = x.vec_id
+      JOIN b y ON c.id2 = y.vec_id
+      WHERE ROUND(list_cosine_similarity(x.v, y.v), 6) >= {_Q181_TAU}
+    ), edges AS MATERIALIZED (
+      SELECT id1 AS src, id2 AS dst FROM pairs
+      UNION SELECT id2, id1 FROM pairs
+    ), reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      WHERE e.dst <> r.src
+    ), labels AS MATERIALIZED (
+      SELECT src AS id, LEAST(src, MIN(dst)) AS cluster
+      FROM reach GROUP BY src
+    )
+    SELECT d.vec_id,
+           COALESCE(l.cluster, d.vec_id) AS cluster,
+           d.vec_id = COALESCE(l.cluster, d.vec_id) AS keep
+    FROM (SELECT vec_id FROM embeddings) d
+    LEFT JOIN labels l ON d.vec_id = l.id
+    """
+
+
+@_register(
+    "q187_semantic_dedup_capped",
+    oracle=_q187_oracle_sql(),
+    tags=("similarity", "dedup", "semdedup", "skew-guard"),
+)
+def q187_semantic_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.semantic_dedup(
+        emb, "vec_id", "embedding", threshold=_Q181_TAU,
+        dim=EMBEDDING_DIM, num_bits=_Q187_BITS,
+        max_bucket_size=_Q187_CAP, recover_oversized=True,
+    )
