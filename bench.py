@@ -57,6 +57,19 @@ def main() -> None:
     # predicate pushdown, q01/q04 +15-20%).
     spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").cache().count()
 
+    # HEADLINE SET GROWTH (r6): 22 queries — q181 (semantic dedup,
+    # uncapped gate semantics), q182 (LSH bucket-cap skew guard),
+    # q185 (q20's plan on the production xxhash64 hash, so the
+    # portable-vs-production delta is a published number), and q187
+    # (semantic dedup WITH the SRP bucket cap) joined per the r5
+    # verdict. q181 vs q187 is the guarded-vs-unguarded contrast the
+    # scaling table in SCALE.md tracks: with fixed planes, q181's
+    # within-bucket pair volume grows quadratically with corpus size
+    # while q187's is capped linear. Multi-SF slopes come from
+    # scripts/make_scaled_fixture.py fixtures (.localdata/), measured
+    # with NOTHING else running — concurrent Spark work inflated one
+    # r6 measurement 11×.
+    #
     # HEADLINE SET GROWTH (r5): 18 queries — q97 (forward as-of),
     # q127 (streaming incremental view maintenance — its timing
     # includes the availableNow stream execution inside fn()), q163

@@ -10479,6 +10479,9 @@ def _q187_oracle_sql() -> str:
     "q187_semantic_dedup_capped",
     oracle=_q187_oracle_sql(),
     tags=("similarity", "dedup", "semdedup", "skew-guard"),
+    # benched alongside the uncapped q181 so the scaling table
+    # contrasts guarded vs unguarded semantic dedup directly
+    bench=True,
 )
 def q187_semantic_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tune(spark)
