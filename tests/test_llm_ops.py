@@ -1066,3 +1066,43 @@ def test_srp_frames_cap_semantics_and_recovery(spark):
         ).collect()
     }
     assert capped_pairs <= exact
+
+
+def test_joint_dedup_bridges_modalities(spark):
+    # A ~text~ B (near-identical text, far-apart embeddings) and
+    # B ~semantic~ C (unrelated text, near-identical embeddings):
+    # joint dedup must collapse {A,B,C} to ONE cluster under min id —
+    # neither modality alone links A to C.
+    import numpy as np
+
+    from us_immigration_data_lake_spark.operators.dedup import (
+        joint_near_dup_survivors,
+    )
+
+    rng = np.random.RandomState(5)
+    dim = 8
+    vb = rng.randn(dim)
+    va = rng.randn(dim)  # far from vb
+    vc = (vb + rng.randn(dim) * 0.01).tolist()  # near vb
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, shared, va.tolist()),
+        (1, shared + " extra", vb.tolist()),
+        (2, "completely different words about maritime navigation law", vc),
+        (3, "an unrelated isolated document about gardening", rng.randn(dim).tolist()),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, embedding array<double>"
+    )
+    out = {
+        r.doc_id: (r.cluster, r.keep)
+        for r in joint_near_dup_survivors(
+            df, "doc_id", "text", "embedding", dim=dim,
+            jaccard_threshold=0.3, cosine_threshold=0.9,
+            shingle_n=2, num_hashes=8, bands=8, num_bits=2,
+        ).collect()
+    }
+    assert out[0] == (0, True)
+    assert out[1] == (0, False)
+    assert out[2] == (0, False)  # reachable only through B
+    assert out[3] == (3, True)

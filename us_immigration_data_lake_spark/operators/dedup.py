@@ -904,3 +904,56 @@ def prefix_jaccard_pairs(
             .alias("jaccard_permille"),
         )
     )
+
+
+def joint_near_dup_survivors(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vec_col: str,
+    dim: int,
+    jaccard_threshold: float = 0.5,
+    cosine_threshold: float = 0.9,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    num_bits: int = 8,
+    seed: int = 42,
+    max_bucket_size: int = 1000,
+    portable: bool = False,
+) -> DataFrame:
+    """Joint TEXT + SEMANTIC near-duplicate dedup: a document is a
+    duplicate if it is a MinHash-LSH text near-dup OR an SRP-bucketed
+    embedding near-dup of a survivor — the union of both pair graphs
+    feeds ONE connected-components pass, so a chain like
+    (A ~text~ B ~semantic~ C) collapses to a single survivor even
+    though no single modality links A to C. This is the dedup a real
+    corpus build runs when both a text fingerprint and an embedding
+    exist per document: paraphrases (caught semantically, missed
+    lexically) and boilerplate edits (caught lexically, possibly far
+    apart in embedding space) fall in the same sweep.
+
+    Both candidate generators run with their mega-bucket guards
+    (near_dup_frames + srp_near_dup_frames, anchor-star recovery on),
+    so the union inherits the 100 TB skew bounds of each path; the
+    edge union is a distinct over two already-bounded pair frames,
+    and the CC cost is driven by the combined edge count, not by any
+    all-pairs blowup. Returns (id, cluster, keep) for every input row
+    (dedup_survivors convention: smallest id per cluster survives).
+    """
+    from us_immigration_data_lake_spark.operators.similarity import (
+        srp_near_dup_frames,
+    )
+
+    text_pairs = near_dup_frames(
+        df, id_col, text_col, shingle_n=shingle_n, num_hashes=num_hashes,
+        bands=bands, threshold=jaccard_threshold,
+        max_bucket_size=max_bucket_size, recover_oversized=True,
+        portable=portable,
+    )["pairs"].select("id1", "id2")
+    sem_pairs = srp_near_dup_frames(
+        df, id_col, vec_col, cosine_threshold, dim, num_bits=num_bits,
+        seed=seed, max_bucket_size=max_bucket_size, recover_oversized=True,
+    )["pairs"].select("id1", "id2")
+    pairs = text_pairs.unionByName(sem_pairs).dropDuplicates()
+    return dedup_survivors(df, pairs, id_col)

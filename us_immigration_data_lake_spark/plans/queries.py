@@ -10491,3 +10491,157 @@ def q187_semantic_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=EMBEDDING_DIM, num_bits=_Q187_BITS,
         max_bucket_size=_Q187_CAP, recover_oversized=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# Q188 — JOINT text + semantic near-dup dedup, oracle-gated
+# (operators/dedup.py:joint_near_dup_survivors): the union of the
+# MinHash-LSH text pair graph (q20/q55/q182 machinery, portable
+# hashes, bucket cap + anchor-star recovery) and the SRP-bucketed
+# embedding pair graph (q181/q187 machinery, same guard) feeds ONE
+# connected-components pass — a chain (A ~text~ B ~semantic~ C)
+# collapses to a single survivor even though no single modality links
+# A to C. This is the dedup a corpus build with both a fingerprint
+# and an embedding per document actually runs (paraphrases are caught
+# semantically, boilerplate edits lexically). Input: documents ⋈
+# embeddings on doc_id = vec_id (the fixture's shared key space).
+# The oracle replays BOTH candidate generators (q186's capped-LSH SQL
+# and q187's capped-SRP SQL, parameters identical), unions the
+# verified edges, and runs the recursive closure once.
+# ---------------------------------------------------------------------------
+
+
+def _q188_oracle_sql() -> str:
+    planes = sim_ops.srp_planes(EMBEDDING_DIM, num_bits=_Q187_BITS, seed=42)
+
+    def dot_expr(i: int) -> str:
+        return " + ".join(
+            f"v[{j + 1}]*({float(planes[i][j])!r})" for j in range(EMBEDDING_DIM)
+        )
+
+    bits = " + ".join(
+        f"(CASE WHEN ({dot_expr(i)}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(_Q187_BITS)
+    )
+    prefix = _portable_minhash_prefix_sql(
+        " WHERE doc_id IN (SELECT vec_id FROM embeddings)",
+        _Q55_HASHES, _Q55_BANDS,
+    )
+    sql = f"""
+    WITH RECURSIVE {prefix}, tsizes AS (
+      SELECT band_idx, band_key, COUNT(*) AS n
+      FROM bnd GROUP BY band_idx, band_key
+    ), tsmall AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM bnd a
+      JOIN bnd b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+      JOIN tsizes s ON s.band_idx = a.band_idx AND s.band_key = a.band_key
+      WHERE s.n BETWEEN 2 AND {_Q182_CAP}
+    ), tanch AS (
+      SELECT b.band_idx, b.band_key, MIN(b.doc_id) AS anchor
+      FROM bnd b JOIN tsizes s
+        ON s.band_idx = b.band_idx AND s.band_key = b.band_key
+      WHERE s.n > {_Q182_CAP}
+      GROUP BY b.band_idx, b.band_key
+    ), tstar AS (
+      SELECT DISTINCT an.anchor AS id1, m.doc_id AS id2
+      FROM tanch an
+      JOIN bnd m ON m.band_idx = an.band_idx AND m.band_key = an.band_key
+      WHERE an.anchor < m.doc_id
+    ), tcand AS (
+      SELECT id1, id2 FROM tsmall UNION SELECT id1, id2 FROM tstar
+    ), hs AS (
+      SELECT doc_id, list(h) AS hs FROM hx GROUP BY doc_id
+    ), tpairs AS (
+      SELECT c.id1, c.id2
+      FROM tcand c
+      JOIN hs h1 ON c.id1 = h1.doc_id
+      JOIN hs h2 ON c.id2 = h2.doc_id
+      WHERE CAST(len(list_intersect(h1.hs, h2.hs)) AS DOUBLE)
+            / (len(h1.hs) + len(h2.hs) - len(list_intersect(h1.hs, h2.hs)))
+            >= 0.055
+    ), sb AS (
+      SELECT vec_id, v, CAST({bits} AS BIGINT) AS bucket
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    ), ssz AS (
+      SELECT bucket, COUNT(*) AS n FROM sb GROUP BY bucket
+    ), ssmall AS (
+      SELECT x.vec_id AS id1, y.vec_id AS id2
+      FROM sb x
+      JOIN sb y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+      JOIN ssz s ON s.bucket = x.bucket
+      WHERE s.n BETWEEN 2 AND {_Q187_CAP}
+    ), sanch AS (
+      SELECT m.bucket, MIN(m.vec_id) AS anchor
+      FROM sb m JOIN ssz s ON s.bucket = m.bucket
+      WHERE s.n > {_Q187_CAP}
+      GROUP BY m.bucket
+    ), sstar AS (
+      SELECT an.anchor AS id1, m.vec_id AS id2
+      FROM sanch an
+      JOIN sb m ON m.bucket = an.bucket
+      WHERE an.anchor < m.vec_id
+    ), scand AS (
+      SELECT id1, id2 FROM ssmall UNION SELECT id1, id2 FROM sstar
+    ), spairs AS (
+      SELECT c.id1, c.id2
+      FROM scand c
+      JOIN sb x ON c.id1 = x.vec_id
+      JOIN sb y ON c.id2 = y.vec_id
+      WHERE ROUND(list_cosine_similarity(x.v, y.v), 6) >= {_Q181_TAU}
+    ), jedges AS (
+      SELECT id1 AS src, id2 AS dst FROM tpairs
+      UNION SELECT id2, id1 FROM tpairs
+      UNION SELECT id1, id2 FROM spairs
+      UNION SELECT id2, id1 FROM spairs
+    ), reach AS (
+      SELECT src, dst FROM jedges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN jedges e ON r.dst = e.src
+      WHERE e.dst <> r.src
+    ), jlabels AS (
+      SELECT src AS id, LEAST(src, MIN(dst)) AS cluster
+      FROM reach GROUP BY src
+    )
+    SELECT d.doc_id,
+           COALESCE(l.cluster, d.doc_id) AS cluster,
+           d.doc_id = COALESCE(l.cluster, d.doc_id) AS keep
+    FROM (SELECT doc_id FROM documents
+          WHERE doc_id IN (SELECT vec_id FROM embeddings)) d
+    LEFT JOIN jlabels l ON d.doc_id = l.id
+    """
+    # multi-referenced CTEs (see the MATERIALIZED note on q186): bnd
+    # fans out of sig per band; hx/hs, sb, the candidate unions and
+    # the closure base+step all re-reference their chain
+    import re
+
+    for name in (
+        "hx", "sig", "bnd", "tsizes", "tcand", "hs", "tpairs",
+        "sb", "ssz", "scand", "spairs", "jedges", "jlabels",
+    ):
+        sql = re.sub(
+            rf"(?<![A-Za-z_]){name} AS \(", f"{name} AS MATERIALIZED (", sql
+        )
+    return sql
+
+
+@_register(
+    "q188_joint_dedup",
+    oracle=_q188_oracle_sql(),
+    tags=("dedup", "minhash", "semdedup", "composition", "portable"),
+)
+def q188_joint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    joined = docs.join(
+        emb, docs.doc_id == emb.vec_id, "inner"
+    ).select("doc_id", "text", "embedding")
+    return dedup_ops.joint_near_dup_survivors(
+        joined, "doc_id", "text", "embedding", dim=EMBEDDING_DIM,
+        jaccard_threshold=0.055, cosine_threshold=_Q181_TAU,
+        shingle_n=2, num_hashes=_Q55_HASHES, bands=_Q55_BANDS,
+        num_bits=_Q187_BITS, seed=42, max_bucket_size=_Q182_CAP,
+        portable=True,
+    )
