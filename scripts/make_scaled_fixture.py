@@ -68,8 +68,22 @@ def copy_select(table: str, src: str, i: int) -> str:
                 f"regexp_replace(text, '(\\S+)', '\\1_{i}', 'g') AS text"
             )
         elif table == "embeddings" and name == "embedding" and i > 0:
+            # Rotate by i MOD dim: DuckDB slice clamping makes
+            # embedding[i+1:] empty for i >= dim, which would silently
+            # degrade to the identity and re-introduce the k² exact-dup
+            # pair artifact this rotation exists to avoid (ADVICE r6).
+            dim = duckdb.connect().execute(
+                f"SELECT len(embedding) FROM "
+                f"read_parquet('{src}/{table}.parquet') LIMIT 1"
+            ).fetchone()[0]
+            r = i % dim
+            assert r > 0, (
+                f"copy {i} rotates by 0 (dim={dim}): an exact duplicate "
+                "of copy 0 — use k < dim copies or add a second "
+                "decorrelation axis"
+            )
             exprs.append(
-                f"(embedding[{i + 1}:] || embedding[:{i}])::FLOAT[] "
+                f"(embedding[{r + 1}:] || embedding[:{r}])::FLOAT[] "
                 "AS embedding"
             )
         else:

@@ -48,8 +48,15 @@ def main():
         if spec.oracle is None:
             continue
         try:
-            df = spec.fn(spark, sf_dir)
-            sp = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+            if spec.result_schema is not None:
+                # eager fn (executes actions to build its frame) —
+                # read the declared DDL instead of running the pipeline
+                from pyspark.sql.types import StructType
+
+                fields = StructType.fromDDL(spec.result_schema).fields
+            else:
+                fields = spec.fn(spark, sf_dir).schema.fields
+            sp = {f.name: f.dataType.simpleString() for f in fields}
             rel = con.sql(spec.oracle)
             du = dict(zip(rel.columns, (str(t) for t in rel.types)))
         except Exception as e:  # noqa: BLE001

@@ -1068,6 +1068,48 @@ def test_srp_frames_cap_semantics_and_recovery(spark):
     assert capped_pairs <= exact
 
 
+def test_semantic_dedup_default_engages_skew_guard(spark, monkeypatch):
+    """r7 verdict ask #1: with NO arguments beyond the required ones,
+    semantic_dedup must take the guarded srp_near_dup_frames path
+    (cap=1000, anchor-star recovery ON) — a user must not get the
+    measured-31×-at-10×-rows uncapped plan by omission. The uncapped
+    plan remains available via an explicit max_bucket_size=None."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    dim = 8
+    df = spark.createDataFrame(
+        [(i, rng.randn(dim).tolist()) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    calls = []
+    real_frames = sim.srp_near_dup_frames
+    real_uncapped = sim.srp_bucket_near_dup_pairs
+
+    def spy_frames(*a, **kw):
+        calls.append(("frames", kw.get("max_bucket_size"),
+                      kw.get("recover_oversized")))
+        return real_frames(*a, **kw)
+
+    def spy_uncapped(*a, **kw):
+        calls.append(("uncapped", None, None))
+        return real_uncapped(*a, **kw)
+
+    monkeypatch.setattr(sim, "srp_near_dup_frames", spy_frames)
+    monkeypatch.setattr(sim, "srp_bucket_near_dup_pairs", spy_uncapped)
+
+    out = sim.semantic_dedup(df, "vec_id", "embedding", threshold=0.9, dim=dim)
+    assert out.count() == 6
+    assert calls == [("frames", 1000, True)]
+
+    calls.clear()
+    sim.semantic_dedup(
+        df, "vec_id", "embedding", threshold=0.9, dim=dim,
+        max_bucket_size=None,
+    ).count()
+    assert calls == [("uncapped", None, None)]
+
+
 def test_joint_dedup_bridges_modalities(spark):
     # A ~text~ B (near-identical text, far-apart embeddings) and
     # B ~semantic~ C (unrelated text, near-identical embeddings):
@@ -1106,3 +1148,74 @@ def test_joint_dedup_bridges_modalities(spark):
     assert out[1] == (0, False)
     assert out[2] == (0, False)  # reachable only through B
     assert out[3] == (3, True)
+
+
+def test_repeated_substring_spans_planted(spark):
+    """r7 verdict ask #6 (Lee et al. ExactSubstr): planted repeated
+    passages — cross-doc, within-doc, and an untouched unique doc.
+    Hand-computed truth at k=3:
+    - docs 10/20 share the 4-token run "a b c d"; canonical occurrence
+      is doc 10 (smallest (id,pos)), so ONLY doc 20 gets a span, and
+      its two duplicated positions (2,3) merge into one [2,6) span;
+    - doc 30 repeats its own "m n o p" → the SECOND copy [4,8) drops;
+    - doc 40 is unique → no spans."""
+    rows = [
+        (10, "a b c d e f"),
+        (20, "x y a b c d q r s"),
+        (30, "m n o p m n o p"),
+        (40, "z0 z1 z2 z3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for portable in (False, True):
+        spans = {
+            (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+            for r in dd.repeated_substring_spans(
+                df, "doc_id", "text", k=3, portable=portable
+            ).collect()
+        }
+        assert spans == {(20, 2, 6, 4), (30, 4, 8, 4)}, (portable, spans)
+
+
+def test_remove_repeated_substrings_planted(spark):
+    rows = [
+        (10, "a b c d e f"),
+        (20, "x y a b c d q r s"),
+        (30, "m n o p m n o p"),
+        (40, "z0 z1 z2 z3"),
+        (50, "t0 t1"),  # shorter than k: never shingled, must pass through
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.clean_text, r.n_tokens, r.removed_tokens, r.n_spans)
+        for r in dd.remove_repeated_substrings(
+            df, "doc_id", "text", k=3, portable=True
+        ).collect()
+    }
+    assert len(out) == 5  # every input row present
+    assert out[10] == ("a b c d e f", 6, 0, 0)  # canonical copy survives
+    assert out[20] == ("x y q r s", 9, 4, 1)
+    assert out[30] == ("m n o p", 8, 4, 1)
+    assert out[40] == ("z0 z1 z2 z3", 4, 0, 0)
+    assert out[50] == ("t0 t1", 2, 0, 0)
+
+
+def test_repeated_substring_min_count_threshold(spark):
+    # min_count=3: a passage shared by only two docs is below threshold;
+    # one shared by three drops everywhere but its canonical occurrence.
+    rows = [
+        (1, "p q r s junk1a junk1b"),
+        (2, "junk2a p q r s junk2b"),
+        (3, "junk3a junk3b p q r s"),
+        (4, "u v w x only4a only4b"),
+        (5, "only5a u v w x only5b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in dd.repeated_substring_spans(
+            df, "doc_id", "text", k=4, portable=True, min_count=3
+        ).collect()
+    }
+    # "p q r s" occurs 3× → docs 2 and 3 lose it; "u v w x" occurs
+    # only 2× → below min_count, untouched
+    assert spans == {(2, 1, 5), (3, 2, 6)}

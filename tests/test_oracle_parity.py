@@ -58,6 +58,14 @@ def _canon(rows, cols):
 def test_query_matches_oracle(name, spark, duck):
     spec = QUERIES[name]
     df = spec.fn(spark, SF)
+    if spec.result_schema is not None:
+        # the declared-DDL hook the type gate trusts instead of
+        # executing this (eager) fn — pin it to the real schema here
+        from pyspark.sql.types import StructType
+
+        assert StructType.fromDDL(spec.result_schema) == df.schema, (
+            f"{name}: result_schema hook drifted from executed schema"
+        )
     rows = [tuple(r) for r in df.collect()]
     if spec.oracle is None:
         assert len(rows) > 0, f"{name}: rows-only query returned nothing"
@@ -83,10 +91,16 @@ _ORACLED = [n for n, s in QUERIES.items() if s.oracle is not None]
 @pytest.mark.parametrize("name", _ORACLED)
 def test_declared_types_match(name, spark, duck):
     spec = QUERIES[name]
-    sp = {
-        f.name: f.dataType.simpleString()
-        for f in spec.fn(spark, SF).schema.fields
-    }
+    if spec.result_schema is not None:
+        # eager fn (its frame only exists after running the pipeline's
+        # actions): use the declared DDL hook, which the value-parity
+        # sweep pins to the executed schema
+        from pyspark.sql.types import StructType
+
+        fields = StructType.fromDDL(spec.result_schema).fields
+    else:
+        fields = spec.fn(spark, SF).schema.fields
+    sp = {f.name: f.dataType.simpleString() for f in fields}
     rel = duck.sql(spec.oracle)
     du = dict(zip(rel.columns, (str(t) for t in rel.types)))
     drift = {
@@ -95,6 +109,27 @@ def test_declared_types_match(name, spark, duck):
         if col in du and canon_spark_type(sp[col]) != canon_duck_type(du[col])
     }
     assert not drift, f"{name}: declared-type family drift {drift}"
+
+
+def test_type_canon_nested_map_splits_at_top_level_comma(duck):
+    """ADVICE r6: the greedy map(k, v) regex backtracked to the LAST
+    comma, so nested value types (map(varchar, map(varchar, bigint)))
+    and comma-bearing keys (decimal(4,1)) computed the key family from
+    the wrong substring. The bracket-depth splitter must pair these
+    correctly — and the two engines' spellings must land in ONE family."""
+    assert (
+        canon_duck_type("MAP(VARCHAR, MAP(VARCHAR, BIGINT))")
+        == canon_spark_type("map<string,map<string,bigint>>")
+        == "map<str,map<str,int>>"
+    )
+    assert (
+        canon_duck_type("MAP(DECIMAL(4,1), BIGINT)")
+        == canon_spark_type("map<decimal(4,1),bigint>")
+        == "map<decimal(4,1),int>"
+    )
+    # malformed / multi-top-comma spellings fail CLOSED (canonicalize to
+    # themselves → guaranteed cross-engine mismatch), never mis-split
+    assert canon_duck_type("map(a, b, c)") == "map(a, b, c)"
 
 
 def test_type_gate_catches_q180_class_artifact(duck):

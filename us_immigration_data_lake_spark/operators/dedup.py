@@ -531,6 +531,14 @@ def connected_components(
             .drop("__chg")
             .localCheckpoint(eager=True)
         )
+        # obs.get blocks until the QueryExecution success event for the
+        # eager localCheckpoint above is delivered; there is no timeout
+        # hook on Observation. If the listener bus ever dropped that
+        # event (job cancelled mid-action, listener backlog overflow)
+        # this would hang rather than error — acceptable today because
+        # the checkpoint runs through withAction (event emission and
+        # action completion are the same code path), but know the
+        # failure mode before adding async cancellation around this loop.
         if not (obs.get["changed"] or 0):
             converged = True
             break
@@ -546,7 +554,7 @@ def dedup_survivors(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str,
-    max_iter: int = 15,
+    max_iter: int = 16,
 ) -> DataFrame:
     """Keep-one-per-cluster dedup decision: every doc gets its cluster
     (docs in no pair form singleton clusters) and a keep flag — the
@@ -568,7 +576,7 @@ def dedup_survivors_by(
     pairs: DataFrame,
     id_col: str,
     score,
-    max_iter: int = 15,
+    max_iter: int = 16,
 ) -> DataFrame:
     """Keep-BEST-per-cluster dedup decision: like ``dedup_survivors``
     (smallest id wins) but the survivor is the cluster member with the
@@ -957,3 +965,190 @@ def joint_near_dup_survivors(
     )["pairs"].select("id1", "id2")
     pairs = text_pairs.unionByName(sem_pairs).dropDuplicates()
     return dedup_survivors(df, pairs, id_col)
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup (Lee et al., "Deduplicating Training Data Makes
+# Language Models Better", ACL 2022 — the ExactSubstr pass): remove
+# repeated runs of >= k tokens ACROSS documents, keeping exactly one
+# occurrence corpus-wide.  The paper builds a suffix array over the
+# concatenated corpus — a single-machine structure.  The Spark shape is
+# a k-token shingle inverted index: a position is part of a repeated
+# substring iff the k-shingle starting there occurs more than once in
+# the corpus, and maximal repeated spans are the merged intervals of
+# the non-canonical duplicated positions (canonical = corpus-smallest
+# (id, pos) per shingle, so one occurrence always survives and retries
+# can't flip which).  Any repeat of length L >= k is covered exactly
+# (every one of its L-k+1 shingles is duplicated; their union is the
+# whole span); repeats shorter than k are invisible — the paper's own
+# threshold semantics.
+# The reference has no substring-level operator (whole-row dedup only,
+# etl.py:209 dropDuplicates) — this is part of the mandated
+# training-data-pipeline surface, complementing MinHash whole-doc
+# near-dup (near_dup_pairs above).
+# ---------------------------------------------------------------------------
+
+
+def repeated_substring_occurrences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 50,
+    portable: bool = False,
+    min_count: int = 2,
+) -> DataFrame:
+    """Non-canonical duplicated k-shingle positions: (id, pos, h) for
+    every token position whose k-token shingle occurs >= ``min_count``
+    times corpus-wide, EXCLUDING each shingle's canonical (smallest
+    (id, pos)) occurrence.  Building block for
+    ``repeated_substring_spans``; exposed for tests/diagnostics.
+
+    Plan shape: the shingle hash array is pure per-row arithmetic (one
+    O(k) slice+join per position, zero shuffles — same layout as the
+    MinHash signature stage); the only wide stages are one
+    posexplode'd window over the shingle hash (count + row_number per
+    h — partial-agg-free but state is one 8-byte hash key) and the
+    per-doc span window downstream.  Hashes are 60-bit md5_long when
+    ``portable`` (DuckDB-replayable) else xxhash64 (perf path) — a
+    random collision would stitch two unrelated positions into one
+    "repeat", at odds ~n²/2^60: acceptable for dedup (the paper's
+    suffix array is exact; at 100 TB swap in a 128-bit hash before
+    worrying, not a suffix array)."""
+    tok = tokens(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col).alias("id"), tok.alias("__t")).filter(
+        F.size("__t") >= k
+    )
+    hashes = F.transform(
+        F.sequence(F.lit(0), F.size("__t") - k),
+        lambda p: _shingle_hash(
+            F.array_join(F.slice(F.col("__t"), p + 1, k), " "), portable
+        ),
+    )
+    occ = base.select("id", F.posexplode(hashes).alias("pos", "h"))
+    w = Window.partitionBy("h")
+    marked = (
+        occ.select(
+            "id",
+            "pos",
+            "h",
+            F.count("*").over(w).alias("__n"),
+            F.row_number()
+            .over(w.orderBy("id", "pos"))
+            .alias("__rn"),
+        )
+        .filter((F.col("__n") >= min_count) & (F.col("__rn") > 1))
+        .select("id", "pos", "h")
+    )
+    return marked
+
+
+def repeated_substring_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 50,
+    portable: bool = False,
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal repeated-substring spans per document: (id, span_start,
+    span_end, span_tokens) in 0-based token coordinates, end exclusive.
+    A span is the merged union of [pos, pos+k) intervals over the
+    non-canonical duplicated positions — the token ranges an
+    ExactSubstr dedup pass deletes.  Interval merge is the classic
+    sorted running-max: per-doc window (docs are small relative to
+    partitions, so the partitionBy(id) sort never sees corpus-scale
+    skew)."""
+    marked = repeated_substring_occurrences(
+        df, id_col, text_col, k=k, portable=portable, min_count=min_count
+    )
+    wd = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        wd.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = marked.select(
+        "id",
+        "pos",
+        (F.col("pos") > F.coalesce(prev_end, F.lit(-1)))
+        .cast("long")
+        .alias("__new"),
+    )
+    spans = (
+        flagged.select(
+            "id",
+            "pos",
+            F.sum("__new")
+            .over(wd.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("__span"),
+        )
+        .groupBy("id", "__span")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k).alias("span_end"),
+        )
+        .select(
+            F.col("id"),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )
+    return spans.withColumnRenamed("id", id_col)
+
+
+def remove_repeated_substrings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 50,
+    portable: bool = False,
+    min_count: int = 2,
+) -> DataFrame:
+    """ExactSubstr dedup applied: every input row with its cleaned text
+    (tokens inside repeated spans deleted; the canonical occurrence of
+    each repeat survives corpus-wide), plus per-doc accounting:
+    (id, clean_text, n_tokens, removed_tokens, n_spans).
+
+    Text is rebuilt by single-space-joining the kept tokens — the
+    tokenizer's whitespace normalization, same convention as
+    ``normalized_text``.  The span set is already merged/disjoint, so
+    the keep test is one F.exists per token over the doc's own span
+    array (per-row HOF, no token-level shuffle — only the spans frame
+    shuffles, which is span-cardinality, not token-cardinality)."""
+    spans = repeated_substring_spans(
+        df, id_col, text_col, k=k, portable=portable, min_count=min_count
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("__spans"),
+        F.sum("span_tokens").alias("removed_tokens"),
+        F.count("*").alias("n_spans"),
+    )
+    tok = tokens(F.lower(F.col(text_col)))
+    joined = (
+        df.select(F.col(id_col), tok.alias("__t"))
+        .join(per_doc, on=id_col, how="left")
+        .select(
+            id_col,
+            "__t",
+            F.coalesce(
+                "__spans",
+                F.array().cast("array<struct<s:int,e:int>>"),
+            ).alias("__spans"),
+            F.coalesce("removed_tokens", F.lit(0)).alias("removed_tokens"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        )
+    )
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("__spans"), lambda sp: (i >= sp["s"]) & (i < sp["e"])
+    )
+    kept = F.filter(F.col("__t"), lambda x, i: ~covered(i))
+    return joined.select(
+        id_col,
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size("__t").cast("long").alias("n_tokens"),
+        F.col("removed_tokens").cast("long").alias("removed_tokens"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+    )

@@ -599,8 +599,8 @@ def semantic_dedup(
     dim: int,
     num_bits: int = 8,
     seed: int = 42,
-    max_iter: int = 15,
-    max_bucket_size: int | None = None,
+    max_iter: int = 16,
+    max_bucket_size: int | None = 1000,
     recover_oversized: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication decision over an
@@ -611,10 +611,15 @@ def semantic_dedup(
     (id, cluster, keep) for EVERY input row; rows in no pair are
     singleton clusters that keep themselves.
 
-    ``max_bucket_size`` (None = uncapped exact-within-bucket, the
-    gate-query semantics) engages the srp_near_dup_frames skew guard —
-    the setting a 100 TB run wants, since fixed-plane bucket occupancy
-    grows linearly with corpus size and pair volume quadratically."""
+    ``max_bucket_size`` DEFAULTS to the guarded srp_near_dup_frames
+    path (cap=1000 + anchor-star recovery, matching near_dup_pairs's
+    text-side default): with a fixed plane count, SRP bucket occupancy
+    grows linearly with corpus size and within-bucket pair volume
+    quadratically — the r6 scaling probe measured the uncapped plan at
+    31× wall-clock for 10× rows, the capped one at 1.4×. Pass
+    ``max_bucket_size=None`` explicitly for the uncapped
+    exact-within-bucket SemDeDup gate semantics (small corpora /
+    oracle replay only — never the 100 TB configuration)."""
     from us_immigration_data_lake_spark.operators.dedup import (
         dedup_survivors,
     )

@@ -47,14 +47,31 @@ class QuerySpec:
     oracle: str | None
     tags: tuple[str, ...] = field(default_factory=tuple)
     bench: bool = False  # include in bench.py headline set
+    # Declared result schema (Spark DDL string) for queries whose fn is
+    # EAGER — i.e. executes actions just to build the result frame (q186
+    # runs the full corpus pipeline's .count()s).  The declared-type
+    # gate and scripts/type_audit.py read this instead of calling fn(),
+    # so "neither side executes" stays true for them; the value-parity
+    # sweep still executes fn() and pytest asserts this DDL matches the
+    # executed frame's actual schema, so the hook can't drift.
+    result_schema: str | None = None
 
 
 QUERIES: dict[str, QuerySpec] = {}
 
 
-def _register(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = False):
+def _register(
+    name: str,
+    oracle: str | None,
+    tags: tuple[str, ...] = (),
+    bench: bool = False,
+    result_schema: str | None = None,
+):
     def deco(fn):
-        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, tags=tags, bench=bench)
+        QUERIES[name] = QuerySpec(
+            fn=fn, oracle=oracle, tags=tags, bench=bench,
+            result_schema=result_schema,
+        )
         return fn
     return deco
 
@@ -9944,9 +9961,14 @@ def _q181_oracle_sql() -> str:
 def q181_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tune(spark)
     emb = _t(spark, sf_dir, "embeddings")
+    # max_bucket_size=None EXPLICITLY: this row pins the uncapped
+    # exact-within-bucket SemDeDup oracle semantics (and keeps the
+    # super-linear shape visible in the scaling table). The API
+    # default is the r7-flipped guarded path (cap=1000 + recovery) —
+    # what q187 benches and what a user gets by omission.
     return sim_ops.semantic_dedup(
         emb, "vec_id", "embedding", threshold=_Q181_TAU,
-        dim=EMBEDDING_DIM, num_bits=_Q181_BITS,
+        dim=EMBEDDING_DIM, num_bits=_Q181_BITS, max_bucket_size=None,
     )
 
 
@@ -10352,6 +10374,16 @@ def _q186_oracle_sql() -> str:
     "q186_corpus_stats",
     oracle=_q186_oracle_sql(),
     tags=("llm-pipeline", "end-to-end", "dedup", "stats", "portable"),
+    # fn is EAGER (the stats ARE the pipeline's .count() actions), so
+    # the type gate reads this declared DDL instead of executing the
+    # whole pipeline per schema probe; the parity sweep asserts it
+    # matches the executed frame's schema.
+    result_schema=(
+        "input_docs bigint, after_quality bigint, "
+        "after_decontamination bigint, after_exact_dedup bigint, "
+        "after_near_dedup bigint, chunks bigint, "
+        "oversized_lsh_buckets bigint"
+    ),
 )
 def q186_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from us_immigration_data_lake_spark.pipelines.corpus import (

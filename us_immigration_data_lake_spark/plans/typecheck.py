@@ -32,6 +32,28 @@ from __future__ import annotations
 
 import re
 
+
+def _split_top_comma(s: str) -> tuple[str, str] | None:
+    """Split ``s`` at its single top-level comma (depth 0 w.r.t. any of
+    ``<>()[]``), returning (left, right) or None if there isn't exactly
+    one.  A greedy regex backtracks to the LAST comma, which mis-splits
+    nested types like ``map(varchar, map(varchar, bigint))`` — the key
+    family would be computed from the wrong substring (ADVICE r6)."""
+    depth = 0
+    cut = -1
+    for i, ch in enumerate(s):
+        if ch in "<([":
+            depth += 1
+        elif ch in ">)]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            if cut != -1:
+                return None  # more than one top-level comma: fail closed
+            cut = i
+    if cut == -1:
+        return None
+    return s[:cut], s[cut + 1:]
+
 # --- Spark side -----------------------------------------------------------
 
 _SPARK_SCALAR = {
@@ -63,9 +85,11 @@ def canon_spark_type(s: str) -> str:
     m = re.fullmatch(r"array<(.+)>", s)
     if m:
         return f"array<{canon_spark_type(m.group(1))}>"
-    m = re.fullmatch(r"map<(.+),(.+)>", s)
-    if m:
-        return f"map<{canon_spark_type(m.group(1))},{canon_spark_type(m.group(2))}>"
+    if s.startswith("map<") and s.endswith(">"):
+        kv = _split_top_comma(s[4:-1])
+        if kv is not None:
+            k, v = kv
+            return f"map<{canon_spark_type(k)},{canon_spark_type(v.strip())}>"
     if s.startswith("struct<"):
         return "struct"
     return s
@@ -112,9 +136,11 @@ def canon_duck_type(s: str) -> str:
         return f"decimal({m.group(1)},{m.group(2)})"
     if s.endswith("[]"):
         return f"array<{canon_duck_type(s[:-2])}>"
-    m = re.fullmatch(r"map\((.+),\s*(.+)\)", s)
-    if m:
-        return f"map<{canon_duck_type(m.group(1))},{canon_duck_type(m.group(2))}>"
+    if s.startswith("map(") and s.endswith(")"):
+        kv = _split_top_comma(s[4:-1])
+        if kv is not None:
+            k, v = kv
+            return f"map<{canon_duck_type(k)},{canon_duck_type(v.strip())}>"
     if s.startswith("struct("):
         return "struct"
     return s
