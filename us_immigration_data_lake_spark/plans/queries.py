@@ -10677,3 +10677,112 @@ def q188_joint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_bits=_Q187_BITS, seed=42, max_bucket_size=_Q182_CAP,
         portable=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# Q189 — exact substring dedup (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better" — the ExactSubstr pass), Spark-shaped
+# as a k-token shingle inverted index instead of the paper's single-machine
+# suffix array (operators/dedup.py:971). Removes repeated >= k-token runs
+# ACROSS documents, keeping each repeat's canonical (corpus-smallest
+# (id, pos)) occurrence; output is every doc with its cleaned text plus
+# span accounting. PORTABLE mode (md5_long shingle hashes) so DuckDB can
+# replay the exact hash, canonical pick, interval merge, and token
+# deletion. k=10 at test scale (docs average ~55 tokens; the operator
+# default k=50 targets real corpora). The reference has no substring-level
+# operator (whole-row dropDuplicates only, etl.py:209) — this is the
+# standard production complement to MinHash whole-doc near-dup (q20).
+# ---------------------------------------------------------------------------
+
+_Q189_K = 10
+
+
+def _q189_oracle_sql() -> str:
+    k = _Q189_K
+    sql = f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ), occ AS (
+      SELECT doc_id, pos,
+             ('0x' || substr(md5(array_to_string(t[pos+1:pos+{k}], ' ')),
+                             1, 15))::BIGINT AS h
+      FROM (SELECT doc_id, t, unnest(range(0, len(t) - {k} + 1)) AS pos
+            FROM tok WHERE len(t) >= {k})
+    ), marked AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               COUNT(*) OVER (PARTITION BY h) AS n,
+               ROW_NUMBER() OVER (PARTITION BY h
+                                  ORDER BY doc_id, pos) AS rn
+        FROM occ)
+      WHERE n >= 2 AND rn > 1
+    ), flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > COALESCE(MAX(pos + {k}) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      -1) THEN 1 ELSE 0 END AS new_span
+      FROM marked
+    ), numbered AS (
+      SELECT doc_id, pos,
+             SUM(new_span)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS span
+      FROM flagged
+    ), spans AS (
+      SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {k} AS span_end
+      FROM numbered GROUP BY doc_id, span
+    ), per_doc AS (
+      SELECT doc_id,
+             SUM(span_end - span_start) AS removed_tokens,
+             COUNT(*) AS n_spans
+      FROM spans GROUP BY doc_id
+    ), posn AS (
+      SELECT tok.doc_id, p.pos, t[p.pos+1] AS tokval
+      FROM tok, LATERAL (SELECT unnest(range(0, len(t))) AS pos) p
+    ), kept AS (
+      SELECT doc_id, pos, tokval FROM posn p
+      WHERE NOT EXISTS (SELECT 1 FROM spans s
+                        WHERE s.doc_id = p.doc_id
+                          AND p.pos >= s.span_start
+                          AND p.pos < s.span_end)
+    ), rebuilt AS (
+      SELECT doc_id,
+             COALESCE(string_agg(tokval, ' ' ORDER BY pos), '') AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT tok.doc_id,
+           COALESCE(r.clean_text, '') AS clean_text,
+           len(tok.t)::BIGINT AS n_tokens,
+           COALESCE(p.removed_tokens, 0)::BIGINT AS removed_tokens,
+           COALESCE(p.n_spans, 0)::BIGINT AS n_spans
+    FROM tok
+    LEFT JOIN rebuilt r ON tok.doc_id = r.doc_id
+    LEFT JOIN per_doc p ON tok.doc_id = p.doc_id
+    """
+    # tok fans out 3 ways, spans 2 ways (see the MATERIALIZED note on
+    # q186 for the measured rationale)
+    import re
+
+    for name in ("tok", "marked", "spans"):
+        sql = re.sub(
+            rf"(?<![A-Za-z_]){name} AS \(", f"{name} AS MATERIALIZED (", sql
+        )
+    return sql
+
+
+@_register(
+    "q189_exact_substring_dedup",
+    oracle=_q189_oracle_sql(),
+    tags=("dedup", "substring", "llm-pipeline", "portable"),
+)
+def q189_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.remove_repeated_substrings(
+        docs, "doc_id", "text", k=_Q189_K, portable=True
+    )
