@@ -118,6 +118,59 @@ def test_q185_production_pairs_subset_of_exact(spark):
     )
 
 
+def test_q185_production_recall_floor_sf001(spark):
+    """Recall FLOOR for the xxhash64 production path against the exact
+    Jaccard-verified pair set at sf0.01 (r6 verdict ask #4): the
+    portable twins (q20/q182) hash-gate the *plan*, but a banding
+    regression specific to xxhash64 (e.g. a seed/band mixing bug that
+    collapses or scatters band keys) is invisible to them.  High-sim
+    pairs pin it: at 24 hashes / 6 bands / 4 rows, a j >= 0.5 pair
+    collides in >= 1 band w.p. >= 1-(1-0.5^4)^6 ~= 0.32 per pair, but
+    the fixture's planted dups are all j >= 0.9 (collision prob
+    >= 0.998), and the production path currently recovers 25/25.  The
+    0.9 floor tolerates one unlucky borderline pair if fixtures ever
+    change while still failing hard on any systematic banding break
+    (which drops recall to ~0)."""
+    import duckdb
+
+    from us_immigration_data_lake_spark.plans.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    prod = {
+        (r.id1, r.id2)
+        for r in QUERIES["q185_lsh_production_hash"].fn(spark, sf).collect()
+    }
+    hi = {
+        tuple(r)
+        for r in duckdb.sql(f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             t -> t <> '') AS toks
+          FROM '{sf}/documents.parquet'
+        ), sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 2
+                      THEN list_distinct([array_to_string(toks[i:i+1], ' ')
+                                          for i in range(1, len(toks))])
+                      ELSE [array_to_string(toks, ' ')] END AS shingles
+          FROM tok
+        )
+        SELECT a.doc_id, b.doc_id
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / (len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+        """).fetchall()
+    }
+    assert hi, "fixture lost its planted high-Jaccard dups"
+    recall = len(prod & hi) / len(hi)
+    assert recall >= 0.9, (
+        f"production banding recall {recall:.2f} over {len(hi)} exact "
+        f"j>=0.5 pairs — xxhash64 band-key regression?"
+    )
+
+
 def test_simhash_portable_separates_near_far(spark, planted):
     sig = dd.simhash(planted, "doc_id", "text", portable=True)
     s = {r.doc_id: r.simhash for r in sig.collect()}
