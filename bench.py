@@ -57,6 +57,15 @@ def main() -> None:
     # predicate pushdown, q01/q04 +15-20%).
     spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").cache().count()
 
+    # HEADLINE SET GROWTH (r7): 25 queries — q186 (corpus-build stage
+    # counts, the most end-to-end composite), q188 (joint text+semantic
+    # dedup — the plan a production corpus build actually runs; its
+    # cost should be bounded by its parents' caps, now measured rather
+    # than argued), and q189 (exact substring dedup, new this round)
+    # joined per the r6 verdict. NOTE q186/q188 overlap q177/q182/q187's
+    # work by design — they are composites, benched to price the
+    # composition, not the parts.
+    #
     # HEADLINE SET GROWTH (r6): 22 queries — q181 (semantic dedup,
     # uncapped gate semantics), q182 (LSH bucket-cap skew guard),
     # q185 (q20's plan on the production xxhash64 hash, so the

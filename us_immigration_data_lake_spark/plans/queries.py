@@ -10374,6 +10374,8 @@ def _q186_oracle_sql() -> str:
     "q186_corpus_stats",
     oracle=_q186_oracle_sql(),
     tags=("llm-pipeline", "end-to-end", "dedup", "stats", "portable"),
+    bench=True,  # r7: the full corpus build's stage counts — the most
+    # end-to-end composite in the registry; benched per the r6 verdict.
     # fn is EAGER (the stats ARE the pipeline's .count() actions), so
     # the type gate reads this declared DDL instead of executing the
     # whole pipeline per schema probe; the parity sweep asserts it
@@ -10662,6 +10664,9 @@ def _q188_oracle_sql() -> str:
     "q188_joint_dedup",
     oracle=_q188_oracle_sql(),
     tags=("dedup", "minhash", "semdedup", "composition", "portable"),
+    bench=True,  # r7: the plan a real corpus build runs (both pair
+    # graphs + one CC pass); benched per the r6 verdict so its cost is
+    # a measured slope next to its parents q182/q187.
 )
 def q188_joint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tune(spark)
@@ -10779,6 +10784,8 @@ def _q189_oracle_sql() -> str:
     "q189_exact_substring_dedup",
     oracle=_q189_oracle_sql(),
     tags=("dedup", "substring", "llm-pipeline", "portable"),
+    bench=True,  # r7: new operator this round — inverted-index span
+    # merge is shuffle-bound on the shingle key; benched from day one.
 )
 def q189_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tune(spark)
