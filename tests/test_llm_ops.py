@@ -1272,3 +1272,178 @@ def test_repeated_substring_min_count_threshold(spark):
     # "p q r s" occurs 3× → docs 2 and 3 lose it; "u v w x" occurs
     # only 2× → below min_count, untouched
     assert spans == {(2, 1, 5), (3, 2, 6)}
+
+
+# --- cross-corpus dedup (r7: dedupe a new batch against a fixed ref) -------
+
+
+@pytest.fixture(scope="module")
+def cross_corpora(spark):
+    ref_rows = [
+        (10, "the quick brown fox jumps over the lazy dog again and again today"),
+        (11, "completely different content about databases and distributed query engines"),
+        (12, "reference only text that nothing in the new batch resembles at all"),
+    ]
+    new_rows = [
+        # exact dup of ref 10
+        (1, "the quick brown fox jumps over the lazy dog again and again today"),
+        # near dup of ref 10
+        (2, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+        # novel
+        (3, "unrelated words describing mountains rivers valleys and weather patterns"),
+        # near dup of ANOTHER new doc but of nothing in ref — must survive
+        (4, "unrelated words describing mountains rivers valleys and weather maps"),
+    ]
+    return (
+        spark.createDataFrame(new_rows, ["doc_id", "text"]),
+        spark.createDataFrame(ref_rows, ["doc_id", "text"]),
+    )
+
+
+@pytest.mark.parametrize("portable", [False, True])
+def test_cross_dedup_drops_only_ref_matches(cross_corpora, portable):
+    new_df, ref_df = cross_corpora
+    frames = dd.cross_near_dup_frames(
+        new_df, ref_df, "doc_id", "text", shingle_n=3, num_hashes=32,
+        bands=16, threshold=0.5, portable=portable,
+    )
+    pairs = {(r.id_new, r.id_ref): r.jaccard for r in frames["pairs"].collect()}
+    assert pairs[(1, 10)] == 1.0          # exact dup found, jaccard exact
+    assert (2, 10) in pairs               # near dup found
+    assert all(idr != 12 for (_, idr) in pairs)  # nothing matches ref 12
+    # within-new pair (3,4) must NOT appear — cross pairs only
+    assert all(idn in (1, 2) for (idn, _) in pairs)
+
+    surv = {
+        r.doc_id
+        for r in dd.cross_dedup_survivors(
+            new_df, ref_df, "doc_id", "text", shingle_n=3, num_hashes=32,
+            bands=16, threshold=0.5, portable=portable,
+        ).collect()
+    }
+    assert surv == {3, 4}  # near-dup WITHIN new survives; ref matches drop
+
+
+def test_cross_dedup_ref_bucket_cap_bounds_pairs(cross_corpora, spark):
+    """With max_bucket_size=1 and a ref bucket of identical docs, the
+    capped join pairs each new doc with at most 1 ref representative
+    per band — and the oversized frame reports the truncation."""
+    new_df, _ = cross_corpora
+    boiler = "boilerplate header text repeated verbatim on every single page here"
+    ref_df = spark.createDataFrame(
+        [(100 + i, boiler) for i in range(5)], ["doc_id", "text"]
+    )
+    new_b = spark.createDataFrame([(1, boiler)], ["doc_id", "text"])
+    frames = dd.cross_near_dup_frames(
+        new_b, ref_df, "doc_id", "text", shingle_n=3, num_hashes=32,
+        bands=16, threshold=0.5, max_bucket_size=1,
+    )
+    pairs = {(r.id_new, r.id_ref) for r in frames["pairs"].collect()}
+    # every band bucket keeps the same smallest ref id → exactly 1 pair
+    assert pairs == {(1, 100)}
+    assert frames["oversized"].count() > 0
+    # the capped pair still suffices for survivor semantics
+    surv = dd.cross_dedup_survivors(
+        new_b, ref_df, "doc_id", "text", shingle_n=3, num_hashes=32,
+        bands=16, threshold=0.5, max_bucket_size=1,
+    )
+    assert surv.count() == 0
+
+
+# --- DSIR importance resampling (r7) ----------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dsir_corpora(spark):
+    # target distribution: database-flavored text
+    target = spark.createDataFrame(
+        [
+            (900, "query plan join scan filter aggregate shuffle partition table"),
+            (901, "table scan index join query optimizer plan partition column"),
+            (902, "aggregate groupby shuffle partition join table query plan"),
+        ],
+        ["doc_id", "text"],
+    )
+    # raw pool: two db-ish docs, two about weather
+    raw = spark.createDataFrame(
+        [
+            (1, "join query plan table scan partition aggregate filter"),
+            (2, "rain clouds wind storm sunshine valley mountain river"),
+            (3, "query table join plan scan optimizer column partition"),
+            (4, "weather storm rain wind snow cloud mountain valley"),
+        ],
+        ["doc_id", "text"],
+    )
+    return raw, target
+
+
+@pytest.mark.parametrize("portable", [False, True])
+def test_dsir_logratio_ranks_target_like_docs_higher(dsir_corpora, portable):
+    from us_immigration_data_lake_spark.operators import sampling as sm
+
+    raw, target = dsir_corpora
+    lw = {
+        r.doc_id: r.logratio_micro
+        for r in sm.dsir_logratio(
+            raw, target, "doc_id", "text", num_buckets=1000, portable=portable
+        ).collect()
+    }
+    assert len(lw) == 4
+    # both db-flavored docs outrank both weather docs
+    assert min(lw[1], lw[3]) > max(lw[2], lw[4])
+
+
+def test_dsir_select_top_k_deterministic(dsir_corpora):
+    from us_immigration_data_lake_spark.operators import sampling as sm
+
+    raw, target = dsir_corpora
+    sel1 = [
+        r.doc_id
+        for r in sm.dsir_select(
+            raw, target, "doc_id", "text", k=2, num_buckets=1000
+        ).collect()
+    ]
+    sel2 = [
+        r.doc_id
+        for r in sm.dsir_select(
+            raw, target, "doc_id", "text", k=2, num_buckets=1000
+        ).collect()
+    ]
+    assert sel1 == sel2  # md5-derived Gumbel keys → identical every run
+    # at T=1 the log-ratio gap between db and weather docs dwarfs any
+    # Gumbel draw (thousands of micronats) → the two db docs win
+    assert set(sel1) == {1, 3}
+
+
+def test_dsir_sharp_temperature_is_argmax(dsir_corpora):
+    from us_immigration_data_lake_spark.operators import sampling as sm
+
+    raw, target = dsir_corpora
+    sel = sm.dsir_select(
+        raw, target, "doc_id", "text", k=4, num_buckets=1000,
+        temperature_milli=1,  # T→0: key ≈ 1000 * logratio, Gumbel negligible
+    ).collect()
+    lw = {r.doc_id: r.logratio_micro for r in sel}
+    keys = [r.doc_id for r in sel]
+    assert keys == sorted(lw, key=lambda d: (-lw[d], d))
+
+
+def test_dsir_empty_and_single_token_docs(spark, dsir_corpora):
+    """Empty docs carry no features and are omitted; 1-token docs get
+    no bigram padding artifact (the zip_with tail guard would otherwise
+    double-count their unigram)."""
+    from us_immigration_data_lake_spark.operators import sampling as sm
+
+    _, target = dsir_corpora
+    raw = spark.createDataFrame(
+        [(1, ""), (2, "query"), (3, "query query")], ["doc_id", "text"]
+    )
+    rows = {
+        r.doc_id: r.n_feats
+        for r in sm.dsir_logratio(
+            raw, target, "doc_id", "text", num_buckets=1000
+        ).collect()
+    }
+    assert 1 not in rows          # empty doc: no evidence, omitted
+    assert rows[2] == 1           # 1 unigram, NO padded bigram
+    assert rows[3] == 3           # 2 unigrams + 1 bigram

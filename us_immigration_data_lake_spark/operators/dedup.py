@@ -373,6 +373,134 @@ def near_dup_pairs(
     )["pairs"]
 
 
+def cross_near_dup_frames(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_bucket_size: int = 1000,
+    portable: bool = False,
+) -> dict[str, DataFrame]:
+    """CROSS-corpus near-duplicate detection: which documents of a NEW
+    batch are MinHash-LSH near-dups of a fixed REFERENCE corpus — the
+    incremental-ingest shape of dedup (dedupe this week's crawl against
+    the training set you already have) and the fuzzy complement of
+    exact-n-gram decontamination (``decontaminate`` above). The
+    reference is never deduped against itself and never modified; only
+    new-vs-ref pairs come back.
+
+    Not expressible as near_dup_frames over the union: the union's
+    pair graph includes new-new and ref-ref pairs, whose candidate
+    generation cost (and bucket-cap pressure) the cross question never
+    needs — and at 100 TB the reference is the big side, so skipping
+    its self-join is most of the work. Plan shape instead:
+
+    - both sides run the shuffle-free signature stage (hashed shingle
+      set → minhash array per row, operators above);
+    - candidate generation is ONE equi-join of the two band frames on
+      (band_idx, band_hash) — new×ref only, never a self-join;
+    - skew cap: per band bucket, the REF side keeps its
+      ``max_bucket_size`` smallest ids (groupBy + sorted-slice, same
+      one-shuffle idiom as candidate_pairs), so one boilerplate
+      mega-bucket in the reference costs O(new_k · cap) join rows,
+      not O(new_k · ref_k). Capping ref (not new) keeps per-new-doc
+      recall degradation bounded and observable: dropped buckets are
+      returned in ``oversized`` (ref-side, with sizes). Unlike the
+      within-corpus case there is no anchor-star recovery — a capped
+      bucket still retains ``cap`` verifiable representatives per
+      band, and a new doc near-identical to the cluster collides with
+      them in every band;
+    - verification: exact hashed-set Jaccard across the two frames
+      (the within-frame verify_jaccard_hashed can't be reused as-is —
+      its two sides index one frame), same int/int ratio semantics.
+
+    Returns ``pairs`` (id_new, id_ref, jaccard), ``oversized`` (ref
+    band buckets over the cap). ``portable=True`` selects md5-based
+    hashing throughout so an external engine replays every bucket and
+    signature (functions/hashing.py); xxhash64 remains the perf path.
+    """
+    rows = num_hashes // bands
+
+    def _side(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        sh = shingles(df.repartition(F.col(id_col)), id_col, text_col, shingle_n)
+        hs = hashed_shingle_sets(sh, id_col, portable)
+        hs.cache()  # consumed by banding AND the verify join
+        sig = _signatures_from_sets(hs, id_col, num_hashes, portable)
+        return hs, lsh_bands(sig, id_col, bands, rows, portable)
+
+    hs_new, bands_new = _side(new_df)
+    hs_ref, bands_ref = _side(ref_df)
+
+    ref_buckets = bands_ref.groupBy("band_idx", "band_hash").agg(
+        F.array_sort(F.collect_list(id_col)).alias("ids")
+    )
+    capped_ref = ref_buckets.select(
+        "band_idx",
+        "band_hash",
+        F.explode(F.slice("ids", 1, max_bucket_size)).alias("__ref_id"),
+    )
+    oversized = ref_buckets.filter(F.size("ids") > max_bucket_size).select(
+        "band_idx", "band_hash", F.size("ids").alias("bucket_n"), "ids"
+    )
+
+    cand = (
+        bands_new.select("band_idx", "band_hash", F.col(id_col).alias("id_new"))
+        .join(capped_ref, ["band_idx", "band_hash"])
+        .select("id_new", F.col("__ref_id").alias("id_ref"))
+        .dropDuplicates()
+    )
+
+    s_new = hs_new.select(F.col(id_col).alias("id_new"), F.col("hs").alias("hs_n"))
+    s_ref = hs_ref.select(F.col(id_col).alias("id_ref"), F.col("hs").alias("hs_r"))
+    inter = F.size(F.array_intersect("hs_n", "hs_r")).cast("long")
+    union = (F.size("hs_n") + F.size("hs_r")).cast("long") - inter
+    pairs = (
+        cand.join(s_new, "id_new")
+        .join(s_ref, "id_ref")
+        .select(
+            "id_new",
+            "id_ref",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return {"pairs": pairs, "oversized": oversized}
+
+
+def cross_dedup_survivors(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_bucket_size: int = 1000,
+    portable: bool = False,
+) -> DataFrame:
+    """The NEW rows that are NOT near-dups of the reference corpus —
+    ``cross_near_dup_frames`` pairs fed into one left-anti join. The
+    reference passes through unchanged (it is the kept set by
+    definition); within-new duplicates are out of scope here — run
+    near_dup_pairs/dedup_survivors on the survivors if the new batch
+    needs its own dedup (the corpus pipeline does both)."""
+    matched = (
+        cross_near_dup_frames(
+            new_df, ref_df, id_col, text_col, shingle_n=shingle_n,
+            num_hashes=num_hashes, bands=bands, threshold=threshold,
+            max_bucket_size=max_bucket_size, portable=portable,
+        )["pairs"]
+        .select(F.col("id_new").alias(id_col))
+        .dropDuplicates()
+    )
+    return new_df.join(matched, on=id_col, how="left_anti")
+
+
 def simhash(
     df: DataFrame, id_col: str, text_col: str, portable: bool = False
 ) -> DataFrame:

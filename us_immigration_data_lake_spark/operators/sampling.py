@@ -161,3 +161,177 @@ def token_budget_fill(
         .filter(F.col("cum_before") < F.col("budget"))
         .select(group_col, id_col, "tokens", "cum_before", "budget")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+# 2023, arXiv:2302.03169 — public): select raw-corpus documents whose
+# hashed-n-gram distribution looks like a TARGET corpus, by importance
+# weight  log w(d) = Σ_b c_db · (log p̂_target[b] − log p̂_raw[b])
+# over B hashed feature buckets with Laplace-smoothed bag-of-ngrams
+# estimates, then Gumbel-top-k resampling ∝ w(d). The standard
+# domain-matching selection step of an LLM data pipeline (e.g. "pick
+# web pages that look like Wikipedia"), complementing the quality
+# classifier (textstats.linear_quality_classifier) which scores
+# documents in isolation rather than against a target distribution.
+# The reference has no selection surface at all (etl.py filters rows
+# by predicate only) — this is part of the mandated
+# training-data-pipeline extension.
+# ---------------------------------------------------------------------------
+
+
+def _hashed_gram_buckets(
+    df: DataFrame, id_col: str, text_col: str, num_buckets: int,
+    bigrams: bool, portable: bool,
+) -> DataFrame:
+    """(id, bucket, c_db): per-document counts of hashed n-gram feature
+    buckets — unigrams plus (optionally) word bigrams, hashed into
+    ``num_buckets`` buckets. Gram building is per-row array arithmetic
+    (zero shuffles, the dedup.shingles layout); the ONLY wide stage is
+    the (id, bucket) groupBy, which partial-aggregates map-side."""
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    from us_immigration_data_lake_spark.functions.hashing import md5_long
+    from us_immigration_data_lake_spark.functions.text import tokens
+
+    tok = tokens(F.lower(F.col(text_col)))
+    grams = tok
+    if bigrams:
+        bi = F.zip_with(
+            tok, F.slice(tok, 2, F.size(tok)),
+            lambda x, y: F.concat_ws(" ", x, y),
+        )
+        # only size>=2 docs contribute bigrams: the zip_with tail pads
+        # with null and concat_ws would silently degrade the pad slot
+        # to a duplicated unigram
+        bi = F.when(
+            F.size(tok) >= 2, F.slice(bi, 1, F.size(tok) - 1)
+        ).otherwise(F.array().cast("array<string>"))
+        grams = F.concat(tok, bi)
+    g = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    h = md5_long(F.col("gram")) if portable else F.xxhash64(F.col("gram"))
+    return (
+        g.select(F.col(id_col), F.pmod(h, F.lit(num_buckets)).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_db"))
+    )
+
+
+def dsir_logratio(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_buckets: int = 10_000,
+    bigrams: bool = True,
+    portable: bool = False,
+) -> DataFrame:
+    """Per-document DSIR importance log-weight of every ``df`` row
+    against the ``target`` corpus: (id, n_feats, logratio_micro) with
+
+        logratio_micro = Σ_b c_db · (lt_b − lr_b)   [exact BIGINT]
+        lt_b = round(ln((ct_b+1)/(Nt+B)) · 1e6)     [target, smoothed]
+        lr_b = round(ln((cr_b+1)/(Nr+B)) · 1e6)     [raw,    smoothed]
+
+    Reproducibility (the unigram_cross_entropy pattern): each BUCKET's
+    log-probability integer-izes once to micronat BIGINTs, so the
+    per-document sum is order-free exact integer arithmetic — the same
+    ≤1-ulp libm-ln exposure as q80/q81, measured-clean across engines.
+
+    Scale (100 TB raw corpus): both censuses are ≤ ``num_buckets``
+    rows — broadcast joins, never a shuffle on the corpus side. The
+    raw census derives FROM the per-doc counts (one tokenize pass over
+    the raw corpus, not two); the target corpus is tokenized once and
+    is small by construction (it defines the distribution you want).
+    Total wide stages: one (id, bucket) partial-agg groupBy, one final
+    groupBy(id). Documents with zero features (empty text) carry no
+    evidence and are omitted — select them explicitly if a pipeline
+    wants them.
+    """
+    from pyspark.sql import functions as F  # noqa: F811
+
+    b = int(num_buckets)
+    doc_counts = _hashed_gram_buckets(df, id_col, text_col, b, bigrams, portable)
+    raw_census = doc_counts.groupBy("bucket").agg(
+        F.sum("c_db").cast("long").alias("cr")
+    )
+    tgt_census = (
+        _hashed_gram_buckets(target, id_col, text_col, b, bigrams, portable)
+        .groupBy("bucket")
+        .agg(F.sum("c_db").cast("long").alias("ct"))
+    )
+    n_raw = raw_census.select(F.sum("cr").cast("long").alias("n_r"))
+    n_tgt = tgt_census.select(F.sum("ct").cast("long").alias("n_t"))
+
+    lt = F.round(
+        F.log(
+            (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+            / (F.col("n_t") + b).cast("double")
+        )
+        * 1e6
+    ).cast("long")
+    lr = F.round(
+        F.log(
+            (F.col("cr") + 1).cast("double") / (F.col("n_r") + b).cast("double")
+        )
+        * 1e6
+    ).cast("long")
+
+    return (
+        doc_counts.join(F.broadcast(raw_census), "bucket")
+        .join(F.broadcast(tgt_census), "bucket", "left")
+        .crossJoin(F.broadcast(n_raw))
+        .crossJoin(F.broadcast(n_tgt))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c_db").cast("long").alias("n_feats"),
+            F.sum(F.col("c_db") * (lt - lr)).cast("long").alias("logratio_micro"),
+        )
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    num_buckets: int = 10_000,
+    bigrams: bool = True,
+    temperature_milli: int = 1000,
+    portable: bool = False,
+) -> DataFrame:
+    """DSIR selection: the ``k`` documents of ``df`` drawn WITHOUT
+    replacement with probability ∝ w(d)^(1/T) — the Gumbel-top-k trick
+    (key = log-weight/T + Gumbel noise; the k largest keys are exactly
+    a w^(1/T)-weighted sample). Deterministic: the Gumbel variate is
+    −ln(−ln(u)) of a 48-bit md5-uniform of the id (hash_uniform, digit
+    offset 21, i.e. hex digits 21-32 — disjoint from the split (1-4),
+    stratified (5-8) and weighted-sample (9-20) draws), integer-ized to micronats so the ordering key is one exact
+    BIGINT. ``temperature_milli=1000`` is T=1 (faithful DSIR);
+    lower sharpens toward arg-top-k, higher flattens toward uniform.
+
+    Output: (id, n_feats, logratio_micro, key_micro) ordered by key
+    desc — one global top-k (TakeOrderedAndProject), zero extra
+    shuffles beyond dsir_logratio's two."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    t = int(temperature_milli)
+    if t <= 0:
+        raise ValueError(f"temperature_milli must be > 0, got {t}")
+    lw = dsir_logratio(
+        df, target, id_col, text_col, num_buckets=num_buckets,
+        bigrams=bigrams, portable=portable,
+    )
+    gumbel_micro = F.round(
+        -F.log(-F.log(hash_uniform(F.col(id_col), digit_offset=21))) * 1e6
+    ).cast("long")
+    key = (
+        F.expr(f"CAST((logratio_micro * 1000) div {t} AS BIGINT)")
+        + gumbel_micro
+    )
+    return (
+        lw.withColumn("key_micro", key)
+        .orderBy(F.desc("key_micro"), F.asc(id_col))
+        .limit(k)
+    )

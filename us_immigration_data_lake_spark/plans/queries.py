@@ -10793,3 +10793,179 @@ def q189_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.remove_repeated_substrings(
         docs, "doc_id", "text", k=_Q189_K, portable=True
     )
+
+
+# ---------------------------------------------------------------------------
+# Q190 — CROSS-corpus near-dup dedup (operators/dedup.py:
+# cross_near_dup_frames, new r7): which docs of a NEW batch are
+# MinHash-LSH near-dups of a fixed REFERENCE corpus — the
+# incremental-ingest dedup (this week's crawl vs the training set you
+# already have). Candidate generation is ONE new×ref equi-join on the
+# band key (never a self-join — at 100 TB the reference is the big
+# side and skipping its self-pairs is most of the work); ref-side
+# mega-buckets keep their cap smallest ids (bounded join fan-out,
+# observable truncation). Portable hashes; the oracle replays the
+# shared signature/band SQL once over the union (signatures are pure
+# per-row functions of text, so per-side computation is identical),
+# splits sides by doc_id parity, replicates the ref-side cap with a
+# ROW_NUMBER window, and runs the cross verify. cap=5 so the
+# truncation branch fires at every sf (q182's convention).
+# The reference has no cross-corpus surface at all (etl.py:209
+# dropDuplicates is whole-frame only).
+# ---------------------------------------------------------------------------
+
+_Q190_CAP = 5
+
+
+def _q190_oracle_sql() -> str:
+    sql = f"""
+    WITH {_portable_minhash_prefix_sql(" WHERE doc_id < 200", _Q55_HASHES, _Q55_BANDS)}, refb AS (
+      SELECT band_idx, band_key, doc_id FROM bnd WHERE doc_id % 2 = 0
+    ), newb AS (
+      SELECT band_idx, band_key, doc_id FROM bnd WHERE doc_id % 2 = 1
+    ), capped AS (
+      SELECT band_idx, band_key, doc_id FROM (
+        SELECT band_idx, band_key, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY band_idx, band_key
+                                  ORDER BY doc_id) AS rn
+        FROM refb
+      ) WHERE rn <= {_Q190_CAP}
+    ), cand AS (
+      SELECT DISTINCT n.doc_id AS id_new, c.doc_id AS id_ref
+      FROM newb n
+      JOIN capped c ON n.band_idx = c.band_idx AND n.band_key = c.band_key
+    ), hs AS (
+      SELECT doc_id, list(h) AS hs FROM hx GROUP BY doc_id
+    )
+    SELECT * FROM (
+      SELECT c.id_new, c.id_ref,
+             CAST(len(list_intersect(h1.hs, h2.hs)) AS DOUBLE)
+               / (len(h1.hs) + len(h2.hs) - len(list_intersect(h1.hs, h2.hs)))
+               AS jaccard
+      FROM cand c
+      JOIN hs h1 ON c.id_new = h1.doc_id
+      JOIN hs h2 ON c.id_ref = h2.doc_id
+    ) WHERE jaccard >= 0.055
+    """
+    import re
+
+    for name in ("tok", "sh", "hx", "bnd", "refb", "cand", "hs"):
+        sql = re.sub(
+            rf"(?<![A-Za-z_]){name} AS \(", f"{name} AS MATERIALIZED (", sql
+        )
+    return sql
+
+
+@_register(
+    "q190_cross_corpus_dedup",
+    oracle=_q190_oracle_sql(),
+    tags=("dedup", "minhash", "lsh", "cross-corpus", "portable"),
+)
+def q190_cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    new_df = docs.filter(F.col("doc_id") % 2 == 1)
+    ref_df = docs.filter(F.col("doc_id") % 2 == 0)
+    return dedup_ops.cross_near_dup_frames(
+        new_df, ref_df, "doc_id", "text", shingle_n=2,
+        num_hashes=_Q55_HASHES, bands=_Q55_BANDS, threshold=0.055,
+        max_bucket_size=_Q190_CAP, portable=True,
+    )["pairs"]
+
+
+# ---------------------------------------------------------------------------
+# Q191 — DSIR importance resampling (operators/sampling.py:
+# dsir_select, new r7 — Xie et al., NeurIPS 2023, arXiv:2302.03169):
+# select the 50 documents whose hashed-ngram (unigram+bigram)
+# distribution is most target-like, target = the corpus's English
+# docs, via Gumbel-top-k over exact-micronat importance log-weights.
+# Every log-probability integer-izes per BUCKET (the q81 micronat
+# pattern), the per-doc sum is order-free BIGINT arithmetic, and the
+# Gumbel perturbation derives from md5 hex digits 21-32 of the id —
+# the oracle replays buckets, censuses, smoothing, rounding, and the
+# Gumbel draw bit-for-bit. Selection stability at the k-boundary has
+# q80's ≤1-ulp ln() exposure, measured-clean (same family of keys).
+# ---------------------------------------------------------------------------
+
+_Q191_BUCKETS, _Q191_K = 4096, 50
+
+
+def _q191_oracle_sql() -> str:
+    b, k = _Q191_BUCKETS, _Q191_K
+    sql = f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, lang, unnest(toks) AS gram FROM tok
+      UNION ALL
+      SELECT doc_id, lang,
+             unnest(CASE WHEN len(toks) >= 2
+                         THEN [array_to_string(toks[i:i+1], ' ')
+                               for i in range(1, len(toks))]
+                         ELSE CAST([] AS VARCHAR[]) END) AS gram
+      FROM tok
+    ), gb AS (
+      SELECT doc_id, lang,
+             (('0x' || substr(md5(gram), 1, 15))::BIGINT) % {b} AS bucket
+      FROM g
+    ), dc AS (
+      SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS c_db
+      FROM gb GROUP BY 1, 2
+    ), rawc AS (
+      SELECT bucket, CAST(SUM(c_db) AS BIGINT) AS cr FROM dc GROUP BY 1
+    ), tgtc AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct
+      FROM gb WHERE lang = 'en' GROUP BY 1
+    ), nr AS (SELECT CAST(SUM(cr) AS BIGINT) AS n_r FROM rawc),
+    nt AS (SELECT CAST(SUM(ct) AS BIGINT) AS n_t FROM tgtc),
+    lw AS (
+      SELECT dc.doc_id,
+             CAST(SUM(dc.c_db) AS BIGINT) AS n_feats,
+             CAST(SUM(dc.c_db * (
+               CAST(ROUND(ln((COALESCE(tgtc.ct, 0) + 1)
+                          / CAST(nt.n_t + {b} AS DOUBLE)) * 1e6) AS BIGINT)
+               - CAST(ROUND(ln((rawc.cr + 1)
+                          / CAST(nr.n_r + {b} AS DOUBLE)) * 1e6) AS BIGINT)
+             )) AS BIGINT) AS logratio_micro
+      FROM dc
+      JOIN rawc USING (bucket)
+      LEFT JOIN tgtc USING (bucket)
+      CROSS JOIN nr CROSS JOIN nt
+      GROUP BY dc.doc_id
+    )
+    SELECT doc_id, n_feats, logratio_micro,
+           logratio_micro
+           + CAST(ROUND(-ln(-ln(
+               ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 21, 12))::BIGINT) + 1)
+               / 281474976710657.0)) * 1e6) AS BIGINT) AS key_micro
+    FROM lw
+    ORDER BY key_micro DESC, doc_id ASC
+    LIMIT {k}
+    """
+    import re
+
+    for name in ("tok", "g", "gb", "dc", "rawc", "tgtc"):
+        sql = re.sub(
+            rf"(?<![A-Za-z_]){name} AS \(", f"{name} AS MATERIALIZED (", sql
+        )
+    return sql
+
+
+@_register(
+    "q191_dsir_selection",
+    oracle=_q191_oracle_sql(),
+    tags=("llm", "sampling", "dsir", "selection", "portable"),
+)
+def q191_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.sampling import dsir_select
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return dsir_select(
+        docs, target, "doc_id", "text", k=_Q191_K,
+        num_buckets=_Q191_BUCKETS, portable=True,
+    )
