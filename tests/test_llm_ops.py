@@ -1447,3 +1447,88 @@ def test_dsir_empty_and_single_token_docs(spark, dsir_corpora):
     assert 1 not in rows          # empty doc: no evidence, omitted
     assert rows[2] == 1           # 1 unigram, NO padded bigram
     assert rows[3] == 3           # 2 unigrams + 1 bigram
+
+
+def test_cross_srp_dedup_finds_planted_and_skips_within_side(spark):
+    """The embedding-side cross dedup: a new vector near-identical to a
+    ref vector is found; two near-identical NEW vectors produce no
+    pair (cross pairs only); an orthogonal new vector matches nothing."""
+    import math
+
+    dim = 8
+    base = [1.0, 0.5, -0.25, 0.125, 1.0, -0.5, 0.25, -0.125]
+    near = [v * 1.01 + (0.001 if i == 0 else 0.0) for i, v in enumerate(base)]
+    ortho = [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0]
+    ref = spark.createDataFrame(
+        [(10, base), (12, ortho)], ["vec_id", "embedding"]
+    )
+    new = spark.createDataFrame(
+        [(1, near), (3, [v * 0.99 for v in near]),
+         (5, [-v for v in base])],  # anti-parallel: cosine -1, no match
+        ["vec_id", "embedding"],
+    )
+    frames = sim.cross_srp_near_dup_frames(
+        new, ref, "vec_id", "embedding", threshold=0.9, dim=dim, num_bits=6
+    )
+    pairs = {(r.id_new, r.id_ref): r.cosine_sim for r in frames["pairs"].collect()}
+    assert (1, 10) in pairs and pairs[(1, 10)] > 0.99
+    assert (3, 10) in pairs
+    assert all(idr != 12 for (_, idr) in pairs)      # ortho ref unmatched
+    assert all(idn != 5 for (idn, _) in pairs)       # anti-parallel skipped
+    assert all(idn % 2 == 1 or idn in (1, 3, 5) for (idn, _) in pairs)
+
+
+def test_cross_srp_ref_cap_truncation_observable(spark):
+    """cap=1 on a ref bucket of identical vectors: one representative
+    pair per new doc, and the dropped bucket is reported."""
+    dim = 4
+    v = [1.0, 2.0, 3.0, 4.0]
+    ref = spark.createDataFrame(
+        [(100 + i, v) for i in range(4)], ["vec_id", "embedding"]
+    )
+    new = spark.createDataFrame([(1, v)], ["vec_id", "embedding"])
+    frames = sim.cross_srp_near_dup_frames(
+        new, ref, "vec_id", "embedding", threshold=0.9, dim=dim,
+        num_bits=6, max_bucket_size=1,
+    )
+    assert {(r.id_new, r.id_ref) for r in frames["pairs"].collect()} == {(1, 100)}
+    assert frames["oversized"].count() == 1
+
+
+def test_rrf_fuse_math_and_consensus(spark):
+    """RRF: a doc ranked by BOTH systems outscores a doc one system
+    ranked #1 (60-damping); scores are the exact integer floor-division
+    sums; ties break on id."""
+    from us_immigration_data_lake_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], ["doc_id", "rnk"]
+    )
+    sem = spark.createDataFrame(
+        [(2, 1), (3, 2), (9, 3)], ["doc_id", "rnk"]
+    )
+    out = rrf_fuse([lex, sem], "doc_id", "rnk").collect()
+    got = {r.doc_id: (r.n_systems, r.rrf_micro) for r in out}
+    # exact integer arithmetic: 1e6 div (60+rank)
+    assert got[2] == (2, 1000000 // 62 + 1000000 // 61)
+    assert got[1] == (1, 1000000 // 61)
+    assert got[9] == (1, 1000000 // 63)
+    # consensus doc 2 (ranks 2+1) beats solo #1 doc 1
+    assert got[2][1] > got[1][1]
+    order = [r.doc_id for r in out]
+    assert order[0] == 2
+    # docs 1 and 9... 16393 vs 15873: strictly ordered; add a true tie
+    tie = rrf_fuse(
+        [spark.createDataFrame([(5, 1), (4, 1)], ["doc_id", "rnk"])],
+        "doc_id", "rnk",
+    ).collect()
+    assert [r.doc_id for r in tie] == [4, 5]  # equal score -> id asc
+
+
+def test_rrf_fuse_top_k_and_validation(spark):
+    from us_immigration_data_lake_spark.operators.retrieval import rrf_fuse
+
+    r1 = spark.createDataFrame([(i, i) for i in range(1, 8)], ["doc_id", "rnk"])
+    assert rrf_fuse([r1], "doc_id", "rnk", k=3).count() == 3
+    with pytest.raises(ValueError):
+        rrf_fuse([], "doc_id", "rnk")

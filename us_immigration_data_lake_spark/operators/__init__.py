@@ -253,3 +253,22 @@ from us_immigration_data_lake_spark.operators.sketches import (
 )
 
 __all__ += ["countmin_inner_product", "histogram_rank"]
+
+from us_immigration_data_lake_spark.operators.retrieval import rrf_fuse
+from us_immigration_data_lake_spark.operators.sampling import (
+    dsir_logratio,
+    dsir_select,
+)
+from us_immigration_data_lake_spark.operators.dedup import (
+    cross_dedup_survivors,
+    cross_near_dup_frames,
+)
+from us_immigration_data_lake_spark.operators.similarity import (
+    cross_srp_near_dup_frames,
+)
+
+__all__ += [
+    "rrf_fuse", "dsir_logratio", "dsir_select",
+    "cross_dedup_survivors", "cross_near_dup_frames",
+    "cross_srp_near_dup_frames",
+]

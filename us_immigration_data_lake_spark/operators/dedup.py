@@ -438,10 +438,19 @@ def cross_near_dup_frames(
     ref_buckets = bands_ref.groupBy("band_idx", "band_hash").agg(
         F.array_sort(F.collect_list(id_col)).alias("ids")
     )
+    # NB slice length is clamped to the actual list size: Spark computes
+    # start+length in int32, so a lift-the-cap call (max_bucket_size
+    # 2^31) would otherwise overflow to an empty slice and silently
+    # drop every candidate (the shingles() bigram note, same trap)
     capped_ref = ref_buckets.select(
         "band_idx",
         "band_hash",
-        F.explode(F.slice("ids", 1, max_bucket_size)).alias("__ref_id"),
+        F.explode(
+            F.slice(
+                "ids", 1,
+                F.least(F.lit(max_bucket_size), F.size("ids")).cast("int"),
+            )
+        ).alias("__ref_id"),
     )
     oversized = ref_buckets.filter(F.size("ids") > max_bucket_size).select(
         "band_idx", "band_hash", F.size("ids").alias("bucket_n"), "ids"

@@ -591,6 +591,86 @@ def srp_near_dup_frames(
     }
 
 
+def cross_srp_near_dup_frames(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    dim: int,
+    num_bits: int = 8,
+    seed: int = 42,
+    max_bucket_size: int = 1000,
+) -> dict[str, DataFrame]:
+    """CROSS-corpus SEMANTIC near-dup detection: which embeddings of a
+    NEW batch are cosine near-dups of a fixed REFERENCE corpus — the
+    embedding-side twin of dedup.py:cross_near_dup_frames (same
+    incremental-ingest shape: this week's crawl vs the training set
+    you already have, paraphrases included). Same plan skeleton:
+
+    - both sides compute the per-row SRP bucket signature (identical
+      planes — a vector's bucket does not depend on which frame it
+      sits in);
+    - candidate generation is ONE new×ref equi-join on the bucket key,
+      never a self-join (at 100 TB the reference's self-pairs are most
+      of the work the cross question never needs);
+    - ref-side mega-buckets keep their ``max_bucket_size`` smallest
+      ids (bounded fan-out: O(new_k · cap) join rows per bucket);
+      dropped buckets come back in ``oversized``. No anchor-star here
+      — a capped bucket retains cap verifiable representatives and
+      there is no within-side clustering to preserve;
+    - verification is exact cosine across the two frames (precomputed
+      norms, fixed-dim unrolled dot product).
+
+    Returns ``{"pairs": (id_new, id_ref, cosine_sim), "oversized":
+    ref buckets over the cap}``. Feed pairs into a left-anti join for
+    survivor semantics (dedup.py:cross_dedup_survivors does this for
+    the text side; the composition is one extra join either way)."""
+    sig_new = _srp_sig_frame(new_df, id_col, vec_col, dim, num_bits, seed)
+    sig_ref = _srp_sig_frame(ref_df, id_col, vec_col, dim, num_bits, seed)
+
+    ref_buckets = sig_ref.groupBy("bucket").agg(
+        F.array_sort(F.collect_list("__id")).alias("ids")
+    )
+    capped_ref = ref_buckets.select(
+        "bucket",
+        F.explode(
+            F.slice(
+                "ids", 1,
+                F.least(F.lit(max_bucket_size), F.size("ids")).cast("int"),
+            )
+        ).alias("id_ref"),
+    )
+    oversized = ref_buckets.filter(F.size("ids") > max_bucket_size).select(
+        "bucket", F.size("ids").alias("bucket_n"), "ids"
+    )
+
+    cand = (
+        sig_new.select(F.col("__id").alias("id_new"), "bucket")
+        .join(capped_ref, "bucket")
+        .select("id_new", "id_ref")
+        .dropDuplicates()
+    )
+    vn = sig_new.select(
+        F.col("__id").alias("id_new"), F.col("__v").alias("v1"),
+        F.col("__n").alias("n1"),
+    )
+    vr = sig_ref.select(
+        F.col("__id").alias("id_ref"), F.col("__v").alias("v2"),
+        F.col("__n").alias("n2"),
+    )
+    pairs = (
+        cand.join(vn, "id_new")
+        .join(vr, "id_ref")
+        .select(
+            "id_new", "id_ref",
+            F.round(_pair_cosine(dim), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+    return {"pairs": pairs, "oversized": oversized}
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,

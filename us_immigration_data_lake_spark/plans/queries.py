@@ -10969,3 +10969,135 @@ def q191_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, target, "doc_id", "text", k=_Q191_K,
         num_buckets=_Q191_BUCKETS, portable=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# Q192 — CROSS-corpus SEMANTIC dedup (operators/similarity.py:
+# cross_srp_near_dup_frames, new r7): the embedding-side twin of q190
+# — which NEW vectors are cosine near-dups of a fixed REFERENCE
+# corpus. One new×ref equi-join on the SRP bucket key (never a
+# self-join), ref-side buckets capped to their smallest ids with
+# observable truncation, exact cosine verify across frames. The
+# oracle computes the signature once over all embeddings (a vector's
+# bucket is frame-independent), splits sides by vec_id parity,
+# replicates the cap with ROW_NUMBER, and cross-verifies. cap=5 so
+# the truncation branch fires at every sf (q187's convention).
+# ---------------------------------------------------------------------------
+
+_Q192_CAP = 5
+
+
+def _q192_oracle_sql() -> str:
+    planes = sim_ops.srp_planes(EMBEDDING_DIM, num_bits=_Q187_BITS, seed=42)
+
+    def dot_expr(i: int) -> str:
+        return " + ".join(
+            f"v[{j + 1}]*({float(planes[i][j])!r})" for j in range(EMBEDDING_DIM)
+        )
+
+    bits = " + ".join(
+        f"(CASE WHEN ({dot_expr(i)}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(_Q187_BITS)
+    )
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), b AS MATERIALIZED (
+      SELECT vec_id, v, CAST({bits} AS BIGINT) AS bucket FROM base
+    ), capped AS MATERIALIZED (
+      SELECT bucket, vec_id FROM (
+        SELECT bucket, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+        FROM b WHERE vec_id % 2 = 0
+      ) WHERE rn <= {_Q192_CAP}
+    ), cand AS MATERIALIZED (
+      SELECT DISTINCT n.vec_id AS id_new, c.vec_id AS id_ref
+      FROM b n JOIN capped c ON n.bucket = c.bucket
+      WHERE n.vec_id % 2 = 1
+    )
+    SELECT * FROM (
+      SELECT c.id_new, c.id_ref,
+             ROUND(list_cosine_similarity(x.v, y.v), 6) AS cosine_sim
+      FROM cand c
+      JOIN b x ON c.id_new = x.vec_id
+      JOIN b y ON c.id_ref = y.vec_id
+    ) WHERE cosine_sim >= {_Q181_TAU}
+    """
+
+
+@_register(
+    "q192_cross_semantic_dedup",
+    oracle=_q192_oracle_sql(),
+    tags=("similarity", "dedup", "semdedup", "cross-corpus", "skew-guard"),
+)
+def q192_cross_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    new_df = emb.filter(F.col("vec_id") % 2 == 1)
+    ref_df = emb.filter(F.col("vec_id") % 2 == 0)
+    return sim_ops.cross_srp_near_dup_frames(
+        new_df, ref_df, "vec_id", "embedding", threshold=_Q181_TAU,
+        dim=EMBEDDING_DIM, num_bits=_Q187_BITS, max_bucket_size=_Q192_CAP,
+    )["pairs"]
+
+
+# ---------------------------------------------------------------------------
+# Q193 — hybrid-retrieval Reciprocal Rank Fusion (operators/
+# retrieval.py:rrf_fuse, new r7 — Cormack et al., SIGIR 2009): fuse
+# the lexical BM25 top-20 (q58's exact machinery and terms) with the
+# semantic cosine top-20 for query vector 0 (q22's knn machinery)
+# into one list, rrf(d) = Σ 1e6 div (60 + rank) in exact BIGINTs.
+# The oracle nests q58's oracle verbatim as the lexical CTE (one
+# definition, zero drift), replays the knn ranking for vec 0, and
+# fuses with the identical integer floor-division arithmetic.
+# ---------------------------------------------------------------------------
+
+
+def _q193_oracle_sql() -> str:
+    lex_sql = QUERIES["q58_bm25_multiterm"].oracle
+    return f"""
+    WITH lex AS (
+      {lex_sql}
+    ), sem AS (
+      SELECT neighbor_id AS doc_id, rn AS rnk FROM (
+        SELECT c.vec_id AS neighbor_id,
+               CAST(ROW_NUMBER() OVER (
+                 ORDER BY ROUND(list_cosine_similarity(q.qv, c.cv), 6) DESC,
+                          c.vec_id) AS BIGINT) AS rn
+        FROM (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+              WHERE vec_id = 0) q,
+             (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+              WHERE vec_id != 0) c
+      ) WHERE rn <= 20
+    ), un AS (
+      SELECT doc_id, rnk FROM lex
+      UNION ALL
+      SELECT doc_id, rnk FROM sem
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_systems,
+           CAST(SUM(1000000 // (60 + rnk)) AS BIGINT) AS rrf_micro
+    FROM un GROUP BY doc_id
+    ORDER BY rrf_micro DESC, doc_id
+    LIMIT 10
+    """
+
+
+@_register(
+    "q193_rrf_hybrid_retrieval",
+    oracle=_q193_oracle_sql(),
+    tags=("search", "retrieval", "rrf", "fusion", "topk"),
+)
+def q193_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.retrieval import rrf_fuse
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = ts_ops.bm25_multiterm_topk(
+        docs, "doc_id", "text", terms=("vector", "merge", "filter"), k=20
+    ).select("doc_id", "rnk")
+    sem = sim_ops.cosine_knn(
+        emb, emb.filter(F.col("vec_id") == 0), "vec_id", "embedding", k=20
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rn").alias("rnk"))
+    return rrf_fuse([lex, sem], "doc_id", "rnk", k0=60, k=10)
