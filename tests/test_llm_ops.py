@@ -1532,3 +1532,42 @@ def test_rrf_fuse_top_k_and_validation(spark):
     assert rrf_fuse([r1], "doc_id", "rnk", k=3).count() == 3
     with pytest.raises(ValueError):
         rrf_fuse([], "doc_id", "rnk")
+
+
+# --- BPE merge training (r7) -------------------------------------------------
+
+
+def test_bpe_merges_known_corpus(spark):
+    """Hand-checked BPE on a tiny corpus. Corpus words: 'low' x2,
+    'lower' x1 -> chars. Pair counts round 1: (l,o)=3, (o,w)=3,
+    (w,e)=1, (e,r)=1 -> tie (l,o) vs (o,w) breaks lexicographically
+    to (l,o). Round 2: symbols lo,w / lo,w,e,r -> (lo,w)=3 wins.
+    Round 3: low / low,e,r -> (low,e)=1 vs (e,r)=1 -> (e,r) wins
+    lexicographically."""
+    df = spark.createDataFrame(
+        [("low low",), ("lower",)], ["text"]
+    )
+    out = [tuple(r) for r in ts.bpe_merges(df, "text", 3).collect()]
+    assert out == [
+        (1, "l", "o", "lo", 3),
+        (2, "lo", "w", "low", 3),
+        (3, "e", "r", "er", 1),
+    ]
+
+
+def test_bpe_merge_fold_run_semantics(spark):
+    """[a,a,a,a] under merge (a,a) must become [aa,aa] — left-to-right
+    non-overlapping (the string-replace shortcut yields [aa,a,a] and is
+    wrong; this pins the fold)."""
+    df = spark.createDataFrame([("aaaa",)], ["text"])
+    out = [tuple(r) for r in ts.bpe_merges(df, "text", 2).collect()]
+    # round 1: (a,a)=3 (three adjacent pairs in one word)
+    assert out[0] == (1, "a", "a", "aa", 3)
+    # round 2 state is [aa,aa] -> pair (aa,aa)=1
+    assert out[1] == (2, "aa", "aa", "aaaa", 1)
+
+
+def test_bpe_stops_when_fully_fused(spark):
+    df = spark.createDataFrame([("ab",), ("ab",)], ["text"])
+    out = [tuple(r) for r in ts.bpe_merges(df, "text", 5).collect()]
+    assert out == [(1, "a", "b", "ab", 2)]  # then no pairs remain -> stop

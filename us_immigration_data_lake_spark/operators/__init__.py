@@ -272,3 +272,7 @@ __all__ += [
     "cross_dedup_survivors", "cross_near_dup_frames",
     "cross_srp_near_dup_frames",
 ]
+
+from us_immigration_data_lake_spark.operators.textstats import bpe_merges
+
+__all__ += ["bpe_merges"]

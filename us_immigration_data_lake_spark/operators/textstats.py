@@ -709,3 +709,123 @@ def linear_quality_classifier(
     return features.withColumn("logit_mu", logit).withColumn(
         "keep", F.col("logit_mu") >= F.lit(int(threshold_mu))
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (Sennrich et al., "Neural Machine Translation of
+# Rare Words with Subword Units", ACL 2016 — public): learn the first
+# n byte-pair-encoding merges from the corpus, in-engine. The one
+# tokenizer stage an LLM data pipeline runs that was absent here
+# (token counting, chunking and OOV scoring above all consume an
+# EXISTING vocabulary; this one derives it).
+# ---------------------------------------------------------------------------
+
+
+def _bpe_pair_counts(state: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts over a (symbols, cnt) word-frequency
+    state: per-row zip_with (zero shuffles) + one (l, r) groupBy whose
+    key space is the SYMBOL-pair vocabulary, not the corpus."""
+    pairs_arr = F.when(
+        F.size("symbols") >= 2,
+        F.slice(
+            F.zip_with(
+                "symbols",
+                F.slice("symbols", 2, F.size("symbols")),
+                lambda x, y: F.struct(x.alias("l"), y.alias("r")),
+            ),
+            1,
+            F.size("symbols") - 1,
+        ),
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+    return (
+        state.select(F.explode(pairs_arr).alias("p"), "cnt")
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("cnt").cast("long").alias("pair_count"))
+    )
+
+
+def _bpe_apply_merge(symbols: Column, left: str, right: str) -> Column:
+    """Left-to-right non-overlapping replacement of adjacent (left,
+    right) with the concatenated symbol — the BPE merge fold: walking
+    the symbol list, if the accumulator's last symbol is ``left`` and
+    the current is ``right``, fuse them; else append. A run like
+    [a,a,a,a] under merge (a,a) correctly becomes [aa,aa] (a string
+    replace() would leave [aa,a,a] — delimiter sharing breaks
+    adjacency, unit-tested)."""
+    l_lit, r_lit = F.lit(left), F.lit(right)
+    merged = F.lit(left + right)
+    return F.aggregate(
+        symbols,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == l_lit)
+            & (x == r_lit),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_merges(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges from the corpus:
+    word-frequency table → per-word character symbols → iterate
+    (count adjacent symbol pairs weighted by word frequency; merge the
+    most frequent pair, ties broken lexicographically on (l, r)).
+    Returns one row per merge: (rank, left, right, merged,
+    pair_count) — the merge table a tokenizer consumes, in order.
+
+    No end-of-word marker (documented divergence from some BPE
+    variants: merges never cross word boundaries here either way, the
+    marker only affects suffix-vs-prefix symbol identity).
+
+    Scale (100 TB): the ONLY corpus-order stage is the initial word
+    count (one tokenize + groupBy(word) — the same census shape as
+    unigram_cross_entropy). Every iteration runs on the WORD-FREQUENCY
+    table (|vocab| rows, corpus-independent): pair counting is per-row
+    array arithmetic + a groupBy on the pair vocabulary, the argmax is
+    a 1-row TakeOrderedAndProject, and the merge application is a pure
+    per-row fold. Driver involvement per round is ONE collected row
+    (scalar-sized, the sanctioned IVF-codebook pattern); lineage is
+    truncated per round with an eager localCheckpoint (the CC-loop
+    discipline — an unbroken k-round plan re-executes subplans
+    exponentially)."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    words = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    # char split: substring(w, i, 1) per position (F.split(w, '')
+    # yields a trailing empty string on some Spark versions — avoid)
+    state = words.select(
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .alias("symbols"),
+        "cnt",
+    ).localCheckpoint(eager=True)
+
+    out: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            _bpe_pair_counts(state)
+            .orderBy(F.desc("pair_count"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:  # no pair left anywhere (all words fused to one symbol)
+            break
+        l, r, c = top[0].l, top[0].r, top[0].pair_count
+        out.append((rank, l, r, l + r, c))
+        state = state.select(
+            _bpe_apply_merge(F.col("symbols"), l, r).alias("symbols"), "cnt"
+        ).localCheckpoint(eager=True)
+
+    return df.sparkSession.createDataFrame(
+        out, "rank bigint, left string, right string, merged string, pair_count bigint"
+    )

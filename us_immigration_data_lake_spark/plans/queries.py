@@ -11101,3 +11101,80 @@ def q193_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") == 0), "vec_id", "embedding", k=20
     ).select(F.col("neighbor_id").alias("doc_id"), F.col("rn").alias("rnk"))
     return rrf_fuse([lex, sem], "doc_id", "rnk", k0=60, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Q194 — BPE merge training (operators/textstats.py:bpe_merges, new r7
+# — Sennrich et al., ACL 2016): learn the first 4 byte-pair-encoding
+# merges from the corpus, in-engine. Each round is a deterministic
+# argmax over weighted adjacent-symbol pair counts (ties lexicographic
+# on (l, r)) followed by a left-to-right non-overlapping merge fold —
+# the oracle unrolls all 4 rounds as generated CTE blocks, replaying
+# the fold with a DuckDB list_reduce over a '|'-delimited accumulator
+# (safe here: corpus tokens are whitespace-split words, never
+# containing '|'; the Spark side uses a genuine array fold with no
+# delimiter encoding). Exact integers and strings end to end — no
+# doubles anywhere, so the merge table is bit-reproducible.
+# ---------------------------------------------------------------------------
+
+_Q194_MERGES = 4
+
+
+def _q194_oracle_sql() -> str:
+    n = _Q194_MERGES
+    rounds = []
+    for k in range(n):
+        rounds.append(f"""p{k} AS MATERIALIZED (
+      SELECT p[1] AS l, p[2] AS r, CAST(SUM(cnt) AS BIGINT) AS pair_count
+      FROM (
+        SELECT unnest(CASE WHEN len(symbols) >= 2
+                           THEN [[symbols[i], symbols[i+1]]
+                                 for i in range(1, len(symbols))]
+                           ELSE CAST([] AS VARCHAR[][]) END) AS p,
+               cnt
+        FROM s{k}
+      ) GROUP BY 1, 2
+    ), m{k} AS MATERIALIZED (
+      SELECT l, r, pair_count FROM p{k}
+      ORDER BY pair_count DESC, l, r LIMIT 1
+    ), s{k + 1} AS MATERIALIZED (
+      SELECT list_filter(string_split(
+               list_reduce(list_prepend('', symbols),
+                 (acc, x) -> CASE
+                   WHEN ends_with(acc, '|' || m.l) AND x = m.r
+                   THEN substr(acc, 1, length(acc) - length(m.l) - 1)
+                        || '|' || m.l || m.r
+                   ELSE acc || '|' || x END),
+               '|'), s -> s <> '') AS symbols,
+             cnt
+      FROM s{k} CROSS JOIN m{k} m
+    )""")
+    finals = "\n    UNION ALL ".join(
+        f"SELECT CAST({k + 1} AS BIGINT) AS rank, l AS \"left\", r AS \"right\","
+        f" l || r AS merged, pair_count FROM m{k}"
+        for k in range(n)
+    )
+    blocks = ", ".join(rounds)
+    return f"""
+    WITH words AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                  t -> t <> '')) AS w
+        FROM documents
+      ) GROUP BY w
+    ), s0 AS MATERIALIZED (
+      SELECT [w[i] for i in range(1, length(w)+1)] AS symbols, cnt FROM words
+    ), {blocks}
+    SELECT * FROM ({finals}) ORDER BY rank
+    """
+
+
+@_register(
+    "q194_bpe_merges",
+    oracle=_q194_oracle_sql(),
+    tags=("llm", "tokenizer", "bpe", "iterative", "portable"),
+)
+def q194_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return ts_ops.bpe_merges(docs, "text", n_merges=_Q194_MERGES)
