@@ -11173,6 +11173,14 @@ def _q194_oracle_sql() -> str:
     "q194_bpe_merges",
     oracle=_q194_oracle_sql(),
     tags=("llm", "tokenizer", "bpe", "iterative", "portable"),
+    # fn is EAGER (each merge round collects its argmax row), so the
+    # type gate reads this declared DDL instead of executing all
+    # rounds per schema probe (q186's convention); the parity sweep
+    # pins it to the executed frame's schema.
+    result_schema=(
+        "rank bigint, left string, right string, "
+        "merged string, pair_count bigint"
+    ),
 )
 def q194_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tune(spark)
