@@ -376,3 +376,63 @@ def test_windowed_agg_state_survives_restart(spark, tmp_path):
     want = sorted(map(tuple, closed.collect()))
     assert got == want
     assert len(got) == len({(r[0], r[1]) for r in got})  # no window twice
+
+
+def test_stream_cross_dedup_multibatch_equals_batch(spark, tmp_path):
+    """stream_cross_near_dup_pairs over a MULTI-FILE source forced to
+    one-file micro-batches (maxFilesPerTrigger=1) must emit exactly the
+    batch operator's pair set: per-row signature arithmetic can't see
+    batch boundaries and the pair-dedup state spans batches (a pair
+    whose band collisions straddle two batches must not double-emit)."""
+    from us_immigration_data_lake_spark.operators import dedup as dd
+    from us_immigration_data_lake_spark.streaming.dedup import (
+        stream_cross_near_dup_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    new_rows = [(1, base), (3, near), (5, "totally unrelated words about rivers")]
+    ref_rows = [(10, base), (12, "other reference content nothing matches")]
+    new_df = spark.createDataFrame(new_rows, ["doc_id", "text"])
+    ref_df = spark.createDataFrame(ref_rows, ["doc_id", "text"])
+
+    src = str(tmp_path / "newdocs")
+    # two files -> two micro-batches under maxFilesPerTrigger=1
+    new_df.filter(F.col("doc_id") <= 1).coalesce(1).write.parquet(
+        src, mode="overwrite"
+    )
+    new_df.filter(F.col("doc_id") > 1).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+
+    stream = (
+        spark.readStream.schema(new_df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    pairs = stream_cross_near_dup_pairs(
+        stream, ref_df, "doc_id", "text", shingle_n=3, num_hashes=32,
+        bands=16, threshold=0.5, portable=True,
+    )
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName("x_cross_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.id_new, r.id_ref): r.jaccard
+        for r in spark.table("x_cross_dedup").collect()
+    }
+    want = {
+        (r.id_new, r.id_ref): r.jaccard
+        for r in dd.cross_near_dup_frames(
+            new_df, ref_df, "doc_id", "text", shingle_n=3, num_hashes=32,
+            bands=16, threshold=0.5, portable=True,
+        )["pairs"].collect()
+    }
+    assert got == want
+    assert (1, 10) in got and got[(1, 10)] == 1.0
+    assert len(got) == len(spark.table("x_cross_dedup").collect())  # no dup emits

@@ -138,6 +138,27 @@ def _signatures_from_sets(
     )
 
 
+def band_structs(bands: int, rows: int, portable: bool = False):
+    """The exploded band-key array expression over a ``signature``
+    column — shared by lsh_bands and the streaming cross-dedup path
+    (streaming/dedup.py carries extra columns through the explode, so
+    it can't use lsh_bands' two-column projection)."""
+    def _band_key(b: int):
+        joined = F.concat_ws(",", *[
+            F.element_at("signature", b * rows + r + 1).cast("string")
+            for r in range(rows)
+        ])
+        return joined if portable else F.xxhash64(joined)
+
+    return F.array(*[
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            _band_key(b).alias("band_hash"),
+        )
+        for b in range(bands)
+    ])
+
+
 def lsh_bands(
     sig_df: DataFrame, id_col: str, bands: int, rows: int,
     portable: bool = False,
@@ -146,24 +167,9 @@ def lsh_bands(
     (stringified — array args hash element-wise fine via concat_ws).
     Portable mode keeps the raw comma-joined slice as the band key
     (string): no hash at all, so any engine reproduces the buckets."""
-    def _band_key(b: int):
-        joined = F.concat_ws(",", *[
-            F.element_at("signature", b * rows + r + 1).cast("string")
-            for r in range(rows)
-        ])
-        return joined if portable else F.xxhash64(joined)
-
     out = sig_df.select(
         F.col(id_col),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band_idx"),
-                    _band_key(b).alias("band_hash"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("band"),
+        F.explode(band_structs(bands, rows, portable)).alias("band"),
     )
     return out.select(id_col, "band.band_idx", "band.band_hash")
 

@@ -11186,3 +11186,48 @@ def q194_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tune(spark)
     docs = _t(spark, sf_dir, "documents")
     return ts_ops.bpe_merges(docs, "text", n_merges=_Q194_MERGES)
+
+
+# ---------------------------------------------------------------------------
+# Q195 — STREAMING cross-corpus dedup (streaming/dedup.py:
+# stream_cross_near_dup_pairs, new r7): q190's semantics with the NEW
+# batch arriving as a document STREAM — the continuous-ingest shape
+# (dedupe the crawl against the training set as it lands). The whole
+# hot path is stateless per row (shingle/signature/band arithmetic,
+# shingle sets carried through the band explode), candidates + exact
+# verify ride ONE stream-static join against the cached capped
+# reference lookup, and the only streaming state is the final
+# pair-key dropDuplicates. availableNow emission is batch-equivalent
+# by construction, so the oracle IS q190's SQL, verbatim — the two
+# rows gate the same answer through the batch and streaming engines.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q195_stream_cross_dedup",
+    oracle=_q190_oracle_sql(),
+    tags=("streaming", "dedup", "minhash", "cross-corpus", "portable"),
+)
+def q195_stream_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.sources.readers import (
+        read_parquet_stream,
+    )
+    from us_immigration_data_lake_spark.streaming.dedup import (
+        stream_cross_near_dup_pairs,
+    )
+    from us_immigration_data_lake_spark.streaming.windows import run_to_memory
+
+    _tune(spark)
+    stream = read_parquet_stream(
+        spark, f"{sf_dir.rstrip('/')}/documents*.parquet"
+    ).filter((F.col("doc_id") < 200) & (F.col("doc_id") % 2 == 1))
+    ref_df = (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 200) & (F.col("doc_id") % 2 == 0))
+    )
+    pairs = stream_cross_near_dup_pairs(
+        stream, ref_df, "doc_id", "text", shingle_n=2,
+        num_hashes=_Q55_HASHES, bands=_Q55_BANDS, threshold=0.055,
+        max_bucket_size=_Q190_CAP, portable=True,
+    )
+    return run_to_memory(pairs, _sink_name("q195_pairs"), mode="append")

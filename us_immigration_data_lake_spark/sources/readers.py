@@ -124,3 +124,16 @@ def read_parquet_evolved(
     if columns:
         df = df.select(*columns)
     return df
+
+
+def read_parquet_stream(spark, path_glob: str):
+    """Streaming file-source read over a parquet path/glob with the
+    batch footer schema (a file stream cannot infer schema; one
+    driver-side metadata read supplies it — the read_event_stream
+    convention, for tables without events' timestamp-encoding
+    special-casing). The glob form is required: a bare file path fails
+    the source's basePath directory check."""
+    from us_immigration_data_lake_spark.sources.schema_cache import parquet_schema
+
+    schema = parquet_schema(spark, path_glob)
+    return spark.readStream.schema(schema).parquet(path_glob)
