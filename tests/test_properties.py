@@ -471,3 +471,68 @@ def test_histogram_rank_matches_exact_rank_within_a_bin(spark, values, probes):
     in_order = sorted(set(probes))
     ranks = [got[p] for p in in_order]
     assert ranks == sorted(ranks)
+
+
+# --- BPE merges vs pure-Python reference (r7) --------------------------------
+
+
+def _py_bpe(corpus: list[str], n_merges: int):
+    """Reference BPE: word census, weighted pair counts, argmax with
+    (count desc, l, r) tie-break, left-to-right non-overlapping merge."""
+    from collections import Counter
+
+    words = Counter()
+    for text in corpus:
+        for w in text.lower().split():
+            if w:
+                words[w] += 1
+    state = {w: [c for c in w] for w in words}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = Counter()
+        for w, syms in state.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += words[w]
+        if not pairs:
+            break
+        (l, r), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, l + r, c))
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = out
+    return merges
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.text(alphabet="abc ", min_size=1, max_size=24),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_bpe_merges_match_python_reference(spark, corpus, n_merges):
+    """Differential: the engine's iterative BPE (vocab-sized Spark jobs,
+    argmax collect, array-fold merge) must equal the sequential Python
+    reference on random 3-letter corpora — including runs (aaa...),
+    ties, and early exhaustion. NB the reference's index-walk merge and
+    the engine's accumulator fold are different formulations of the
+    same left-to-right non-overlapping rule; agreement here pins that
+    equivalence too."""
+    from us_immigration_data_lake_spark.operators import textstats as ts
+
+    rows = [(t,) for t in corpus if t.strip()]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, ["text"])
+    got = [tuple(r) for r in ts.bpe_merges(df, "text", n_merges).collect()]
+    want = _py_bpe([t for (t,) in rows], n_merges)
+    assert got == want
