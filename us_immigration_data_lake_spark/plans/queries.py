@@ -10958,6 +10958,8 @@ def _q191_oracle_sql() -> str:
     "q191_dsir_selection",
     oracle=_q191_oracle_sql(),
     tags=("llm", "sampling", "dsir", "selection", "portable"),
+    bench=True,  # r7: the data-selection family's perf axis — its one
+    # corpus-order stage is the tokenize scan; slope measured in SCALE.md
 )
 def q191_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from us_immigration_data_lake_spark.operators.sampling import dsir_select
@@ -11173,6 +11175,8 @@ def _q194_oracle_sql() -> str:
     "q194_bpe_merges",
     oracle=_q194_oracle_sql(),
     tags=("llm", "tokenizer", "bpe", "iterative", "portable"),
+    bench=True,  # r7: the tokenizer-induction family's perf axis — one
+    # corpus-order census, then vocab-sized rounds; slope in SCALE.md
     # fn is EAGER (each merge round collects its argmax row), so the
     # type gate reads this declared DDL instead of executing all
     # rounds per schema probe (q186's convention); the parity sweep
