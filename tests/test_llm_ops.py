@@ -1571,3 +1571,60 @@ def test_bpe_stops_when_fully_fused(spark):
     df = spark.createDataFrame([("ab",), ("ab",)], ["text"])
     out = [tuple(r) for r in ts.bpe_merges(df, "text", 5).collect()]
     assert out == [(1, "a", "b", "ab", 2)]  # then no pairs remain -> stop
+
+
+# --- sorted-neighborhood dedup + global rank (r7) ---------------------------
+
+
+def test_global_row_number_matches_single_partition_semantics(spark):
+    from us_immigration_data_lake_spark.operators.windows import (
+        global_row_number,
+    )
+
+    rows = [(i, f"k{i % 7:02d}") for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "key"]).repartition(13)
+    out = global_row_number(df, ["key", "id"], num_partitions=8).collect()
+    got = [(r.key, r.id, r.rank) for r in sorted(out, key=lambda r: r.rank)]
+    want_order = sorted(rows, key=lambda t: (t[1], t[0]))
+    assert [g[2] for g in got] == list(range(1, 201))  # dense 1..n
+    assert [(g[0], g[1]) for g in got] == [(k, i) for i, k in want_order]
+
+
+def test_sorted_neighborhood_finds_prefix_local_dups(spark):
+    """Two docs sharing a long prefix sort adjacently and are found;
+    a similar pair placed > window apart in sort order is NOT a
+    candidate — the method's defining recall boundary."""
+    pre = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, pre + " one two three"),
+        (2, pre + " one two four"),          # sorts adjacent to 1
+        (3, "zulu yankee xray whiskey victor"),
+        (4, "mike november oscar papa"),
+        (5, "kilo lima quebec romeo sierra"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r.id1, r.id2): r.jaccard
+        for r in dd.sorted_neighborhood_pairs(
+            df, "doc_id", "text", window=1, key_prefix_len=16,
+            threshold=0.5, shingle_n=3,
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.5
+    assert len(pairs) == 1  # nothing else is both sort-local AND similar
+
+
+def test_sorted_neighborhood_candidate_volume_is_bounded(spark):
+    """A corpus of IDENTICAL docs: LSH would put all n in one bucket
+    (n^2 pair pressure, needs the cap machinery); sorted-neighborhood
+    emits exactly the n*w sort-local pairs by construction."""
+    boiler = "identical boilerplate text repeated on every page"
+    df = spark.createDataFrame(
+        [(i, boiler) for i in range(10)], ["doc_id", "text"]
+    )
+    pairs = dd.sorted_neighborhood_pairs(
+        df, "doc_id", "text", window=2, threshold=0.9
+    ).collect()
+    # ranks = id order; each row pairs with the next 2 -> 9 + 8 = 17
+    assert len(pairs) == 17
+    assert all(r.jaccard == 1.0 for r in pairs)

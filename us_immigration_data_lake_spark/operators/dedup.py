@@ -1295,3 +1295,75 @@ def remove_repeated_substrings(
         F.col("removed_tokens").cast("long").alias("removed_tokens"),
         F.col("n_spans").cast("long").alias("n_spans"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood dedup (Hernández & Stolfo, SIGMOD 1995 — public):
+# the third candidate-generation family next to LSH banding and
+# prefix-filtered set-similarity. Sort the corpus by a blocking key,
+# pair each row with its w nearest neighbors in sort order, verify
+# exactly. Complements LSH where near-dups share a PREFIX/sort-locality
+# rather than a hashed band (typos late in the document, numbered
+# boilerplate variants) and its candidate count is exactly n·w by
+# construction — no bucket-skew failure mode at all.
+# ---------------------------------------------------------------------------
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 3,
+    key_prefix_len: int = 16,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """Verified near-dup pairs (id1, id2, jaccard) from the
+    sorted-neighborhood method: rows ranked by (normalized-text prefix
+    of ``key_prefix_len`` chars, id) — a TOTAL order, so ranks are
+    run-stable — and every row is a candidate against the ``window``
+    rows that follow it. Exact hashed-shingle Jaccard verification,
+    identical semantics to the LSH path's verify stage.
+
+    Plan shape at 100 TB: the rank is windows.global_row_number's
+    two-phase form (range exchange + parallel per-partition windows —
+    never a single-partition global window); candidate generation
+    explodes each row to ``window`` (rank+k) probes and equi-joins on
+    rank — n·w rows through one hash join, no skew possible since rank
+    is unique. One range exchange + one equi-join + the verify join;
+    candidate volume is EXACTLY n·w (vs LSH's data-dependent bucket
+    sums), the method's defining trade: bounded cost, recall limited
+    to sort-local duplicates."""
+    from us_immigration_data_lake_spark.operators.windows import (
+        global_row_number,
+    )
+
+    keyed = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.substring(normalized_text(F.col(text_col)), 1, key_prefix_len).alias(
+            "__key"
+        ),
+    )
+    ranked = global_row_number(keyed, ["__key", id_col], rank_col="__rank")
+
+    probes = ranked.select(
+        F.col(id_col).alias("id1"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(window)),
+                lambda k: F.col("__rank") + k,
+            )
+        ).alias("__rank"),
+    )
+    cand = probes.join(
+        ranked.select(F.col(id_col).alias("id2"), "__rank"), "__rank"
+    ).select("id1", "id2")
+
+    hs = hashed_shingle_sets(
+        shingles(df.repartition(F.col(id_col)), id_col, text_col, shingle_n),
+        id_col,
+        portable,
+    )
+    return verify_jaccard_hashed(cand, hs, id_col, threshold)

@@ -11235,3 +11235,84 @@ def q195_stream_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_bucket_size=_Q190_CAP, portable=True,
     )
     return run_to_memory(pairs, _sink_name("q195_pairs"), mode="append")
+
+
+# ---------------------------------------------------------------------------
+# Q196 — sorted-neighborhood dedup (operators/dedup.py:
+# sorted_neighborhood_pairs, new r7 — Hernández & Stolfo, SIGMOD 1995):
+# the third candidate-generation family next to LSH banding (q20/q182)
+# and prefix-filtered set-similarity (q166). Rows ranked by
+# (16-char normalized-text prefix, doc_id) — the engine side computes
+# the rank with the two-phase range-partition + per-partition-window
+# form (windows.global_row_number), NEVER a single-partition global
+# window; the oracle's plain ROW_NUMBER() OVER (ORDER BY ...) is the
+# same total order, so ranks agree — then each row is a candidate
+# against the 3 rows that follow, with the shared exact hashed-shingle
+# Jaccard verify. Candidate volume is exactly n·w by construction (no
+# bucket-skew mode to guard).
+# ---------------------------------------------------------------------------
+
+_Q196_WINDOW, _Q196_PREFIX = 3, 16
+
+
+def _q196_oracle_sql() -> str:
+    sql = f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         t -> t <> '') AS toks,
+             substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                    1, {_Q196_PREFIX}) AS key
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, key,
+             CASE WHEN len(toks) >= 2
+                  THEN list_distinct([array_to_string(toks[i:i+1], ' ')
+                                      for i in range(1, len(toks))])
+                  ELSE [array_to_string(toks, ' ')] END AS shingles
+      FROM tok
+    ), hx AS (
+      SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+      FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+    ), hs AS (
+      SELECT doc_id, list(h) AS hs FROM hx GROUP BY doc_id
+    ), rnk AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY key, doc_id) AS BIGINT) AS r
+      FROM sh
+    ), cand AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2
+      FROM rnk a JOIN rnk b ON b.r > a.r AND b.r <= a.r + {_Q196_WINDOW}
+    )
+    SELECT * FROM (
+      SELECT c.id1, c.id2,
+             CAST(len(list_intersect(h1.hs, h2.hs)) AS DOUBLE)
+               / (len(h1.hs) + len(h2.hs) - len(list_intersect(h1.hs, h2.hs)))
+               AS jaccard
+      FROM cand c
+      JOIN hs h1 ON c.id1 = h1.doc_id
+      JOIN hs h2 ON c.id2 = h2.doc_id
+    ) WHERE jaccard >= 0.055
+    """
+    import re
+
+    for name in ("tok", "sh", "hx", "hs", "rnk", "cand"):
+        sql = re.sub(
+            rf"(?<![A-Za-z_]){name} AS \(", f"{name} AS MATERIALIZED (", sql
+        )
+    return sql
+
+
+@_register(
+    "q196_sorted_neighborhood",
+    oracle=_q196_oracle_sql(),
+    tags=("dedup", "sorted-neighborhood", "blocking", "portable"),
+)
+def q196_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.sorted_neighborhood_pairs(
+        docs, "doc_id", "text", window=_Q196_WINDOW,
+        key_prefix_len=_Q196_PREFIX, threshold=0.055, shingle_n=2,
+        portable=True,
+    )
