@@ -536,3 +536,28 @@ def test_bpe_merges_match_python_reference(spark, corpus, n_merges):
     got = [tuple(r) for r in ts.bpe_merges(df, "text", n_merges).collect()]
     want = _py_bpe([t for (t,) in rows], n_merges)
     assert got == want
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=50), st.text(alphabet="ab", max_size=3)),
+        min_size=1, max_size=60, unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=7),
+)
+def test_global_row_number_partition_invariant(spark, rows, nparts):
+    """Ranks from the two-phase distributed row_number must be the
+    dense 1..n enumeration of the total order, independent of input
+    partitioning and the range-partition count."""
+    from us_immigration_data_lake_spark.operators.windows import (
+        global_row_number,
+    )
+
+    df = spark.createDataFrame(rows, ["id", "key"]).repartition(nparts)
+    out = global_row_number(df, ["key", "id"], num_partitions=nparts).collect()
+    by_rank = sorted(out, key=lambda r: r.rank)
+    assert [r.rank for r in by_rank] == list(range(1, len(rows) + 1))
+    assert [(r.key, r.id) for r in by_rank] == sorted(
+        (k, i) for i, k in rows
+    )
