@@ -276,3 +276,10 @@ __all__ += [
 from us_immigration_data_lake_spark.operators.textstats import bpe_merges
 
 __all__ += ["bpe_merges"]
+
+from us_immigration_data_lake_spark.operators.dedup import (
+    sorted_neighborhood_pairs,
+)
+from us_immigration_data_lake_spark.operators.windows import global_row_number
+
+__all__ += ["sorted_neighborhood_pairs", "global_row_number"]
