@@ -1628,3 +1628,55 @@ def test_sorted_neighborhood_candidate_volume_is_bounded(spark):
     # ranks = id order; each row pairs with the next 2 -> 9 + 8 = 17
     assert len(pairs) == 17
     assert all(r.jaccard == 1.0 for r in pairs)
+
+
+# --- bounded edit-distance join (r7) -----------------------------------------
+
+
+def test_edit_distance_pairs_complete_vs_bruteforce(spark):
+    """Pruning completeness on a mixed corpus: every pair with
+    levenshtein <= d must come back — including SHORT strings where
+    the gram pigeonhole vanishes (the residual length-band block) and
+    distance-0 exact duplicates."""
+    rows = [
+        (1, "mississippi"),
+        (2, "missisippi"),      # d=1 from 1
+        (3, "mississipppi"),    # d=1 from 1
+        (4, "abcdefghijk"),     # far from all long strings
+        (5, "ab"),              # short block
+        (6, "ac"),              # d=1 from 5
+        (7, "xy"),              # d=2 from 5/6
+        (8, "mississippi"),     # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "name"])
+    got = {
+        (r.id1, r.id2): r.distance
+        for r in dd.edit_distance_pairs(df, "doc_id", "name", max_distance=2, q=3).collect()
+    }
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    want = {
+        (i1, i2): lev(s1, s2)
+        for (i1, s1), (i2, s2) in itertools.combinations(rows, 2)
+        if lev(s1, s2) <= 2
+    }
+    assert got == want
+    assert got[(1, 8)] == 0 and got[(5, 6)] == 1 and got[(5, 7)] == 2
+
+
+def test_edit_distance_pairs_no_candidates_across_families(spark):
+    """A long string and a short string can never pair (length filter
+    exceeds d); disjoint long strings produce no candidates at all."""
+    df = spark.createDataFrame(
+        [(1, "completely distinct alpha"), (2, "zzz"), (3, "wholly other beta")],
+        ["doc_id", "name"],
+    )
+    assert dd.edit_distance_pairs(df, "doc_id", "name", max_distance=2).count() == 0

@@ -11316,3 +11316,54 @@ def q196_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_prefix_len=_Q196_PREFIX, threshold=0.055, shingle_n=2,
         portable=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# Q197 — bounded edit-distance similarity join (operators/dedup.py:
+# edit_distance_pairs, new r7 — q-gram filtering, Gravano et al. VLDB
+# 2001): all name pairs within levenshtein distance 2, names being the
+# 16-char lowercased text prefix over the doc_id<300 slice. The engine
+# prunes via the shared-q-gram pigeonhole (+ a length-band residual
+# block for strings too short for the bound); the oracle is the
+# BRUTE-FORCE SPEC — every pair, plain levenshtein() — so the gate
+# proves the pruning loses nothing (the q166 spec-oracle convention).
+# ASCII-only guard on the name: DuckDB's levenshtein is BYTE-level on
+# multibyte text (measured: zh 4-char edit = 3 bytes) while Spark's is
+# codepoint-level — the one semantic the two engines genuinely
+# disagree on, excluded rather than papered over.
+# ---------------------------------------------------------------------------
+
+_Q197_D, _Q197_Q, _Q197_PREFIX = 2, 3, 16
+
+
+@_register(
+    "q197_edit_distance_join",
+    oracle=f"""
+    WITH s AS MATERIALIZED (
+      SELECT doc_id, substr(lower(text), 1, {_Q197_PREFIX}) AS name
+      FROM documents
+      WHERE doc_id < 300
+        AND regexp_matches(substr(lower(text), 1, {_Q197_PREFIX}), '^[ -~]*$')
+    )
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS distance
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE abs(length(a.name) - length(b.name)) <= {_Q197_D}
+      AND levenshtein(a.name, b.name) <= {_Q197_D}
+    """,
+    tags=("dedup", "edit-distance", "qgram", "spec-oracle", "portable"),
+)
+def q197_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    _tune(spark)
+    named = (
+        docs.filter(F.col("doc_id") < 300)
+        .select(
+            "doc_id",
+            F.substring(F.lower(F.col("text")), 1, _Q197_PREFIX).alias("name"),
+        )
+        .filter(F.col("name").rlike("^[ -~]*$"))
+    )
+    return dedup_ops.edit_distance_pairs(
+        named, "doc_id", "name", max_distance=_Q197_D, q=_Q197_Q
+    )
