@@ -1672,11 +1672,20 @@ def test_edit_distance_pairs_complete_vs_bruteforce(spark):
     assert got[(1, 8)] == 0 and got[(5, 6)] == 1 and got[(5, 7)] == 2
 
 
-def test_edit_distance_pairs_no_candidates_across_families(spark):
-    """A long string and a short string can never pair (length filter
-    exceeds d); disjoint long strings produce no candidates at all."""
+def test_edit_distance_pairs_cutoff_straddling_pair_found(spark):
+    """A pair straddling the short/long cutoff (q=3, d=2 -> S=8: one
+    8-char and one 9-char string at distance 1) must be found — the
+    gram branch covers it because the count-filter lemma only needs
+    max(L) > S, not both. (The first implementation restricted grams
+    to over-cutoff strings and missed exactly this; the randomized
+    fuzz in test_properties.py caught it.) Disjoint strings far apart
+    in length still produce nothing."""
     df = spark.createDataFrame(
-        [(1, "completely distinct alpha"), (2, "zzz"), (3, "wholly other beta")],
+        [(1, "aaaabbbb"), (2, "aaaabbbbc"), (3, "zzz")],
         ["doc_id", "name"],
     )
-    assert dd.edit_distance_pairs(df, "doc_id", "name", max_distance=2).count() == 0
+    got = {
+        (r.id1, r.id2): r.distance
+        for r in dd.edit_distance_pairs(df, "doc_id", "name", max_distance=2, q=3).collect()
+    }
+    assert got == {(1, 2): 1}

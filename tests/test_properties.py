@@ -561,3 +561,40 @@ def test_global_row_number_partition_invariant(spark, rows, nparts):
     assert [(r.key, r.id) for r in by_rank] == sorted(
         (k, i) for i, k in rows
     )
+
+
+def _lev(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+    return dp[len(b)]
+
+
+@SETTINGS
+@given(
+    st.lists(st.text(alphabet="abc", min_size=0, max_size=14), min_size=2, max_size=25),
+    st.integers(min_value=0, max_value=3),
+)
+def test_edit_distance_pairs_complete_random(spark, strings, d):
+    """Randomized completeness of the q-gram pruning: the operator must
+    emit EXACTLY the brute-force pair set at every distance bound —
+    short strings (where the gram pigeonhole vanishes), empty strings,
+    duplicates, and d=0 all included. A wrong length cutoff or gram
+    bound shows up here as a missing pair."""
+    from us_immigration_data_lake_spark.operators import dedup as dd
+
+    rows = list(enumerate(strings))
+    df = spark.createDataFrame(rows, ["id", "s"])
+    got = {
+        (r.id1, r.id2): r.distance
+        for r in dd.edit_distance_pairs(df, "id", "s", max_distance=d, q=3).collect()
+    }
+    want = {
+        (i, j): _lev(strings[i], strings[j])
+        for i in range(len(strings))
+        for j in range(i + 1, len(strings))
+        if _lev(strings[i], strings[j]) <= d
+    }
+    assert got == want

@@ -1392,18 +1392,21 @@ def edit_distance_pairs(
     nothing; the spec-oracle in q197 checks against the brute-force
     definition) without an n² candidate stage for long strings:
 
-    - LONG strings (length > S = (d+1)·q − 1): a pair at distance ≤ d
+    - GRAM branch (every string with L ≥ q): a pair at distance ≤ d
       shares ≥ max(N1, N2) − d·q q-grams (each edit touches ≤ q of the
-      N = L−q+1 grams), and max(N) − d·q > 0 above the cutoff — so
-      every qualifying pair shares at least ONE gram. Candidates are
-      the distinct-gram self-join (one shuffle on the gram key),
-      length-filtered (|L1−L2| ≤ d, free pruning).
-    - SHORT strings (length ≤ S): the pigeonhole can vanish (a pair of
-      4-char strings at distance 2 may share zero 3-grams), so shorts
-      pair within length bands instead — each id probes bands
-      [L−d .. L], an equi-join on the band key; the block is bounded
-      by the short population, which a corpus of documents keeps tiny
-      (empty/near-empty texts).
+      N = L−q+1 grams), so whenever max(L1, L2) > S = (d+1)·q − 1 the
+      pair shares at least ONE gram and the distinct-gram self-join
+      (one shuffle on the gram key) finds it — including pairs that
+      STRADDLE the cutoff, which is why the gram side must not be
+      restricted to over-cutoff strings. Length-filtered afterwards
+      (|L1−L2| ≤ d, free pruning).
+    - SHORT branch (pairs with BOTH lengths ≤ S — the only shape where
+      the pigeonhole can vanish: two 4-char strings at distance 2 may
+      share zero 3-grams): length-band equi-join, each string probing
+      the upward bands [L .. L+d] against the partner's exact length
+      (the shorter side always reaches the longer), ids canonicalized
+      least/greatest. Bounded by the short population, which a corpus
+      of documents keeps tiny (empty/near-empty texts).
 
     Verification is ``F.levenshtein`` (JVM Wagner-Fischer, codegen'd)
     on the candidate set only. Scale: one gram-key shuffle + one
@@ -1425,10 +1428,15 @@ def edit_distance_pairs(
         F.length(str_col).cast("int").alias("__l"),
     ).filter(F.col("__s").isNotNull())
 
-    long_s = s.filter(F.col("__l") > cutoff)
+    # gram branch covers EVERY string with at least one gram (L >= q),
+    # not only the over-cutoff ones: the count-filter lemma guarantees
+    # a shared gram whenever max(L1, L2) > cutoff, and one side of such
+    # a pair may itself sit below the cutoff — restricting grams to
+    # long strings silently drops those straddling pairs (found by the
+    # randomized completeness fuzz, tests/test_properties.py).
     # substring(s, i, q) per position — expr form (F.substring takes
     # int positions, so the positional slide goes through transform())
-    grams = long_s.select(
+    grams = s.filter(F.col("__l") >= q).select(
         "__id",
         F.explode(
             F.array_distinct(
@@ -1444,23 +1452,33 @@ def edit_distance_pairs(
         .dropDuplicates()
     )
 
+    # short branch: pairs where BOTH sides are <= cutoff (the only
+    # shape where the pigeonhole can vanish). Each string probes the
+    # UPWARD bands [L .. L+d] against the partner's exact length, so
+    # the shorter side of any qualifying pair always reaches the
+    # longer one; ids canonicalize with least/greatest because the
+    # probe orientation is length-based, not id-based (probing only
+    # downward + an id1<id2 filter dropped ('aa','aaa') — the fuzz's
+    # minimal counterexample).
     short_s = s.filter(F.col("__l") <= cutoff)
     probes = short_s.select(
-        F.col("__id").alias("id1"),
-        F.col("__l").alias("l1"),
+        F.col("__id").alias("__pid_a"),
         F.explode(
-            F.sequence(F.greatest(F.col("__l") - d, F.lit(0)), F.col("__l"))
+            F.sequence(F.col("__l"), F.col("__l") + d)
         ).alias("band"),
     )
     cand_short = (
         probes.join(
             short_s.select(
-                F.col("__id").alias("id2"), F.col("__l").alias("band")
+                F.col("__id").alias("__pid_b"), F.col("__l").alias("band")
             ),
             "band",
         )
-        .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
+        .filter(F.col("__pid_a") != F.col("__pid_b"))
+        .select(
+            F.least("__pid_a", "__pid_b").alias("id1"),
+            F.greatest("__pid_a", "__pid_b").alias("id2"),
+        )
         .dropDuplicates()
     )
 
