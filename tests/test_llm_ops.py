@@ -1689,3 +1689,55 @@ def test_edit_distance_pairs_cutoff_straddling_pair_found(spark):
         for r in dd.edit_distance_pairs(df, "doc_id", "name", max_distance=2, q=3).collect()
     }
     assert got == {(1, 2): 1}
+
+
+# --- Holt linear-trend smoothing (r7) ----------------------------------------
+
+
+def _py_holt(xs, a=300, b=100, h=1):
+    def fdiv(v):
+        return (v - (v % 1000 + 1000) % 1000) // 1000
+    if len(xs) == 1:
+        l, t = xs[0] * 1_000_000, 0
+    else:
+        l, t = xs[1] * 1_000_000, (xs[1] - xs[0]) * 1_000_000
+        for x in xs[2:]:
+            l_new = fdiv(a * x * 1_000_000 + (1000 - a) * (l + t))
+            t = fdiv(b * (l_new - l) + (1000 - b) * t)
+            l = l_new
+    return len(xs), l, t, l + h * t
+
+
+@pytest.mark.parametrize(
+    "series",
+    [
+        [10],
+        [10, 14],
+        [10, 14, 18, 22, 26],          # clean rising trend
+        [100, 90, 80, 70, 60, 55],     # FALLING — negative trend exercises
+                                        # the floor-division alignment
+        [5, 5, 5, 5],
+        [3, 50, 2, 49, 1, 48],          # oscillating
+    ],
+)
+def test_holt_linear_matches_fixed_point_reference(spark, series):
+    from us_immigration_data_lake_spark.operators.regress import holt_linear
+
+    rows = [("g", i, x) for i, x in enumerate(series)]
+    df = spark.createDataFrame(rows, ["grp", "t", "x"])
+    out = holt_linear(df, ["grp"], ["t"], "x", alpha_pm=300, beta_pm=100, horizon=1)
+    r = out.collect()[0]
+    assert (r.n, r.level_e6, r.trend_e6, r.forecast_e6) == _py_holt(series)
+
+
+def test_holt_linear_rising_trend_forecast_direction(spark):
+    from us_immigration_data_lake_spark.operators.regress import holt_linear
+
+    rows = [("up", i, 10 + 4 * i) for i in range(8)] + [
+        ("down", i, 100 - 7 * i) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, ["grp", "t", "x"])
+    got = {r.grp: r for r in holt_linear(df, ["grp"], ["t"], "x").collect()}
+    assert got["up"].trend_e6 > 0 and got["down"].trend_e6 < 0
+    # perfectly linear series: forecast continues the line exactly-ish
+    assert abs(got["up"].forecast_e6 - (10 + 4 * 8) * 1_000_000) < 4_000_000

@@ -225,3 +225,103 @@ def mad_outlier_stats(
             .alias("n_outliers"),
         )
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha_pm: int = 300,
+    beta_pm: int = 100,
+    horizon: int = 1,
+) -> DataFrame:
+    """Holt's linear-trend exponential smoothing per group (Holt 1957 —
+    public; the RECURSIVE double-smoother, where ewma_smooth above is a
+    truncated FIR kernel): level and trend fold over the whole ordered
+    series,
+
+        l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    seeded l₁ = x₁, b₁ = x₂ − x₁ (b = 0 for singleton series), plus the
+    h-step forecast l_n + h·b_n. Returns (group_cols..., n, level_e6,
+    trend_e6, forecast_e6).
+
+    Exact fixed-point arithmetic end to end (oracle rule 1): the value
+    column must be integer-valued; state is BIGINT micro-units,
+    coefficients are permille integers, and every smoothing step
+    divides by 1000 with an EXPLICIT FLOOR division
+    ``(v − pmod(v, 1000)) div 1000`` — Spark's ``div`` truncates toward
+    zero while DuckDB's ``//`` floors, and a negative trend hits the
+    divergence; pmod-subtraction makes the dividend an exact multiple,
+    where truncation and floor agree, in both engines.
+
+    Plan shape: one groupBy collecting the ordered series into an
+    array (sort_array of (order, value) structs — deterministic given
+    rule 6's unique order key), then the whole recursion is ONE
+    per-row aggregate() fold — no window, no iteration, no driver
+    loop. The per-group series must fit in a row (the packing/
+    collect_list caveat); for unbounded series run the streaming IVM
+    fold instead.
+    """
+    if not 0 < alpha_pm <= 1000 or not 0 <= beta_pm <= 1000:
+        raise ValueError("alpha_pm in (0,1000], beta_pm in [0,1000]")
+    a, b_, h = int(alpha_pm), int(beta_pm), int(horizon)
+
+    ordered = df.groupBy(*group_cols).agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        *[F.col(c) for c in order_cols],
+                        F.col(value_col).cast("long").alias("__x"),
+                    )
+                )
+            ),
+            lambda s: s["__x"],
+        ).alias("xs")
+    )
+
+    def fdiv(expr: str) -> str:
+        # floor division by 1000 that is engine-agreed on negatives
+        return f"(({expr}) - pmod(({expr}), 1000)) div 1000"
+
+    l_new = fdiv(
+        f"{a} * CAST(x AS BIGINT) * 1000000 + {1000 - a} * (acc.l + acc.b)"
+    )
+    step = (
+        "named_struct("
+        f"'l', {l_new}, "
+        f"'b', {fdiv(f'{b_} * (({l_new}) - acc.l) + {1000 - b_} * acc.b')}"
+        ")"
+    )
+    fold = f"""
+    CASE WHEN size(xs) = 1 THEN
+      named_struct('l', CAST(element_at(xs, 1) AS BIGINT) * 1000000,
+                   'b', CAST(0 AS BIGINT))
+    ELSE
+      aggregate(
+        slice(xs, 3, size(xs) - 2),
+        named_struct(
+          'l', CAST(element_at(xs, 2) AS BIGINT) * 1000000,
+          'b', (CAST(element_at(xs, 2) AS BIGINT)
+                - CAST(element_at(xs, 1) AS BIGINT)) * 1000000),
+        (acc, x) -> {step}
+      )
+    END
+    """
+    # NB seed: l1=x1, b1=x2-x1 gives l2 = x2, b2 = x2-x1 exactly under
+    # the recursion, so seeding the fold AT t=2 with (x2, x2-x1) and
+    # folding elements 3.. is the textbook initialization without a
+    # special-cased first step.
+    out = ordered.withColumn("__st", F.expr(fold))
+    return out.select(
+        *group_cols,
+        F.size("xs").cast("long").alias("n"),
+        F.col("__st.l").alias("level_e6"),
+        F.col("__st.b").alias("trend_e6"),
+        (F.col("__st.l") + F.lit(h) * F.col("__st.b")).cast("long").alias(
+            "forecast_e6"
+        ),
+    )

@@ -11367,3 +11367,82 @@ def q197_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.edit_distance_pairs(
         named, "doc_id", "name", max_distance=_Q197_D, q=_Q197_Q
     )
+
+
+# ---------------------------------------------------------------------------
+# Q198 — Holt linear-trend smoothing + forecast per event type
+# (operators/regress.py:holt_linear, new r7 — Holt 1957): daily
+# event-value series per type folded through the recursive
+# level/trend smoother in exact fixed-point (BIGINT micro-units,
+# permille coefficients, engine-agreed FLOOR division — Spark's div
+# truncates, DuckDB's // floors, and negative trends hit the
+# difference, so both sides divide via the pmod-subtraction form).
+# The engine runs the entire recursion as ONE per-row aggregate()
+# fold over the collected ordered series; the oracle replays it with
+# a RECURSIVE CTE stepping i → i+1. Complements ewma_smooth (q112's
+# FIR kernel) with the true recursive smoother + h-step forecast.
+# ---------------------------------------------------------------------------
+
+_Q198_A, _Q198_B, _Q198_H = 300, 100, 7
+
+
+def _q198_oracle_sql() -> str:
+    a, b, h = _Q198_A, _Q198_B, _Q198_H
+
+    def fdiv(expr: str) -> str:
+        return f"((({expr}) - ((({expr}) % 1000) + 1000) % 1000) // 1000)"
+
+    l_new = fdiv(f"{a} * s.x * 1000000 + {1000 - a} * (r.l + r.b)")
+    return f"""
+    WITH RECURSIVE daily AS MATERIALIZED (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), idx AS MATERIALIZED (
+      SELECT event_type, x,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+                  AS BIGINT) AS i,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM daily
+    ), rec AS (
+      SELECT a.event_type, CAST(2 AS BIGINT) AS i, a.n,
+             b2.x * 1000000 AS l,
+             (b2.x - a.x) * 1000000 AS b
+      FROM idx a JOIN idx b2
+        ON b2.event_type = a.event_type AND b2.i = 2
+      WHERE a.i = 1 AND a.n >= 2
+      UNION ALL
+      SELECT r.event_type, r.i + 1, r.n,
+             {l_new} AS l,
+             {fdiv(f"{b} * (({l_new}) - r.l) + {1000 - b} * r.b")} AS b
+      FROM rec r JOIN idx s
+        ON s.event_type = r.event_type AND s.i = r.i + 1
+    ), finals AS (
+      SELECT event_type, n, l AS level_e6, b AS trend_e6 FROM rec WHERE i = n
+      UNION ALL
+      SELECT event_type, n, x * 1000000, CAST(0 AS BIGINT)
+      FROM idx WHERE n = 1 AND i = 1
+    )
+    SELECT event_type, n, level_e6, trend_e6,
+           level_e6 + {h} * trend_e6 AS forecast_e6
+    FROM finals
+    """
+
+
+@_register(
+    "q198_holt_forecast",
+    oracle=_q198_oracle_sql(),
+    tags=("timeseries", "smoothing", "forecast", "recursive", "portable"),
+)
+def q198_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.regress import holt_linear
+
+    _tune(spark)
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.sum(_cents(F.col("value"))).alias("x"))
+    return holt_linear(
+        daily, ["event_type"], ["d"], "x",
+        alpha_pm=_Q198_A, beta_pm=_Q198_B, horizon=_Q198_H,
+    )
