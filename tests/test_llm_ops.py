@@ -1741,3 +1741,73 @@ def test_holt_linear_rising_trend_forecast_direction(spark):
     assert got["up"].trend_e6 > 0 and got["down"].trend_e6 < 0
     # perfectly linear series: forecast continues the line exactly-ish
     assert abs(got["up"].forecast_e6 - (10 + 4 * 8) * 1_000_000) < 4_000_000
+
+
+# --- CUSUM drift detection (r7) ----------------------------------------------
+
+
+def _py_cusum(xs, k, h):
+    tot = sum(xs) * 1_000_000
+    n = len(xs)
+    mu = (tot - ((tot % n) + n) % n) // n
+    sp = sn = up = down = 0
+    first = None
+    for i, x in enumerate(xs, 1):
+        sp = max(0, sp + (x * 1_000_000 - mu - k))
+        sn = max(0, sn + (mu - x * 1_000_000 - k))
+        trip_up, trip_dn = sp > h, sn > h
+        if trip_up:
+            up += 1
+            sp = 0
+        if trip_dn:
+            down += 1
+            sn = 0
+        if first is None and (trip_up or trip_dn):
+            first = i
+    return n, up, down, first, sp, sn
+
+
+@pytest.mark.parametrize(
+    "series",
+    [
+        [10, 10, 10, 10, 10, 10],                       # flat: no alarms
+        [10, 10, 10, 10, 30, 30, 30, 30],               # upward level shift
+        [50, 50, 50, 50, 10, 10, 10, 10],               # downward shift
+        [10, 30, 10, 30, 10, 30],                       # oscillation
+        [7],                                            # singleton
+        [-5, -5, -5, 20, 20, 20],                       # negative values (mu floor)
+    ],
+)
+def test_cusum_matches_fixed_point_reference(spark, series):
+    from us_immigration_data_lake_spark.operators.regress import cusum_drift
+
+    k, h = 2_000_000, 8_000_000
+    rows = [("g", i, x) for i, x in enumerate(series)]
+    df = spark.createDataFrame(rows, ["grp", "t", "x"])
+    r = cusum_drift(df, ["grp"], ["t"], "x", k_e6=k, h_e6=h).collect()[0]
+    assert (
+        r.n, r.up_alarms, r.down_alarms, r.first_alarm_idx,
+        r.s_pos_e6, r.s_neg_e6,
+    ) == _py_cusum(series, k, h)
+
+
+def test_cusum_detects_level_shift_direction(spark):
+    from us_immigration_data_lake_spark.operators.regress import cusum_drift
+
+    up_series = [10] * 10 + [40] * 10
+    dn_series = [40] * 10 + [10] * 10
+    rows = [("up", i, x) for i, x in enumerate(up_series)] + [
+        ("dn", i, x) for i, x in enumerate(dn_series)
+    ]
+    df = spark.createDataFrame(rows, ["grp", "t", "x"])
+    got = {
+        r.grp: r
+        for r in cusum_drift(
+            df, ["grp"], ["t"], "x", k_e6=3_000_000, h_e6=20_000_000
+        ).collect()
+    }
+    assert got["up"].up_alarms > 0 and got["up"].down_alarms > 0
+    # the shift point: first alarm fires shortly after index 10 on the
+    # matching side in both series
+    assert got["up"].first_alarm_idx is not None
+    assert got["dn"].first_alarm_idx is not None

@@ -325,3 +325,108 @@ def holt_linear(
             "forecast_e6"
         ),
     )
+
+
+def cusum_drift(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    k_e6: int,
+    h_e6: int,
+) -> DataFrame:
+    """Tabular CUSUM drift detection per group (Page, Biometrika 1954 —
+    public): the standard ingest-monitoring control chart a data
+    pipeline runs over its daily volumes/quality metrics. Two one-sided
+    cumulative sums against the series' own mean μ,
+
+        s⁺_t = max(0, s⁺_{t−1} + (x_t − μ − k))
+        s⁻_t = max(0, s⁻_{t−1} + (μ − x_t − k))
+
+    with an alarm whenever either exceeds h (and the standard restart:
+    the tripped side resets to 0). Returns per group:
+    (group_cols..., n, up_alarms, down_alarms, first_alarm_idx — 1-based
+    position of the first alarm or NULL, s_pos_e6, s_neg_e6 — final
+    states).
+
+    Exact integers throughout: the value column must be integer-valued,
+    μ is the floor of the exact mean in micro-units ((Σx·1e6) with the
+    engine-agreed pmod floor division by n), slack k and threshold h
+    are micro-unit parameters, and the whole recursion is ONE per-row
+    aggregate() fold over the collected ordered series (the holt_linear
+    pattern — same bounded-series caveat, same rule-6 unique order
+    key)."""
+    k, h = int(k_e6), int(h_e6)
+    if h <= 0:
+        raise ValueError(f"h_e6 must be > 0, got {h}")
+
+    ordered = df.groupBy(*group_cols).agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        *[F.col(c) for c in order_cols],
+                        F.col(value_col).cast("long").alias("__x"),
+                    )
+                )
+            ),
+            lambda s: s["__x"],
+        ).alias("xs")
+    )
+
+    # μ_e6 = floor((Σx · 1e6) / n) via pmod-subtraction (div truncates,
+    # // floors; negative sums otherwise diverge across engines)
+    mu = (
+        "((aggregate(xs, CAST(0 AS BIGINT), (a, x) -> a + CAST(x AS BIGINT))"
+        " * 1000000) )"
+    )
+    mu_floor = f"(({mu} - pmod({mu}, size(xs))) div size(xs))"
+
+    step = f"""
+      named_struct(
+        'sp', CASE WHEN greatest(CAST(0 AS BIGINT),
+                     acc.sp + (CAST(x AS BIGINT) * 1000000 - acc.mu - {k}))
+                     > {h} THEN CAST(0 AS BIGINT)
+              ELSE greatest(CAST(0 AS BIGINT),
+                     acc.sp + (CAST(x AS BIGINT) * 1000000 - acc.mu - {k})) END,
+        'sn', CASE WHEN greatest(CAST(0 AS BIGINT),
+                     acc.sn + (acc.mu - CAST(x AS BIGINT) * 1000000 - {k}))
+                     > {h} THEN CAST(0 AS BIGINT)
+              ELSE greatest(CAST(0 AS BIGINT),
+                     acc.sn + (acc.mu - CAST(x AS BIGINT) * 1000000 - {k})) END,
+        'up', acc.up + CASE WHEN greatest(CAST(0 AS BIGINT),
+                     acc.sp + (CAST(x AS BIGINT) * 1000000 - acc.mu - {k}))
+                     > {h} THEN 1 ELSE 0 END,
+        'down', acc.down + CASE WHEN greatest(CAST(0 AS BIGINT),
+                     acc.sn + (acc.mu - CAST(x AS BIGINT) * 1000000 - {k}))
+                     > {h} THEN 1 ELSE 0 END,
+        'first', CASE WHEN acc.first IS NOT NULL THEN acc.first
+                 WHEN greatest(CAST(0 AS BIGINT),
+                     acc.sp + (CAST(x AS BIGINT) * 1000000 - acc.mu - {k}))
+                     > {h}
+                   OR greatest(CAST(0 AS BIGINT),
+                     acc.sn + (acc.mu - CAST(x AS BIGINT) * 1000000 - {k}))
+                     > {h} THEN acc.i + 1 ELSE CAST(NULL AS BIGINT) END,
+        'i', acc.i + 1,
+        'mu', acc.mu)
+    """
+    fold = f"""
+      aggregate(
+        xs,
+        named_struct('sp', CAST(0 AS BIGINT), 'sn', CAST(0 AS BIGINT),
+                     'up', CAST(0 AS BIGINT), 'down', CAST(0 AS BIGINT),
+                     'first', CAST(NULL AS BIGINT), 'i', CAST(0 AS BIGINT),
+                     'mu', {mu_floor}),
+        (acc, x) -> {step}
+      )
+    """
+    out = ordered.withColumn("__st", F.expr(fold))
+    return out.select(
+        *group_cols,
+        F.size("xs").cast("long").alias("n"),
+        F.col("__st.up").alias("up_alarms"),
+        F.col("__st.down").alias("down_alarms"),
+        F.col("__st.first").alias("first_alarm_idx"),
+        F.col("__st.sp").alias("s_pos_e6"),
+        F.col("__st.sn").alias("s_neg_e6"),
+    )

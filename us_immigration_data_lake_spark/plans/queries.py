@@ -11446,3 +11446,100 @@ def q198_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily, ["event_type"], ["d"], "x",
         alpha_pm=_Q198_A, beta_pm=_Q198_B, horizon=_Q198_H,
     )
+
+
+# ---------------------------------------------------------------------------
+# Q199 — CUSUM drift detection over daily ingest volumes
+# (operators/regress.py:cusum_drift, new r7 — Page, Biometrika 1954):
+# the control chart a pipeline runs over its own daily counts. Daily
+# event counts per type, normalized to permille-of-group-mean (so the
+# alarm thresholds are scale-free across sf), folded through the
+# two-sided tabular CUSUM with restart — ONE per-row aggregate() fold
+# (the q198 pattern). The oracle replays the identical integer
+# recursion with a RECURSIVE CTE, including the alarm-reset branches
+# and the pmod-floor mean. Alarms fire at every sf (probed: 1-16 per
+# side), so both the quiet path and both alarm directions are
+# exercised.
+# ---------------------------------------------------------------------------
+
+_Q199_K, _Q199_H = 20_000_000, 60_000_000
+
+
+def _q199_oracle_sql() -> str:
+    k, h = _Q199_K, _Q199_H
+    sp_raw = "greatest(CAST(0 AS BIGINT), r.sp + (s.x * 1000000 - r.mu - {k}))".format(k=k)
+    sn_raw = "greatest(CAST(0 AS BIGINT), r.sn + (r.mu - s.x * 1000000 - {k}))".format(k=k)
+    return f"""
+    WITH RECURSIVE daily AS MATERIALIZED (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), m AS MATERIALIZED (
+      SELECT event_type,
+             CAST(SUM(c) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS nd
+      FROM daily GROUP BY 1
+    ), idx AS MATERIALIZED (
+      SELECT daily.event_type,
+             ((daily.c * 1000) - (((daily.c * 1000) % (m.tot // m.nd))
+               + (m.tot // m.nd)) % (m.tot // m.nd)) // (m.tot // m.nd) AS x,
+             CAST(ROW_NUMBER() OVER (PARTITION BY daily.event_type ORDER BY d)
+                  AS BIGINT) AS i,
+             CAST(COUNT(*) OVER (PARTITION BY daily.event_type) AS BIGINT) AS n
+      FROM daily JOIN m ON daily.event_type = m.event_type
+    ), mu AS MATERIALIZED (
+      SELECT event_type,
+             ((SUM(x) * 1000000) - (((SUM(x) * 1000000) % MAX(n)) + MAX(n))
+               % MAX(n)) // MAX(n) AS mu
+      FROM idx GROUP BY 1
+    ), rec AS (
+      SELECT idx.event_type, CAST(0 AS BIGINT) AS i, idx.n,
+             CAST(0 AS BIGINT) AS sp, CAST(0 AS BIGINT) AS sn,
+             CAST(0 AS BIGINT) AS up, CAST(0 AS BIGINT) AS down,
+             CAST(NULL AS BIGINT) AS first, mu.mu
+      FROM idx JOIN mu ON idx.event_type = mu.event_type
+      WHERE idx.i = 1
+      UNION ALL
+      SELECT r.event_type, r.i + 1, r.n,
+             CASE WHEN {sp_raw} > {h} THEN CAST(0 AS BIGINT)
+                  ELSE {sp_raw} END,
+             CASE WHEN {sn_raw} > {h} THEN CAST(0 AS BIGINT)
+                  ELSE {sn_raw} END,
+             r.up + CASE WHEN {sp_raw} > {h} THEN 1 ELSE 0 END,
+             r.down + CASE WHEN {sn_raw} > {h} THEN 1 ELSE 0 END,
+             CASE WHEN r.first IS NOT NULL THEN r.first
+                  WHEN {sp_raw} > {h} OR {sn_raw} > {h} THEN r.i + 1
+                  ELSE CAST(NULL AS BIGINT) END,
+             r.mu
+      FROM rec r JOIN idx s
+        ON s.event_type = r.event_type AND s.i = r.i + 1
+    )
+    SELECT event_type, n, up AS up_alarms, down AS down_alarms,
+           first AS first_alarm_idx, sp AS s_pos_e6, sn AS s_neg_e6
+    FROM rec WHERE i = n
+    """
+
+
+@_register(
+    "q199_cusum_drift",
+    oracle=_q199_oracle_sql(),
+    tags=("timeseries", "drift", "monitoring", "recursive", "portable"),
+)
+def q199_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.regress import cusum_drift
+
+    _tune(spark)
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    m = daily.groupBy("event_type").agg(
+        F.expr("CAST(SUM(c) div COUNT(*) AS BIGINT)").alias("mean_c")
+    )
+    norm = daily.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "d",
+        F.expr("CAST((c * 1000) div mean_c AS BIGINT)").alias("x"),
+    )
+    return cusum_drift(
+        norm, ["event_type"], ["d"], "x", k_e6=_Q199_K, h_e6=_Q199_H
+    )
