@@ -172,3 +172,96 @@ def build_training_corpus(
     return corpus, CorpusStats(
         n_in, n_quality, n_decontam, n_exact, n_near, n_chunks, n_oversized
     )
+
+
+@dataclass
+class IncrementStats:
+    new_docs: int
+    after_quality: int
+    after_cross_dedup: int
+    after_within_dedup: int
+
+
+def update_corpus_increment(
+    new_docs: DataFrame,
+    ref_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    shingle_n: int = 2,
+    num_hashes: int = 8,
+    bands: int = 8,
+    threshold: float = 0.055,
+    max_bucket_size: int = 1000,
+    portable: bool = False,
+) -> tuple[DataFrame, IncrementStats]:
+    """The INCREMENTAL corpus update — what a weekly crawl lands as,
+    composing the round's cross-corpus machinery into the stage order
+    a production update actually runs:
+
+    1. quality-gate the NEW batch (the reference corpus is already
+       curated and passes as-is);
+    2. CROSS-corpus dedup: drop new docs that are near-dups of the
+       reference (operators/dedup.py:cross_near_dup_frames — one
+       new×ref band join, the reference never self-joins);
+    3. WITHIN-batch dedup of the cross survivors (near_dup_frames with
+       the cap + anchor-star guard → connected components →
+       keep-smallest survivors).
+
+    Returns (surviving new rows ready to append to the corpus,
+    IncrementStats with every stage boundary pinned). Each stage's
+    count is one action on a cached frame (the build_training_corpus
+    discipline); caches release before return.
+    """
+    cached: list[DataFrame] = []
+    try:
+        n_new = new_docs.count()
+
+        gated = new_docs.join(
+            ts.quality_score(ts.text_features(new_docs, id_col, text_col))
+            .select(id_col, "quality_score"),
+            id_col,
+        ).filter(F.col("quality_score") >= min_quality).drop("quality_score")
+        gated.cache()
+        cached.append(gated)
+        n_quality = gated.count()
+
+        cross_pairs = dd.cross_near_dup_frames(
+            gated, ref_docs, id_col, text_col, shingle_n=shingle_n,
+            num_hashes=num_hashes, bands=bands, threshold=threshold,
+            max_bucket_size=max_bucket_size, portable=portable,
+        )["pairs"]
+        surv_cross = gated.join(
+            cross_pairs.select(F.col("id_new").alias(id_col)).dropDuplicates(),
+            on=id_col,
+            how="left_anti",
+        )
+        surv_cross.cache()
+        cached.append(surv_cross)
+        n_cross = surv_cross.count()
+
+        within = dd.near_dup_frames(
+            surv_cross, id_col, text_col, shingle_n=shingle_n,
+            num_hashes=num_hashes, bands=bands, threshold=threshold,
+            max_bucket_size=max_bucket_size, recover_oversized=True,
+            portable=portable,
+        )["pairs"].select("id1", "id2")
+        keep = (
+            dd.dedup_survivors(surv_cross, within, id_col)
+            .filter(F.col("keep"))
+            .select(id_col)
+        )
+        final = surv_cross.join(keep, on=id_col, how="left_semi")
+        final.cache()
+        cached.append(final)
+        n_within = final.count()
+
+        return final, IncrementStats(
+            new_docs=n_new,
+            after_quality=n_quality,
+            after_cross_dedup=n_cross,
+            after_within_dedup=n_within,
+        )
+    finally:
+        for frame in cached:
+            frame.unpersist()

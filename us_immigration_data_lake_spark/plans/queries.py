@@ -11543,3 +11543,175 @@ def q199_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_drift(
         norm, ["event_type"], ["d"], "x", k_e6=_Q199_K, h_e6=_Q199_H
     )
+
+
+# ---------------------------------------------------------------------------
+# Q200 — INCREMENTAL corpus update, stage counts pinned end-to-end
+# (pipelines/corpus.py:update_corpus_increment, new r7): the weekly-
+# crawl composition the round's cross-corpus machinery exists for —
+# quality-gate the NEW batch (odd doc_ids < 100), CROSS-dedup it
+# against the already-curated reference (even doc_ids, which never
+# self-joins), then WITHIN-batch near-dup dedup of the survivors
+# (cap + anchor-star + connected components). Every stage boundary is
+# one pinned count, q186's convention; the oracle chains the gate CTEs
+# (q186's), the shared portable-minhash prefix over the full slice
+# (signatures are frame-independent), the cross cap/verify (q190's),
+# the within cap/star/closure (q182/q186's), and counts each stage.
+# ---------------------------------------------------------------------------
+
+
+def _q200_oracle_sql() -> str:
+    prefix = _portable_minhash_prefix_sql(
+        " WHERE doc_id < 100", _Q55_HASHES, _Q55_BANDS
+    )
+    sql = f"""
+    WITH RECURSIVE qtok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         t -> t <> '') AS toks
+      FROM documents WHERE doc_id < 100 AND doc_id % 2 = 1
+    ), qfeat AS (
+      SELECT doc_id,
+             CAST(array_length(toks) AS BIGINT) AS n_tokens,
+             CAST(array_length(list_distinct(toks)) AS BIGINT) AS n_distinct,
+             CAST(len(list_filter(toks,
+               t -> list_contains(['the','a','and','of','to','is','in','it'], t)))
+               AS BIGINT) AS n_stop,
+             CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+               AS sum_len
+      FROM qtok
+    ), gate AS (
+      SELECT doc_id FROM qfeat
+      WHERE CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE) ELSE ROUND(
+              0.4 * (n_distinct / CAST(n_tokens AS DOUBLE))
+              + 0.2 * LEAST((n_stop / CAST(n_tokens AS DOUBLE)) * 5.0, 1.0)
+              + 0.2 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+              + 0.2 * LEAST((sum_len / CAST(n_tokens AS DOUBLE)) / 8.0, 1.0)
+            , 6) END >= {_Q186_MIN_QUALITY}
+    ), {prefix}, hs AS (
+      SELECT doc_id, list(h) AS hs FROM hx GROUP BY doc_id
+    ), refb AS (
+      SELECT band_idx, band_key, doc_id FROM bnd WHERE doc_id % 2 = 0
+    ), newb AS (
+      SELECT b.band_idx, b.band_key, b.doc_id
+      FROM bnd b JOIN gate g ON b.doc_id = g.doc_id
+    ), capped AS (
+      SELECT band_idx, band_key, doc_id FROM (
+        SELECT band_idx, band_key, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY band_idx, band_key
+                                  ORDER BY doc_id) AS rn
+        FROM refb
+      ) WHERE rn <= {_Q182_CAP}
+    ), xver AS (
+      SELECT DISTINCT n.doc_id AS id_new
+      FROM newb n
+      JOIN capped c ON n.band_idx = c.band_idx AND n.band_key = c.band_key
+      JOIN hs h1 ON n.doc_id = h1.doc_id
+      JOIN hs h2 ON c.doc_id = h2.doc_id
+      WHERE CAST(len(list_intersect(h1.hs, h2.hs)) AS DOUBLE)
+            / (len(h1.hs) + len(h2.hs) - len(list_intersect(h1.hs, h2.hs)))
+            >= 0.055
+    ), xsurv AS (
+      SELECT g.doc_id FROM gate g
+      LEFT JOIN xver v ON g.doc_id = v.id_new
+      WHERE v.id_new IS NULL
+    ), wb AS (
+      SELECT b.band_idx, b.band_key, b.doc_id
+      FROM bnd b JOIN xsurv s ON b.doc_id = s.doc_id
+    ), sizes AS (
+      SELECT band_idx, band_key, COUNT(*) AS n
+      FROM wb GROUP BY band_idx, band_key
+    ), small_pairs AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM wb a
+      JOIN wb b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+      JOIN sizes s ON s.band_idx = a.band_idx AND s.band_key = a.band_key
+      WHERE s.n BETWEEN 2 AND {_Q182_CAP}
+    ), anchors AS (
+      SELECT b.band_idx, b.band_key, MIN(b.doc_id) AS anchor
+      FROM wb b JOIN sizes s
+        ON s.band_idx = b.band_idx AND s.band_key = b.band_key
+      WHERE s.n > {_Q182_CAP}
+      GROUP BY b.band_idx, b.band_key
+    ), star_pairs AS (
+      SELECT DISTINCT an.anchor AS id1, m.doc_id AS id2
+      FROM anchors an
+      JOIN wb m ON m.band_idx = an.band_idx AND m.band_key = an.band_key
+      WHERE an.anchor < m.doc_id
+    ), wver AS (
+      SELECT c.id1, c.id2
+      FROM (SELECT id1, id2 FROM small_pairs
+            UNION SELECT id1, id2 FROM star_pairs) c
+      JOIN hs h1 ON c.id1 = h1.doc_id
+      JOIN hs h2 ON c.id2 = h2.doc_id
+      WHERE CAST(len(list_intersect(h1.hs, h2.hs)) AS DOUBLE)
+            / (len(h1.hs) + len(h2.hs) - len(list_intersect(h1.hs, h2.hs)))
+            >= 0.055
+    ), edges AS MATERIALIZED (
+      SELECT id1 AS src, id2 AS dst FROM wver
+      UNION SELECT id2, id1 FROM wver
+    ), reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      WHERE e.dst <> r.src
+    ), labels AS MATERIALIZED (
+      SELECT src AS id, LEAST(src, MIN(dst)) AS cluster
+      FROM reach GROUP BY src
+    ), wsurv AS (
+      SELECT s.doc_id FROM xsurv s
+      LEFT JOIN labels l ON s.doc_id = l.id
+      WHERE COALESCE(l.cluster, s.doc_id) = s.doc_id
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM documents
+            WHERE doc_id < 100 AND doc_id % 2 = 1) AS BIGINT) AS new_docs,
+      CAST((SELECT COUNT(*) FROM gate) AS BIGINT) AS after_quality,
+      CAST((SELECT COUNT(*) FROM xsurv) AS BIGINT) AS after_cross_dedup,
+      CAST((SELECT COUNT(*) FROM wsurv) AS BIGINT) AS after_within_dedup
+    """
+    import re
+
+    for name in (
+        "qtok", "gate", "hx", "sig", "bnd", "hs", "refb", "newb", "capped",
+        "xver", "xsurv", "wb", "sizes", "small_pairs", "anchors",
+        "star_pairs", "wver", "wsurv",
+    ):
+        sql = re.sub(
+            rf"(?<![A-Za-z_]){name} AS \(", f"{name} AS MATERIALIZED (", sql
+        )
+    return sql
+
+
+@_register(
+    "q200_incremental_corpus_update",
+    oracle=_q200_oracle_sql(),
+    tags=("llm-pipeline", "end-to-end", "dedup", "cross-corpus", "portable"),
+    # fn is EAGER (the stats ARE the stage counts), q186's convention
+    result_schema=(
+        "new_docs bigint, after_quality bigint, "
+        "after_cross_dedup bigint, after_within_dedup bigint"
+    ),
+)
+def q200_incremental_corpus_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.pipelines.corpus import (
+        update_corpus_increment,
+    )
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    new_df = docs.filter(F.col("doc_id") % 2 == 1)
+    ref_df = docs.filter(F.col("doc_id") % 2 == 0)
+    _, st = update_corpus_increment(
+        new_df, ref_df, "doc_id", "text",
+        min_quality=_Q186_MIN_QUALITY, shingle_n=2,
+        num_hashes=_Q55_HASHES, bands=_Q55_BANDS, threshold=0.055,
+        max_bucket_size=_Q182_CAP, portable=True,
+    )
+    return spark.createDataFrame(
+        [(st.new_docs, st.after_quality, st.after_cross_dedup,
+          st.after_within_dedup)],
+        "new_docs bigint, after_quality bigint, "
+        "after_cross_dedup bigint, after_within_dedup bigint",
+    )
