@@ -189,8 +189,6 @@ def _hashed_gram_buckets(
     ``num_buckets`` buckets. Gram building is per-row array arithmetic
     (zero shuffles, the dedup.shingles layout); the ONLY wide stage is
     the (id, bucket) groupBy, which partial-aggregates map-side."""
-    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
-
     from us_immigration_data_lake_spark.functions.hashing import md5_long
     from us_immigration_data_lake_spark.functions.text import tokens
 
@@ -248,8 +246,6 @@ def dsir_logratio(
     evidence and are omitted — select them explicitly if a pipeline
     wants them.
     """
-    from pyspark.sql import functions as F  # noqa: F811
-
     b = int(num_buckets)
     doc_counts = _hashed_gram_buckets(df, id_col, text_col, b, bigrams, portable)
     raw_census = doc_counts.groupBy("bucket").agg(
@@ -314,8 +310,6 @@ def dsir_select(
     Output: (id, n_feats, logratio_micro, key_micro) ordered by key
     desc — one global top-k (TakeOrderedAndProject), zero extra
     shuffles beyond dsir_logratio's two."""
-    from pyspark.sql import functions as F  # noqa: F811
-
     t = int(temperature_milli)
     if t <= 0:
         raise ValueError(f"temperature_milli must be > 0, got {t}")
