@@ -1811,3 +1811,72 @@ def test_cusum_detects_level_shift_direction(spark):
     # matching side in both series
     assert got["up"].first_alarm_idx is not None
     assert got["dn"].first_alarm_idx is not None
+
+
+# --- Holt-Winters additive (r7) ----------------------------------------------
+
+
+def _py_hw(xs, m, a=300, b=100, g=200, h=1):
+    def fdiv(v, den):
+        return (v - (v % den + den) % den) // den
+    n = len(xs)
+    assert n >= 2 * m
+    mean1 = fdiv(sum(xs[:m]) * 1_000_000, m)
+    mean2 = fdiv(sum(xs[m:2 * m]) * 1_000_000, m)
+    l = mean1
+    t = fdiv(mean2 - mean1, m)
+    s = [x * 1_000_000 - mean1 for x in xs[:m]]
+    for i in range(m, n):  # i = completed steps (0-based list index)
+        slot = i % m
+        s_old = s[slot]
+        l_new = fdiv(a * (xs[i] * 1_000_000 - s_old) + (1000 - a) * (l + t), 1000)
+        t = fdiv(b * (l_new - l) + (1000 - b) * t, 1000)
+        s[slot] = fdiv(g * (xs[i] * 1_000_000 - l_new) + (1000 - g) * s_old, 1000)
+        l = l_new
+    slot = (n + h - 1) % m
+    return n, l, t, s[slot], l + h * t + s[slot]
+
+
+@pytest.mark.parametrize(
+    "series,m",
+    [
+        ([10, 20, 10, 20, 10, 20, 10, 20], 2),                  # pure season
+        ([10, 20, 12, 22, 14, 24, 16, 26, 18, 28], 2),          # season + trend
+        ([5, 1, 9, 5, 1, 9, 5, 1, 9, 5, 1, 9], 3),              # period 3
+        ([100, 80, 60, 90, 70, 50, 80, 60, 40], 3),             # falling + season
+        ([3, 3, 3, 3, 3, 3, 3, 3], 4),                          # constant
+    ],
+)
+def test_holt_winters_matches_fixed_point_reference(spark, series, m):
+    from us_immigration_data_lake_spark.operators.regress import (
+        holt_winters_additive,
+    )
+
+    rows = [("g", i, x) for i, x in enumerate(series)]
+    df = spark.createDataFrame(rows, ["grp", "t", "x"])
+    r = holt_winters_additive(
+        df, ["grp"], ["t"], "x", period=m, horizon=1
+    ).collect()[0]
+    assert (r.n, r.level_e6, r.trend_e6, r.season_e6, r.forecast_e6) == _py_hw(
+        series, m
+    )
+
+
+def test_holt_winters_drops_short_series_and_tracks_season(spark):
+    from us_immigration_data_lake_spark.operators.regress import (
+        holt_winters_additive,
+    )
+
+    rows = [("short", i, 10) for i in range(3)] + [
+        ("weekly", i, [100, 50][i % 2] + i) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, ["grp", "t", "x"])
+    out = {r.grp: r for r in holt_winters_additive(
+        df, ["grp"], ["t"], "x", period=2, horizon=2
+    ).collect()}
+    assert "short" not in out          # < 2*period rows: dropped
+    w = out["weekly"]
+    # forecast step n+h = 22 is 0-based index 21 -> odd -> the LOW
+    # phase of the [100,50] alternation: negative seasonal component,
+    # positive underlying trend (+1/step)
+    assert w.season_e6 < 0 and w.trend_e6 > 0

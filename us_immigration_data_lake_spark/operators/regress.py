@@ -430,3 +430,120 @@ def cusum_drift(
         F.col("__st.sp").alias("s_pos_e6"),
         F.col("__st.sn").alias("s_neg_e6"),
     )
+
+
+def holt_winters_additive(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    period: int,
+    alpha_pm: int = 300,
+    beta_pm: int = 100,
+    gamma_pm: int = 200,
+    horizon: int = 1,
+) -> DataFrame:
+    """Additive Holt-Winters triple exponential smoothing per group
+    (Winters 1960 — public): level + trend + a length-``period``
+    seasonal state, the full classical forecaster over daily series
+    with weekly shape. Recursions (t > 2·period seeds):
+
+        l_t = α·(x_t − s_{t−m}) + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        s_t = γ·(x_t − l_t) + (1−γ)·s_{t−m}
+
+    seeded with the textbook simple initialization: l = mean of the
+    first season, b = (mean of season 2 − mean of season 1) / m,
+    s_i = x_i − l for the first season's positions. Groups shorter
+    than 2·period rows are dropped (the seeds need two full seasons —
+    emit-nothing beats fabricating state).
+
+    Exact fixed-point end to end (the holt_linear discipline): BIGINT
+    micro-units, permille coefficients, every division the
+    engine-agreed pmod-floor form — including the seed means and the
+    seasonal index arithmetic. The WHOLE recursion — including the
+    length-m seasonal array — is ONE per-row aggregate() fold whose
+    accumulator carries the seasonal state as an array<bigint>,
+    rebuilt positionally each step (O(m) per element, m is a small
+    constant). Returns (group_cols..., n, level_e6, trend_e6,
+    season_e6 — the seasonal component the h-step forecast uses —
+    and forecast_e6 = l + h·b + s_{((n+h−1) mod m)+1}).
+    """
+    m = int(period)
+    if m < 2:
+        raise ValueError(f"period must be >= 2, got {m}")
+    a, b_, g, h = int(alpha_pm), int(beta_pm), int(gamma_pm), int(horizon)
+
+    ordered = df.groupBy(*group_cols).agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        *[F.col(c) for c in order_cols],
+                        F.col(value_col).cast("long").alias("__x"),
+                    )
+                )
+            ),
+            lambda s: s["__x"],
+        ).alias("xs")
+    ).filter(F.size("xs") >= 2 * m)
+
+    def fdiv(expr: str, den: str) -> str:
+        return f"((({expr}) - pmod(({expr}), {den})) div {den})"
+
+    mean1 = fdiv(
+        f"aggregate(slice(xs, 1, {m}), CAST(0 AS BIGINT),"
+        f" (acc, x) -> acc + CAST(x AS BIGINT)) * 1000000", str(m)
+    )
+    mean2 = fdiv(
+        f"aggregate(slice(xs, {m + 1}, {m}), CAST(0 AS BIGINT),"
+        f" (acc, x) -> acc + CAST(x AS BIGINT)) * 1000000", str(m)
+    )
+    init = f"""
+      named_struct(
+        'l', {mean1},
+        'b', {fdiv(f"({mean2}) - ({mean1})", str(m))},
+        's', transform(sequence(1, {m}),
+               j -> CAST(element_at(xs, j) AS BIGINT) * 1000000 - ({mean1})),
+        'i', CAST({m} AS BIGINT))
+    """
+    # one step: the seasonal slot for time t is position
+    # pmod(i, m) + 1 of the array (i = t-1 completed steps)
+    s_old = f"element_at(acc.s, CAST(pmod(acc.i, {m}) + 1 AS INT))"
+    l_new = fdiv(
+        f"{a} * (CAST(x AS BIGINT) * 1000000 - {s_old})"
+        f" + {1000 - a} * (acc.l + acc.b)", "1000"
+    )
+    b_new = fdiv(f"{b_} * (({l_new}) - acc.l) + {1000 - b_} * acc.b", "1000")
+    s_new = fdiv(
+        f"{g} * (CAST(x AS BIGINT) * 1000000 - ({l_new}))"
+        f" + {1000 - g} * ({s_old})", "1000"
+    )
+    step = f"""
+      named_struct(
+        'l', {l_new},
+        'b', {b_new},
+        's', transform(sequence(1, {m}),
+               j -> CASE WHEN j = pmod(acc.i, {m}) + 1 THEN {s_new}
+                         ELSE element_at(acc.s, CAST(j AS INT)) END),
+        'i', acc.i + 1)
+    """
+    fold = f"""
+      aggregate(
+        slice(xs, {m + 1}, size(xs) - {m}),
+        {init},
+        (acc, x) -> {step}
+      )
+    """
+    out = ordered.withColumn("__st", F.expr(fold))
+    fc_slot = f"CAST(pmod(size(xs) + {h} - 1, {m}) + 1 AS INT)"
+    return out.select(
+        *group_cols,
+        F.size("xs").cast("long").alias("n"),
+        F.col("__st.l").alias("level_e6"),
+        F.col("__st.b").alias("trend_e6"),
+        F.expr(f"element_at(__st.s, {fc_slot})").alias("season_e6"),
+        F.expr(
+            f"__st.l + {h} * __st.b + element_at(__st.s, {fc_slot})"
+        ).cast("long").alias("forecast_e6"),
+    )

@@ -11715,3 +11715,110 @@ def q200_incremental_corpus_update(spark: SparkSession, sf_dir: str) -> DataFram
         "new_docs bigint, after_quality bigint, "
         "after_cross_dedup bigint, after_within_dedup bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Q201 — additive Holt-Winters over daily event values, weekly season
+# (operators/regress.py:holt_winters_additive, new r7 — Winters 1960):
+# the full classical forecaster — level + trend + a length-7 seasonal
+# state — completing the smoothing family (q112 FIR kernel, q198
+# recursive double-smoother). The engine runs the entire triple
+# recursion, seasonal array included, as ONE per-row aggregate() fold
+# whose accumulator carries array<bigint> state; the oracle replays
+# it with a RECURSIVE CTE carrying a LIST column updated positionally
+# per step. Exact fixed-point throughout (micro-units, permille
+# coefficients, pmod-floor divisions — the q198 discipline).
+# ---------------------------------------------------------------------------
+
+_Q201_M, _Q201_A, _Q201_B, _Q201_G, _Q201_H = 7, 300, 100, 200, 7
+
+
+def _q201_oracle_sql() -> str:
+    m, a, b, g, h = _Q201_M, _Q201_A, _Q201_B, _Q201_G, _Q201_H
+
+    def fdiv(expr: str, den: str) -> str:
+        # CAST back to BIGINT: DuckDB widens the %-// chain to HUGEINT,
+        # and the driver's value hash is type-sensitive (the q180
+        # artifact — this exact drift tripped the declared-type gate)
+        return (
+            f"CAST((({expr}) - ((({expr}) % ({den})) + ({den})) % ({den}))"
+            f" // ({den}) AS BIGINT)"
+        )
+
+    mean1 = fdiv(f"SUM(x) FILTER (WHERE i <= {m}) * 1000000", str(m))
+    mean2 = fdiv(
+        f"SUM(x) FILTER (WHERE i > {m} AND i <= {2 * m}) * 1000000", str(m)
+    )
+    s_old = f"r.s[(r.i % {m}) + 1]"
+    l_new = fdiv(
+        f"{a} * (t.x * 1000000 - {s_old}) + {1000 - a} * (r.l + r.b)", "1000"
+    )
+    b_new = fdiv(f"{b} * (({l_new}) - r.l) + {1000 - b} * r.b", "1000")
+    s_new = fdiv(
+        f"{g} * (t.x * 1000000 - ({l_new})) + {1000 - g} * ({s_old})", "1000"
+    )
+    return f"""
+    WITH RECURSIVE daily AS MATERIALIZED (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), idx AS MATERIALIZED (
+      SELECT event_type, x,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+                  AS BIGINT) AS i,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM daily
+    ), seedm AS MATERIALIZED (
+      SELECT event_type, MAX(n) AS n,
+             {mean1} AS l,
+             {fdiv(f"({mean2}) - ({mean1})", str(m))} AS b
+      FROM idx
+      GROUP BY event_type
+      HAVING MAX(n) >= {2 * m}
+    ), seed AS MATERIALIZED (
+      SELECT sm.event_type, sm.n, sm.l, sm.b,
+             list(CAST(i.x * 1000000 - sm.l AS BIGINT) ORDER BY i.i) AS s
+      FROM seedm sm JOIN idx i ON i.event_type = sm.event_type
+      WHERE i.i <= {m}
+      GROUP BY sm.event_type, sm.n, sm.l, sm.b
+    ), rec AS (
+      SELECT event_type, CAST({m} AS BIGINT) AS i, n, l, b, s FROM seed
+      UNION ALL
+      SELECT r.event_type, r.i + 1, r.n,
+             {l_new} AS l,
+             {b_new} AS b,
+             [CASE WHEN j = ((r.i % {m}) + 1) THEN {s_new}
+                   ELSE r.s[j] END for j in range(1, {m + 1})]::BIGINT[]
+      FROM rec r JOIN idx t
+        ON t.event_type = r.event_type AND t.i = r.i + 1
+    )
+    SELECT event_type, n,
+           l AS level_e6, b AS trend_e6,
+           CAST(s[((n + {h} - 1) % {m}) + 1] AS BIGINT) AS season_e6,
+           CAST(l + {h} * b + s[((n + {h} - 1) % {m}) + 1] AS BIGINT)
+             AS forecast_e6
+    FROM rec WHERE i = n
+    """
+
+
+@_register(
+    "q201_holt_winters",
+    oracle=_q201_oracle_sql(),
+    tags=("timeseries", "smoothing", "seasonal", "forecast", "recursive",
+          "portable"),
+)
+def q201_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.regress import (
+        holt_winters_additive,
+    )
+
+    _tune(spark)
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.sum(_cents(F.col("value"))).alias("x"))
+    return holt_winters_additive(
+        daily, ["event_type"], ["d"], "x", period=_Q201_M,
+        alpha_pm=_Q201_A, beta_pm=_Q201_B, gamma_pm=_Q201_G,
+        horizon=_Q201_H,
+    )
