@@ -598,3 +598,50 @@ def test_edit_distance_pairs_complete_random(spark, strings, d):
         if _lev(strings[i], strings[j]) <= d
     }
     assert got == want
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=20),
+        min_size=2, max_size=15,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_sorted_neighborhood_matches_spec(spark, texts, w):
+    """Randomized spec check: sorted_neighborhood_pairs must emit
+    exactly the pairs within w positions of the (key-prefix, id) total
+    order whose hashed-shingle Jaccard clears the threshold — computed
+    here by a direct Python replay of rank, window, and exact Jaccard
+    on 3-gram shingle sets (whole-normalized-text fallback for short
+    docs, the shingles() contract)."""
+    from us_immigration_data_lake_spark.operators import dedup as dd
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id1, r.id2)
+        for r in dd.sorted_neighborhood_pairs(
+            df, "doc_id", "text", window=w, key_prefix_len=8,
+            threshold=0.4, shingle_n=3,
+        ).collect()
+    }
+
+    def norm(t):
+        return " ".join(t.lower().split())
+
+    def sh(t):
+        toks = t.lower().split()
+        if len(toks) >= 3:
+            return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        return {norm(t)}
+
+    order = sorted(rows, key=lambda r: (norm(r[1])[:8], r[0]))
+    want = set()
+    for i, (id1, t1) in enumerate(order):
+        for j in range(i + 1, min(i + 1 + w, len(order))):
+            id2, t2 = order[j]
+            a, b = sh(t1), sh(t2)
+            if len(a | b) and len(a & b) / len(a | b) >= 0.4:
+                want.add((id1, id2))
+    assert got == want
