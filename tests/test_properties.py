@@ -645,3 +645,47 @@ def test_sorted_neighborhood_matches_spec(spark, texts, w):
             if len(a | b) and len(a & b) / len(a | b) >= 0.4:
                 want.add((id1, id2))
     assert got == want
+
+
+@SETTINGS
+@given(
+    st.lists(st.text(alphabet="ab c", min_size=1, max_size=24),
+             min_size=1, max_size=8),
+    st.lists(st.text(alphabet="ab c", min_size=1, max_size=24),
+             min_size=1, max_size=8),
+)
+def test_cross_dedup_sound_and_finds_planted_exacts(spark, new_texts, ref_texts):
+    """Randomized guarantees for cross_near_dup_frames: (1) SOUNDNESS —
+    every emitted pair's jaccard equals the Python replay of the exact
+    hashed-shingle-set Jaccard and clears the threshold; (2) EXACT-DUP
+    RECALL — a new doc byte-identical to a ref doc collides in every
+    band (identical signatures) and MUST be found."""
+    from us_immigration_data_lake_spark.operators import dedup as dd
+
+    # plant one exact cross dup: new id 0 copies ref id 100
+    new_rows = [(i, t) for i, t in enumerate(new_texts)]
+    ref_rows = [(100 + i, t) for i, t in enumerate(ref_texts)]
+    new_rows[0] = (0, ref_rows[0][1])
+    new_df = spark.createDataFrame(new_rows, ["doc_id", "text"])
+    ref_df = spark.createDataFrame(ref_rows, ["doc_id", "text"])
+    pairs = dd.cross_near_dup_frames(
+        new_df, ref_df, "doc_id", "text", shingle_n=3, num_hashes=16,
+        bands=8, threshold=0.3, portable=True,
+    )["pairs"].collect()
+
+    def norm(t):
+        return " ".join(t.lower().split())
+
+    def sh(t):
+        toks = t.lower().split()
+        if len(toks) >= 3:
+            return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        return {norm(t)}
+
+    news = dict(new_rows)
+    refs = dict(ref_rows)
+    for r in pairs:
+        a, b = sh(news[r.id_new]), sh(refs[r.id_ref])
+        want_j = len(a & b) / len(a | b)
+        assert abs(r.jaccard - want_j) < 1e-9 and want_j >= 0.3
+    assert (0, 100) in {(r.id_new, r.id_ref) for r in pairs}
