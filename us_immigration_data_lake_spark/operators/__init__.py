@@ -283,3 +283,15 @@ from us_immigration_data_lake_spark.operators.dedup import (
 from us_immigration_data_lake_spark.operators.windows import global_row_number
 
 __all__ += ["sorted_neighborhood_pairs", "global_row_number"]
+
+from us_immigration_data_lake_spark.operators.dedup import edit_distance_pairs
+from us_immigration_data_lake_spark.operators.regress import (
+    cusum_drift,
+    holt_linear,
+    holt_winters_additive,
+)
+
+__all__ += [
+    "edit_distance_pairs", "cusum_drift", "holt_linear",
+    "holt_winters_additive",
+]
