@@ -1590,6 +1590,44 @@ def test_global_row_number_matches_single_partition_semantics(spark):
     assert [(g[0], g[1]) for g in got] == [(k, i) for i, k in want_order]
 
 
+def test_global_row_number_leaves_no_cache_entry(spark):
+    """global_row_number must not pin CacheManager storage: repeated
+    calls (multi-pass sorted-neighborhood) would otherwise accumulate
+    leaked cache entries. Its two-consumption reuse goes through
+    localCheckpoint, whose blocks the ContextCleaner reclaims on GC."""
+    from us_immigration_data_lake_spark.operators.windows import (
+        global_row_number,
+    )
+
+    spark.catalog.clearCache()
+    df = spark.createDataFrame([(i, i % 3) for i in range(50)], ["id", "key"])
+    out = global_row_number(df, ["key", "id"], num_partitions=4)
+    assert out.count() == 50
+    # no DataFrame.cache() entry registered by the call
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    assert jcm.isEmpty(), "global_row_number leaked a CacheManager entry"
+
+
+def test_cross_near_dup_frames_exposes_caches_for_release(cross_corpora, spark):
+    """The cross plan caches its two hashed-shingle frames (each feeds
+    banding AND the verify join); the dict must hand them to the caller
+    so a pipeline can unpersist them after materializing — and
+    unpersisting must actually clear the entries."""
+    new_df, ref_df = cross_corpora
+    spark.catalog.clearCache()
+    frames = dd.cross_near_dup_frames(
+        new_df, ref_df, "doc_id", "text", shingle_n=3, num_hashes=32,
+        bands=16, threshold=0.5,
+    )
+    assert len(frames["cached"]) == 2
+    frames["pairs"].count()
+    for f in frames["cached"]:
+        assert f.storageLevel.useMemory or f.storageLevel.useDisk
+        f.unpersist(blocking=True)
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    assert jcm.isEmpty(), "cached frames not released after unpersist"
+
+
 def test_sorted_neighborhood_finds_prefix_local_dups(spark):
     """Two docs sharing a long prefix sort adjacently and are found;
     a similar pair placed > window apart in sort order is NOT a

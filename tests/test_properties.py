@@ -585,18 +585,24 @@ def test_edit_distance_pairs_complete_random(spark, strings, d):
     bound shows up here as a missing pair."""
     from us_immigration_data_lake_spark.operators import dedup as dd
 
+    from collections import Counter
+
     rows = list(enumerate(strings))
     df = spark.createDataFrame(rows, ["id", "s"])
-    got = {
-        (r.id1, r.id2): r.distance
+    # multiset compare (Counter, not dict): a pair eligible for BOTH
+    # the gram and the short branch must still be emitted exactly once
+    # — a dict keyed on (id1, id2) silently collapses duplicate rows,
+    # which is precisely the multiplicity-bug class to catch here
+    got = Counter(
+        (r.id1, r.id2, r.distance)
         for r in dd.edit_distance_pairs(df, "id", "s", max_distance=d, q=3).collect()
-    }
-    want = {
-        (i, j): _lev(strings[i], strings[j])
+    )
+    want = Counter(
+        (i, j, _lev(strings[i], strings[j]))
         for i in range(len(strings))
         for j in range(i + 1, len(strings))
         if _lev(strings[i], strings[j]) <= d
-    }
+    )
     assert got == want
 
 

@@ -425,8 +425,14 @@ def cross_near_dup_frames(
       its two sides index one frame), same int/int ratio semantics.
 
     Returns ``pairs`` (id_new, id_ref, jaccard), ``oversized`` (ref
-    band buckets over the cap). ``portable=True`` selects md5-based
-    hashing throughout so an external engine replays every bucket and
+    band buckets over the cap), and ``cached`` — the two hashed-shingle
+    frames this plan caches (each side feeds BOTH the signature stage
+    and the verify join). The caches are the caller's to release:
+    unpersist each frame in ``cached`` once ``pairs``/``oversized``
+    are fully materialized (update_corpus_increment's finally-block
+    pattern) — otherwise repeated invocations accumulate pinned
+    CacheManager entries. ``portable=True`` selects md5-based hashing
+    throughout so an external engine replays every bucket and
     signature (functions/hashing.py); xxhash64 remains the perf path.
     """
     rows = num_hashes // bands
@@ -483,7 +489,7 @@ def cross_near_dup_frames(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return {"pairs": pairs, "oversized": oversized}
+    return {"pairs": pairs, "oversized": oversized, "cached": [hs_new, hs_ref]}
 
 
 def cross_dedup_survivors(
@@ -503,7 +509,14 @@ def cross_dedup_survivors(
     reference passes through unchanged (it is the kept set by
     definition); within-new duplicates are out of scope here — run
     near_dup_pairs/dedup_survivors on the survivors if the new batch
-    needs its own dedup (the corpus pipeline does both)."""
+    needs its own dedup (the corpus pipeline does both).
+
+    The returned plan reads the two hashed-shingle caches the inner
+    cross plan creates; since this wrapper returns lazily it cannot
+    release them itself — long-lived sessions that call it repeatedly
+    should use cross_near_dup_frames directly and unpersist the
+    ``cached`` frames after materializing (update_corpus_increment's
+    pattern)."""
     matched = (
         cross_near_dup_frames(
             new_df, ref_df, id_col, text_col, shingle_n=shingle_n,
@@ -1482,7 +1495,11 @@ def edit_distance_pairs(
         .dropDuplicates()
     )
 
-    cand = cand_long.unionByName(cand_short)
+    # a pair whose lengths are both in [q, cutoff] AND shares a q-gram
+    # is found by BOTH branches — union alone would emit it twice
+    # ('abcd'/'abcde' at q=3, d=1), breaking the "exactly the
+    # brute-force pair set" contract; dedup across the branch union
+    cand = cand_long.unionByName(cand_short).dropDuplicates()
     s1 = s.select(F.col("__id").alias("id1"), F.col("__s").alias("s1"), F.col("__l").alias("l1"))
     s2 = s.select(F.col("__id").alias("id2"), F.col("__s").alias("s2"), F.col("__l").alias("l2"))
     return (

@@ -232,11 +232,17 @@ def global_row_number(
         "__lrank",
         F.row_number().over(Window.partitionBy("__pid").orderBy(*cols)),
     )
-    # cached: the counts collect below executes the ranked frame; the
-    # returned plan consumes it again. (Re-execution would also be
-    # CORRECT — range boundaries sample deterministically for the same
-    # input — this only avoids paying the sort twice.)
-    local.cache()
+    # localCheckpoint (NOT .cache()): the counts collect below executes
+    # the ranked frame and the returned plan consumes it again, so the
+    # sort must not run twice — but a CacheManager entry is pinned until
+    # an explicit unpersist, which this function cannot issue (the
+    # returned plan still reads it), so repeated calls (e.g. multi-pass
+    # sorted-neighborhood) would permanently leak executor storage.
+    # localCheckpoint blocks are registered with the ContextCleaner and
+    # are reclaimed when the frame is garbage-collected. (Re-execution
+    # would also be CORRECT — range boundaries sample deterministically
+    # for the same input — this only avoids paying the sort twice.)
+    local = local.localCheckpoint(eager=True)
     counts = (
         local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")).collect()
     )

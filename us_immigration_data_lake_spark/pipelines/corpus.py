@@ -226,11 +226,15 @@ def update_corpus_increment(
         cached.append(gated)
         n_quality = gated.count()
 
-        cross_pairs = dd.cross_near_dup_frames(
+        cross = dd.cross_near_dup_frames(
             gated, ref_docs, id_col, text_col, shingle_n=shingle_n,
             num_hashes=num_hashes, bands=bands, threshold=threshold,
             max_bucket_size=max_bucket_size, portable=portable,
-        )["pairs"]
+        )
+        # the cross plan caches its two hashed-shingle frames; their
+        # lifecycle is ours now (released in the finally block)
+        cached.extend(cross["cached"])
+        cross_pairs = cross["pairs"]
         surv_cross = gated.join(
             cross_pairs.select(F.col("id_new").alias(id_col)).dropDuplicates(),
             on=id_col,
