@@ -1324,6 +1324,31 @@ def test_cross_dedup_drops_only_ref_matches(cross_corpora, portable):
     assert surv == {3, 4}  # near-dup WITHIN new survives; ref matches drop
 
 
+@pytest.mark.parametrize("portable", [False, True])
+def test_indexed_cross_dedup_matches_unindexed(cross_corpora, portable):
+    """cross_ref_index + cross_near_dup_pairs_indexed (the amortized
+    weekly-ingest shape, also the streaming twin's plan) must emit
+    exactly cross_near_dup_frames' pairs on the same inputs."""
+    new_df, ref_df = cross_corpora
+    kw = dict(shingle_n=3, num_hashes=32, bands=16, portable=portable)
+    want = {
+        (r.id_new, r.id_ref): r.jaccard
+        for r in dd.cross_near_dup_frames(
+            new_df, ref_df, "doc_id", "text", threshold=0.5, **kw
+        )["pairs"].collect()
+    }
+    idx = dd.cross_ref_index(
+        ref_df, "doc_id", "text", max_bucket_size=1000,
+        **{k: v for k, v in kw.items() if k != "threshold"},
+    )
+    rows = dd.cross_near_dup_pairs_indexed(
+        new_df, idx, "doc_id", "text", threshold=0.5, **kw
+    ).collect()
+    got = {(r.id_new, r.id_ref): r.jaccard for r in rows}
+    assert got == want
+    assert len(rows) == len(got)  # pair-key dedup held — no dup emits
+
+
 def test_cross_dedup_ref_bucket_cap_bounds_pairs(cross_corpora, spark):
     """With max_bucket_size=1 and a ref bucket of identical docs, the
     capped join pairs each new doc with at most 1 ref representative

@@ -262,6 +262,8 @@ from us_immigration_data_lake_spark.operators.sampling import (
 from us_immigration_data_lake_spark.operators.dedup import (
     cross_dedup_survivors,
     cross_near_dup_frames,
+    cross_near_dup_pairs_indexed,
+    cross_ref_index,
 )
 from us_immigration_data_lake_spark.operators.similarity import (
     cross_srp_near_dup_frames,
@@ -270,6 +272,7 @@ from us_immigration_data_lake_spark.operators.similarity import (
 __all__ += [
     "rrf_fuse", "dsir_logratio", "dsir_select",
     "cross_dedup_survivors", "cross_near_dup_frames",
+    "cross_near_dup_pairs_indexed", "cross_ref_index",
     "cross_srp_near_dup_frames",
 ]
 

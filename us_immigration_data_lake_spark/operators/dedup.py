@@ -31,6 +31,23 @@ from pyspark.sql.window import Window
 from us_immigration_data_lake_spark.functions.text import normalized_text, tokens
 
 
+def spread_by_id(df: DataFrame, id_col: str) -> DataFrame:
+    """Repartition on the id with an EXPLICIT partition count
+    (defaultParallelism). A column-only ``repartition(F.col(id))`` is
+    an AQE-re-optimizable exchange, and on a small-bytes frame AQE's
+    size-based coalescing collapses it to ONE task — the signature /
+    tokenize stages downstream are CPU-bound in tokens, not bytes, so
+    the 64 MB advisory target is exactly the wrong policy (measured:
+    the sf0.1 new-batch MinHash stage ran 6.25 s on the coalesced
+    single task vs 0.60 s with the explicit count,
+    scripts/cross_scale_probe.py). An explicit numPartitions pins the
+    exchange against coalescing; defaultParallelism = total cores, the
+    right spread for a CPU-bound stage at any cluster size."""
+    return df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+
+
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document. Documents shorter
     than n tokens contribute their whole normalized text as the single
@@ -323,7 +340,7 @@ def near_dup_frames(
     # row group cannot split); shingle generation is the CPU-heavy step
     # so spread it across the cluster first — at 100 TB the source is
     # many files and this is a no-op-cost hash exchange on the id
-    sh = shingles(df.repartition(F.col(id_col)), id_col, text_col, shingle_n)
+    sh = shingles(spread_by_id(df, id_col), id_col, text_col, shingle_n)
 
     # The ENTIRE signature stage is per-row array arithmetic — no
     # explode, no aggregation, no shuffle. Each doc keeps its hashed
@@ -438,7 +455,7 @@ def cross_near_dup_frames(
     rows = num_hashes // bands
 
     def _side(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-        sh = shingles(df.repartition(F.col(id_col)), id_col, text_col, shingle_n)
+        sh = shingles(spread_by_id(df, id_col), id_col, text_col, shingle_n)
         hs = hashed_shingle_sets(sh, id_col, portable)
         hs.cache()  # consumed by banding AND the verify join
         sig = _signatures_from_sets(hs, id_col, num_hashes, portable)
@@ -527,6 +544,132 @@ def cross_dedup_survivors(
         .dropDuplicates()
     )
     return new_df.join(matched, on=id_col, how="left_anti")
+
+
+def cross_ref_index(
+    ref_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket_size: int = 1000,
+    portable: bool = False,
+) -> DataFrame:
+    """The REFERENCE-side index for cross-corpus dedup, built as a
+    standalone cacheable frame: ``(band_idx, band_hash, id_ref,
+    hs_r)`` — the reference's capped LSH band buckets (``max_bucket_
+    size`` smallest ids per bucket, cross_near_dup_frames's truncation
+    semantics) joined to its hashed shingle sets so downstream
+    verification needs no second look at the reference.
+
+    This is the piece of the cross-dedup plan whose cost is linear in
+    the REFERENCE corpus — at 100 TB the axis that dwarfs every weekly
+    batch. Build it ONCE per reference (``.cache()``/``.persist()`` or
+    write it as a parquet table) and amortize across every batch and
+    micro-batch: feed it to ``cross_near_dup_pairs_indexed`` for batch
+    ingests and ``streaming.dedup.stream_cross_near_dup_pairs`` for
+    streams (both consume this exact shape; the streaming module
+    builds it through this function). Per-batch cost then scales with
+    the BATCH alone — measured in SCALE.md's ref-side slope table.
+    """
+    rows = num_hashes // bands
+    ref_sh = shingles(
+        spread_by_id(ref_df, id_col), id_col, text_col, shingle_n
+    )
+    ref_hs = hashed_shingle_sets(ref_sh, id_col, portable)
+    ref_sig = _signatures_from_sets(ref_hs, id_col, num_hashes, portable)
+    ref_bands = ref_sig.select(
+        F.col(id_col).alias("id_ref"),
+        F.explode(band_structs(bands, rows, portable)).alias("band"),
+    ).select("id_ref", "band.band_idx", "band.band_hash")
+    return (
+        ref_bands.groupBy("band_idx", "band_hash")
+        .agg(F.array_sort(F.collect_list("id_ref")).alias("ids"))
+        .select(
+            "band_idx",
+            "band_hash",
+            # slice length clamped to the list size: start+length is
+            # int32 arithmetic (the cross_near_dup_frames overflow note)
+            F.explode(
+                F.slice(
+                    "ids", 1,
+                    F.least(F.lit(max_bucket_size), F.size("ids")).cast("int"),
+                )
+            ).alias("id_ref"),
+        )
+        .join(
+            ref_hs.select(
+                F.col(id_col).alias("id_ref"), F.col("hs").alias("hs_r")
+            ),
+            "id_ref",
+        )
+    )
+
+
+def cross_near_dup_pairs_indexed(
+    new_df: DataFrame,
+    ref_index: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    portable: bool = False,
+    repartition_new: bool = True,
+) -> DataFrame:
+    """Cross-corpus near-dup pairs of a NEW batch against a PREBUILT
+    reference index (``cross_ref_index``) — the amortized shape of
+    ``cross_near_dup_frames`` for repeated ingests: the reference is
+    scanned, shingled, signed and banded ONCE when the index is built;
+    each batch pays only its own signature pass + one equi-join on the
+    band key. Shingle/hash/band parameters must match the index build
+    (band hashes are pure functions of them).
+
+    Plan shape (identical for batch and streaming input — the
+    streaming twin IS this function over a readStream frame): the new
+    side's hashed shingle set is CARRIED through the band explode
+    (``bands``× fan-out of one array column) so verification is inline
+    in the single join — no second join against the new side, no
+    cache to manage, zero state. Exact hashed-set Jaccard, threshold
+    filter, then a pair-key dropDuplicates (the same pair collides in
+    several bands; jaccard is a pure function of the pair so any kept
+    row is THE row). Emits exactly ``cross_near_dup_frames(...)
+    ["pairs"]`` rows on the same inputs.
+
+    ``repartition_new`` (default on) spreads the batch before the
+    CPU-bound signature arithmetic — a small batch parquet is often
+    ONE scan split, and 64 rehashes of every shingle on one core
+    dominates the whole plan (measured 6.2 s of a 7.4 s run before
+    the fix, scripts/cross_scale_probe.py). The streaming twin turns
+    it off: micro-batches arrive pre-partitioned by the source and
+    its hot path stays shuffle-free.
+    """
+    rows = num_hashes // bands
+    if repartition_new:
+        new_df = spread_by_id(new_df, id_col)
+    sh = shingles(new_df, id_col, text_col, shingle_n)
+    hs = hashed_shingle_sets(sh, id_col, portable)
+    sig = _signatures_from_sets(hs, id_col, num_hashes, portable)
+    new_bands = sig.select(
+        F.col(id_col).alias("id_new"),
+        F.col("hs").alias("hs_n"),
+        F.explode(band_structs(bands, rows, portable)).alias("band"),
+    ).select("id_new", "hs_n", "band.band_idx", "band.band_hash")
+
+    inter = F.size(F.array_intersect("hs_n", "hs_r")).cast("long")
+    union = (F.size("hs_n") + F.size("hs_r")).cast("long") - inter
+    return (
+        new_bands.join(ref_index, ["band_idx", "band_hash"])
+        .select(
+            "id_new",
+            "id_ref",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .dropDuplicates(["id_new", "id_ref"])
+    )
 
 
 def simhash(
@@ -1375,7 +1518,7 @@ def sorted_neighborhood_pairs(
     ).select("id1", "id2")
 
     hs = hashed_shingle_sets(
-        shingles(df.repartition(F.col(id_col)), id_col, text_col, shingle_n),
+        shingles(spread_by_id(df, id_col), id_col, text_col, shingle_n),
         id_col,
         portable,
     )

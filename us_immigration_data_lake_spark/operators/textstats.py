@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from us_immigration_data_lake_spark.functions.text import normalized_text, tokens
+from us_immigration_data_lake_spark.operators.dedup import spread_by_id
 
 # public, conventional stopword markers per language (tiny profiles —
 # the heuristic is a count-argmax over these; real pipelines would use
@@ -324,7 +325,7 @@ def _bm25_scored_frame(
     # exact set keeps Spark behavior identical while making the oracle
     # tokenize byte-for-byte the same.
     tok = F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+")
-    base = df.repartition(F.col(id_col)).select(
+    base = spread_by_id(df, id_col).select(
         F.col(id_col),
         tok.alias("tok"),
         F.size(tok).cast("long").alias("dl"),

@@ -14,13 +14,10 @@ input rate, with the static side broadcast/cached once.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from us_immigration_data_lake_spark.operators.dedup import (
-    _signatures_from_sets,
-    band_structs,
-    hashed_shingle_sets,
-    shingles,
+    cross_near_dup_pairs_indexed,
+    cross_ref_index,
 )
 
 
@@ -63,57 +60,21 @@ def stream_cross_near_dup_pairs(
     inputs (q195's oracle is exactly q190's SQL), regardless of how
     many micro-batches the source splits into — per-row expressions
     can't see batch boundaries and the pair-dedup state spans batches.
+
+    Construction is shared with the batch path: the static side IS
+    ``operators.dedup.cross_ref_index`` (cached here — reused every
+    micro-batch) and the hot path IS ``cross_near_dup_pairs_indexed``
+    over the stream frame; the streaming twin differs from an indexed
+    batch ingest only in what the new side is bound to.
     """
-    rows = num_hashes // bands
-
-    sh = shingles(new_stream, id_col, text_col, shingle_n)
-    hs = hashed_shingle_sets(sh, id_col, portable)
-    sig = _signatures_from_sets(hs, id_col, num_hashes, portable)
-    new_bands = sig.select(
-        F.col(id_col).alias("id_new"),
-        F.col("hs").alias("hs_n"),
-        F.explode(band_structs(bands, rows, portable)).alias("band"),
-    ).select("id_new", "hs_n", "band.band_idx", "band.band_hash")
-
-    # static reference lookup: capped band buckets + shingle sets
-    ref_sh = shingles(
-        ref_df.repartition(F.col(id_col)), id_col, text_col, shingle_n
-    )
-    ref_hs = hashed_shingle_sets(ref_sh, id_col, portable)
-    ref_sig = _signatures_from_sets(ref_hs, id_col, num_hashes, portable)
-    ref_bands = ref_sig.select(
-        F.col(id_col).alias("id_ref"),
-        F.explode(band_structs(bands, rows, portable)).alias("band"),
-    ).select("id_ref", "band.band_idx", "band.band_hash")
-    capped_ref = (
-        ref_bands.groupBy("band_idx", "band_hash")
-        .agg(F.array_sort(F.collect_list("id_ref")).alias("ids"))
-        .select(
-            "band_idx",
-            "band_hash",
-            F.explode(
-                F.slice(
-                    "ids", 1,
-                    F.least(F.lit(max_bucket_size), F.size("ids")).cast("int"),
-                )
-            ).alias("id_ref"),
-        )
-        .join(
-            ref_hs.select(F.col(id_col).alias("id_ref"), F.col("hs").alias("hs_r")),
-            "id_ref",
-        )
-        .cache()  # static side: materialize once, reused every micro-batch
-    )
-
-    inter = F.size(F.array_intersect("hs_n", "hs_r")).cast("long")
-    union = (F.size("hs_n") + F.size("hs_r")).cast("long") - inter
-    return (
-        new_bands.join(capped_ref, ["band_idx", "band_hash"])
-        .select(
-            "id_new",
-            "id_ref",
-            (inter.cast("double") / union.cast("double")).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .dropDuplicates(["id_new", "id_ref"])
+    capped_ref = cross_ref_index(
+        ref_df, id_col, text_col, shingle_n=shingle_n,
+        num_hashes=num_hashes, bands=bands,
+        max_bucket_size=max_bucket_size, portable=portable,
+    ).cache()  # static side: materialize once, reused every micro-batch
+    return cross_near_dup_pairs_indexed(
+        new_stream, capped_ref, id_col, text_col, shingle_n=shingle_n,
+        num_hashes=num_hashes, bands=bands, threshold=threshold,
+        portable=portable,
+        repartition_new=False,  # per-row hot path stays shuffle-free
     )
