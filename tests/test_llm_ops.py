@@ -1714,7 +1714,7 @@ def test_edit_distance_pairs_complete_vs_bruteforce(spark):
     df = spark.createDataFrame(rows, ["doc_id", "name"])
     got = {
         (r.id1, r.id2): r.distance
-        for r in dd.edit_distance_pairs(df, "doc_id", "name", max_distance=2, q=3).collect()
+        for r in dd.edit_distance_pairs(df, "doc_id", "name", max_distance=2).collect()
     }
     import itertools
 
@@ -1749,7 +1749,7 @@ def test_edit_distance_pairs_cutoff_straddling_pair_found(spark):
     )
     got = {
         (r.id1, r.id2): r.distance
-        for r in dd.edit_distance_pairs(df, "doc_id", "name", max_distance=2, q=3).collect()
+        for r in dd.edit_distance_pairs(df, "doc_id", "name", max_distance=2).collect()
     }
     assert got == {(1, 2): 1}
 

@@ -595,7 +595,7 @@ def test_edit_distance_pairs_complete_random(spark, strings, d):
     # which is precisely the multiplicity-bug class to catch here
     got = Counter(
         (r.id1, r.id2, r.distance)
-        for r in dd.edit_distance_pairs(df, "id", "s", max_distance=d, q=3).collect()
+        for r in dd.edit_distance_pairs(df, "id", "s", max_distance=d).collect()
     )
     want = Counter(
         (i, j, _lev(strings[i], strings[j]))

@@ -1541,82 +1541,131 @@ def edit_distance_pairs(
     id_col: str,
     str_col: str,
     max_distance: int = 2,
-    q: int = 3,
 ) -> DataFrame:
     """All pairs (id1, id2, distance) with levenshtein(s1, s2) <=
     ``max_distance``, id1 < id2 — COMPLETE (the pruning provably loses
     nothing; the spec-oracle in q197 checks against the brute-force
-    definition) without an n² candidate stage for long strings:
+    definition) without an n² candidate stage. Candidate generation is
+    PassJoin's segment scheme (Li, Deng, Wang & Feng, ICDE 2011):
 
-    - GRAM branch (every string with L ≥ q): a pair at distance ≤ d
-      shares ≥ max(N1, N2) − d·q q-grams (each edit touches ≤ q of the
-      N = L−q+1 grams), so whenever max(L1, L2) > S = (d+1)·q − 1 the
-      pair shares at least ONE gram and the distinct-gram self-join
-      (one shuffle on the gram key) finds it — including pairs that
-      STRADDLE the cutoff, which is why the gram side must not be
-      restricted to over-cutoff strings. Length-filtered afterwards
-      (|L1−L2| ≤ d, free pruning).
-    - SHORT branch (pairs with BOTH lengths ≤ S — the only shape where
-      the pigeonhole can vanish: two 4-char strings at distance 2 may
-      share zero 3-grams): length-band equi-join, each string probing
-      the upward bands [L .. L+d] against the partner's exact length
-      (the shorter side always reaches the longer), ids canonicalized
-      least/greatest. Bounded by the short population, which a corpus
-      of documents keeps tiny (empty/near-empty texts).
+    - SEGMENT branch (every string with L ≥ d+1): split each string
+      into d+1 contiguous segments (lengths ⌊L/(d+1)⌋ / ⌈L/(d+1)⌉,
+      deterministic given L). If ed(s, t) ≤ d, at most d edit
+      operations touch s, and d+1 segments mean at least ONE segment
+      has no operation inside it — it survives in t as an exact
+      contiguous substring, start-shifted by the net indel count
+      before it, which is ≤ d. So: an INDEX side emits each string's
+      (length, segment_idx, segment) keys; a PROBE side emits, per
+      string t and per partner length l ∈ [len(t)−d, len(t)] (the
+      longer side always probes DOWNWARD, covering every orientation),
+      the substrings of t at the segment-j window [p_j(l)−d, p_j(l)+d];
+      candidates are ONE equi-join on (l, j, substring). Exact
+      ~L/(d+1)-char substring equality at an aligned position is far
+      more selective than any shared-q-gram scheme: the r8 probe
+      measured the 3-gram self-join at sum(freq²) = 28M candidates for
+      5000 16-char strings (8× wall-clock at 3× rows — gram frequency
+      skew is quadratic), and prefix-filtering (Chaudhuri 2006) only
+      cut it 3× because d·q+1 = 7 of 14 grams stayed in every prefix.
+      Segment keys have no analogous hot-key failure on natural text;
+      residual skew comes only from true duplicate clusters, whose
+      output is itself quadratic (no complete algorithm beats its own
+      output size).
+    - SHORT branch (pairs with BOTH lengths ≤ 2d — exactly the pairs
+      whose shorter side can be under d+1 chars and thus has no
+      nonempty-segment guarantee): length-band equi-join, each string
+      probing the upward bands [L .. L+d] against the partner's exact
+      length (the shorter side always reaches the longer), ids
+      canonicalized least/greatest.
 
+    A pair whose lengths straddle both branches' conditions can be
+    found twice — the branch union dedups before verification.
     Verification is ``F.levenshtein`` (JVM Wagner-Fischer, codegen'd)
-    on the candidate set only. Scale: one gram-key shuffle + one
-    band-key shuffle + pair-local verify — the gram key can skew on a
-    stopword-like gram exactly like an LSH band bucket; for corpus-
-    scale runs feed a pre-capped gram frame (the q182 guard composes,
-    same groupBy shape) — at q197's name-prefix cardinalities the
-    distinct-gram postings stay flat."""
+    on the candidate set only, plus the free |ΔL| ≤ d length filter.
+    Scale: one census-free segment equi-join + one band-key shuffle +
+    pair-local verify; index fan-out is d+1 rows per string, probe
+    fan-out ≤ (d+1)²·(2d+1) rows per string (45 at d=2) — constants,
+    not corpus-dependent."""
     if max_distance < 0:
         raise ValueError(f"max_distance must be >= 0, got {max_distance}")
-    if q < 2:
-        raise ValueError(f"q must be >= 2, got {q}")
     d = int(max_distance)
-    cutoff = (d + 1) * q - 1  # max length where zero-gram-share is possible
+    parts = d + 1
 
     s = df.select(
         F.col(id_col).alias("__id"),
         F.col(str_col).alias("__s"),
         F.length(str_col).cast("int").alias("__l"),
     ).filter(F.col("__s").isNotNull())
+    s = spread_by_id(s, "__id")
 
-    # gram branch covers EVERY string with at least one gram (L >= q),
-    # not only the over-cutoff ones: the count-filter lemma guarantees
-    # a shared gram whenever max(L1, L2) > cutoff, and one side of such
-    # a pair may itself sit below the cutoff — restricting grams to
-    # long strings silently drops those straddling pairs (found by the
-    # randomized completeness fuzz, tests/test_properties.py).
-    # substring(s, i, q) per position — expr form (F.substring takes
-    # int positions, so the positional slide goes through transform())
-    grams = s.filter(F.col("__l") >= q).select(
-        "__id",
+    # segment start (1-based) and length for segment j of a length-l
+    # string: base = l div parts, rem = l % parts; the first rem
+    # segments are one char longer.
+    def seg_start(l: str, j: str) -> str:
+        return f"(1 + {j} * ({l} div {parts}) + least({j}, {l} % {parts}))"
+
+    def seg_len(l: str, j: str) -> str:
+        return f"(({l} div {parts}) + if({j} < {l} % {parts}, 1, 0))"
+
+    indexable = s.filter(F.col("__l") >= parts)
+    idx = indexable.select(
+        F.col("__id").alias("__iid"),
+        F.col("__l").alias("l"),
         F.explode(
-            F.array_distinct(
-                F.expr(f"transform(sequence(1, __l - {q} + 1), i -> substring(__s, i, {q}))")
+            F.expr(
+                f"""transform(sequence(0, {d}), j -> struct(
+                      j AS j,
+                      substring(__s, {seg_start('__l', 'j')},
+                                {seg_len('__l', 'j')}) AS sub))"""
             )
-        ).alias("g"),
-    )
-    cand_long = (
-        grams.select(F.col("__id").alias("id1"), "g")
-        .join(grams.select(F.col("__id").alias("id2"), "g"), "g")
-        .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
+        ).alias("seg"),
+    ).select("__iid", "l", F.col("seg.j").alias("j"), F.col("seg.sub").alias("sub"))
+
+    # probe windows: for partner length l and segment j, the exact
+    # occurrence in THIS string starts within [p_j(l)-d, p_j(l)+d],
+    # clamped to valid substring starts. sequence() would raise on an
+    # empty range, so the window is generated to greatest(lo, hi) and
+    # filtered back down — an inverted clamp yields zero probes.
+    probe = indexable.select(
+        F.col("__id").alias("__pid"),
+        F.explode(
+            F.expr(
+                f"""flatten(transform(sequence(greatest(__l - {d}, {parts}), __l), l ->
+                      flatten(transform(sequence(0, {d}), j ->
+                        transform(
+                          filter(
+                            sequence(greatest(1, {seg_start('l', 'j')} - {d}),
+                                     greatest(greatest(1, {seg_start('l', 'j')} - {d}),
+                                              least(__l - {seg_len('l', 'j')} + 1,
+                                                    {seg_start('l', 'j')} + {d}))),
+                            st -> st <= least(__l - {seg_len('l', 'j')} + 1,
+                                              {seg_start('l', 'j')} + {d})),
+                          st -> struct(
+                            l AS l, j AS j,
+                            substring(__s, st, {seg_len('l', 'j')}) AS sub))))))"""
+            )
+        ).alias("p"),
+    ).select("__pid", F.col("p.l").alias("l"), F.col("p.j").alias("j"), F.col("p.sub").alias("sub"))
+
+    cand_seg = (
+        probe.join(idx, ["l", "j", "sub"])
+        .filter(F.col("__pid") != F.col("__iid"))
+        .select(
+            F.least("__pid", "__iid").alias("id1"),
+            F.greatest("__pid", "__iid").alias("id2"),
+        )
         .dropDuplicates()
     )
 
-    # short branch: pairs where BOTH sides are <= cutoff (the only
-    # shape where the pigeonhole can vanish). Each string probes the
-    # UPWARD bands [L .. L+d] against the partner's exact length, so
-    # the shorter side of any qualifying pair always reaches the
-    # longer one; ids canonicalize with least/greatest because the
-    # probe orientation is length-based, not id-based (probing only
-    # downward + an id1<id2 filter dropped ('aa','aaa') — the fuzz's
-    # minimal counterexample).
-    short_s = s.filter(F.col("__l") <= cutoff)
+    # short branch: pairs where BOTH sides are <= 2d (the only shape
+    # whose shorter side can be < d+1 chars: |dL| <= d bounds the
+    # longer side by 2d). Each string probes the UPWARD bands
+    # [L .. L+d] against the partner's exact length, so the shorter
+    # side of any qualifying pair always reaches the longer one; ids
+    # canonicalize with least/greatest because the probe orientation
+    # is length-based, not id-based (probing only downward + an
+    # id1<id2 filter dropped ('aa','aaa') — the fuzz's minimal
+    # counterexample, found on the gram-era short branch).
+    short_s = s.filter(F.col("__l") <= 2 * d)
     probes = short_s.select(
         F.col("__id").alias("__pid_a"),
         F.explode(
@@ -1638,11 +1687,10 @@ def edit_distance_pairs(
         .dropDuplicates()
     )
 
-    # a pair whose lengths are both in [q, cutoff] AND shares a q-gram
-    # is found by BOTH branches — union alone would emit it twice
-    # ('abcd'/'abcde' at q=3, d=1), breaking the "exactly the
+    # a pair with both lengths in [d+1, 2d] is found by BOTH branches —
+    # union alone would emit it twice, breaking the "exactly the
     # brute-force pair set" contract; dedup across the branch union
-    cand = cand_long.unionByName(cand_short).dropDuplicates()
+    cand = cand_seg.unionByName(cand_short).dropDuplicates()
     s1 = s.select(F.col("__id").alias("id1"), F.col("__s").alias("s1"), F.col("__l").alias("l1"))
     s2 = s.select(F.col("__id").alias("id2"), F.col("__s").alias("s2"), F.col("__l").alias("l2"))
     return (

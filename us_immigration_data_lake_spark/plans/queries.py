@@ -11333,7 +11333,7 @@ def q196_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 # disagree on, excluded rather than papered over.
 # ---------------------------------------------------------------------------
 
-_Q197_D, _Q197_Q, _Q197_PREFIX = 2, 3, 16
+_Q197_D, _Q197_PREFIX = 2, 16
 
 
 @_register(
@@ -11351,7 +11351,7 @@ _Q197_D, _Q197_Q, _Q197_PREFIX = 2, 3, 16
     WHERE abs(length(a.name) - length(b.name)) <= {_Q197_D}
       AND levenshtein(a.name, b.name) <= {_Q197_D}
     """,
-    tags=("dedup", "edit-distance", "qgram", "spec-oracle", "portable"),
+    tags=("dedup", "edit-distance", "passjoin", "spec-oracle", "portable"),
 )
 def q197_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -11365,7 +11365,7 @@ def q197_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("name").rlike("^[ -~]*$"))
     )
     return dedup_ops.edit_distance_pairs(
-        named, "doc_id", "name", max_distance=_Q197_D, q=_Q197_Q
+        named, "doc_id", "name", max_distance=_Q197_D
     )
 
 
