@@ -1693,6 +1693,64 @@ def test_sorted_neighborhood_candidate_volume_is_bounded(spark):
     assert all(r.jaccard == 1.0 for r in pairs)
 
 
+def test_multi_pass_snm_catches_pass1_blind_pair(spark):
+    """The canonical Hernández & Stolfo multi-pass claim, planted: a
+    near-dup pair whose texts DIVERGE in their first characters sorts
+    far apart under the prefix order (invisible to pass 1) but
+    adjacent under the reversed / token-sorted orders — single-pass
+    misses it, multi-pass finds it. Decoys sit between the pair in
+    prefix order to keep it outside any window."""
+    tail = "acme corporation main street springfield"
+    rows = [
+        (1, "aaa " + tail),                    # prefix 'aaa ...'
+        (2, "zzz " + tail),                    # prefix 'zzz ...' — far away
+        (3, "bbb unrelated words about rivers and mountains"),
+        (4, "ccc different text on weather maps and forecasts"),
+        (5, "ddd another filler document mentioning nothing shared"),
+        (6, "mmm yet more filler so the sort gap stays wide open"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kw = dict(window=1, key_prefix_len=8, threshold=0.5, shingle_n=3)
+    single = {
+        (r.id1, r.id2)
+        for r in dd.sorted_neighborhood_pairs(df, "doc_id", "text", **kw).collect()
+    }
+    assert (1, 2) not in single and (2, 1) not in single  # pass-1 blind
+    multi = {
+        (r.id1, r.id2): r.jaccard
+        for r in dd.multi_pass_sorted_neighborhood_pairs(
+            df, "doc_id", "text", **kw
+        ).collect()
+    }
+    assert (1, 2) in multi and multi[(1, 2)] > 0.5  # caught by pass 2/3
+
+
+def test_multi_pass_snm_superset_of_single_pass(spark):
+    """Every single-pass pair survives in the multi-pass union (same
+    verify, pass 1 is the single-pass key), canonicalized id1 < id2;
+    and no pair is emitted twice despite three overlapping passes."""
+    pre = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, pre + " one two three"),
+        (2, pre + " one two four"),
+        (3, "zulu yankee xray whiskey victor"),
+        (4, "mike november oscar papa"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kw = dict(window=2, key_prefix_len=16, threshold=0.5, shingle_n=3)
+    single = {
+        (min(r.id1, r.id2), max(r.id1, r.id2))
+        for r in dd.sorted_neighborhood_pairs(df, "doc_id", "text", **kw).collect()
+    }
+    out = dd.multi_pass_sorted_neighborhood_pairs(
+        df, "doc_id", "text", **kw
+    ).collect()
+    multi = {(r.id1, r.id2) for r in out}
+    assert single <= multi
+    assert all(r.id1 < r.id2 for r in out)
+    assert len(out) == len(multi)  # union dedup held
+
+
 # --- bounded edit-distance join (r7) -----------------------------------------
 
 

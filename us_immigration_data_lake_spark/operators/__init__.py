@@ -281,11 +281,15 @@ from us_immigration_data_lake_spark.operators.textstats import bpe_merges
 __all__ += ["bpe_merges"]
 
 from us_immigration_data_lake_spark.operators.dedup import (
+    multi_pass_sorted_neighborhood_pairs,
     sorted_neighborhood_pairs,
 )
 from us_immigration_data_lake_spark.operators.windows import global_row_number
 
-__all__ += ["sorted_neighborhood_pairs", "global_row_number"]
+__all__ += [
+    "sorted_neighborhood_pairs", "multi_pass_sorted_neighborhood_pairs",
+    "global_row_number",
+]
 
 from us_immigration_data_lake_spark.operators.dedup import edit_distance_pairs
 from us_immigration_data_lake_spark.operators.regress import (

@@ -1525,14 +1525,99 @@ def sorted_neighborhood_pairs(
     return verify_jaccard_hashed(cand, hs, id_col, threshold)
 
 
+def multi_pass_sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 3,
+    key_prefix_len: int = 16,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """The CANONICAL multi-pass sorted-neighborhood method (Hernández
+    & Stolfo, SIGMOD 1995 — the paper's key insight is that no single
+    sort key suffices): three INDEPENDENT passes, each a full
+    sorted-neighborhood run over a different total order, candidate
+    sets unioned, ONE shared exact-Jaccard verify. A duplicate pair
+    whose texts diverge in the first characters (invisible to the
+    prefix order) is adjacent under the reversed or token-sorted
+    order — each pass covers the others' defining blind spot:
+
+    - pass 1: ``key_prefix_len`` chars of the normalized text (the
+      single-pass key — catches shared openings);
+    - pass 2: same prefix of the REVERSED normalized text (catches
+      shared endings: 'ACME corp' / 'the ACME corp');
+    - pass 3: same prefix of the token-SORTED normalized text
+      (catches reorderings: 'john smith' / 'smith john').
+
+    Pairs canonicalize (least, greatest) before the union dedup —
+    different passes discover the same pair in different rank
+    orientations. Output column semantics match
+    ``sorted_neighborhood_pairs`` except id1 < id2 always (the
+    single-pass op orients by rank).
+
+    Scale: 3× the single-pass cost by construction — three two-phase
+    range exchanges (windows.global_row_number, never a
+    single-partition window), three exactly-n·w candidate joins, one
+    verify over ≤ 3·n·w deduped pairs. Still no data-dependent skew
+    mode: ranks are unique per pass. (sorted_neighborhood_pairs
+    measured 2.0× at 10× rows, SCALE.md; this is a constant multiple
+    of that plan.)"""
+    from us_immigration_data_lake_spark.operators.windows import (
+        global_row_number,
+    )
+
+    norm = normalized_text(F.col(text_col))
+    token_sorted = F.array_join(
+        F.array_sort(F.filter(F.split(norm, " "), lambda t: t != F.lit(""))),
+        " ",
+    )
+    keys = [
+        F.substring(norm, 1, key_prefix_len),
+        F.substring(F.reverse(norm), 1, key_prefix_len),
+        F.substring(token_sorted, 1, key_prefix_len),
+    ]
+
+    cand = None
+    for key in keys:
+        keyed = df.select(F.col(id_col), key.alias("__key"))
+        ranked = global_row_number(keyed, ["__key", id_col], rank_col="__rank")
+        probes = ranked.select(
+            F.col(id_col).alias("__a"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(window)),
+                    lambda k: F.col("__rank") + k,
+                )
+            ).alias("__rank"),
+        )
+        pass_cand = probes.join(
+            ranked.select(F.col(id_col).alias("__b"), "__rank"), "__rank"
+        ).select(
+            F.least("__a", "__b").alias("id1"),
+            F.greatest("__a", "__b").alias("id2"),
+        )
+        cand = pass_cand if cand is None else cand.unionByName(pass_cand)
+
+    hs = hashed_shingle_sets(
+        shingles(spread_by_id(df, id_col), id_col, text_col, shingle_n),
+        id_col,
+        portable,
+    )
+    return verify_jaccard_hashed(cand.dropDuplicates(), hs, id_col, threshold)
+
+
 # ---------------------------------------------------------------------------
-# Bounded edit-distance similarity join (q-gram filtering: Gravano et
-# al. VLDB 2001; prefix/location refinements: Ed-Join, Xiao et al.
-# VLDB 2008 — public): the fourth matching family next to LSH banding,
-# prefix-filtered set-similarity, and sorted-neighborhood. Candidates
-# from shared q-grams (an edit destroys at most q grams), verified
-# with the exact JVM levenshtein — approximate STRING matching where
-# the set-similarity family measures token overlap.
+# Bounded edit-distance similarity join (PassJoin segment scheme: Li,
+# Deng, Wang & Feng, ICDE 2011 — public; the r7 q-gram scheme, Gravano
+# et al. VLDB 2001, measured quadratic in gram frequency and was
+# replaced, SCALE.md r8): the fourth matching family next to LSH
+# banding, prefix-filtered set-similarity, and sorted-neighborhood.
+# Candidates from exact segment occurrence (d edits cannot touch all
+# d+1 segments), verified with the exact JVM levenshtein —
+# approximate STRING matching where the set-similarity family
+# measures token overlap.
 # ---------------------------------------------------------------------------
 
 

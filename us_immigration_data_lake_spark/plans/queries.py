@@ -11822,3 +11822,105 @@ def q201_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha_pm=_Q201_A, beta_pm=_Q201_B, gamma_pm=_Q201_G,
         horizon=_Q201_H,
     )
+
+
+# ---------------------------------------------------------------------------
+# Q202 — MULTI-pass sorted-neighborhood dedup (operators/dedup.py:
+# multi_pass_sorted_neighborhood_pairs, new r8 — the canonical
+# Hernández & Stolfo form: q196's single prefix key bounds recall to
+# sort-local dups, so the paper runs SEVERAL independent sort orders
+# and unions the candidate windows). Three passes — normalized-text
+# prefix, REVERSED-text prefix, token-SORTED prefix — each ranked by
+# the two-phase global_row_number, pairs canonicalized least/greatest,
+# union-deduped, one shared exact hashed-Jaccard verify. The oracle
+# replays all three ROW_NUMBER() orders, the window joins, the
+# canonicalization, the DISTINCT union, and the md5 hashed-shingle
+# Jaccard. ASCII guard on both sides: DuckDB's reverse() is
+# grapheme-cluster-based while Spark's is codepoint-based — the one
+# primitive the two engines could disagree on (the q197 levenshtein
+# precedent); current testdata is 100% ASCII, the guard keeps the
+# oracle honest if that ever changes.
+# ---------------------------------------------------------------------------
+
+
+def _q202_oracle_sql() -> str:
+    w, p = _Q196_WINDOW, _Q196_PREFIX
+    sql = f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         t -> t <> '') AS toks,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents
+      WHERE regexp_matches(text, '^[ -~]*$')
+    ), keyed AS (
+      SELECT doc_id, toks,
+             substr(norm, 1, {p}) AS k1,
+             substr(reverse(norm), 1, {p}) AS k2,
+             substr(array_to_string(list_sort(
+                      list_filter(string_split(norm, ' '), t -> t <> '')),
+                    ' '), 1, {p}) AS k3
+      FROM tok
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 2
+                  THEN list_distinct([array_to_string(toks[i:i+1], ' ')
+                                      for i in range(1, len(toks))])
+                  ELSE [array_to_string(toks, ' ')] END AS shingles
+      FROM keyed
+    ), hx AS (
+      SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+      FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+    ), hs AS (
+      SELECT doc_id, list(h) AS hs FROM hx GROUP BY doc_id
+    ), rnk AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY k1, doc_id) AS BIGINT) AS r1,
+             CAST(ROW_NUMBER() OVER (ORDER BY k2, doc_id) AS BIGINT) AS r2,
+             CAST(ROW_NUMBER() OVER (ORDER BY k3, doc_id) AS BIGINT) AS r3
+      FROM keyed
+    ), cand AS (
+      SELECT DISTINCT least(a.doc_id, b.doc_id) AS id1,
+                      greatest(a.doc_id, b.doc_id) AS id2
+      FROM rnk a JOIN rnk b
+        ON (b.r1 > a.r1 AND b.r1 <= a.r1 + {w})
+        OR (b.r2 > a.r2 AND b.r2 <= a.r2 + {w})
+        OR (b.r3 > a.r3 AND b.r3 <= a.r3 + {w})
+    )
+    SELECT * FROM (
+      SELECT c.id1, c.id2,
+             CAST(len(list_intersect(h1.hs, h2.hs)) AS DOUBLE)
+               / (len(h1.hs) + len(h2.hs) - len(list_intersect(h1.hs, h2.hs)))
+               AS jaccard
+      FROM cand c
+      JOIN hs h1 ON c.id1 = h1.doc_id
+      JOIN hs h2 ON c.id2 = h2.doc_id
+    ) WHERE jaccard >= 0.055
+    """
+    import re
+
+    for name in ("tok", "keyed", "sh", "hx", "hs", "rnk", "cand"):
+        sql = re.sub(
+            rf"(?<![A-Za-z_]){name} AS \(", f"{name} AS MATERIALIZED (", sql
+        )
+    return sql
+
+
+@_register(
+    "q202_multi_pass_sorted_neighborhood",
+    oracle=_q202_oracle_sql(),
+    tags=("dedup", "sorted-neighborhood", "multi-pass", "blocking",
+          "portable"),
+)
+def q202_multi_pass_sorted_neighborhood(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").rlike("^[ -~]*$")
+    )
+    return dedup_ops.multi_pass_sorted_neighborhood_pairs(
+        docs, "doc_id", "text", window=_Q196_WINDOW,
+        key_prefix_len=_Q196_PREFIX, threshold=0.055, shingle_n=2,
+        portable=True,
+    )
