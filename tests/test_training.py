@@ -1,0 +1,156 @@
+"""In-engine logistic-regression training (operators/training.py):
+bit-exact differential test vs a pure-Python replay, learnability on a
+planted signal, and the documented lr-decay necessity."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import Counter
+
+import pytest
+
+from us_immigration_data_lake_spark.operators import training as tr
+
+
+def _md5_long(t: str) -> int:
+    return int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+
+
+def _py_train(rows, num_buckets, rounds, lr_den, decay):
+    """Pure-Python replay of train_logreg_hashed's exact fixed-point
+    spec — independent implementation, no Spark."""
+    docs = []
+    for _id, text, y in rows:
+        if text is None:
+            continue
+        toks = [t for t in re.split(r"[ \t\n\x0B\f\r]+", text.strip().lower()) if t]
+        f = Counter(_md5_long(t) % num_buckets for t in toks)
+        f[-1] = 1
+        docs.append((y, dict(f)))
+    n = len(docs)
+    w: dict[int, int] = {}
+    for r in range(rounds):
+        m = lr_den * 4 * n * ((r + 1) if decay else 1)
+        g: dict[int, int] = {}
+        for y, f in docs:
+            z = sum(w.get(b, 0) * c for b, c in f.items())
+            p = min(4_000_000, max(0, z + 2_000_000))
+            e = 4_000_000 * y - p
+            for b, c in f.items():
+                g[b] = g.get(b, 0) + e * c
+        for b, gv in g.items():
+            w[b] = w.get(b, 0) + gv // m  # python // is floor division
+    return w
+
+
+FIXTURE = [
+    (0, "hash hash join table scan", 1),
+    (1, "join join hash merge sort", 0),
+    (2, "hash vector hash agg", 1),
+    (3, "table scan filter row", 0),
+    (4, "hash table hash join hash", 1),
+    (5, None, 1),  # NULL text: excluded from training entirely
+    (6, "join stream window", 0),
+    (7, "", 0),  # empty text: bias-only row
+    (8, "hash", 1),
+    (9, "merge join batch join", 0),
+]
+
+
+@pytest.mark.parametrize("rounds,lr_den,decay", [(1, 1, True), (5, 1, True), (3, 2, False)])
+def test_train_logreg_matches_python_exactly(spark, rounds, lr_den, decay):
+    df = spark.createDataFrame(FIXTURE, "doc_id long, text string, y long")
+    got = {
+        r.bucket: r.w_pm
+        for r in tr.train_logreg_hashed(
+            df, "doc_id", "text", "y", num_buckets=64,
+            rounds=rounds, lr_den=lr_den, decay=decay,
+        ).collect()
+    }
+    want = _py_train(FIXTURE, 64, rounds, lr_den, decay)
+    assert got == want  # bit-exact: every weight, every bucket, the bias
+
+
+def test_train_logreg_learns_planted_signal(spark):
+    """y = 1 iff the doc contains 'positron': after training, the
+    weight on hash('positron')'s bucket dominates, and the trained
+    scorer separates the classes on the training set."""
+    rows = []
+    for i in range(40):
+        filler = f"alpha beta gamma delta w{i % 7}"
+        if i % 2 == 0:
+            rows.append((i, filler + " positron", 1))
+        else:
+            rows.append((i, filler + " electron", 0))
+    df = spark.createDataFrame(rows, "doc_id long, text string, y long")
+    B = 128
+    w = {
+        r.bucket: r.w_pm
+        for r in tr.train_logreg_hashed(
+            df, "doc_id", "text", "y", num_buckets=B, rounds=8,
+        ).collect()
+    }
+    pos_b = _md5_long("positron") % B
+    neg_b = _md5_long("electron") % B
+    assert w[pos_b] > 0 > w[neg_b]
+    assert w[pos_b] == max(w.values())
+    # the trained model classifies the training set perfectly
+    for i, text, y in rows:
+        toks = text.split()
+        z = w[-1] + sum(
+            w.get(_md5_long(t) % B, 0) * c for t, c in Counter(toks).items()
+        )
+        assert (z >= 0) == (y == 1), (i, z, y)
+
+
+def test_lr_decay_converges_where_fixed_step_oscillates(spark):
+    """The hard sigmoid's gradient has constant slope, so a FIXED step
+    overshoots and oscillates early (measured on the sf0.01 corpus:
+    accuracies 314, 186, 314, 470, 475, 370, 314, 188 — no
+    convergence); the 1/(r+1) Robbins-Monro decay is load-bearing.
+    Pinned on a comparative-count fixture (y = cnt(hash) > cnt(join)):
+    after 3 rounds the decayed run classifies the training set
+    perfectly, the fixed-step run (same lr_den) does not."""
+    rows = []
+    i = 0
+    for a in range(5):
+        for b in range(5):
+            text = " ".join(["hash"] * a + ["join"] * b + ["alpha", "beta", f"f{i % 3}"])
+            rows.append((i, text, 1 if a > b else 0))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string, y long")
+    B = 64
+
+    def accuracy(weights):
+        ok = 0
+        for _i, text, y in rows:
+            z = sum(
+                weights.get(_md5_long(t) % B, 0) * c
+                for t, c in Counter(text.split()).items()
+            ) + weights.get(-1, 0)
+            ok += (z >= 0) == (y == 1)
+        return ok
+
+    w_decay = {
+        r.bucket: r.w_pm
+        for r in tr.train_logreg_hashed(
+            df, "doc_id", "text", "y", num_buckets=B, rounds=3, decay=True
+        ).collect()
+    }
+    w_fixed = {
+        r.bucket: r.w_pm
+        for r in tr.train_logreg_hashed(
+            df, "doc_id", "text", "y", num_buckets=B, rounds=3, decay=False
+        ).collect()
+    }
+    assert accuracy(w_decay) == len(rows)
+    assert accuracy(w_fixed) < len(rows)
+
+
+def test_training_releases_caches(spark):
+    spark.catalog.clearCache()
+    df = spark.createDataFrame(FIXTURE, "doc_id long, text string, y long")
+    tr.train_logreg_hashed(df, "doc_id", "text", "y", num_buckets=32, rounds=2)
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    assert jcm.isEmpty(), "train_logreg_hashed leaked a cache entry"

@@ -302,3 +302,10 @@ __all__ += [
     "edit_distance_pairs", "cusum_drift", "holt_linear",
     "holt_winters_additive",
 ]
+
+from us_immigration_data_lake_spark.operators.training import (
+    hashed_token_features,
+    train_logreg_hashed,
+)
+
+__all__ += ["hashed_token_features", "train_logreg_hashed"]

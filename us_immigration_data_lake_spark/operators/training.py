@@ -1,0 +1,171 @@
+"""In-engine model TRAINING over DataFrames — the complement of the
+fixed-weight inference ops (textstats.linear_quality_classifier scores
+with a model trained elsewhere; this module trains one in-engine, the
+k-means / IVF-PQ-codebook / BPE precedent applied to classification).
+
+Batch gradient-descent logistic regression over hashed token features
+(the fastText-style hashing trick: Weinberger et al., ICML 2009), in
+EXACT FIXED-POINT arithmetic so every round is bit-replayable by an
+external SQL oracle:
+
+- the sigmoid is the HARD sigmoid sigma(z) = clip(z/4 + 1/2, 0, 1)
+  (the piecewise-linear form used throughout quantized-network
+  training, e.g. Courbariaux et al. 2015) — evaluated as a BIGINT
+  clamp, no transcendental, no float;
+- probabilities live in quarter-micro units (p_qm = clamp(z_pm +
+  2e6, 0, 4e6) = 4e6 * sigma(z_pm / 1e6)) so the division by 4 never
+  happens — only the final update divides, by exact FLOOR division
+  ((a - pmod(a, m)) / m, identical semantics in Spark and DuckDB);
+- the learning rate decays 1/(r+1) (Robbins & Monro 1951) — measured
+  necessary: the hard sigmoid's constant-slope gradient does not
+  vanish near the optimum, and a fixed step oscillates around it
+  (tests/test_training.py pins the divergence);
+- the intercept is feature bucket -1 with x = 1 on every document
+  (intercept-as-constant-feature), so scoring, gradients and updates
+  are uniform over one (doc, bucket, cnt) frame.
+
+Plan shape per round: ONE job — score (broadcast join of the <=
+num_buckets-row weight frame + groupBy(doc)), error (per-row clamp
+arithmetic), gradient (groupBy(bucket)), then a model-sized collect
+(<= num_buckets+1 rows, the IVF-codebook-style sanctioned collect).
+k rounds = k jobs over a cached feature frame. At 100 TB: persist the
+feature frame once (one tokenize scan), then each round is one
+aggregate pass — textbook full-batch distributed GD, with the model
+always driver-sized and broadcast back.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from us_immigration_data_lake_spark.functions.hashing import md5_long
+from us_immigration_data_lake_spark.operators.dedup import spread_by_id
+
+# Java's \s includes \x0B; RE2's (DuckDB) does not — explicit class
+# keeps both engines tokenizing byte-for-byte alike (textstats note).
+_WS = r"[ \t\n\x0B\f\r]+"
+
+
+def hashed_token_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_buckets: int = 512,
+) -> DataFrame:
+    """(id, bucket, cnt) hashed-unigram count features, plus the
+    intercept row (bucket = -1, cnt = 1) per document. Buckets are
+    pmod(md5_long(token), num_buckets) — md5-based so an external
+    engine replays every bucket (functions/hashing.py). NULL-text
+    rows are excluded (they have no token evidence to train on)."""
+    base = spread_by_id(
+        df.filter(F.col(text_col).isNotNull()), id_col
+    ).select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.trim(F.lower(F.col(text_col))), _WS),
+            lambda t: t != F.lit(""),
+        ).alias("__toks"),
+    )
+    feats = (
+        base.select(F.col(id_col), F.explode("__toks").alias("__t"))
+        .select(
+            F.col(id_col),
+            F.pmod(md5_long("__t"), F.lit(num_buckets)).alias("bucket"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bias = base.select(
+        F.col(id_col),
+        F.lit(-1).cast("long").alias("bucket"),
+        F.lit(1).cast("long").alias("cnt"),
+    )
+    return feats.unionByName(bias)
+
+
+def train_logreg_hashed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    num_buckets: int = 512,
+    rounds: int = 8,
+    lr_den: int = 1,
+    decay: bool = True,
+) -> DataFrame:
+    """Train hard-sigmoid logistic regression by full-batch gradient
+    descent, entirely in exact BIGINT arithmetic (module docstring).
+    Returns the final weight frame ``(bucket, w_pm)`` in micro-units —
+    one row per feature bucket that appears in the corpus, intercept
+    at bucket -1 — ready for a broadcast-join scorer (the
+    linear_quality_classifier pattern).
+
+    Per round r (0-based), with n = document count and
+    M = lr_den * 4n * (r+1 if decay else 1):
+
+        z_pm(d)  = sum_b w_pm[b] * cnt(d, b)           # BIGINT logit
+        p_qm(d)  = clamp(z_pm + 2e6, 0, 4e6)           # 4e6 * hard-sigmoid
+        e_qm(d)  = 4e6 * y(d) - p_qm(d)
+        g[b]     = sum_d e_qm(d) * cnt(d, b)
+        w_pm[b] += floor(g[b] / M)
+
+    The /4n folds the qm->pm unit change and the mean-gradient
+    normalization into one exact floor division. ``label_col`` must be
+    0/1. Every quantity is integer, so a pure-Python replay (and the
+    q203 SQL oracle) matches bit-for-bit — tests/test_training.py."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    if lr_den < 1:
+        raise ValueError(f"lr_den must be >= 1, got {lr_den}")
+    spark = df.sparkSession
+    labels = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.col(label_col).cast("long").alias("__y"))
+    )
+    feats = hashed_token_features(df, id_col, text_col, num_buckets)
+
+    cached = [labels.cache(), feats.cache()]
+    try:
+        n = labels.count()
+        if n == 0:
+            return spark.createDataFrame([], "bucket long, w_pm long")
+        w: dict[int, int] = {}
+        for r in range(rounds):
+            m = lr_den * 4 * n * ((r + 1) if decay else 1)
+            wdf = spark.createDataFrame(
+                list(w.items()) or [], "bucket long, __w long"
+            )
+            z = (
+                feats.join(F.broadcast(wdf), "bucket", "left")
+                .groupBy(id_col)
+                .agg(
+                    F.sum(F.coalesce(F.col("__w"), F.lit(0)) * F.col("cnt"))
+                    .alias("__z")
+                )
+            )
+            err = labels.join(z, id_col).select(
+                F.col(id_col),
+                (
+                    F.lit(4_000_000) * F.col("__y")
+                    - F.least(
+                        F.lit(4_000_000),
+                        F.greatest(F.lit(0), F.col("__z") + F.lit(2_000_000)),
+                    )
+                ).alias("__e"),
+            )
+            grad = (
+                feats.join(err, id_col)
+                .groupBy("bucket")
+                .agg(F.sum(F.col("__e") * F.col("cnt")).alias("__g"))
+                .collect()  # model-sized: <= num_buckets + 1 rows
+            )
+            for row in grad:
+                # python // is floor division == the SQL pmod formula
+                w[row["bucket"]] = w.get(row["bucket"], 0) + row["__g"] // m
+        return spark.createDataFrame(
+            sorted(w.items()), "bucket long, w_pm long"
+        )
+    finally:
+        for frame in cached:
+            frame.unpersist()

@@ -11924,3 +11924,107 @@ def q202_multi_pass_sorted_neighborhood(
         key_prefix_len=_Q196_PREFIX, threshold=0.055, shingle_n=2,
         portable=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# Q203 — in-engine quality-classifier TRAINING (operators/training.py:
+# train_logreg_hashed, new r8): batch gradient-descent logistic
+# regression over hashed token features in EXACT fixed-point — the
+# training counterpart of q160's fixed-weight inference, completing
+# the in-engine-training family (k-means q24, IVF-PQ codebooks, BPE
+# q194, DSIR censuses q191). Hard-sigmoid probabilities in
+# quarter-micro BIGINTs, floor-division weight updates, 1/(r+1)
+# Robbins-Monro decay (measured necessary: a fixed step oscillates,
+# tests/test_training.py). Label: cnt('hash') > cnt('join') per doc —
+# the fixture's only learnable target (its lang/source metadata is
+# decorrelated from the uniform synthetic vocabulary, verified r8);
+# the operator takes any 0/1 label column. The oracle replays all 8
+# GD rounds UNROLLED — tokenize, md5 bucket hashing, BIGINT logits,
+# the hard-sigmoid clamp, per-bucket gradient sums, and the exact
+# pmod floor division — bit-for-bit; a pure-Python differential test
+# (q194-style) covers the same spec in tests/test_training.py.
+# ---------------------------------------------------------------------------
+
+_Q203_B, _Q203_ROUNDS = 512, 8
+
+
+def _q203_oracle_sql() -> str:
+    b, rounds = _Q203_B, _Q203_ROUNDS
+    sql = f"""
+    WITH base AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         t -> t <> '') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ), lab AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN len(list_filter(toks, t -> t = 'hash'))
+                     > len(list_filter(toks, t -> t = 'join'))
+                  THEN 1 ELSE 0 END AS y
+      FROM base
+    ), fx AS MATERIALIZED (
+      SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT doc_id,
+               ('0x' || substr(md5(t), 1, 15))::BIGINT % {b} AS b
+        FROM (SELECT doc_id, unnest(toks) AS t FROM base)
+      ) GROUP BY doc_id, b
+      UNION ALL
+      SELECT doc_id, CAST(-1 AS BIGINT), CAST(1 AS BIGINT) FROM base
+    ), nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM base
+    ), w0 AS MATERIALIZED (
+      SELECT CAST(NULL AS BIGINT) AS b, CAST(NULL AS BIGINT) AS w
+      WHERE FALSE
+    )"""
+    for r in range(1, rounds + 1):
+        m = f"(4 * n.n * {r})"
+        sql += f""", z{r} AS MATERIALIZED (
+      SELECT l.doc_id, l.y, COALESCE(s.z, 0) AS z
+      FROM lab l LEFT JOIN (
+        SELECT f.doc_id, SUM(w.w * f.cnt) AS z
+        FROM fx f JOIN w{r - 1} w ON f.b = w.b GROUP BY f.doc_id
+      ) s USING (doc_id)
+    ), g{r} AS MATERIALIZED (
+      SELECT f.b,
+             SUM((4000000 * z.y
+                  - least(4000000, greatest(0, z.z + 2000000))) * f.cnt) AS g
+      FROM fx f JOIN z{r} z USING (doc_id) GROUP BY f.b
+    ), w{r} AS MATERIALIZED (
+      SELECT g.b,
+             COALESCE(w.w, 0)
+               + (g.g - ((g.g % {m}) + {m}) % {m}) // {m} AS w
+      FROM g{r} g LEFT JOIN w{r - 1} w ON g.b = w.b, nn n
+    )"""
+    sql += f"""
+    SELECT b AS bucket, CAST(w AS BIGINT) AS w_pm FROM w{rounds}
+    """
+    return sql
+
+
+@_register(
+    "q203_train_quality_classifier",
+    oracle=_q203_oracle_sql(),
+    tags=("training", "classifier", "gradient-descent", "hashing-trick",
+          "fixed-point", "portable"),
+)
+def q203_train_quality_classifier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from us_immigration_data_lake_spark.operators import training as tr_ops
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"[ \t\n\x0B\f\r]+"),
+        lambda t: t != F.lit(""),
+    )
+    labeled = docs.withColumn(
+        "__y",
+        (
+            F.size(F.filter(toks, lambda t: t == F.lit("hash")))
+            > F.size(F.filter(toks, lambda t: t == F.lit("join")))
+        ).cast("long"),
+    )
+    return tr_ops.train_logreg_hashed(
+        labeled, "doc_id", "text", "__y",
+        num_buckets=_Q203_B, rounds=_Q203_ROUNDS,
+    )
