@@ -436,3 +436,100 @@ def test_stream_cross_dedup_multibatch_equals_batch(spark, tmp_path):
     assert got == want
     assert (1, 10) in got and got[(1, 10)] == 1.0
     assert len(got) == len(spark.table("x_cross_dedup").collect())  # no dup emits
+
+
+def test_stream_cross_srp_dedup_multibatch_equals_batch(spark, tmp_path):
+    """The SEMANTIC streaming twin: stream_cross_srp_near_dup_pairs
+    over a multi-file source forced to one-file micro-batches must
+    emit exactly cross_srp_near_dup_frames' pair set — per-row SRP
+    signatures can't see batch boundaries, and with ONE bucket per
+    vector there is no cross-batch state at all (the append stream
+    carries no dropDuplicates)."""
+    import math
+
+    from us_immigration_data_lake_spark.operators import similarity as sim
+    from us_immigration_data_lake_spark.streaming.dedup import (
+        stream_cross_srp_near_dup_pairs,
+    )
+
+    dim = 8
+
+    def vec(seedling, flip=0.0):
+        v = [math.sin(seedling + 0.7 * i) for i in range(dim)]
+        v[0] += flip
+        return [float(x) for x in v]
+
+    new_rows = [(1, vec(0.3)), (3, vec(0.3, 0.01)), (5, vec(9.1))]
+    ref_rows = [(10, vec(0.3)), (12, vec(4.4))]
+    new_df = spark.createDataFrame(new_rows, "vec_id long, embedding array<float>")
+    ref_df = spark.createDataFrame(ref_rows, "vec_id long, embedding array<float>")
+
+    src = str(tmp_path / "newvecs")
+    new_df.filter(F.col("vec_id") <= 1).coalesce(1).write.parquet(src, mode="overwrite")
+    new_df.filter(F.col("vec_id") > 1).coalesce(1).write.parquet(src, mode="append")
+
+    stream = (
+        spark.readStream.schema(new_df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    pairs = stream_cross_srp_near_dup_pairs(
+        stream, ref_df, "vec_id", "embedding", threshold=0.9, dim=dim,
+        num_bits=4,
+    )
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName("x_srp_cross")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("x_srp_cross").collect()
+    got = {(r.id_new, r.id_ref): r.cosine_sim for r in rows}
+    want = {
+        (r.id_new, r.id_ref): r.cosine_sim
+        for r in sim.cross_srp_near_dup_frames(
+            new_df, ref_df, "vec_id", "embedding", threshold=0.9, dim=dim,
+            num_bits=4,
+        )["pairs"].collect()
+    }
+    assert got == want
+    assert (1, 10) in got and got[(1, 10)] == 1.0  # exact dup, cosine exact
+    assert len(rows) == len(got)  # no dup emits across micro-batches
+
+
+def test_cross_srp_indexed_matches_unindexed(spark):
+    """srp_ref_index + cross_srp_pairs_indexed (the amortized batch
+    shape the streaming twin shares) equals cross_srp_near_dup_frames
+    on the same inputs, oversized-cap semantics included."""
+    import math
+
+    from us_immigration_data_lake_spark.operators import similarity as sim
+
+    dim = 8
+    rows = [
+        (i, [float(math.cos(s + 0.5 * j)) for j in range(dim)])
+        for i, s in enumerate([0.1, 0.1, 2.3, 2.31, 7.7, 5.2, 0.11, 9.9])
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    new_df = df.filter(F.col("vec_id") % 2 == 1)
+    ref_df = df.filter(F.col("vec_id") % 2 == 0)
+    want = {
+        (r.id_new, r.id_ref): r.cosine_sim
+        for r in sim.cross_srp_near_dup_frames(
+            new_df, ref_df, "vec_id", "embedding", threshold=0.8, dim=dim,
+            num_bits=4, max_bucket_size=2,
+        )["pairs"].collect()
+    }
+    idx = sim.srp_ref_index(
+        ref_df, "vec_id", "embedding", dim, num_bits=4, max_bucket_size=2
+    )
+    got = {
+        (r.id_new, r.id_ref): r.cosine_sim
+        for r in sim.cross_srp_pairs_indexed(
+            new_df, idx, "vec_id", "embedding", threshold=0.8, dim=dim,
+            num_bits=4,
+        ).collect()
+    }
+    assert got == want

@@ -591,6 +591,92 @@ def srp_near_dup_frames(
     }
 
 
+def srp_ref_index(
+    ref_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    num_bits: int = 8,
+    seed: int = 42,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """The REFERENCE-side index for cross-corpus SEMANTIC dedup as a
+    standalone cacheable frame: ``(bucket, id_ref, v2, n2)`` — the
+    reference's capped SRP bucket members (``max_bucket_size``
+    smallest ids per bucket, cross_srp_near_dup_frames's truncation
+    semantics) joined to their vectors and precomputed norms, so
+    downstream cosine verification needs no second look at the
+    reference. The embedding twin of dedup.cross_ref_index: build
+    ONCE per reference corpus (cache/persist), amortize across every
+    batch and micro-batch — the ref-side cost (signature pass + one
+    bucket groupBy) is linear in the reference and paid once."""
+    sig_ref = _srp_sig_frame(ref_df, id_col, vec_col, dim, num_bits, seed)
+    ref_buckets = sig_ref.groupBy("bucket").agg(
+        F.array_sort(F.collect_list("__id")).alias("ids")
+    )
+    capped = ref_buckets.select(
+        "bucket",
+        F.explode(
+            F.slice(
+                "ids", 1,
+                F.least(F.lit(max_bucket_size), F.size("ids")).cast("int"),
+            )
+        ).alias("id_ref"),
+    )
+    return capped.join(
+        sig_ref.select(
+            F.col("__id").alias("id_ref"),
+            F.col("__v").alias("v2"),
+            F.col("__n").alias("n2"),
+        ),
+        "id_ref",
+    )
+
+
+def cross_srp_pairs_indexed(
+    new_df: DataFrame,
+    ref_index: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    dim: int,
+    num_bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Cross-corpus SEMANTIC near-dup pairs of a NEW batch (or STREAM —
+    every new-side operation is a per-row expression, so a streaming
+    frame flows through unchanged; streaming.dedup wraps this) against
+    a PREBUILT ``srp_ref_index``. Per new row: SRP bucket signature +
+    norm (pure arithmetic, no shuffle, no checkpoint — the batch
+    path's localCheckpoint barrier is an optimization the single
+    downstream consumer here doesn't need), then ONE equi-join on the
+    bucket key with the cosine verify inline. Plane parameters must
+    match the index build. A vector has exactly ONE bucket (single
+    SRP table), so a pair can surface at most once — append-mode
+    emission needs no dedup state at all. Emits exactly
+    ``cross_srp_near_dup_frames(...)["pairs"]`` rows on the same
+    inputs (q204's oracle is q192's SQL verbatim)."""
+    planes = srp_planes(dim, num_bits, seed)
+    sig = new_df.select(
+        F.col(id_col).alias("id_new"), _as_double(vec_col).alias("v1")
+    ).withColumn("bucket", srp_signature("v1", planes))
+    if dim:
+        sig = sig.withColumn(
+            "n1", F.expr(f"sqrt({_dot_fixed_sql('v1', 'v1', dim)})")
+        )
+    else:
+        sig = sig.withColumn("n1", l2_norm(F.col("v1")))
+    return (
+        sig.join(ref_index, "bucket")
+        .select(
+            "id_new",
+            "id_ref",
+            F.round(_pair_cosine(dim), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def cross_srp_near_dup_frames(
     new_df: DataFrame,
     ref_df: DataFrame,

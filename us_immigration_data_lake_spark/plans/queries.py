@@ -12028,3 +12028,50 @@ def q203_train_quality_classifier(
         labeled, "doc_id", "text", "__y",
         num_buckets=_Q203_B, rounds=_Q203_ROUNDS,
     )
+
+
+# ---------------------------------------------------------------------------
+# Q204 — STREAMING cross-corpus SEMANTIC dedup (streaming/dedup.py:
+# stream_cross_srp_near_dup_pairs, new r8): the embedding twin of
+# q195, closing the matrix — q190/q195 are batch/stream text,
+# q192/q204 are batch/stream semantic. NEW embeddings arrive as a
+# file stream; the static side is similarity.srp_ref_index (capped
+# bucket members + vectors + norms, cached once); the hot path is
+# per-row SRP signature arithmetic + ONE stream-static bucket join
+# with the cosine verify inline. A vector has exactly ONE bucket, so
+# a pair surfaces at most once and append mode carries ZERO streaming
+# state (no dropDuplicates — stricter than q195's pair-dedup). The
+# oracle is q192's SQL VERBATIM: with an availableNow trigger the
+# emitted set equals the batch operator's regardless of micro-batch
+# boundaries (multi-batch equivalence pinned in
+# tests/test_streaming.py).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q204_stream_cross_semantic_dedup",
+    oracle=_q192_oracle_sql(),
+    tags=("streaming", "similarity", "dedup", "semdedup", "cross-corpus",
+          "skew-guard"),
+)
+def q204_stream_cross_semantic_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from us_immigration_data_lake_spark.sources.readers import (
+        read_parquet_stream,
+    )
+    from us_immigration_data_lake_spark.streaming.dedup import (
+        stream_cross_srp_near_dup_pairs,
+    )
+    from us_immigration_data_lake_spark.streaming.windows import run_to_memory
+
+    _tune(spark)
+    stream = read_parquet_stream(
+        spark, f"{sf_dir.rstrip('/')}/embeddings*.parquet"
+    ).filter(F.col("vec_id") % 2 == 1)
+    ref_df = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 2 == 0)
+    pairs = stream_cross_srp_near_dup_pairs(
+        stream, ref_df, "vec_id", "embedding", threshold=_Q181_TAU,
+        dim=EMBEDDING_DIM, num_bits=_Q187_BITS, max_bucket_size=_Q192_CAP,
+    )
+    return run_to_memory(pairs, _sink_name("q204_pairs"), mode="append")

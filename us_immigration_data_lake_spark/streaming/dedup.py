@@ -78,3 +78,45 @@ def stream_cross_near_dup_pairs(
         portable=portable,
         repartition_new=False,  # per-row hot path stays shuffle-free
     )
+
+
+def stream_cross_srp_near_dup_pairs(
+    new_stream: DataFrame,
+    ref_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    dim: int,
+    num_bits: int = 8,
+    seed: int = 42,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Verified (id_new, id_ref, cosine_sim) SEMANTIC near-dup pairs of
+    an EMBEDDING stream against a static reference corpus — the
+    embedding twin of stream_cross_near_dup_pairs (q195), same
+    construction sharing: the static side IS similarity.srp_ref_index
+    (cached — reused every micro-batch) and the hot path IS
+    similarity.cross_srp_pairs_indexed over the stream frame.
+
+    Even more state-free than the text twin: a vector lands in exactly
+    ONE SRP bucket (single table, no banding), so a pair can surface
+    at most once and append mode needs no streaming dropDuplicates —
+    the whole hot path is per-row signature arithmetic plus one
+    stream-static join. Batch-equivalence with availableNow is
+    immediate: per-row expressions cannot see batch boundaries and
+    there is no cross-batch state to diverge (q204's oracle is q192's
+    SQL verbatim; the multi-batch test splits the stream into files).
+    """
+    from us_immigration_data_lake_spark.operators.similarity import (
+        cross_srp_pairs_indexed,
+        srp_ref_index,
+    )
+
+    idx = srp_ref_index(
+        ref_df, id_col, vec_col, dim, num_bits=num_bits, seed=seed,
+        max_bucket_size=max_bucket_size,
+    ).cache()  # static side: materialize once, reused every micro-batch
+    return cross_srp_pairs_indexed(
+        new_stream, idx, id_col, vec_col, threshold, dim,
+        num_bits=num_bits, seed=seed,
+    )
