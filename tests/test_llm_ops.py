@@ -2001,3 +2001,137 @@ def test_holt_winters_drops_short_series_and_tracks_season(spark):
     # phase of the [100,50] alternation: negative seasonal component,
     # positive underlying trend (+1/step)
     assert w.season_e6 < 0 and w.trend_e6 > 0
+
+
+# ---------------------------------------------------------------------------
+# r9: bounded bucket-cap machinery (VERDICT r8 What's-wrong #1) — a
+# planted mega-bucket ≫ cap must flow through every cap site WITHOUT
+# materializing the full member list in one aggregation-buffer row.
+# Semantics are pinned by the r8 oracles (q182/q187/q190/q192); these
+# tests pin the BOUNDED plan shape and the unchanged results.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mega_band(spark):
+    # one 5000-member bucket (cap will be 50) + one 3-member bucket
+    rows = [(0, 7, i) for i in range(5000)] + [(0, 9, j) for j in (10**6, 10**6 + 1, 10**6 + 2)]
+    return spark.createDataFrame(rows, ["band_idx", "band_hash", "doc_id"])
+
+
+def test_mega_bucket_cap_sites_have_no_unbounded_collect_list(mega_band):
+    """The oversized/star/capped-ref plans must not contain collect_list
+    at all; candidate_pairs may collect only AFTER the window-count
+    filter bounds the bucket (its plan shows the Window before the
+    aggregate)."""
+    over_plan = dd.oversized_buckets(
+        mega_band, "doc_id", max_bucket_size=50
+    )._jdf.queryExecution().optimizedPlan().toString()
+    star_plan = dd.oversized_bucket_star_pairs(
+        mega_band, "doc_id", max_bucket_size=50
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_list" not in over_plan
+    assert "collect_list" not in star_plan
+
+    cand = dd.candidate_pairs(mega_band, "doc_id", max_bucket_size=50)
+    cand_plan = cand._jdf.queryExecution().optimizedPlan().toString()
+    # the collect_list survives, but only downstream of the bounding
+    # window filter: Window node present, and the filter on the window
+    # count sits between it and the aggregate
+    assert "collect_list" in cand_plan and "windowspecdefinition" in cand_plan.lower()
+
+
+def test_mega_bucket_results_unchanged_and_fast(mega_band):
+    cap = 50
+    # candidate_pairs: mega-bucket dropped entirely, small bucket kept
+    pairs = {(r.id1, r.id2) for r in dd.candidate_pairs(
+        mega_band, "doc_id", max_bucket_size=cap
+    ).collect()}
+    assert pairs == {(10**6, 10**6 + 1), (10**6, 10**6 + 2), (10**6 + 1, 10**6 + 2)}
+    # oversized: one row, count + smallest-id anchor, NO member array
+    over = dd.oversized_buckets(mega_band, "doc_id", max_bucket_size=cap).collect()
+    assert len(over) == 1
+    assert (over[0].bucket_n, over[0].anchor_id) == (5000, 0)
+    assert "ids" not in over[0].asDict()
+    # star recovery: anchor 0 paired with every other member — linear
+    stars = dd.oversized_bucket_star_pairs(
+        mega_band, "doc_id", max_bucket_size=cap
+    )
+    assert stars.count() == 4999
+    assert stars.agg(F.min("id1"), F.max("id1")).collect()[0][:] == (0, 0)
+
+
+def test_cross_ref_index_frames_cap_and_oversized(spark):
+    # 60 byte-identical refs (every band → one 60-member bucket) + one
+    # distinct ref; cap 8 keeps the 8 smallest ids per bucket and the
+    # oversized frame reports the truncation (ADVICE r8 #3).
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    refs = [(i, text) for i in range(60)] + [(99, "totally different words here about nothing shared")]
+    ref_df = spark.createDataFrame(refs, ["doc_id", "text"])
+    frames = dd.cross_ref_index_frames(
+        ref_df, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4,
+        max_bucket_size=8,
+    )
+    idx = frames["index"]
+    assert "collect_list" not in idx._jdf.queryExecution().optimizedPlan().toString()
+    per_bucket = idx.groupBy("band_idx", "band_hash").count().collect()
+    assert all(r["count"] <= 8 for r in per_bucket)
+    # capped buckets keep the SMALLEST ids (row_number orderBy id)
+    kept = {r.id_ref for r in idx.filter(F.col("id_ref") < 99).collect()}
+    assert kept == set(range(8))
+    over = frames["oversized"].collect()
+    assert len(over) >= 4  # the identical cluster overflows in every band
+    assert all(r.bucket_n == 60 and r.anchor_id == 0 for r in over)
+    # wrapper still returns just the index, same rows
+    direct = dd.cross_ref_index(
+        ref_df, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4,
+        max_bucket_size=8,
+    )
+    assert direct.count() == idx.count()
+
+
+def test_srp_ref_index_frames_cap_and_oversized(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    dim = 8
+    proto = rng.randn(dim)
+    # 40-member planted cluster (one SRP bucket) + 10 scattered
+    rows = [(i, (proto + rng.randn(dim) * 0.005).tolist()) for i in range(40)]
+    rows += [(100 + i, rng.randn(dim).tolist()) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    frames = sim.srp_ref_index_frames(
+        df, "vec_id", "embedding", dim=dim, num_bits=2, max_bucket_size=5
+    )
+    assert "collect_list" not in frames["index"]._jdf.queryExecution().optimizedPlan().toString()
+    per_bucket = frames["index"].groupBy("bucket").count().collect()
+    assert all(r["count"] <= 5 for r in per_bucket)
+    over = {r.bucket: r for r in frames["oversized"].collect()}
+    assert any(r.bucket_n >= 40 for r in over.values())
+    # anchor of the planted cluster's bucket is its smallest id
+    big = max(over.values(), key=lambda r: r.bucket_n)
+    assert big.anchor_id == 0
+
+
+def test_cross_dedup_survivors_cache_registry(spark):
+    # ADVICE r8 #2: a caller-provided registry receives the two cached
+    # hashed-shingle frames so long-lived sessions can release them.
+    new_df = spark.createDataFrame(
+        [(1, "shared words in both corpora exactly the same sentence"),
+         (2, "fresh new content never seen in the reference corpus")],
+        ["doc_id", "text"],
+    )
+    ref_df = spark.createDataFrame(
+        [(10, "shared words in both corpora exactly the same sentence")],
+        ["doc_id", "text"],
+    )
+    reg = []
+    surv = dd.cross_dedup_survivors(
+        new_df, ref_df, "doc_id", "text", shingle_n=3, num_hashes=16,
+        bands=4, threshold=0.5, cache_registry=reg,
+    )
+    assert [r.doc_id for r in surv.collect()] == [2]
+    assert len(reg) == 2
+    for fr in reg:
+        assert fr.storageLevel.useMemory  # actually cached
+        fr.unpersist()

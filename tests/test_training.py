@@ -154,3 +154,21 @@ def test_training_releases_caches(spark):
     tr.train_logreg_hashed(df, "doc_id", "text", "y", num_buckets=32, rounds=2)
     jcm = spark._jsparkSession.sharedState().cacheManager()
     assert jcm.isEmpty(), "train_logreg_hashed leaked a cache entry"
+
+
+def test_train_logreg_ignores_null_labels(spark):
+    """r8 advisor: a NULL label must remove the doc from the training
+    set entirely (n AND gradient), not silently shrink updates by
+    counting in n while its NULL error term drops out of F.sum."""
+    with_nulls = FIXTURE + [(100, "noise text rows", None),
+                            (101, "more unlabeled noise", None)]
+    df = spark.createDataFrame(
+        with_nulls, "doc_id long, text string, y long"
+    )
+    clean = spark.createDataFrame(FIXTURE, "doc_id long, text string, y long")
+    kw = dict(num_buckets=64, rounds=3)
+    got = {r.bucket: r.w_pm
+           for r in tr.train_logreg_hashed(df, "doc_id", "text", "y", **kw).collect()}
+    want = {r.bucket: r.w_pm
+            for r in tr.train_logreg_hashed(clean, "doc_id", "text", "y", **kw).collect()}
+    assert got == want  # unlabeled rows contribute nothing at all

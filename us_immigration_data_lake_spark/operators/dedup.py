@@ -195,14 +195,20 @@ def oversized_buckets(
     band_df: DataFrame, id_col: str, max_bucket_size: int = 1000
 ) -> DataFrame:
     """The band buckets candidate_pairs DROPS (size > cap): one row per
-    mega-bucket with its size and member ids. Run this alongside
-    candidate_pairs so the truncation is observable — a >cap bucket is
-    usually a boilerplate cluster worth handling as a group (e.g. keep
-    one member) rather than pairwise."""
+    mega-bucket with its size and anchor (smallest) member id. Run this
+    alongside candidate_pairs so the truncation is observable — a >cap
+    bucket is usually a boilerplate cluster worth handling as a group
+    (e.g. keep one member) rather than pairwise.
+
+    count+min aggregates only — NO member-id list. The r8 form
+    collected the full id array per bucket, which materialized an
+    unbounded aggregation-buffer row (~8 GB for a 10⁹-member bucket)
+    on exactly the degenerate input this guard exists for; count and
+    min are map-side-combinable constants per key."""
     return (
         band_df.groupBy("band_idx", "band_hash")
         .agg(F.count(F.lit(1)).alias("bucket_n"),
-             F.collect_list(id_col).alias("ids"))
+             F.min(id_col).alias("anchor_id"))
         .filter(F.col("bucket_n") > max_bucket_size)
     )
 
@@ -218,12 +224,22 @@ def oversized_bucket_star_pairs(
     Downstream Jaccard verification still applies, so false-positive
     bucket members are discarded; true boilerplate clusters end up
     connected through the anchor and collapse to one survivor in
-    connected-components dedup."""
-    return (
+    connected-components dedup.
+
+    Bounded state: anchors come from count+min aggregates (constant
+    per-key buffer), then one equi-join back to the band frame fans
+    each mega-bucket member out against its anchor — no collect_list,
+    so a 10⁹-member bucket streams through the join instead of
+    buffering as one array row."""
+    anchors = (
         band_df.groupBy("band_idx", "band_hash")
-        .agg(F.collect_list(id_col).alias("ids"))
-        .filter(F.size("ids") > max_bucket_size)
-        .select(F.array_min("ids").alias("id1"), F.explode("ids").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("__n"), F.min(id_col).alias("id1"))
+        .filter(F.col("__n") > max_bucket_size)
+        .select("band_idx", "band_hash", "id1")
+    )
+    return (
+        band_df.join(anchors, ["band_idx", "band_hash"])
+        .select("id1", F.col(id_col).alias("id2"))
         .filter(F.col("id1") < F.col("id2"))
         .dropDuplicates()
     )
@@ -237,16 +253,26 @@ def candidate_pairs(
     reducer) — detect them with ``oversized_buckets`` on the same
     band frame.
 
-    ONE shuffle on the band key: collect each bucket's id list, expand
-    pairs inside the array (bucket size is capped so the array is
-    small), then a final distinct on the pair itself. The naive
-    count + filter-join + self-join costs three band-key shuffles for
-    the same answer."""
+    ONE shuffle on the band key: a window count over the bucket sizes
+    each bucket FIRST (WindowExec's partition buffer is spillable, so
+    a mega-bucket sorts to disk instead of materializing in an
+    aggregation buffer), the ≤cap survivors are then collected into
+    per-bucket arrays that are bounded by construction, and pairs are
+    expanded inside the array. The window and the groupBy share the
+    band-key hash partitioning, so Catalyst reuses one exchange. The
+    r8 form collect_list'd BEFORE filtering on size — correct, but it
+    buffered the full uncapped id list of exactly the degenerate
+    bucket the cap exists for."""
+    w_bucket = Window.partitionBy("band_idx", "band_hash")
+    sized = (
+        band_df.select("band_idx", "band_hash", id_col)
+        .withColumn("__n", F.count(F.lit(1)).over(w_bucket))
+        .filter((F.col("__n") >= 2) & (F.col("__n") <= max_bucket_size))
+    )
     buckets = (
-        band_df.groupBy("band_idx", "band_hash")
-        .agg(F.collect_list(id_col).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
-        .select(F.array_sort("ids").alias("ids"))
+        sized.groupBy("band_idx", "band_hash")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .select("ids")
     )
     pairs_arr = F.flatten(
         F.transform(
@@ -323,7 +349,7 @@ def near_dup_frames(
 
     - ``pairs``: verified near-dup pairs (id1, id2, jaccard)
     - ``oversized``: the >max_bucket_size band buckets that all-pairs
-      generation skipped (band_idx, band_hash, bucket_n, ids)
+      generation skipped (band_idx, band_hash, bucket_n, anchor_id)
 
     With ``recover_oversized=True``, each mega-bucket additionally
     contributes anchor-star candidates (member ↔ bucket-min, linear in
@@ -427,8 +453,8 @@ def cross_near_dup_frames(
     - candidate generation is ONE equi-join of the two band frames on
       (band_idx, band_hash) — new×ref only, never a self-join;
     - skew cap: per band bucket, the REF side keeps its
-      ``max_bucket_size`` smallest ids (groupBy + sorted-slice, same
-      one-shuffle idiom as candidate_pairs), so one boilerplate
+      ``max_bucket_size`` smallest ids (row_number window — spillable
+      sort, bounded per-key state), so one boilerplate
       mega-bucket in the reference costs O(new_k · cap) join rows,
       not O(new_k · ref_k). Capping ref (not new) keeps per-new-doc
       recall degradation bounded and observable: dropped buckets are
@@ -464,25 +490,25 @@ def cross_near_dup_frames(
     hs_new, bands_new = _side(new_df)
     hs_ref, bands_ref = _side(ref_df)
 
-    ref_buckets = bands_ref.groupBy("band_idx", "band_hash").agg(
-        F.array_sort(F.collect_list(id_col)).alias("ids")
+    # Cap-smallest-ids via row_number, not collect_list+slice: the r8
+    # array form buffered the FULL uncapped bucket in one aggregation
+    # row before slicing — unbounded per-key state on exactly the
+    # mega-bucket input the cap guards against. row_number's window
+    # sort is spillable and keeps the same cap-smallest-ids semantics
+    # (ids are unique per (band_idx, band_hash): one band per band_idx
+    # per doc). Also retires the int32 slice-length overflow trap the
+    # array form had to clamp around.
+    w_ref = Window.partitionBy("band_idx", "band_hash").orderBy(id_col)
+    capped_ref = (
+        bands_ref.withColumn("__rn", F.row_number().over(w_ref))
+        .filter(F.col("__rn") <= max_bucket_size)
+        .select("band_idx", "band_hash", F.col(id_col).alias("__ref_id"))
     )
-    # NB slice length is clamped to the actual list size: Spark computes
-    # start+length in int32, so a lift-the-cap call (max_bucket_size
-    # 2^31) would otherwise overflow to an empty slice and silently
-    # drop every candidate (the shingles() bigram note, same trap)
-    capped_ref = ref_buckets.select(
-        "band_idx",
-        "band_hash",
-        F.explode(
-            F.slice(
-                "ids", 1,
-                F.least(F.lit(max_bucket_size), F.size("ids")).cast("int"),
-            )
-        ).alias("__ref_id"),
-    )
-    oversized = ref_buckets.filter(F.size("ids") > max_bucket_size).select(
-        "band_idx", "band_hash", F.size("ids").alias("bucket_n"), "ids"
+    oversized = (
+        bands_ref.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bucket_n"),
+             F.min(id_col).alias("anchor_id"))
+        .filter(F.col("bucket_n") > max_bucket_size)
     )
 
     cand = (
@@ -520,6 +546,7 @@ def cross_dedup_survivors(
     threshold: float = 0.5,
     max_bucket_size: int = 1000,
     portable: bool = False,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """The NEW rows that are NOT near-dups of the reference corpus —
     ``cross_near_dup_frames`` pairs fed into one left-anti join. The
@@ -530,16 +557,21 @@ def cross_dedup_survivors(
 
     The returned plan reads the two hashed-shingle caches the inner
     cross plan creates; since this wrapper returns lazily it cannot
-    release them itself — long-lived sessions that call it repeatedly
-    should use cross_near_dup_frames directly and unpersist the
-    ``cached`` frames after materializing (update_corpus_increment's
-    pattern)."""
+    release them itself. Long-lived sessions that call it repeatedly
+    should pass ``cache_registry=[]``: the inner plan's cached frames
+    are appended to it, and the caller unpersists them once the
+    returned plan is fully materialized (update_corpus_increment's
+    finally-block pattern). Without a registry the caches stay pinned
+    for the session — fine for one-shot jobs, a leak in a loop."""
+    frames = cross_near_dup_frames(
+        new_df, ref_df, id_col, text_col, shingle_n=shingle_n,
+        num_hashes=num_hashes, bands=bands, threshold=threshold,
+        max_bucket_size=max_bucket_size, portable=portable,
+    )
+    if cache_registry is not None:
+        cache_registry.extend(frames["cached"])
     matched = (
-        cross_near_dup_frames(
-            new_df, ref_df, id_col, text_col, shingle_n=shingle_n,
-            num_hashes=num_hashes, bands=bands, threshold=threshold,
-            max_bucket_size=max_bucket_size, portable=portable,
-        )["pairs"]
+        frames["pairs"]
         .select(F.col("id_new").alias(id_col))
         .dropDuplicates()
     )
@@ -572,7 +604,47 @@ def cross_ref_index(
     streams (both consume this exact shape; the streaming module
     builds it through this function). Per-batch cost then scales with
     the BATCH alone — measured in SCALE.md's ref-side slope table.
+
+    The cap silently truncates over-cap buckets here; ingest pipelines
+    that need to monitor the capped-recall signal should build through
+    ``cross_ref_index_frames``, which additionally returns the
+    oversized-bucket frame (band_idx, band_hash, bucket_n, anchor_id).
     """
+    return cross_ref_index_frames(
+        ref_df, id_col, text_col, shingle_n=shingle_n,
+        num_hashes=num_hashes, bands=bands,
+        max_bucket_size=max_bucket_size, portable=portable,
+    )["index"]
+
+
+def cross_ref_index_frames(
+    ref_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket_size: int = 1000,
+    portable: bool = False,
+) -> dict[str, DataFrame]:
+    """``cross_ref_index`` with its truncation observable: returns
+    ``{"index": (band_idx, band_hash, id_ref, hs_r), "oversized":
+    (band_idx, band_hash, bucket_n, anchor_id)}``. The unindexed
+    ``cross_near_dup_frames`` has always reported its dropped buckets;
+    the amortized/streaming path lost that signal at index-build time —
+    this variant restores it, so a pipeline that caches the index once
+    can also record how many reference buckets were capped (recall
+    degradation is bounded — cap representatives per band survive —
+    but it should be MONITORED, not silent).
+
+    Bounded per-key state throughout (the r8 form collect_list'd the
+    full bucket before slicing — an unbounded aggregation-buffer row
+    on exactly the mega-bucket input the cap guards against):
+    cap-smallest-ids is a row_number window (spillable sort, identical
+    semantics — ids are unique within a (band_idx, band_hash) bucket,
+    one band per band_idx per doc), oversized detection is count+min
+    aggregates. The row_number form also retires the int32
+    slice-length overflow trap the array form had to clamp around."""
     rows = num_hashes // bands
     ref_sh = shingles(
         spread_by_id(ref_df, id_col), id_col, text_col, shingle_n
@@ -583,21 +655,11 @@ def cross_ref_index(
         F.col(id_col).alias("id_ref"),
         F.explode(band_structs(bands, rows, portable)).alias("band"),
     ).select("id_ref", "band.band_idx", "band.band_hash")
-    return (
-        ref_bands.groupBy("band_idx", "band_hash")
-        .agg(F.array_sort(F.collect_list("id_ref")).alias("ids"))
-        .select(
-            "band_idx",
-            "band_hash",
-            # slice length clamped to the list size: start+length is
-            # int32 arithmetic (the cross_near_dup_frames overflow note)
-            F.explode(
-                F.slice(
-                    "ids", 1,
-                    F.least(F.lit(max_bucket_size), F.size("ids")).cast("int"),
-                )
-            ).alias("id_ref"),
-        )
+    w_ref = Window.partitionBy("band_idx", "band_hash").orderBy("id_ref")
+    index = (
+        ref_bands.withColumn("__rn", F.row_number().over(w_ref))
+        .filter(F.col("__rn") <= max_bucket_size)
+        .select("band_idx", "band_hash", "id_ref")
         .join(
             ref_hs.select(
                 F.col(id_col).alias("id_ref"), F.col("hs").alias("hs_r")
@@ -605,6 +667,13 @@ def cross_ref_index(
             "id_ref",
         )
     )
+    oversized = (
+        ref_bands.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bucket_n"),
+             F.min("id_ref").alias("anchor_id"))
+        .filter(F.col("bucket_n") > max_bucket_size)
+    )
+    return {"index": index, "oversized": oversized}
 
 
 def cross_near_dup_pairs_indexed(

@@ -609,21 +609,44 @@ def srp_ref_index(
     reference. The embedding twin of dedup.cross_ref_index: build
     ONCE per reference corpus (cache/persist), amortize across every
     batch and micro-batch — the ref-side cost (signature pass + one
-    bucket groupBy) is linear in the reference and paid once."""
+    capped-bucket window) is linear in the reference and paid once.
+    Use ``srp_ref_index_frames`` to also observe which buckets the
+    cap truncated (the dedup.cross_ref_index_frames twin)."""
+    return srp_ref_index_frames(
+        ref_df, id_col, vec_col, dim, num_bits=num_bits, seed=seed,
+        max_bucket_size=max_bucket_size,
+    )["index"]
+
+
+def srp_ref_index_frames(
+    ref_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    num_bits: int = 8,
+    seed: int = 42,
+    max_bucket_size: int = 1000,
+) -> dict[str, DataFrame]:
+    """``srp_ref_index`` with its truncation observable: ``{"index":
+    (bucket, id_ref, v2, n2), "oversized": (bucket, bucket_n,
+    anchor_id)}`` — the embedding twin of dedup.cross_ref_index_frames,
+    so amortized/streaming semantic ingest can monitor capped recall
+    instead of inheriting the truncation silently.
+
+    Bounded per-key state (the r8 form collect_list'd the full bucket
+    before slicing): cap-smallest-ids via a row_number window
+    (spillable sort, identical semantics — one bucket per vector so
+    ids are unique within a bucket), oversized detection via count+min
+    aggregates."""
     sig_ref = _srp_sig_frame(ref_df, id_col, vec_col, dim, num_bits, seed)
-    ref_buckets = sig_ref.groupBy("bucket").agg(
-        F.array_sort(F.collect_list("__id")).alias("ids")
+    w_ref = Window.partitionBy("bucket").orderBy("__id")
+    capped = (
+        sig_ref.select("bucket", "__id")
+        .withColumn("__rn", F.row_number().over(w_ref))
+        .filter(F.col("__rn") <= max_bucket_size)
+        .select("bucket", F.col("__id").alias("id_ref"))
     )
-    capped = ref_buckets.select(
-        "bucket",
-        F.explode(
-            F.slice(
-                "ids", 1,
-                F.least(F.lit(max_bucket_size), F.size("ids")).cast("int"),
-            )
-        ).alias("id_ref"),
-    )
-    return capped.join(
+    index = capped.join(
         sig_ref.select(
             F.col("__id").alias("id_ref"),
             F.col("__v").alias("v2"),
@@ -631,6 +654,13 @@ def srp_ref_index(
         ),
         "id_ref",
     )
+    oversized = (
+        sig_ref.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("bucket_n"),
+             F.min("__id").alias("anchor_id"))
+        .filter(F.col("bucket_n") > max_bucket_size)
+    )
+    return {"index": index, "oversized": oversized}
 
 
 def cross_srp_pairs_indexed(
@@ -715,20 +745,22 @@ def cross_srp_near_dup_frames(
     sig_new = _srp_sig_frame(new_df, id_col, vec_col, dim, num_bits, seed)
     sig_ref = _srp_sig_frame(ref_df, id_col, vec_col, dim, num_bits, seed)
 
-    ref_buckets = sig_ref.groupBy("bucket").agg(
-        F.array_sort(F.collect_list("__id")).alias("ids")
+    # Cap-smallest-ids via row_number, oversized via count+min — no
+    # collect_list: the r8 array form buffered the FULL uncapped bucket
+    # in one aggregation row on exactly the mega-bucket input the cap
+    # guards against (dedup.cross_near_dup_frames, same fix).
+    w_ref = Window.partitionBy("bucket").orderBy("__id")
+    capped_ref = (
+        sig_ref.select("bucket", "__id")
+        .withColumn("__rn", F.row_number().over(w_ref))
+        .filter(F.col("__rn") <= max_bucket_size)
+        .select("bucket", F.col("__id").alias("id_ref"))
     )
-    capped_ref = ref_buckets.select(
-        "bucket",
-        F.explode(
-            F.slice(
-                "ids", 1,
-                F.least(F.lit(max_bucket_size), F.size("ids")).cast("int"),
-            )
-        ).alias("id_ref"),
-    )
-    oversized = ref_buckets.filter(F.size("ids") > max_bucket_size).select(
-        "bucket", F.size("ids").alias("bucket_n"), "ids"
+    oversized = (
+        sig_ref.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("bucket_n"),
+             F.min("__id").alias("anchor_id"))
+        .filter(F.col("bucket_n") > max_bucket_size)
     )
 
     cand = (

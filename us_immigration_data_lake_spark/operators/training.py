@@ -119,8 +119,16 @@ def train_logreg_hashed(
     if lr_den < 1:
         raise ValueError(f"lr_den must be >= 1, got {lr_den}")
     spark = df.sparkSession
+    # NULL labels are EXCLUDED from the training set (not just from the
+    # gradient): a NULL y makes the error term NULL, which F.sum would
+    # silently drop while the row still counted in n — shrinking every
+    # update with no error raised (r8 advisor). Filtering here keeps n,
+    # the features, and the gradient consistent: unlabeled docs simply
+    # don't participate.
     labels = (
-        df.filter(F.col(text_col).isNotNull())
+        df.filter(
+            F.col(text_col).isNotNull() & F.col(label_col).isNotNull()
+        )
         .select(F.col(id_col), F.col(label_col).cast("long").alias("__y"))
     )
     feats = hashed_token_features(df, id_col, text_col, num_buckets)

@@ -201,6 +201,7 @@ def global_row_number(
     order_by: list[str],
     rank_col: str = "rank",
     num_partitions: int | None = None,
+    fault_tolerant: bool = False,
 ) -> DataFrame:
     """Global 1-based row_number over a TOTAL order — WITHOUT the
     single-partition window ``row_number().over(Window.orderBy(...))``
@@ -242,7 +243,18 @@ def global_row_number(
     # are reclaimed when the frame is garbage-collected. (Re-execution
     # would also be CORRECT — range boundaries sample deterministically
     # for the same input — this only avoids paying the sort twice.)
-    local = local.localCheckpoint(eager=True)
+    #
+    # TRADEOFF (r8 advisor): localCheckpoint blocks are unreplicated
+    # executor-local storage — losing an executor (failure or
+    # dynamic-allocation decommission) fails downstream stages with
+    # lost-block errors instead of recomputing. ``fault_tolerant=True``
+    # opts cluster runs out: the offsets collect runs against a plain
+    # plan and the returned plan re-executes the sort (paying it twice,
+    # deterministically identical ranks) — no pinned cache, no
+    # unreplicated blocks, survives executor loss. local-mode/bench
+    # default stays on the checkpoint fast path.
+    if not fault_tolerant:
+        local = local.localCheckpoint(eager=True)
     counts = (
         local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")).collect()
     )
