@@ -139,6 +139,37 @@ def main() -> None:
     # shared documents scan warm, nothing else. gc.collect() releases
     # the Python-side refs that pin localCheckpoint RDD blocks.
     import gc
+    import statistics
+
+    # ENVIRONMENT-CALIBRATION ANCHOR (r9, verdict ask #5): a fixed,
+    # plan-trivial workload — uncached lineitem scan + 3-way agg whose
+    # plan (one scan, one partial+final agg, no join/window/UDF) has
+    # been stable since r1's q01 substrate — timed 5× around the
+    # headliner loop. Its cost moves ONLY with the host (CPU clock,
+    # page cache, co-tenants), never with engine changes, so
+    # round-over-round comparisons divide by anchor_ratio to separate
+    # host drift from plan regressions (r8's uniform +10-12% on
+    # untouched queries would have been attributable at a glance).
+    # anchor_ref_sec is the r9 recording of this workload on the
+    # driver host (idle, median of 5) — the denominator is pinned,
+    # NOT re-measured.
+    ANCHOR_REF_SEC = 0.126
+
+    def _anchor_median() -> float:
+        path = f"{sf_dir.rstrip('/')}/lineitem.parquet"
+        reps = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            spark.read.parquet(path).selectExpr(
+                "count(*) AS n",
+                "sum(cast(l_quantity AS bigint)) AS s",
+                "sum(l_orderkey) AS k",
+            ).collect()
+            reps.append(time.perf_counter() - t0)
+        return round(statistics.median(reps), 3)
+
+    _anchor_median()  # codegen/JIT warm-up pass, untimed
+    anchor_pre = _anchor_median()
 
     timings: dict[str, float] = {}
     for name in names:
@@ -153,6 +184,12 @@ def main() -> None:
         gc.collect()
         _cache_documents()
 
+    # second anchor sample AFTER the suite: the pre/post pair also
+    # exposes within-run drift (thermal throttling, a co-tenant
+    # arriving mid-suite), not just round-over-round drift.
+    anchor_post = _anchor_median()
+    anchor = round(min(anchor_pre, anchor_post), 3)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",
@@ -160,6 +197,13 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "anchor_sec": anchor,
+        "anchor_pre_sec": anchor_pre,
+        "anchor_post_sec": anchor_post,
+        "anchor_ref_sec": ANCHOR_REF_SEC,
+        # >1 ⇒ this host/run is slower than the r9 reference recording;
+        # divide headline deltas by this before attributing to code
+        "anchor_ratio": round(anchor / ANCHOR_REF_SEC, 3),
     }))
 
 

@@ -172,3 +172,107 @@ def test_train_logreg_ignores_null_labels(spark):
     want = {r.bucket: r.w_pm
             for r in tr.train_logreg_hashed(clean, "doc_id", "text", "y", **kw).collect()}
     assert got == want  # unlabeled rows contribute nothing at all
+
+
+# ---------------------------------------------------------------------------
+# r9: multinomial (one-vs-rest) trainer — same exact fixed-point spec,
+# K independent hard-sigmoid heads over the shared hashed features.
+# ---------------------------------------------------------------------------
+
+
+def _py_train_multi(rows, num_classes, num_buckets, rounds, lr_den, decay):
+    """Pure-Python replay of train_multinomial_logreg_hashed —
+    independent implementation, no Spark."""
+    docs = []
+    for _id, text, y in rows:
+        if text is None or y is None:
+            continue
+        toks = [t for t in re.split(r"[ \t\n\x0B\f\r]+", text.strip().lower()) if t]
+        f = Counter(_md5_long(t) % num_buckets for t in toks)
+        f[-1] = 1
+        docs.append((y, dict(f)))
+    n = len(docs)
+    w: dict[tuple[int, int], int] = {}
+    for r in range(rounds):
+        m = lr_den * 4 * n * ((r + 1) if decay else 1)
+        g: dict[tuple[int, int], int] = {}
+        for y, f in docs:
+            for k in range(num_classes):
+                z = sum(w.get((k, b), 0) * c for b, c in f.items())
+                p = min(4_000_000, max(0, z + 2_000_000))
+                e = 4_000_000 * (1 if y == k else 0) - p
+                for b, c in f.items():
+                    g[(k, b)] = g.get((k, b), 0) + e * c
+        for key, gv in g.items():
+            w[key] = w.get(key, 0) + gv // m
+    return w
+
+
+MULTI_FIXTURE = [
+    (0, "hash hash join table scan", 0),
+    (1, "join join hash merge sort", 1),
+    (2, "hash vector hash agg", 0),
+    (3, "table scan filter row", 2),
+    (4, "hash table hash join hash", 0),
+    (5, None, 1),       # NULL text: excluded entirely
+    (6, "join stream window", 1),
+    (7, "", 2),         # empty text: bias-only row
+    (8, "hash", 0),
+    (9, "merge join batch join", 1),
+    (10, "filter row scan scan", 2),
+    (11, "window filter stream", None),  # NULL label: excluded entirely
+]
+
+
+@pytest.mark.parametrize("rounds,lr_den,decay", [(1, 1, True), (4, 1, True), (3, 2, False)])
+def test_train_multinomial_matches_python_exactly(spark, rounds, lr_den, decay):
+    df = spark.createDataFrame(MULTI_FIXTURE, "doc_id long, text string, y long")
+    got = {
+        (r["class"], r.bucket): r.w_pm
+        for r in tr.train_multinomial_logreg_hashed(
+            df, "doc_id", "text", "y", num_classes=3, num_buckets=64,
+            rounds=rounds, lr_den=lr_den, decay=decay,
+        ).collect()
+    }
+    want = _py_train_multi(MULTI_FIXTURE, 3, 64, rounds, lr_den, decay)
+    assert got == want
+
+
+def test_train_multinomial_learns_planted_signal(spark):
+    """Three classes with disjoint marker vocabularies: after training,
+    argmax over the per-class scores must recover every class."""
+    markers = {0: "alpha", 1: "bravo", 2: "charlie"}
+    rows = []
+    for i in range(60):
+        k = i % 3
+        filler = f"common word{i % 5} noise"
+        rows.append((i, f"{markers[k]} {filler} {markers[k]}", k))
+    df = spark.createDataFrame(rows, "doc_id long, text string, y long")
+    w = {
+        (r["class"], r.bucket): r.w_pm
+        for r in tr.train_multinomial_logreg_hashed(
+            df, "doc_id", "text", "y", num_classes=3, num_buckets=128,
+            rounds=6,
+        ).collect()
+    }
+
+    def score(text, k):
+        toks = [t for t in re.split(r"[ \t\n\x0B\f\r]+", text.strip().lower()) if t]
+        f = Counter(_md5_long(t) % 128 for t in toks)
+        f[-1] = 1
+        return sum(w.get((k, b), 0) * c for b, c in f.items())
+
+    for k, mk in markers.items():
+        text = f"{mk} common word1 noise {mk}"
+        scores = [score(text, j) for j in range(3)]
+        assert max(range(3), key=lambda j: scores[j]) == k
+
+
+def test_train_multinomial_releases_caches(spark):
+    df = spark.createDataFrame(MULTI_FIXTURE, "doc_id long, text string, y long")
+    spark.catalog.clearCache()
+    tr.train_multinomial_logreg_hashed(
+        df, "doc_id", "text", "y", num_classes=3, num_buckets=32, rounds=2
+    )
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    assert jcm.isEmpty(), "train_multinomial_logreg_hashed leaked a cache entry"

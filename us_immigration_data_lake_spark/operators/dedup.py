@@ -48,10 +48,15 @@ def spread_by_id(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+def shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Distinct word n-gram shingles per document. Documents shorter
     than n tokens contribute their whole normalized text as the single
-    shingle (so they can still be exact-matched)."""
+    shingle (so they can still be exact-matched). ``carry_cols`` are
+    passed through unchanged (e.g. an event-time column for the
+    watermarked streaming path)."""
     # tokens(lower(x)) ≡ tokens(normalized_text(x)) — the \s+ split +
     # empty-token filter already collapses/strips whitespace, so the
     # normalized_text regex pass is pure overhead here (~25% of the
@@ -79,7 +84,11 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     sh = F.when(F.size(tok) >= n, grams).otherwise(
         F.array(normalized_text(F.col(text_col)))
     )
-    return df.select(F.col(id_col), F.array_distinct(sh).alias("shingles"))
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        F.array_distinct(sh).alias("shingles"),
+    )
 
 
 def _shingle_hash(col, portable: bool):
@@ -107,7 +116,8 @@ def _mix_hash(h, i: int, portable: bool):
 
 
 def hashed_shingle_sets(
-    shingle_df: DataFrame, id_col: str, portable: bool = False
+    shingle_df: DataFrame, id_col: str, portable: bool = False,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, hs) with hs = the document's distinct shingle hashes as ONE
     array column — the working form for both signature generation and
@@ -115,6 +125,7 @@ def hashed_shingle_sets(
     exploding) means everything derived from it is shuffle-free."""
     return shingle_df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         F.array_distinct(
             F.transform("shingles", lambda s: _shingle_hash(s, portable))
         ).alias("hs"),
@@ -136,7 +147,8 @@ def minhash_signatures(
 
 
 def _signatures_from_sets(
-    hs_df: DataFrame, id_col: str, num_hashes: int, portable: bool
+    hs_df: DataFrame, id_col: str, num_hashes: int, portable: bool,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     # NB each lambda must take exactly ONE parameter: pyspark dispatches
     # on lambda arity, and a two-arg lambda (e.g. `lambda h, i=i`)
@@ -150,6 +162,7 @@ def _signatures_from_sets(
 
     return hs_df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         F.col("hs"),
         F.array(*[_min_mixed(i) for i in range(num_hashes)]).alias("signature"),
     )
@@ -687,6 +700,8 @@ def cross_near_dup_pairs_indexed(
     threshold: float = 0.5,
     portable: bool = False,
     repartition_new: bool = True,
+    event_time_col: str | None = None,
+    watermark_delay: str | None = None,
 ) -> DataFrame:
     """Cross-corpus near-dup pairs of a NEW batch against a PREBUILT
     reference index (``cross_ref_index``) — the amortized shape of
@@ -714,29 +729,55 @@ def cross_near_dup_pairs_indexed(
     the fix, scripts/cross_scale_probe.py). The streaming twin turns
     it off: micro-batches arrive pre-partitioned by the source and
     its hot path stays shuffle-free.
+
+    ``event_time_col`` + ``watermark_delay`` select the BOUNDED-STATE
+    streaming form: the event-time column is carried through the
+    per-row signature chain, ``withWatermark`` is applied before the
+    pair dedup, and the dedup becomes ``dropDuplicatesWithinWatermark``
+    — state for a pair key is EVICTED once the watermark passes its
+    event time, so an infinite stream holds only the recent window's
+    pairs instead of every pair ever emitted. A pair's band collisions
+    all originate from one stream row (the reference side is static),
+    so they land in one micro-batch and within-watermark dedup loses
+    nothing; only a re-arrival of the same id_new AFTER the delay can
+    re-emit a pair — the documented tradeoff vs the unbounded default.
+    Batch mode ignores both (the plain pair dropDuplicates runs).
     """
     rows = num_hashes // bands
     if repartition_new:
         new_df = spread_by_id(new_df, id_col)
-    sh = shingles(new_df, id_col, text_col, shingle_n)
-    hs = hashed_shingle_sets(sh, id_col, portable)
-    sig = _signatures_from_sets(hs, id_col, num_hashes, portable)
+    carry = (event_time_col,) if event_time_col and new_df.isStreaming else ()
+    sh = shingles(new_df, id_col, text_col, shingle_n, carry_cols=carry)
+    hs = hashed_shingle_sets(sh, id_col, portable, carry_cols=carry)
+    sig = _signatures_from_sets(hs, id_col, num_hashes, portable,
+                                carry_cols=carry)
     new_bands = sig.select(
         F.col(id_col).alias("id_new"),
+        *[F.col(c) for c in carry],
         F.col("hs").alias("hs_n"),
         F.explode(band_structs(bands, rows, portable)).alias("band"),
-    ).select("id_new", "hs_n", "band.band_idx", "band.band_hash")
+    ).select("id_new", *carry, "hs_n", "band.band_idx", "band.band_hash")
 
     inter = F.size(F.array_intersect("hs_n", "hs_r")).cast("long")
     union = (F.size("hs_n") + F.size("hs_r")).cast("long") - inter
-    return (
+    scored = (
         new_bands.join(ref_index, ["band_idx", "band_hash"])
         .select(
             "id_new",
+            *carry,
             "id_ref",
             (inter.cast("double") / union.cast("double")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+    if carry and watermark_delay:
+        return (
+            scored.withWatermark(event_time_col, watermark_delay)
+            .dropDuplicatesWithinWatermark(["id_new", "id_ref"])
+            .drop(event_time_col)
+        )
+    return (
+        scored.drop(*carry)
         .dropDuplicates(["id_new", "id_ref"])
     )
 

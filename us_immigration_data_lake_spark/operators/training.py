@@ -177,3 +177,110 @@ def train_logreg_hashed(
     finally:
         for frame in cached:
             frame.unpersist()
+
+
+def train_multinomial_logreg_hashed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    num_classes: int,
+    num_buckets: int = 512,
+    rounds: int = 8,
+    lr_den: int = 1,
+    decay: bool = True,
+) -> DataFrame:
+    """Train a MULTINOMIAL (one-vs-rest) hard-sigmoid logistic
+    classifier — the lang-id-head shape — by full-batch gradient
+    descent in the same exact BIGINT fixed-point spec as
+    ``train_logreg_hashed`` (module docstring). ``label_col`` must be
+    a class INDEX in [0, num_classes); NULL-label docs are excluded
+    from n and the gradient entirely (the binary trainer's contract).
+    Returns ``(class, bucket, w_pm)``: ``num_classes`` independent
+    hard-sigmoid heads over the SHARED hashed feature frame, intercept
+    at bucket -1. Predict = argmax over the per-class broadcast-join
+    scores (ties break to the smallest class index).
+
+    One-vs-rest rather than softmax deliberately: each head keeps the
+    binary trainer's bit-replayable integer spec (a softmax needs a
+    per-doc normalizing division — order-sensitive in fixed point),
+    the K heads share one feature frame and one gradient pass, and
+    OvR with argmax decoding is the standard linear lang-id
+    construction (fastText's default loss is exactly independent
+    binary logistics over shared hashed features).
+
+    Plan shape per round: still ONE job — the per-doc score fans each
+    feature row out over an in-row class-array explode (K×, no join,
+    no extra shuffle key), the broadcast weight join carries (class,
+    bucket), and the gradient groupBy is (class, bucket) with a
+    model-sized collect (<= num_classes * (num_buckets+1) rows). k
+    rounds = k aggregate passes over the cached feature frame — the
+    per-round cost is the binary trainer's with a K× map-side fan-out,
+    not K separate training jobs."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    if lr_den < 1:
+        raise ValueError(f"lr_den must be >= 1, got {lr_den}")
+    if num_classes < 2:
+        raise ValueError(f"num_classes must be >= 2, got {num_classes}")
+    spark = df.sparkSession
+    labels = (
+        df.filter(
+            F.col(text_col).isNotNull() & F.col(label_col).isNotNull()
+        )
+        .select(F.col(id_col), F.col(label_col).cast("long").alias("__y"))
+    )
+    feats = hashed_token_features(df, id_col, text_col, num_buckets)
+    classes = F.array(*[F.lit(k).cast("long") for k in range(num_classes)])
+
+    cached = [labels.cache(), feats.cache()]
+    try:
+        n = labels.count()
+        if n == 0:
+            return spark.createDataFrame(
+                [], "class long, bucket long, w_pm long"
+            )
+        w: dict[tuple[int, int], int] = {}
+        for r in range(rounds):
+            m = lr_den * 4 * n * ((r + 1) if decay else 1)
+            wdf = spark.createDataFrame(
+                [(k, b, v) for (k, b), v in w.items()] or [],
+                "__k long, bucket long, __w long",
+            )
+            z = (
+                feats.withColumn("__k", F.explode(classes))
+                .join(F.broadcast(wdf), ["__k", "bucket"], "left")
+                .groupBy(id_col, "__k")
+                .agg(
+                    F.sum(F.coalesce(F.col("__w"), F.lit(0)) * F.col("cnt"))
+                    .alias("__z")
+                )
+            )
+            err = labels.join(z, id_col).select(
+                F.col(id_col),
+                F.col("__k"),
+                (
+                    F.lit(4_000_000)
+                    * (F.col("__y") == F.col("__k")).cast("long")
+                    - F.least(
+                        F.lit(4_000_000),
+                        F.greatest(F.lit(0), F.col("__z") + F.lit(2_000_000)),
+                    )
+                ).alias("__e"),
+            )
+            grad = (
+                feats.join(err, id_col)
+                .groupBy("__k", "bucket")
+                .agg(F.sum(F.col("__e") * F.col("cnt")).alias("__g"))
+                .collect()  # model-sized: <= num_classes*(num_buckets+1)
+            )
+            for row in grad:
+                key = (row["__k"], row["bucket"])
+                w[key] = w.get(key, 0) + row["__g"] // m
+        return spark.createDataFrame(
+            [(k, b, v) for (k, b), v in sorted(w.items())],
+            "class long, bucket long, w_pm long",
+        )
+    finally:
+        for frame in cached:
+            frame.unpersist()

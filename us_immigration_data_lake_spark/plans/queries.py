@@ -12075,3 +12075,104 @@ def q204_stream_cross_semantic_dedup(
         dim=EMBEDDING_DIM, num_bits=_Q187_BITS, max_bucket_size=_Q192_CAP,
     )
     return run_to_memory(pairs, _sink_name("q204_pairs"), mode="append")
+
+
+# ---------------------------------------------------------------------------
+# Q205 — in-engine MULTINOMIAL classifier training (operators/
+# training.py:train_multinomial_logreg_hashed, new r9): the lang-id
+# head — one-vs-rest hard-sigmoid logistic heads over the shared
+# hashed-unigram feature frame, full-batch GD in the same exact BIGINT
+# fixed-point spec as q203 (hard sigmoid in quarter-micro units, pmod
+# floor division, Robbins-Monro decay). OvR instead of softmax so
+# every head stays bit-replayable (a softmax needs a per-doc
+# normalizing division — order-sensitive in fixed point); argmax
+# decoding is the standard linear lang-id construction. Labels come
+# from the documents.lang column (5-way CASE to a class index) — on
+# this synthetic corpus lang is decorrelated from text (verified r8),
+# so the learned weights hover near zero; correctness is exact
+# regardless (the oracle unrolls all rounds bit-for-bit) and
+# learnability is pinned by a planted-signal test over marker
+# vocabularies in tests/test_training.py. Per-round plan: ONE job —
+# in-row class-array explode (K× map-side fan-out, no extra shuffle),
+# broadcast weight join on (class, bucket), (class, bucket) gradient
+# groupBy, model-sized collect (<= K*(B+1) rows).
+# ---------------------------------------------------------------------------
+
+_Q205_B, _Q205_ROUNDS, _Q205_K = 256, 4, 5
+_Q205_LANG_CASE = (
+    "CASE lang WHEN 'en' THEN 0 WHEN 'zh' THEN 1 WHEN 'es' THEN 2 "
+    "WHEN 'de' THEN 3 ELSE 4 END"
+)
+
+
+def _q205_oracle_sql() -> str:
+    b, rounds, k = _Q205_B, _Q205_ROUNDS, _Q205_K
+    sql = f"""
+    WITH base AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         t -> t <> '') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ), lab AS MATERIALIZED (
+      SELECT doc_id, CAST({_Q205_LANG_CASE} AS BIGINT) AS y
+      FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+    ), cls AS MATERIALIZED (
+      SELECT CAST(unnest(generate_series(0, {k - 1})) AS BIGINT) AS k
+    ), fx AS MATERIALIZED (
+      SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT doc_id,
+               ('0x' || substr(md5(t), 1, 15))::BIGINT % {b} AS b
+        FROM (SELECT doc_id, unnest(toks) AS t FROM base)
+      ) GROUP BY doc_id, b
+      UNION ALL
+      SELECT doc_id, CAST(-1 AS BIGINT), CAST(1 AS BIGINT) FROM base
+    ), nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM lab
+    ), w0 AS MATERIALIZED (
+      SELECT CAST(NULL AS BIGINT) AS k, CAST(NULL AS BIGINT) AS b,
+             CAST(NULL AS BIGINT) AS w
+      WHERE FALSE
+    )"""
+    for r in range(1, rounds + 1):
+        m = f"(4 * n.n * {r})"
+        sql += f""", z{r} AS MATERIALIZED (
+      SELECT l.doc_id, l.y, c.k, COALESCE(s.z, 0) AS z
+      FROM lab l CROSS JOIN cls c
+      LEFT JOIN (
+        SELECT f.doc_id, w.k, SUM(w.w * f.cnt) AS z
+        FROM fx f JOIN w{r - 1} w ON f.b = w.b GROUP BY f.doc_id, w.k
+      ) s ON s.doc_id = l.doc_id AND s.k = c.k
+    ), g{r} AS MATERIALIZED (
+      SELECT z.k, f.b,
+             SUM((4000000 * CASE WHEN z.y = z.k THEN 1 ELSE 0 END
+                  - least(4000000, greatest(0, z.z + 2000000))) * f.cnt) AS g
+      FROM fx f JOIN z{r} z USING (doc_id) GROUP BY z.k, f.b
+    ), w{r} AS MATERIALIZED (
+      SELECT g.k, g.b,
+             COALESCE(w.w, 0)
+               + (g.g - ((g.g % {m}) + {m}) % {m}) // {m} AS w
+      FROM g{r} g LEFT JOIN w{r - 1} w ON g.k = w.k AND g.b = w.b, nn n
+    )"""
+    sql += f"""
+    SELECT k AS class, b AS bucket, CAST(w AS BIGINT) AS w_pm FROM w{rounds}
+    """
+    return sql
+
+
+@_register(
+    "q205_train_langid_multinomial",
+    oracle=_q205_oracle_sql(),
+    tags=("training", "classifier", "multinomial", "lang-id",
+          "gradient-descent", "hashing-trick", "fixed-point", "portable"),
+)
+def q205_train_langid_multinomial(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from us_immigration_data_lake_spark.operators import training as tr_ops
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    labeled = docs.withColumn("__y", F.expr(_Q205_LANG_CASE).cast("long"))
+    return tr_ops.train_multinomial_logreg_hashed(
+        labeled, "doc_id", "text", "__y", num_classes=_Q205_K,
+        num_buckets=_Q205_B, rounds=_Q205_ROUNDS,
+    )

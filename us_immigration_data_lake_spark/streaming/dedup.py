@@ -32,6 +32,8 @@ def stream_cross_near_dup_pairs(
     threshold: float = 0.5,
     max_bucket_size: int = 1000,
     portable: bool = False,
+    event_time_col: str | None = None,
+    watermark_delay: str | None = None,
 ) -> DataFrame:
     """Verified (id_new, id_ref, jaccard) near-dup pairs of a document
     STREAM against a static reference corpus.
@@ -49,11 +51,18 @@ def stream_cross_near_dup_pairs(
     - ONE stream-static inner join on (band_idx, band_hash), exact
       hashed-set Jaccard inline, threshold filter;
     - a streaming dropDuplicates on the pair key: the same pair
-      collides in several bands. Unbounded state by design — the key
+      collides in several bands. Unbounded state BY DEFAULT — the key
       space is the emitted-pair set, and jaccard is a pure function of
-      the pair so any kept row is THE row. For an infinite stream,
-      bound it with a watermark upstream; the finite availableNow runs
-      the oracle gate uses need none.
+      the pair so any kept row is THE row; the finite availableNow
+      runs the oracle gate uses need no bound. For an infinite stream,
+      pass ``event_time_col`` + ``watermark_delay``: the event time is
+      carried through the per-row signature chain and the pair dedup
+      becomes ``dropDuplicatesWithinWatermark`` — pair-key state is
+      EVICTED once the watermark passes (bounded by the delay window;
+      eviction is pinned by tests/test_streaming.py). All of a pair's
+      band collisions originate in one stream row, so within-watermark
+      dedup emits the identical pair set unless the same id_new
+      re-arrives after the delay.
 
     Batch-equivalence: with an availableNow trigger the emitted set
     equals operators/dedup.py:cross_near_dup_frames on the same
@@ -77,6 +86,7 @@ def stream_cross_near_dup_pairs(
         num_hashes=num_hashes, bands=bands, threshold=threshold,
         portable=portable,
         repartition_new=False,  # per-row hot path stays shuffle-free
+        event_time_col=event_time_col, watermark_delay=watermark_delay,
     )
 
 
