@@ -54,27 +54,71 @@ def _canon(rows, cols):
     return sorted("|".join(_norm(r[i]) for i in order) for r in rows)
 
 
-@pytest.mark.parametrize("name", list(QUERIES))
-def test_query_matches_oracle(name, spark, duck):
+# The Spark side of the sweep runs CONCURRENTLY (r8 verdict ask #4:
+# the serial 205-query sweep pushed the suite past its 20-minute
+# budget). Spark's scheduler is thread-safe — each query's build +
+# collect is submitted from a pool thread and the driver interleaves
+# their jobs; DuckDB replays stay serial inside each test (the shared
+# connection is not thread-safe, and the replay is not the bottleneck).
+# Per-query pytest granularity is preserved: the pool memoizes either
+# the collected payload or the exception, and each parametrized test
+# reports its own query's outcome.
+_PREFETCH: dict[str, tuple] = {}
+
+
+def _run_one(spark, name):
     spec = QUERIES[name]
-    df = spec.fn(spark, SF)
+    try:
+        df = spec.fn(spark, SF)
+        rows = [tuple(r) for r in df.collect()]
+        return ("ok", df.schema, list(df.columns), rows)
+    except BaseException as e:  # re-raised in the owning test
+        return ("err", e)
+
+
+@pytest.fixture(scope="module")
+def prefetched(spark, request):
+    if not _PREFETCH:
+        from concurrent.futures import ThreadPoolExecutor
+
+        # prefetch only the SELECTED queries (a -k filtered run must
+        # not pay the full 205-query sweep)
+        names = []
+        for item in request.session.items:
+            if "test_query_matches_oracle[" in item.nodeid:
+                names.append(item.nodeid.split("[", 1)[1].rstrip("]"))
+        names = [n for n in dict.fromkeys(names) if n in QUERIES] or list(QUERIES)
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            for name, payload in zip(
+                names, ex.map(lambda n: _run_one(spark, n), names)
+            ):
+                _PREFETCH[name] = payload
+    return _PREFETCH
+
+
+@pytest.mark.parametrize("name", list(QUERIES))
+def test_query_matches_oracle(name, spark, duck, prefetched):
+    spec = QUERIES[name]
+    payload = prefetched.get(name) or _run_one(spark, name)
+    if payload[0] == "err":
+        raise payload[1]
+    _, schema, columns, rows = payload
     if spec.result_schema is not None:
         # the declared-DDL hook the type gate trusts instead of
         # executing this (eager) fn — pin it to the real schema here
         from pyspark.sql.types import StructType
 
-        assert StructType.fromDDL(spec.result_schema) == df.schema, (
+        assert StructType.fromDDL(spec.result_schema) == schema, (
             f"{name}: result_schema hook drifted from executed schema"
         )
-    rows = [tuple(r) for r in df.collect()]
     if spec.oracle is None:
         assert len(rows) > 0, f"{name}: rows-only query returned nothing"
         return
     res = duck.sql(spec.oracle)
     drows = res.fetchall()
-    assert sorted(df.columns) == sorted(res.columns), f"{name}: column mismatch"
+    assert sorted(columns) == sorted(res.columns), f"{name}: column mismatch"
     assert len(rows) == len(drows), f"{name}: rowcount mismatch"
-    assert _canon(rows, df.columns) == _canon(drows, res.columns), f"{name}: value mismatch"
+    assert _canon(rows, columns) == _canon(drows, res.columns), f"{name}: value mismatch"
 
 
 # --- declared-type parity (r5 verdict ask #2) ------------------------------

@@ -1200,12 +1200,16 @@ from us_immigration_data_lake_spark.streaming.stateful import (  # noqa: E402
     running_user_stats,
 )
 
-_STREAM_SEQ = [0]  # memory-sink names must be unique per run
+import itertools as _it
+
+# memory-sink names must be unique per run; itertools.count.__next__ is
+# atomic under the GIL, so concurrent query builds (the parity suite's
+# thread-pool prefetch) can't mint duplicate sink names
+_STREAM_SEQ = _it.count(1)
 
 
 def _sink_name(base: str) -> str:
-    _STREAM_SEQ[0] += 1
-    return f"{base}_{_STREAM_SEQ[0]}"
+    return f"{base}_{next(_STREAM_SEQ)}"
 
 
 # ---------------------------------------------------------------------------
