@@ -2135,3 +2135,165 @@ def test_cross_dedup_survivors_cache_registry(spark):
     for fr in reg:
         assert fr.storageLevel.useMemory  # actually cached
         fr.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# r9: sequence packing (operators/packing.py, next-fit variant) — greedy next-fit into
+# fixed-capacity context windows, sharded for parallelism.
+# ---------------------------------------------------------------------------
+
+
+def _py_pack(rows, capacity, num_shards):
+    """Pure-Python replay: md5 shard + per-shard next-fit in id order."""
+    import hashlib
+
+    def shard_of(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % num_shards
+
+    by_shard = {}
+    for i, ln in rows:
+        by_shard.setdefault(shard_of(i), []).append((i, ln))
+    out = {}
+    for s, docs in by_shard.items():
+        b, fill = 0, 0
+        for i, ln in sorted(docs):
+            if fill > 0 and fill + ln > capacity:
+                b, fill = b + 1, 0
+            out[i] = (s, b, fill)
+            fill += ln
+    return out
+
+
+def test_pack_sequences_matches_python(spark):
+    from us_immigration_data_lake_spark.operators.packing import (
+        pack_sequences_nextfit,
+    )
+
+    rows = [(i, (i * 37) % 200 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    got = {
+        r.doc_id: (r.shard, r.bin, r.offset)
+        for r in pack_sequences_nextfit(df, "doc_id", "n_tok", capacity=256,
+                                num_shards=8).collect()
+    }
+    assert got == _py_pack(rows, 256, 8)
+
+
+def test_pack_sequences_invariants(spark):
+    from us_immigration_data_lake_spark.operators.packing import (
+        pack_sequences_nextfit,
+    )
+
+    rows = [(i, (i * 53) % 300 + 1) for i in range(500)]
+    lens = dict(rows)
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    packed = pack_sequences_nextfit(df, "doc_id", "n_tok", capacity=256,
+                            num_shards=4).collect()
+    assert len(packed) == 500  # nothing dropped
+    by_bin = {}
+    for r in packed:
+        by_bin.setdefault((r.shard, r.bin), []).append(r)
+    for (s, b), members in by_bin.items():
+        members.sort(key=lambda r: r.offset)
+        fill = 0
+        for m in members:
+            assert m.offset == fill  # contiguous, no gaps or overlaps
+            fill += lens[m.doc_id]
+        # a multi-doc bin never exceeds capacity; a single oversized
+        # doc (len > cap) overflows alone
+        if len(members) > 1:
+            assert fill <= 256
+    # bins within a shard are dense from 0
+    for s in {r.shard for r in packed}:
+        bins = sorted({r.bin for r in packed if r.shard == s})
+        assert bins == list(range(len(bins)))
+
+
+def test_pack_sequences_oversized_doc_gets_own_bin(spark):
+    from us_immigration_data_lake_spark.operators.packing import (
+        pack_sequences_nextfit,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, 999), (3, 100)], "doc_id long, n_tok long"
+    )
+    packed = {r.doc_id: (r.bin, r.offset) for r in pack_sequences_nextfit(
+        df, "doc_id", "n_tok", capacity=256, num_shards=1
+    ).collect()}
+    assert packed[2][1] == 0  # the oversized doc starts its own bin
+    bins = {d: b for d, (b, _) in packed.items()}
+    assert bins[1] != bins[2] and bins[2] != bins[3]
+
+
+def test_pack_sequences_rejects_bad_lengths(spark):
+    from us_immigration_data_lake_spark.operators.packing import (
+        pack_sequences_nextfit,
+    )
+
+    df = spark.createDataFrame([(1, None)], "doc_id long, n_tok long")
+    with pytest.raises(Exception, match="NULL/negative"):
+        pack_sequences_nextfit(df, "doc_id", "n_tok", capacity=10).collect()
+
+
+# ---------------------------------------------------------------------------
+# r9: CCNet-style reference-LM perplexity filter (textstats.py:
+# ref_lm_bigram_xent).
+# ---------------------------------------------------------------------------
+
+
+def _py_ref_lm(new_rows, ref_rows):
+    import math
+    import re as _re
+
+    def toks_of(text):
+        return [t for t in _re.split(r"\s+", text.strip().lower()) if t]
+
+    def pairs_of(text):
+        ts = toks_of(text)
+        return list(zip([chr(1)] + ts[:-1], ts))
+
+    c2, c1, vocab = {}, {}, set()
+    for _i, text in ref_rows:
+        for p, c in pairs_of(text):
+            c2[(p, c)] = c2.get((p, c), 0) + 1
+            c1[p] = c1.get(p, 0) + 1
+            vocab.add(c)
+    v = len(vocab)
+    out = {}
+    for i, text in new_rows:
+        ps = pairs_of(text)
+        if not ps:
+            continue
+        s = sum(
+            round(math.log((c2.get((p, c), 0) + 1) / (c1.get(p, 0) + v + 1)) * 1e6)
+            for p, c in ps
+        )
+        n = len(ps)
+        q, r = divmod(-s, n)  # -s >= 0: trunc == floor
+        out[i] = (n, q)
+    return out
+
+
+def test_ref_lm_bigram_xent_matches_python(spark):
+    ref_rows = [
+        (10, "the quick brown fox jumps over the lazy dog"),
+        (11, "the quick red fox runs past the sleeping dog"),
+        (12, "a quick brown dog jumps over a lazy fox"),
+    ]
+    new_rows = [
+        (1, "the quick brown fox jumps again"),   # reference-like
+        (2, "zygote quasar nebula flux capacitor"),  # alien
+        (3, ""),                                   # tokenless: no row
+        (4, "the the the the"),
+    ]
+    new_df = spark.createDataFrame(new_rows, ["doc_id", "text"])
+    ref_df = spark.createDataFrame(ref_rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_tokens, r.xent_micro)
+        for r in ts.ref_lm_bigram_xent(new_df, ref_df, "doc_id", "text").collect()
+    }
+    want = _py_ref_lm(new_rows, ref_rows)
+    assert got == want
+    assert 3 not in got  # empty doc emits no score row
+    # reference-like text scores LOWER than alien text
+    assert got[1][1] < got[2][1]

@@ -276,3 +276,104 @@ def test_train_multinomial_releases_caches(spark):
     )
     jcm = spark._jsparkSession.sharedState().cacheManager()
     assert jcm.isEmpty(), "train_multinomial_logreg_hashed leaked a cache entry"
+
+
+# ---------------------------------------------------------------------------
+# r9: closed-form multinomial Naive Bayes (micronat log-space).
+# ---------------------------------------------------------------------------
+
+
+def _py_nb(rows, num_buckets):
+    """Pure-Python replay of naive_bayes_model + naive_bayes_classify."""
+    import math
+
+    def toks_of(text):
+        return [t for t in re.split(r"[ \t\n\x0B\f\r]+", text.strip().lower()) if t]
+
+    def feats_of(text):
+        return Counter(_md5_long(t) % num_buckets for t in toks_of(text))
+
+    labeled = [(i, text, y) for i, text, y in rows
+               if text is not None and y is not None]
+    n = len(labeled)
+    kb, tot, nk = {}, {}, {}
+    for _i, text, y in labeled:
+        nk[y] = nk.get(y, 0) + 1
+        for b, c in feats_of(text).items():
+            kb[(y, b)] = kb.get((y, b), 0) + c
+            tot[y] = tot.get(y, 0) + c
+    B = num_buckets
+    w = {key: round(math.log((c + 1) / (tot[key[0]] + B)) * 1e6)
+         for key, c in kb.items()}
+    classes = {
+        k: (round(math.log(nk[k] / n) * 1e6),
+            round(math.log(1 / (tot.get(k, 0) + B)) * 1e6))
+        for k in nk
+    }
+    preds = {}
+    for i, text, _y in rows:
+        if text is None:
+            continue
+        f = feats_of(text)
+        t_d = sum(f.values())
+        best = None
+        for k, (prior, default) in sorted(classes.items()):
+            s = prior + t_d * default + sum(
+                c * (w[(k, b)] - default) for b, c in f.items() if (k, b) in w
+            )
+            if best is None or s > best[1]:
+                best = (k, s)
+        preds[i] = best
+    return w, classes, preds
+
+
+def test_naive_bayes_matches_python_exactly(spark):
+    df = spark.createDataFrame(MULTI_FIXTURE, "doc_id long, text string, y long")
+    model = tr.naive_bayes_model(df, "doc_id", "text", "y", num_buckets=64)
+    got_w = {(r["class"], r.bucket): r.w_micro
+             for r in model["weights"].collect()}
+    got_c = {r["class"]: (r.prior_micro, r.default_micro)
+             for r in model["classes"].collect()}
+    want_w, want_c, want_preds = _py_nb(MULTI_FIXTURE, 64)
+    assert got_w == want_w
+    assert got_c == want_c
+    got_preds = {
+        r.doc_id: (r.pred_class, r.score_micro)
+        for r in tr.naive_bayes_classify(
+            df, model, "doc_id", "text", num_buckets=64
+        ).collect()
+    }
+    assert got_preds == want_preds
+    # empty-text doc 7 predicted from priors alone (class 1 is the
+    # most frequent label in MULTI_FIXTURE)
+    assert 7 in got_preds
+
+
+def test_naive_bayes_learns_planted_signal(spark):
+    markers = {0: "alpha", 1: "bravo", 2: "charlie"}
+    rows = []
+    for i in range(60):
+        k = i % 3
+        rows.append((i, f"{markers[k]} common word{i % 5} {markers[k]}", k))
+    df = spark.createDataFrame(rows, "doc_id long, text string, y long")
+    model = tr.naive_bayes_model(df, "doc_id", "text", "y", num_buckets=128)
+    preds = {
+        r.doc_id: r.pred_class
+        for r in tr.naive_bayes_classify(
+            df, model, "doc_id", "text", num_buckets=128
+        ).collect()
+    }
+    assert all(preds[i] == i % 3 for i in range(60))
+
+
+def test_naive_bayes_never_predicts_unseen_class(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha alpha", 7), (1, "bravo bravo", 9)],
+        "doc_id long, text string, y long",
+    )
+    model = tr.naive_bayes_model(df, "doc_id", "text", "y", num_buckets=32)
+    preds = {r.doc_id: r.pred_class for r in tr.naive_bayes_classify(
+        df, model, "doc_id", "text", num_buckets=32
+    ).collect()}
+    assert set(preds.values()) <= {7, 9}
+    assert preds[0] == 7 and preds[1] == 9

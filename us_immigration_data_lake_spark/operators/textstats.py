@@ -830,3 +830,98 @@ def bpe_merges(
     return df.sparkSession.createDataFrame(
         out, "rank bigint, left string, right string, merged string, pair_count bigint"
     )
+
+
+def ref_lm_bigram_xent(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """CROSS-corpus LM quality filtering, the CCNet construction
+    (Wenzek et al. 2020 -- public: score crawl documents by perplexity
+    under a language model trained on a CURATED reference corpus; keep
+    the low-perplexity head): an add-1-smoothed BIGRAM LM is "trained"
+    (counted) on ``ref_df`` and every ``new_df`` document is scored by
+    its per-token cross-entropy under it. Returns (id, n_tokens,
+    xent_micro) -- micronats per token, LOWER = more reference-like.
+    The in-engine counterpart of CCNet's KenLM stage at the bigram
+    order; the cross-corpus complement of ``unigram_cross_entropy``
+    (which scores a corpus against itself).
+
+        P(cur | prev) = (c2(prev, cur) + 1) / (c1(prev) + V)
+
+    with c2/c1 the reference bigram/context counts, V = |ref vocab|+1
+    (add-1 headroom for unseen types -- the standard open-vocabulary
+    hack; the distribution is improper on unseen curs, which a FILTER
+    does not care about), and a per-document BOS sentinel (chr(1),
+    not producible by whitespace tokenization of the corpora at hand;
+    DuckDB replays it as chr(1)) so first tokens are conditioned too.
+    Unseen prev contexts degrade to ln(1/V).
+
+    Reproducibility: the xent/DSIR micronat rule -- each bigram's
+    surprisal integer-izes ONCE (ROUND(ln*1e6)); per-doc sums and the
+    final per-token division are exact BIGINT arithmetic, order-free.
+
+    Scale: the reference is scanned once into two censuses (bigram,
+    context) -- both linear in ref tokens, joined to the new side by
+    key-shuffle equi-joins (never broadcast: a 100 TB reference's
+    bigram census is itself large); the new side pays one tokenize
+    pass. Score cost is linear in NEW tokens and independent of ref
+    size beyond the censuses' one-time build -- cache or persist them
+    via the returned plan when scoring repeated batches."""
+    bos = chr(1)
+
+    def _pairs(df: DataFrame) -> DataFrame:
+        toks = tokens(F.lower(F.col(text_col)))
+        prevs = F.concat(
+            F.array(F.lit(bos)),
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        )
+        return (
+            df.filter(F.col(text_col).isNotNull())
+            .select(
+                F.col(id_col),
+                F.explode(
+                    F.arrays_zip(prevs.alias("prev"), toks.alias("cur"))
+                ).alias("bg"),
+            )
+            # a TOKENLESS doc zips [bos] against [] and arrays_zip pads
+            # with NULL — drop the pad so empty docs emit no bigrams
+            # (and thus no score row), matching the SQL replay
+            .filter(F.col("bg.cur").isNotNull())
+            .select(id_col, "bg.prev", "bg.cur")
+        )
+
+    ref_pairs = _pairs(ref_df)
+    c2 = ref_pairs.groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).cast("long").alias("c2")
+    )
+    c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    vocab = c2.select(F.countDistinct("cur").alias("__v"))
+
+    new_pairs = _pairs(new_df)
+    term_micro = F.round(
+        F.log(
+            (F.coalesce(F.col("c2"), F.lit(0)) + 1).cast("double")
+            / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("__v") + 1).cast(
+                "double"
+            )
+        )
+        * 1e6
+    ).cast("long")
+    return (
+        new_pairs.join(c2, ["prev", "cur"], "left")
+        .join(c1, "prev", "left")
+        .crossJoin(F.broadcast(vocab))  # single-row aggregate
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(term_micro).alias("__s"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.expr("CAST((-__s) div n_tokens AS BIGINT)").alias("xent_micro"),
+        )
+    )

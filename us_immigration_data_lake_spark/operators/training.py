@@ -284,3 +284,185 @@ def train_multinomial_logreg_hashed(
     finally:
         for frame in cached:
             frame.unpersist()
+
+
+def naive_bayes_model(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    num_buckets: int = 512,
+) -> dict[str, DataFrame]:
+    """CLOSED-FORM multinomial Naive Bayes over hashed token features —
+    the counting complement of the GD trainers (one aggregation pass
+    IS the training; no rounds, no learning rate). Laplace add-1
+    smoothing over the ``num_buckets`` hashed vocabulary. Returns
+
+    - ``weights``: (class, bucket, w_micro) for every (class, bucket)
+      OBSERVED in training — w_micro = round(ln((c_kb + 1) /
+      (tot_k + B)) * 1e6) micronats;
+    - ``classes``: (class, prior_micro, default_micro) per observed
+      label — the log prior round(ln(n_k / n) * 1e6) and the UNSEEN-
+      bucket log-likelihood round(ln(1 / (tot_k + B)) * 1e6).
+
+    Log-space reproducibility follows the xent/DSIR micronat rule
+    (textstats.py:unigram_xent): each term integer-izes ONCE via
+    ROUND(ln(...)*1e6) — identical in Spark and DuckDB up to the
+    documented sub-half-ulp caveat — and every downstream sum is exact
+    BIGINT, order-free. NULL text or NULL label rows are excluded from
+    training entirely (the GD trainers' contract). Classes never seen
+    in training are absent from the model and can never be predicted.
+
+    Scale: one tokenize scan + two key-shuffles (doc-feature groupBy,
+    (class, bucket) groupBy); the model is <= K*(B+1) rows — broadcast
+    material. At 100 TB this is the cheapest trainable classifier in
+    the engine: strictly one pass, no iteration."""
+    feats = hashed_token_features(df, id_col, text_col, num_buckets).filter(
+        F.col("bucket") >= 0  # NB has no intercept feature
+    )
+    labels = df.filter(
+        F.col(text_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(F.col(id_col), F.col(label_col).cast("long").alias("class"))
+
+    kb = (
+        feats.join(labels, id_col)
+        .groupBy("class", "bucket")
+        .agg(F.sum("cnt").alias("c_kb"))
+    )
+    ktot = kb.groupBy("class").agg(F.sum("c_kb").alias("tot_k"))
+    nk = labels.groupBy("class").agg(F.count(F.lit(1)).alias("n_k"))
+    n_total = labels.agg(F.count(F.lit(1)).alias("n_all"))
+
+    b = F.lit(num_buckets).cast("long")
+    weights = kb.join(ktot, "class").select(
+        "class",
+        "bucket",
+        F.round(
+            F.log(
+                (F.col("c_kb") + 1).cast("double")
+                / (F.col("tot_k") + b).cast("double")
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("w_micro"),
+    )
+    classes = (
+        nk.join(ktot, "class", "left")  # a class of empty texts: tot_k = 0
+        .withColumn("tot_k", F.coalesce("tot_k", F.lit(0)))
+        .crossJoin(F.broadcast(n_total))  # single-row aggregate
+        .select(
+            "class",
+            F.round(
+                F.log(F.col("n_k").cast("double") / F.col("n_all").cast("double"))
+                * 1e6
+            )
+            .cast("long")
+            .alias("prior_micro"),
+            F.round(
+                F.log(F.lit(1.0) / (F.col("tot_k") + b).cast("double")) * 1e6
+            )
+            .cast("long")
+            .alias("default_micro"),
+        )
+    )
+    return {"weights": weights, "classes": classes}
+
+
+def naive_bayes_classify(
+    df: DataFrame,
+    model: dict[str, DataFrame],
+    id_col: str,
+    text_col: str,
+    num_buckets: int = 512,
+) -> DataFrame:
+    """Classify documents with a ``naive_bayes_model``: per (doc,
+    class), score_micro = prior + sum_b tf_b * logP(b|class) in exact
+    BIGINT micronats; returns (id, pred_class, score_micro) with
+    argmax ties breaking to the smallest class index.
+
+    Plan shape — the unseen-bucket default is algebraically folded so
+    the grid join stays broadcast-sized:
+
+        score(d,k) = prior_k + T_d * default_k
+                     + sum_{b in d, (k,b) observed} tf_db * (w_kb - default_k)
+
+    so the only per-token work is ONE broadcast join of the doc
+    features against the model's observed (class, bucket) DELTAS,
+    then a (doc, class) groupBy; the (doc x class) grid itself is an
+    in-row explode of the driver-collected class list (model-sized,
+    the IVF-codebook-style sanctioned collect). ``num_buckets`` must
+    match the model build."""
+    cls_rows = sorted(
+        (r["class"], r["prior_micro"], r["default_micro"])
+        for r in model["classes"].collect()  # model-sized: K rows
+    )
+    if not cls_rows:
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [], f"{id_col} long, pred_class long, score_micro long"
+        )
+    all_feats = hashed_token_features(df, id_col, text_col, num_buckets)
+    # bias rows (bucket -1) don't score, but they keep TOKENLESS docs in
+    # the grid: an empty text still gets a prediction (= argmax prior,
+    # since T_d = 0 and nothing joins in s_obs)
+    feats = all_feats.filter(F.col("bucket") >= 0)
+    deltas = (
+        model["weights"]
+        .join(model["classes"], "class")
+        .select(
+            "class",
+            "bucket",
+            (F.col("w_micro") - F.col("default_micro")).alias("w_delta"),
+        )
+    )
+    obs = (
+        feats.join(F.broadcast(deltas), "bucket")
+        .groupBy(id_col, "class")
+        .agg(F.sum(F.col("cnt") * F.col("w_delta")).alias("s_obs"))
+    )
+    grid = (
+        all_feats.groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("bucket") >= 0, F.col("cnt")).otherwise(0)
+            ).alias("__t")
+        )
+        .select(
+            F.col(id_col),
+            F.col("__t"),
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(k).cast("long").alias("class"),
+                        F.lit(p).cast("long").alias("prior_micro"),
+                        F.lit(d).cast("long").alias("default_micro"),
+                    )
+                    for k, p, d in cls_rows
+                ])
+            ).alias("__c"),
+        )
+        .select(id_col, "__t", "__c.class", "__c.prior_micro",
+                "__c.default_micro")
+    )
+    scored = (
+        grid.join(obs, [id_col, "class"], "left")
+        .select(
+            F.col(id_col),
+            F.col("class"),
+            (
+                F.col("prior_micro")
+                + F.col("__t") * F.col("default_micro")
+                + F.coalesce(F.col("s_obs"), F.lit(0))
+            ).alias("score_micro"),
+        )
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(F.struct(F.col("score_micro"), (-F.col("class")).alias("__nk")))
+        .alias("__best")
+    )
+    return best.select(
+        F.col(id_col),
+        (-F.col("__best.__nk")).alias("pred_class"),
+        F.col("__best.score_micro").alias("score_micro"),
+    )

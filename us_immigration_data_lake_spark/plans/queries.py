@@ -12180,3 +12180,247 @@ def q205_train_langid_multinomial(
         labeled, "doc_id", "text", "__y", num_classes=_Q205_K,
         num_buckets=_Q205_B, rounds=_Q205_ROUNDS,
     )
+
+
+# ---------------------------------------------------------------------------
+# Q206 — closed-form multinomial NAIVE BAYES train + classify
+# (operators/training.py:naive_bayes_model/naive_bayes_classify, new
+# r9): the counting complement of the GD trainers — ONE aggregation
+# pass is the training (no rounds, no learning rate), Laplace add-1
+# over the hashed vocabulary, log-space in micronat BIGINTs per the
+# xent/DSIR reproducibility rule (each term integer-izes once via
+# ROUND(ln*1e6); every sum downstream is exact bigint, order-free).
+# Trains on documents.lang (q205's label), classifies the SAME corpus:
+# (doc_id, pred_class, score_micro), argmax ties to the smallest
+# class. The unseen-bucket default is algebraically folded
+# (score = prior + T_d*default + sum tf*(w-default)) so the scoring
+# join is broadcast-of-model only; the (doc x class) grid is an
+# in-row explode of the K driver-collected classes.
+# ---------------------------------------------------------------------------
+
+_Q206_B = 256
+
+
+def _q206_oracle_sql() -> str:
+    b = _Q206_B
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         t -> t <> '') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ), lab AS MATERIALIZED (
+      SELECT doc_id, CAST({_Q205_LANG_CASE} AS BIGINT) AS k
+      FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+    ), fx AS MATERIALIZED (
+      SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT doc_id,
+               ('0x' || substr(md5(t), 1, 15))::BIGINT % {b} AS b
+        FROM (SELECT doc_id, unnest(toks) AS t FROM base)
+      ) GROUP BY doc_id, b
+    ), kb AS MATERIALIZED (
+      SELECT l.k, f.b, SUM(f.cnt) AS c_kb
+      FROM fx f JOIN lab l USING (doc_id) GROUP BY l.k, f.b
+    ), ktot AS (SELECT k, SUM(c_kb) AS tot_k FROM kb GROUP BY k
+    ), nk AS (SELECT k, COUNT(*) AS n_k FROM lab GROUP BY k
+    ), nn AS (SELECT COUNT(*) AS n_all FROM lab
+    ), w AS MATERIALIZED (
+      SELECT kb.k, kb.b,
+             CAST(ROUND(ln((c_kb + 1.0) / (tot_k + {b})) * 1e6) AS BIGINT)
+               AS w_micro
+      FROM kb JOIN ktot USING (k)
+    ), cls AS MATERIALIZED (
+      SELECT nk.k,
+             CAST(ROUND(ln(n_k * 1.0 / n.n_all) * 1e6) AS BIGINT)
+               AS prior_micro,
+             CAST(ROUND(ln(1.0 / (COALESCE(tot_k, 0) + {b})) * 1e6) AS BIGINT)
+               AS default_micro
+      FROM nk LEFT JOIN ktot USING (k), nn n
+    ), tsum AS (
+      SELECT base.doc_id, COALESCE(SUM(fx.cnt), 0) AS t_d
+      FROM base LEFT JOIN fx USING (doc_id) GROUP BY base.doc_id
+    ), sobs AS (
+      SELECT f.doc_id, w.k,
+             SUM(f.cnt * (w.w_micro - c.default_micro)) AS s_obs
+      FROM fx f JOIN w ON f.b = w.b JOIN cls c ON w.k = c.k
+      GROUP BY f.doc_id, w.k
+    ), scored AS (
+      SELECT t.doc_id, c.k,
+             c.prior_micro + t.t_d * c.default_micro
+               + COALESCE(s.s_obs, 0) AS score
+      FROM tsum t CROSS JOIN cls c
+      LEFT JOIN sobs s ON s.doc_id = t.doc_id AND s.k = c.k
+    )
+    SELECT doc_id, k AS pred_class, CAST(score AS BIGINT) AS score_micro
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, k ASC) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """
+
+
+@_register(
+    "q206_naive_bayes_langid",
+    oracle=_q206_oracle_sql(),
+    tags=("training", "classifier", "naive-bayes", "lang-id",
+          "closed-form", "micronats", "portable"),
+)
+def q206_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators import training as tr_ops
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    labeled = docs.withColumn("__y", F.expr(_Q205_LANG_CASE).cast("long"))
+    model = tr_ops.naive_bayes_model(
+        labeled, "doc_id", "text", "__y", num_buckets=_Q206_B
+    )
+    return tr_ops.naive_bayes_classify(
+        docs, model, "doc_id", "text", num_buckets=_Q206_B
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q207 — NO-STRADDLE sequence packing (operators/packing.py:
+# pack_sequences_nextfit, new r9): greedy next-fit of whole documents
+# into fixed-capacity context windows — the q82 packer's complement
+# (q82 packs by cumulative offset and lets a document straddle a
+# boundary; this form never splits a document — instruction-tuning /
+# document-objective batch assembly). Inherently sequential, so
+# sharded: portable md5 shard of the id, per-shard pack in id order,
+# one Arrow-batched applyInPandas pass per shard (the sanctioned
+# custom-operator path — a data-dependent running reset has no
+# built-in-expression form short of an O(n^2) array-append fold).
+# The oracle replays the recursion with a RECURSIVE CTE per shard —
+# the q198/q199 fold-oracle pairing applied to a packing fold.
+# ---------------------------------------------------------------------------
+
+_Q207_CAP, _Q207_SHARDS = 512, 16
+
+
+def _q207_oracle_sql() -> str:
+    cap, shards = _Q207_CAP, _Q207_SHARDS
+    return f"""
+    WITH RECURSIVE sized AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                  t -> t <> '')) AS BIGINT) AS n_tok,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % {shards} AS shard
+      FROM documents WHERE text IS NOT NULL
+    ), ordered AS (
+      SELECT doc_id, n_tok, shard,
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM sized
+    ), rec AS (
+      SELECT shard, rn, doc_id,
+             CAST(0 AS BIGINT) AS bin,
+             CAST(0 AS BIGINT) AS off,
+             n_tok AS fill
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.shard, o.rn, o.doc_id,
+             CASE WHEN r.fill > 0 AND r.fill + o.n_tok > {cap}
+                  THEN r.bin + 1 ELSE r.bin END,
+             CASE WHEN r.fill > 0 AND r.fill + o.n_tok > {cap}
+                  THEN CAST(0 AS BIGINT) ELSE r.fill END,
+             CASE WHEN r.fill > 0 AND r.fill + o.n_tok > {cap}
+                  THEN o.n_tok ELSE r.fill + o.n_tok END
+      FROM rec r JOIN ordered o ON o.shard = r.shard AND o.rn = r.rn + 1
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard, bin, off AS "offset"
+    FROM rec
+    """
+
+
+@_register(
+    "q207_pack_nextfit",
+    oracle=_q207_oracle_sql(),
+    tags=("llm", "packing", "next-fit", "applyInPandas", "portable"),
+)
+def q207_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.functions.text import token_count
+    from us_immigration_data_lake_spark.operators.packing import (
+        pack_sequences_nextfit,
+    )
+
+    _tune(spark)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            token_count(F.lower(F.col("text"))).cast("long").alias("n_tok"),
+        )
+    )
+    return pack_sequences_nextfit(
+        docs, "doc_id", "n_tok", capacity=_Q207_CAP, num_shards=_Q207_SHARDS
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q208 — CCNet-style reference-LM perplexity filter (operators/
+# textstats.py:ref_lm_bigram_xent, new r9): score NEW documents (odd
+# doc_ids) by cross-entropy under an add-1-smoothed BIGRAM LM counted
+# from the CURATED reference (even doc_ids) — Wenzek et al. 2020's
+# quality-filter construction at the bigram order, and the
+# cross-corpus complement of q81's within-corpus unigram xent. Exact
+# micronat log-space (each bigram surprisal integer-izes once via
+# ROUND(ln*1e6); per-doc sums and the per-token division are exact
+# BIGINT). BOS sentinel chr(1) conditions first tokens; V = |ref
+# vocab|+1 add-1 headroom for unseen types; unseen contexts degrade
+# to ln(1/V). Tokenless docs emit no row (both engines).
+# ---------------------------------------------------------------------------
+
+
+def _q208_oracle_sql() -> str:
+    return """
+    WITH dd AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         t -> t <> '') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ), refp AS MATERIALIZED (
+      SELECT unnest((list_prepend(chr(1), toks))[1:len(toks)]) AS prev,
+             unnest(toks) AS cur
+      FROM dd WHERE doc_id % 2 = 0
+    ), newp AS MATERIALIZED (
+      SELECT doc_id,
+             unnest((list_prepend(chr(1), toks))[1:len(toks)]) AS prev,
+             unnest(toks) AS cur
+      FROM dd WHERE doc_id % 2 = 1
+    ), c2 AS MATERIALIZED (
+      SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c2
+      FROM refp GROUP BY prev, cur
+    ), c1 AS (SELECT prev, SUM(c2) AS c1 FROM c2 GROUP BY prev
+    ), v AS (SELECT COUNT(DISTINCT cur) AS v FROM c2
+    ), terms AS (
+      SELECT n.doc_id,
+             CAST(ROUND(ln((COALESCE(c2.c2, 0) + 1.0)
+                           / (COALESCE(c1.c1, 0) + v.v + 1)) * 1e6) AS BIGINT)
+               AS t
+      FROM newp n
+      LEFT JOIN c2 ON n.prev = c2.prev AND n.cur = c2.cur
+      LEFT JOIN c1 ON n.prev = c1.prev, v
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST((-SUM(t)) // COUNT(*) AS BIGINT) AS xent_micro
+    FROM terms GROUP BY doc_id
+    """
+
+
+@_register(
+    "q208_ref_lm_quality_filter",
+    oracle=_q208_oracle_sql(),
+    tags=("llm", "quality", "lm-filter", "ccnet", "cross-corpus",
+          "micronats", "portable"),
+)
+def q208_ref_lm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.textstats import (
+        ref_lm_bigram_xent,
+    )
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    new_df = docs.filter(F.col("doc_id") % 2 == 1)
+    ref_df = docs.filter(F.col("doc_id") % 2 == 0)
+    return ref_lm_bigram_xent(new_df, ref_df, "doc_id", "text")
