@@ -2297,3 +2297,89 @@ def test_ref_lm_bigram_xent_matches_python(spark):
     assert 3 not in got  # empty doc emits no score row
     # reference-like text scores LOWER than alien text
     assert got[1][1] < got[2][1]
+
+
+# ---------------------------------------------------------------------------
+# r9: BPE tokenizer APPLICATION (textstats.bpe_token_counts).
+# ---------------------------------------------------------------------------
+
+
+def _py_bpe_count(rows, merges):
+    import re as _re
+
+    def toks_of(text):
+        return [t for t in _re.split(r"\s+", text.strip().lower()) if t]
+
+    def encode(word):
+        syms = list(word)
+        for l, r in merges:
+            out = []
+            for s in syms:
+                if out and out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            syms = out
+        return syms
+
+    res = {}
+    for i, text in rows:
+        if text is None:
+            continue
+        ws = toks_of(text)
+        if not ws:
+            continue
+        res[i] = (len(ws), sum(len(encode(w)) for w in ws))
+    return res
+
+
+def test_bpe_token_counts_matches_python(spark):
+    rows = [
+        (1, "banana bandana ban"),
+        (2, "an anna banana"),
+        (3, "xyz"),
+        (4, ""),
+    ]
+    merges = [("a", "n"), ("b", "an"), ("an", "an")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in ts.bpe_token_counts(df, "doc_id", "text", merges).collect()
+    }
+    assert got == _py_bpe_count(rows, merges)
+    assert 4 not in got  # tokenless doc emits no row
+
+
+def test_bpe_encode_consistent_with_training(spark):
+    """Applying the merges bpe_merges just learned must reproduce the
+    trainer's own final symbol state (encode is training's apply step
+    run standalone)."""
+    rows = [(i, "low lower lowest newer newest") for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges = [
+        (r["left"], r["right"])
+        for r in ts.bpe_merges(df, "text", n_merges=5).orderBy("rank").collect()
+    ]
+    assert len(merges) == 5
+    got = {
+        r.doc_id: r.n_bpe_tokens
+        for r in ts.bpe_token_counts(df, "doc_id", "text", merges).collect()
+    }
+    want = _py_bpe_count(rows, merges)
+    assert got == {i: want[i][1] for i in want}
+    # BPE merges only ever SHRINK the token stream vs characters
+    chars = sum(len(w) for w in "low lower lowest newer newest".split())
+    assert all(v < chars for v in got.values())
+
+
+def test_bpe_token_counts_checkpoint_chunking(spark):
+    """A merge list longer than checkpoint_every must still encode
+    correctly (the chunked-localCheckpoint path)."""
+    rows = [(1, "aaaaaaaa")]
+    merges = [("a", "a"), ("aa", "aa"), ("aaaa", "aaaa")] + [
+        ("q", "q")] * 7  # pad with no-op merges to cross the chunk line
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = ts.bpe_token_counts(
+        df, "doc_id", "text", merges, checkpoint_every=4
+    ).collect()
+    assert got[0].n_bpe_tokens == 1  # 8 chars fused to one symbol

@@ -925,3 +925,62 @@ def ref_lm_bigram_xent(
             F.expr("CAST((-__s) div n_tokens AS BIGINT)").alias("xent_micro"),
         )
     )
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """APPLY a trained BPE merge table (``bpe_merges`` output, rank
+    order) and count the resulting tokens per document — the encode
+    half of the tokenizer family, and the honest way to budget corpora
+    in MODEL tokens rather than whitespace words (mixture fill, packing
+    and DSIR all consume token counts; a whitespace count under-prices
+    rare/long words that BPE splits). Returns (id, n_words,
+    n_bpe_tokens).
+
+    Plan shape — the fold runs on the VOCABULARY, not the corpus: the
+    merge recursion applies per distinct word (|vocab| rows), each
+    merge one left-to-right array fold (``_bpe_apply_merge``, the
+    training fold reused verbatim), then documents join the word →
+    token-count table by word. Corpus-order cost is ONE tokenize pass
+    + one key-shuffle join; the M-merge recursion touches only vocab
+    rows. ``merges`` is a driver-side list (the trained table is
+    model-sized — the IVF-codebook collect pattern). Every
+    ``checkpoint_every`` merges the vocab frame localCheckpoints:
+    CollapseProject would otherwise fuse all M folds into one
+    expression tree and janino's 64 KB method limit is real (the
+    IVF-PQ ADC lesson)."""
+    words = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("__wc"))
+    )
+    state = words.select(
+        "w",
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .alias("symbols"),
+    )
+    for i, (l, r) in enumerate(merges):
+        state = state.select(
+            "w", _bpe_apply_merge(F.col("symbols"), l, r).alias("symbols")
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < len(merges):
+            state = state.localCheckpoint(eager=True)
+    word_tok = state.select("w", F.size("symbols").cast("long").alias("__n"))
+
+    occ = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("w"),
+    )
+    return (
+        occ.join(word_tok, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("__n").cast("long").alias("n_bpe_tokens"),
+        )
+    )

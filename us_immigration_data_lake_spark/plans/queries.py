@@ -12007,6 +12007,9 @@ def _q203_oracle_sql() -> str:
 @_register(
     "q203_train_quality_classifier",
     oracle=_q203_oracle_sql(),
+    bench=True,  # r9: the training family's perf axis — 8 GD rounds over
+    # the cached feature frame; the per-round marginal cost is the
+    # measured quantity (SCALE.md r9)
     tags=("training", "classifier", "gradient-descent", "hashing-trick",
           "fixed-point", "portable"),
 )
@@ -12262,6 +12265,8 @@ def _q206_oracle_sql() -> str:
 @_register(
     "q206_naive_bayes_langid",
     oracle=_q206_oracle_sql(),
+    bench=True,  # r9: closed-form training — one aggregation pass IS the
+    # train; prices the cheapest classifier path
     tags=("training", "classifier", "naive-bayes", "lang-id",
           "closed-form", "micronats", "portable"),
 )
@@ -12335,6 +12340,8 @@ def _q207_oracle_sql() -> str:
 @_register(
     "q207_pack_nextfit",
     oracle=_q207_oracle_sql(),
+    bench=True,  # r9: the packing family's perf axis — one tokenize pass
+    # + sharded applyInPandas (the Arrow slow-path, priced honestly)
     tags=("llm", "packing", "next-fit", "applyInPandas", "portable"),
 )
 def q207_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12411,6 +12418,8 @@ def _q208_oracle_sql() -> str:
 @_register(
     "q208_ref_lm_quality_filter",
     oracle=_q208_oracle_sql(),
+    bench=True,  # r9: the LM-filter family's perf axis — two ref censuses
+    # + two key-shuffle joins, linear in tokens
     tags=("llm", "quality", "lm-filter", "ccnet", "cross-corpus",
           "micronats", "portable"),
 )
@@ -12424,3 +12433,93 @@ def q208_ref_lm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_df = docs.filter(F.col("doc_id") % 2 == 1)
     ref_df = docs.filter(F.col("doc_id") % 2 == 0)
     return ref_lm_bigram_xent(new_df, ref_df, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Q209 — BPE tokenizer APPLICATION (operators/textstats.py:
+# bpe_token_counts, new r9): train q194's merge table in-engine, then
+# ENCODE the corpus with it and count per-document MODEL tokens — the
+# budgeting quantity packing/mixture/DSIR should consume (whitespace
+# counts under-price words BPE splits). The merge fold runs on the
+# VOCABULARY (per distinct word), documents join the word→count table;
+# corpus-order cost is one tokenize pass + one key-shuffle join. The
+# oracle re-derives the merges with q194's generated CTE chain
+# (list_reduce over a '|'-delimited accumulator, words never contain
+# '|'), carrying the word through every round, then replays the join.
+# ---------------------------------------------------------------------------
+
+
+def _q209_oracle_sql() -> str:
+    n = _Q194_MERGES
+    rounds = []
+    for k in range(n):
+        rounds.append(f"""p{k} AS MATERIALIZED (
+      SELECT p[1] AS l, p[2] AS r, CAST(SUM(cnt) AS BIGINT) AS pair_count
+      FROM (
+        SELECT unnest(CASE WHEN len(symbols) >= 2
+                           THEN [[symbols[i], symbols[i+1]]
+                                 for i in range(1, len(symbols))]
+                           ELSE CAST([] AS VARCHAR[][]) END) AS p,
+               cnt
+        FROM s{k}
+      ) GROUP BY 1, 2
+    ), m{k} AS MATERIALIZED (
+      SELECT l, r FROM p{k}
+      ORDER BY pair_count DESC, l, r LIMIT 1
+    ), s{k + 1} AS MATERIALIZED (
+      SELECT w,
+             list_filter(string_split(
+               list_reduce(list_prepend('', symbols),
+                 (acc, x) -> CASE
+                   WHEN ends_with(acc, '|' || m.l) AND x = m.r
+                   THEN substr(acc, 1, length(acc) - length(m.l) - 1)
+                        || '|' || m.l || m.r
+                   ELSE acc || '|' || x END),
+               '|'), s -> s <> '') AS symbols,
+             cnt
+      FROM s{k} CROSS JOIN m{k} m
+    )""")
+    blocks = ", ".join(rounds)
+    return f"""
+    WITH words AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                  t -> t <> '')) AS w
+        FROM documents
+      ) GROUP BY w
+    ), s0 AS MATERIALIZED (
+      SELECT w, [w[i] for i in range(1, length(w)+1)] AS symbols, cnt
+      FROM words
+    ), {blocks}, wtok AS MATERIALIZED (
+      SELECT w, CAST(len(symbols) AS BIGINT) AS n_bpe FROM s{n}
+    ), occ AS (
+      SELECT doc_id, unnest(list_filter(
+               string_split_regex(trim(lower(text)), '\\s+'),
+               t -> t <> '')) AS w
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens
+    FROM occ JOIN wtok USING (w) GROUP BY doc_id
+    """
+
+
+@_register(
+    "q209_bpe_token_counts",
+    oracle=_q209_oracle_sql(),
+    bench=True,  # r9: the tokenizer-APPLY perf axis — vocab-sized merge
+    # folds + one corpus join (train is q194's axis)
+    tags=("llm", "tokenizer", "bpe", "encode", "token-count", "portable"),
+)
+def q209_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in ts_ops.bpe_merges(docs, "text", n_merges=_Q194_MERGES)
+        .orderBy("rank")
+        .collect()  # model-sized: the trained merge table
+    ]
+    return ts_ops.bpe_token_counts(
+        docs.filter(F.col("text").isNotNull()), "doc_id", "text", merges
+    )
