@@ -199,8 +199,112 @@ def main() -> None:
         results["stream_cross_srp"] = probe_stream(spark)
     if "multi" in which:
         results["multinomial_vs_binary"] = probe_multi(spark)
+    if "nb" in which:
+        results["naive_bayes"] = probe_nb(spark)
+    if "pack" in which:
+        results["pack_nextfit"] = probe_pack(spark)
+    if "reflm" in which:
+        results["ref_lm_xent"] = probe_reflm(spark)
+    if "bpe" in which:
+        results["bpe_encode"] = probe_bpe_encode(spark)
     print(json.dumps({"probe": "r9_slopes", "results": results}))
 
 
 if __name__ == "__main__":
     main()
+
+
+def probe_nb(spark) -> dict:
+    """q206 Naive Bayes train+classify at 1x/3x/10x. Claim: one
+    aggregation pass trains; scoring is one broadcast-of-model join —
+    everything linear in corpus tokens."""
+    out: dict[str, float] = {}
+    for label, d in DIRS.items():
+        docs = _docs(spark, d)
+        labeled = docs.withColumn(
+            "__y", F.pmod(F.length("text"), F.lit(5)).cast("long")
+        )
+
+        def plan():
+            model = tr.naive_bayes_model(
+                labeled, "doc_id", "text", "__y", num_buckets=256
+            )
+            return tr.naive_bayes_classify(
+                docs, model, "doc_id", "text", num_buckets=256
+            )
+
+        out[label] = _timed_noop(plan)
+        spark.catalog.clearCache()
+    return out
+
+
+def probe_pack(spark) -> dict:
+    """q207 next-fit packing at 1x/3x/10x. Claim: one tokenize pass +
+    sharded Arrow packing — linear, shard-parallel."""
+    from us_immigration_data_lake_spark.functions.text import token_count
+    from us_immigration_data_lake_spark.operators.packing import (
+        pack_sequences_nextfit,
+    )
+
+    out: dict[str, float] = {}
+    for label, d in DIRS.items():
+        docs = _docs(spark, d).select(
+            "doc_id",
+            token_count(F.lower(F.col("text"))).cast("long").alias("n_tok"),
+        )
+        out[label] = _timed_noop(
+            lambda: pack_sequences_nextfit(
+                docs, "doc_id", "n_tok", capacity=512, num_shards=32
+            )
+        )
+        spark.catalog.clearCache()
+    return out
+
+
+def probe_reflm(spark) -> dict:
+    """q208 reference-LM filter along BOTH axes: (a) both sides scale
+    (odd/even split of the scaled fixture), (b) ref fixed at 1x, new
+    scaled — the censuses-are-one-time-cost claim."""
+    from us_immigration_data_lake_spark.operators.textstats import (
+        ref_lm_bigram_xent,
+    )
+
+    out: dict[str, dict[str, float]] = {"both": {}, "new_axis": {}}
+    ref_1x = _docs(spark, DIRS["1x"]).filter(F.col("doc_id") % 2 == 0)
+    for label, d in DIRS.items():
+        docs = _docs(spark, d)
+        new_side = docs.filter(F.col("doc_id") % 2 == 1)
+        out["both"][label] = _timed_noop(
+            lambda: ref_lm_bigram_xent(
+                new_side, docs.filter(F.col("doc_id") % 2 == 0),
+                "doc_id", "text",
+            )
+        )
+        spark.catalog.clearCache()
+        out["new_axis"][label] = _timed_noop(
+            lambda: ref_lm_bigram_xent(new_side, ref_1x, "doc_id", "text")
+        )
+        spark.catalog.clearCache()
+    return out
+
+
+def probe_bpe_encode(spark) -> dict:
+    """q209 BPE apply at 1x/3x/10x with a FIXED merge table (trained
+    once at 1x — the deployment shape: tokenizer trained on a sample,
+    applied to the corpus). Claim: vocab-sized folds + one corpus
+    join — linear in tokens."""
+    from us_immigration_data_lake_spark.operators import textstats as ts
+
+    merges = [
+        (r["left"], r["right"])
+        for r in ts.bpe_merges(_docs(spark, DIRS["1x"]), "text", n_merges=8)
+        .orderBy("rank").collect()
+    ]
+    out: dict[str, float] = {}
+    for label, d in DIRS.items():
+        docs = _docs(spark, d)
+        out[label] = _timed_noop(
+            lambda: ts.bpe_token_counts(docs, "doc_id", "text", merges)
+        )
+        spark.catalog.clearCache()
+    return out

@@ -608,3 +608,58 @@ def test_stream_cross_dedup_watermark_bounds_pair_state(spark, tmp_path):
             total = max(total, op.get("numRowsTotal", 0) or 0)
     assert removed >= 1, "watermark never evicted any pair-dedup state"
     assert total < 3, f"state held all pairs at once (numRowsTotal={total})"
+
+
+def test_stream_classify_multibatch_equals_batch(spark, tmp_path):
+    """naive_bayes_classify_rowwise over a multi-file stream
+    (maxFilesPerTrigger=1) must emit exactly the batch classifier's
+    rows: the scorer is a pure per-row expression — no joins, no
+    state — so micro-batch boundaries are invisible."""
+    from us_immigration_data_lake_spark.operators import training as tr
+
+    rows = [
+        (0, "alpha alpha noise", 0), (2, "bravo bravo word", 1),
+        (4, "charlie charlie thing", 2), (6, "alpha alpha blah", 0),
+        (8, "bravo bravo stuff", 1), (10, "charlie charlie item", 2),
+    ]
+    train = spark.createDataFrame(rows, "doc_id long, text string, y long")
+    model = tr.naive_bayes_model(train, "doc_id", "text", "y", num_buckets=32)
+
+    new_rows = [(1, "alpha crisp"), (3, "bravo blur"), (5, "charlie czar")]
+    new_df = spark.createDataFrame(new_rows, ["doc_id", "text"])
+    src = str(tmp_path / "clsdocs")
+    for i, (d, _t) in enumerate(new_rows):  # one file per doc -> 3 batches
+        new_df.filter(F.col("doc_id") == d).coalesce(1).write.parquet(
+            src, mode="overwrite" if i == 0 else "append"
+        )
+    stream = (
+        spark.readStream.schema(new_df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        tr.naive_bayes_classify_rowwise(
+            stream, model, "doc_id", "text", num_buckets=32
+        )
+        .writeStream.format("memory")
+        .queryName("x_stream_classify")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.doc_id: (r.pred_class, r.score_micro)
+        for r in spark.table("x_stream_classify").collect()
+    }
+    want = {
+        r.doc_id: (r.pred_class, r.score_micro)
+        for r in tr.naive_bayes_classify(
+            new_df, model, "doc_id", "text", num_buckets=32
+        ).collect()
+    }
+    assert got == want
+    assert [got[d][0] for d in (1, 3, 5)] == [0, 1, 2]  # markers recovered
+    # zero streaming state: no state operators at all
+    for p in q.recentProgress:
+        assert not p["stateOperators"]

@@ -377,3 +377,34 @@ def test_naive_bayes_never_predicts_unseen_class(spark):
     ).collect()}
     assert set(preds.values()) <= {7, 9}
     assert preds[0] == 7 and preds[1] == 9
+
+
+def test_nb_rowwise_matches_batch_classify(spark):
+    """The compiled per-row scorer must agree with the join-based batch
+    classifier exactly — same argmax, same scores, same tie-breaks."""
+    df = spark.createDataFrame(MULTI_FIXTURE, "doc_id long, text string, y long")
+    model = tr.naive_bayes_model(df, "doc_id", "text", "y", num_buckets=64)
+    batch = {
+        r.doc_id: (r.pred_class, r.score_micro)
+        for r in tr.naive_bayes_classify(
+            df, model, "doc_id", "text", num_buckets=64
+        ).collect()
+    }
+    roww = {
+        r.doc_id: (r.pred_class, r.score_micro)
+        for r in tr.naive_bayes_classify_rowwise(
+            df, model, "doc_id", "text", num_buckets=64
+        ).collect()
+    }
+    assert roww == batch
+
+
+def test_nb_rowwise_is_stateless_per_row(spark):
+    """The row-wise scorer's plan must contain no join, no aggregate,
+    no exchange — the property that makes it stream-safe."""
+    df = spark.createDataFrame(MULTI_FIXTURE, "doc_id long, text string, y long")
+    model = tr.naive_bayes_model(df, "doc_id", "text", "y", num_buckets=32)
+    plan = tr.naive_bayes_classify_rowwise(
+        df, model, "doc_id", "text", num_buckets=32
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan and "Aggregate" not in plan

@@ -12523,3 +12523,112 @@ def q209_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts_ops.bpe_token_counts(
         docs.filter(F.col("text").isNotNull()), "doc_id", "text", merges
     )
+
+
+# ---------------------------------------------------------------------------
+# Q210 — STREAMING in-flight classification (operators/training.py:
+# naive_bayes_classify_rowwise, new r9): score a document STREAM with
+# an in-engine-trained Naive Bayes model COMPILED into per-row literal
+# weight arrays — zero joins, zero aggregation, ZERO streaming state
+# (the q204 construction applied to inference): per row, K folds over
+# the token array against dense micronat weights + an argmax chain,
+# append mode at any input rate. Model trained batch-side on the EVEN
+# documents (q206's machinery), the ODD documents arrive as a file
+# stream and are classified in-flight — the ingest-filter shape (score
+# this week's crawl with last week's classifier). Oracle = the q206
+# construction with train/score split on parity; multi-micro-batch
+# equivalence is immediate (per-row expressions cannot see batch
+# boundaries) and pinned in tests/test_streaming.py.
+# ---------------------------------------------------------------------------
+
+
+def _q210_oracle_sql() -> str:
+    b = _Q206_B
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         t -> t <> '') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ), lab AS MATERIALIZED (
+      SELECT doc_id, CAST({_Q205_LANG_CASE} AS BIGINT) AS y
+      FROM documents
+      WHERE text IS NOT NULL AND lang IS NOT NULL AND doc_id % 2 = 0
+    ), fx AS MATERIALIZED (
+      SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT doc_id,
+               ('0x' || substr(md5(t), 1, 15))::BIGINT % {b} AS b
+        FROM (SELECT doc_id, unnest(toks) AS t FROM base)
+      ) GROUP BY doc_id, b
+    ), kb AS MATERIALIZED (
+      SELECT l.y AS k, f.b, SUM(f.cnt) AS c_kb
+      FROM fx f JOIN lab l USING (doc_id) GROUP BY l.y, f.b
+    ), ktot AS (SELECT k, SUM(c_kb) AS tot_k FROM kb GROUP BY k
+    ), nk AS (SELECT y AS k, COUNT(*) AS n_k FROM lab GROUP BY y
+    ), nn AS (SELECT COUNT(*) AS n_all FROM lab
+    ), w AS MATERIALIZED (
+      SELECT kb.k, kb.b,
+             CAST(ROUND(ln((c_kb + 1.0) / (tot_k + {b})) * 1e6) AS BIGINT)
+               AS w_micro
+      FROM kb JOIN ktot USING (k)
+    ), cls AS MATERIALIZED (
+      SELECT nk.k,
+             CAST(ROUND(ln(n_k * 1.0 / n.n_all) * 1e6) AS BIGINT)
+               AS prior_micro,
+             CAST(ROUND(ln(1.0 / (COALESCE(tot_k, 0) + {b})) * 1e6) AS BIGINT)
+               AS default_micro
+      FROM nk LEFT JOIN ktot USING (k), nn n
+    ), tsum AS (
+      SELECT base.doc_id, COALESCE(SUM(fx.cnt), 0) AS t_d
+      FROM base LEFT JOIN fx USING (doc_id)
+      WHERE base.doc_id % 2 = 1 GROUP BY base.doc_id
+    ), sobs AS (
+      SELECT f.doc_id, w.k,
+             SUM(f.cnt * (w.w_micro - c.default_micro)) AS s_obs
+      FROM fx f JOIN w ON f.b = w.b JOIN cls c ON w.k = c.k
+      WHERE f.doc_id % 2 = 1
+      GROUP BY f.doc_id, w.k
+    ), scored AS (
+      SELECT t.doc_id, c.k,
+             c.prior_micro + t.t_d * c.default_micro
+               + COALESCE(s.s_obs, 0) AS score
+      FROM tsum t CROSS JOIN cls c
+      LEFT JOIN sobs s ON s.doc_id = t.doc_id AND s.k = c.k
+    )
+    SELECT doc_id, k AS pred_class, CAST(score AS BIGINT) AS score_micro
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, k ASC) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """
+
+
+@_register(
+    "q210_stream_classify",
+    oracle=_q210_oracle_sql(),
+    tags=("streaming", "training", "inference", "naive-bayes",
+          "stateless", "micronats", "portable"),
+)
+def q210_stream_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators import training as tr_ops
+    from us_immigration_data_lake_spark.sources.readers import (
+        read_parquet_stream,
+    )
+    from us_immigration_data_lake_spark.streaming.windows import run_to_memory
+
+    _tune(spark)
+    train = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.col("doc_id") % 2 == 0))
+        .withColumn("__y", F.expr(_Q205_LANG_CASE).cast("long"))
+    )
+    model = tr_ops.naive_bayes_model(
+        train, "doc_id", "text", "__y", num_buckets=_Q206_B
+    )
+    stream = read_parquet_stream(
+        spark, f"{sf_dir.rstrip('/')}/documents*.parquet"
+    ).filter(F.col("doc_id") % 2 == 1)
+    scored = tr_ops.naive_bayes_classify_rowwise(
+        stream, model, "doc_id", "text", num_buckets=_Q206_B
+    )
+    return run_to_memory(scored, _sink_name("q210_scored"), mode="append")
