@@ -210,8 +210,6 @@ def main() -> None:
     print(json.dumps({"probe": "r9_slopes", "results": results}))
 
 
-if __name__ == "__main__":
-    main()
 
 
 def probe_nb(spark) -> dict:
@@ -308,3 +306,7 @@ def probe_bpe_encode(spark) -> dict:
         )
         spark.catalog.clearCache()
     return out
+
+
+if __name__ == "__main__":
+    main()
