@@ -2383,3 +2383,51 @@ def test_bpe_token_counts_checkpoint_chunking(spark):
         df, "doc_id", "text", merges, checkpoint_every=4
     ).collect()
     assert got[0].n_bpe_tokens == 1  # 8 chars fused to one symbol
+
+
+# ---------------------------------------------------------------------------
+# r9: cross-group shingle-overlap matrix (dedup.cross_group_overlap).
+# ---------------------------------------------------------------------------
+
+
+def test_cross_group_overlap_matches_python(spark):
+    import hashlib
+    import re as _re
+
+    rows = [
+        (1, "the quick brown fox jumps high", "wiki"),
+        (2, "the quick brown fox runs far", "wiki"),
+        (3, "the quick brown fox jumps high today", "cc"),
+        (4, "completely different content entirely here", "cc"),
+        (5, "unrelated words about mountains and rivers", "books"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {
+        (r.group_a, r.group_b): (r.shingles_a, r.shingles_b, r.shared, r.jaccard)
+        for r in dd.cross_group_overlap(
+            df, "doc_id", "text", "source", shingle_n=3, portable=True
+        ).collect()
+    }
+
+    def sh_of(text):
+        toks = [t for t in _re.split(r"\s+", text.strip().lower()) if t]
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)} or {text.strip().lower()}
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    by_src = {}
+    for _i, text, src in rows:
+        by_src.setdefault(src, set()).update(h(s) for s in sh_of(text))
+    want = {}
+    for a in by_src:
+        for b in by_src:
+            if a < b and by_src[a] & by_src[b]:
+                inter = len(by_src[a] & by_src[b])
+                want[(a, b)] = (
+                    len(by_src[a]), len(by_src[b]), inter,
+                    round(inter / len(by_src[a] | by_src[b]), 6),
+                )
+    assert got == want
+    assert ("cc", "wiki") in got and got[("cc", "wiki")][2] >= 3
+    assert all(k[0] != "books" and k[1] != "books" for k in got)  # no overlap rows

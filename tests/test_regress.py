@@ -72,3 +72,66 @@ def test_ewma_weights_recent_heavier(spark):
     assert out[0] == 0
     # 0.5*100 / 0.9375 = 53.333... → 53_333_333 micro-units
     assert out[3] == 53_333_333
+
+
+# ---------------------------------------------------------------------------
+# r9: exact two-sample Kolmogorov-Smirnov drift (ks_two_sample).
+# ---------------------------------------------------------------------------
+
+
+def _py_ks(xs_a, xs_b):
+    na, nb = len(xs_a), len(xs_b)
+    support = sorted(set(xs_a) | set(xs_b))
+    d = 0
+    for v in support:
+        ca = sum(1 for x in xs_a if x <= v)
+        cb = sum(1 for x in xs_b if x <= v)
+        d = max(d, abs(nb * ca - na * cb))
+    return na, nb, d, na * nb
+
+
+def test_ks_two_sample_matches_python(spark):
+    from us_immigration_data_lake_spark.operators.regress import ks_two_sample
+
+    xs_a = [1, 2, 2, 3, 5, 8, 8, 9, 12, 15]
+    xs_b = [2, 3, 3, 4, 4, 6, 7, 20]
+    rows = [("a", v) for v in xs_a] + [("b", v) for v in xs_b] + [("c", 99)]
+    df = spark.createDataFrame(rows, "grp string, x long")
+    got = ks_two_sample(df, "grp", "x", "a", "b").collect()
+    assert len(got) == 1
+    r = got[0]
+    na, nb, dn, dd = _py_ks(xs_a, xs_b)
+    assert (r.n_a, r.n_b, r.d_num, r.d_den) == (na, nb, dn, dd)
+    assert abs(r.d_stat - dn / dd) < 1e-9
+
+
+def test_ks_identical_distributions_zero(spark):
+    from us_immigration_data_lake_spark.operators.regress import ks_two_sample
+
+    rows = [("a", v) for v in range(50)] + [("b", v) for v in range(50)]
+    df = spark.createDataFrame(rows, "grp string, x long")
+    r = ks_two_sample(df, "grp", "x", "a", "b").collect()[0]
+    assert r.d_num == 0 and r.d_stat == 0.0
+
+
+def test_ks_disjoint_distributions_one(spark):
+    from us_immigration_data_lake_spark.operators.regress import ks_two_sample
+
+    rows = [("a", v) for v in range(10)] + [("b", v + 100) for v in range(7)]
+    df = spark.createDataFrame(rows, "grp string, x long")
+    r = ks_two_sample(df, "grp", "x", "a", "b").collect()[0]
+    assert r.d_num == r.d_den and r.d_stat == 1.0
+
+
+def test_ks_detects_negative_shift(spark):
+    """Negative values exercise global_cumsum's sum-based offsets (a
+    max-based offset silently corrupts on negatives)."""
+    from us_immigration_data_lake_spark.operators.regress import ks_two_sample
+
+    xs_a = [-50, -40, -30, -20, -10, 0, 10]
+    xs_b = [-10, 0, 10, 20, 30, 40, 50]
+    rows = [("a", v) for v in xs_a] + [("b", v) for v in xs_b]
+    df = spark.createDataFrame(rows, "grp string, x long")
+    r = ks_two_sample(df, "grp", "x", "a", "b").collect()[0]
+    na, nb, dn, dd = _py_ks(xs_a, xs_b)
+    assert (r.d_num, r.d_den) == (dn, dd)

@@ -1899,3 +1899,72 @@ def edit_distance_pairs(
         )
         .filter(F.col("distance") <= d)
     )
+
+
+def cross_group_overlap(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    shingle_n: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """Pairwise SHINGLE-OVERLAP matrix between document groups
+    (sources, splits, snapshots) — the curation diagnostic behind
+    "how much does source A overlap source B" / split-contamination
+    review, the GROUP-level counterpart of per-doc ``decontaminate``.
+    Returns one row per unordered group pair (group_a < group_b):
+    (group_a, group_b, shingles_a, shingles_b, shared, jaccard) over
+    the groups' DISTINCT shingle-hash sets.
+
+    Plan: one shingle pass (shared with the dedup family), explode to
+    (group, shingle_hash), distinct, then a self-equi-join on the
+    shingle hash — per shingle the fan-out is C(groups-with-shingle, 2),
+    bounded by the GROUP-count squared, a deployment constant (tens of
+    sources, not millions; for high-cardinality grouping use the
+    postings/prefix-filter set-similarity family instead, which prunes
+    by similarity). Group sizes are count+min-free aggregates; output
+    is groups² rows — driver-trivial. Jaccard divides exact bigints
+    once (oracle rule 1)."""
+    sh = shingles(
+        df.filter(F.col(text_col).isNotNull()), id_col, text_col, shingle_n,
+        carry_cols=(group_col,),
+    )
+    gs = (
+        sh.select(
+            F.col(group_col).alias("__g"),
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        "shingles", lambda s: _shingle_hash(s, portable)
+                    )
+                )
+            ).alias("__h"),
+        )
+        .dropDuplicates(["__g", "__h"])
+    )
+    sizes = gs.groupBy("__g").agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    a = gs.select(F.col("__g").alias("group_a"), "__h")
+    b = gs.select(F.col("__g").alias("group_b"), "__h")
+    inter = (
+        a.join(b, "__h")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    sa = sizes.select(F.col("__g").alias("group_a"), F.col("__n").alias("shingles_a"))
+    sb = sizes.select(F.col("__g").alias("group_b"), F.col("__n").alias("shingles_b"))
+    return (
+        inter.join(sa, "group_a")
+        .join(sb, "group_b")
+        .select(
+            "group_a", "group_b", "shingles_a", "shingles_b", "shared",
+            F.round(
+                F.col("shared").cast("double")
+                / (
+                    F.col("shingles_a") + F.col("shingles_b") - F.col("shared")
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -547,3 +547,79 @@ def holt_winters_additive(
             f"__st.l + {h} * __st.b + element_at(__st.s, {fc_slot})"
         ).cast("long").alias("forecast_e6"),
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov distance between the
+    ``value_col`` distributions of two groups — the standard
+    distribution-drift test a pipeline runs between corpus snapshots
+    (did this week's length/quality/score distribution move?), the
+    distributional sibling of the mean-level CUSUM above. Returns ONE
+    row: (n_a, n_b, d_num, d_den, d_stat) where
+
+        D = max over the merged support of |F_a(v) - F_b(v)|
+          = d_num / d_den,   d_num = max |n_b*C_a(v) - n_a*C_b(v)|,
+                             d_den = n_a * n_b
+
+    with C the cumulative counts — EXACT BIGINT cross-multiplication
+    (no per-step double division: two CDFs differing by < 1 ulp would
+    tie-break nondeterministically); d_stat divides the two exact
+    integers once (oracle rule 1). Values must be orderable and
+    exact (integers / strings); NULL values are excluded.
+
+    Scale: per-value per-group counts (one groupBy — map-side
+    combined, key space = distinct values), a full-outer align on the
+    value, then the engine's two-phase ``global_cumsum`` over the
+    merged support (range exchange + parallel per-partition cumsums +
+    a numPartitions-sized offset collect) — NEVER a single-partition
+    ``Window.orderBy`` cumsum; a 10^9-distinct-value support flows
+    through at cluster parallelism. The final max is one aggregate."""
+    from us_immigration_data_lake_spark.operators.windows import global_cumsum
+
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isin([group_a, group_b])
+    ).select(
+        F.col(value_col).alias("__v"),
+        F.when(F.col(group_col) == group_a, 1).otherwise(0).cast("long")
+        .alias("__ca"),
+        F.when(F.col(group_col) == group_b, 1).otherwise(0).cast("long")
+        .alias("__cb"),
+    )
+    per_value = base.groupBy("__v").agg(
+        F.sum("__ca").alias("__ca"), F.sum("__cb").alias("__cb")
+    )
+    cum = global_cumsum(per_value, ["__v"], ["__ca", "__cb"])
+    totals = base.agg(
+        F.sum("__ca").alias("n_a"), F.sum("__cb").alias("n_b")
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))  # single-row aggregate
+        .select(
+            "n_a",
+            "n_b",
+            F.abs(
+                F.col("n_b") * F.col("__ca_cum")
+                - F.col("n_a") * F.col("__cb_cum")
+            ).alias("__d"),
+        )
+        .groupBy("n_a", "n_b")
+        .agg(F.max("__d").alias("d_num"))
+        .select(
+            "n_a",
+            "n_b",
+            "d_num",
+            (F.col("n_a") * F.col("n_b")).alias("d_den"),
+            F.round(
+                F.col("d_num").cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("d_stat"),
+        )
+    )

@@ -273,3 +273,65 @@ def global_row_number(
         .withColumn(rank_col, (F.coalesce("__off", F.lit(0)) + F.col("__lrank")).cast("long"))
         .drop("__pid", "__lrank", "__off")
     )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_by: list[str],
+    value_cols: list[str],
+    num_partitions: int | None = None,
+    fault_tolerant: bool = False,
+) -> DataFrame:
+    """Global running SUM of ``value_cols`` over a TOTAL order — the
+    cumulative-sum sibling of ``global_row_number``, and the same
+    scale story: never ``sum().over(Window.orderBy(...))`` (a
+    single-partition window pulls every row through one task). Two
+    phases: range-partition on the order keys + per-partition local
+    cumsums (fully parallel), then per-partition totals (a
+    numPartitions-sized collect) become driver-side offsets added
+    back per partition. Appends ``<col>_cum`` for each value column;
+    sums are computed in the columns' own type (cast to long/decimal
+    upstream for exactness). ``order_by`` must be a total order
+    (append a unique id). ``fault_tolerant`` as in global_row_number:
+    True re-executes the deterministic sort instead of pinning
+    unreplicated localCheckpoint blocks."""
+    cols = [F.col(c) for c in order_by]
+    rp = (
+        df.repartitionByRange(num_partitions, *cols)
+        if num_partitions
+        else df.repartitionByRange(*cols)
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = rp.withColumn("__pid", F.spark_partition_id())
+    for c in value_cols:
+        local = local.withColumn(f"{c}_cum", F.sum(F.col(c)).over(w))
+    if not fault_tolerant:
+        local = local.localCheckpoint(eager=True)
+    # partition totals from the RAW columns (sum), not max(cum):
+    # max(cum) only equals the partition total when values are
+    # non-negative — sums are sign-agnostic
+    totals = (
+        local.groupBy("__pid")
+        .agg(*[F.sum(F.col(c)).alias(c) for c in value_cols])
+        .collect()  # numPartitions-sized
+    )
+    offsets: dict[int, list] = {}
+    acc = [0] * len(value_cols)
+    for row in sorted(totals, key=lambda r: r["__pid"]):
+        offsets[row["__pid"]] = list(acc)
+        acc = [a + (row[c] or 0) for a, c in zip(acc, value_cols)]
+    off_df = df.sparkSession.createDataFrame(
+        [(p, *o) for p, o in offsets.items()] or [(0, *[0] * len(value_cols))],
+        ", ".join(["__pid int"] + [f"__off_{c} long" for c in value_cols]),
+    )
+    out = local.join(F.broadcast(off_df), "__pid", "left")
+    for c in value_cols:
+        out = out.withColumn(
+            f"{c}_cum",
+            F.col(f"{c}_cum") + F.coalesce(F.col(f"__off_{c}"), F.lit(0)),
+        )
+    return out.drop("__pid", *[f"__off_{c}" for c in value_cols])

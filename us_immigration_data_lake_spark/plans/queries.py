@@ -12632,3 +12632,121 @@ def q210_stream_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, model, "doc_id", "text", num_buckets=_Q206_B
     )
     return run_to_memory(scored, _sink_name("q210_scored"), mode="append")
+
+
+# ---------------------------------------------------------------------------
+# Q211 — cross-SOURCE shingle-overlap matrix (operators/dedup.py:
+# cross_group_overlap, new r9): the curation diagnostic behind "how
+# much does source A overlap source B" — pairwise distinct-shingle
+# intersection/Jaccard between all document sources, the GROUP-level
+# counterpart of per-doc decontamination (q64). One shingle pass,
+# (group, hash) distinct, one self-equi-join on the shingle hash —
+# per-shingle fan-out bounded by source-count² (a deployment
+# constant). Pairs with zero overlap are absent by construction.
+# ---------------------------------------------------------------------------
+
+
+def _q211_oracle_sql() -> str:
+    return """
+    WITH tok AS (
+      SELECT source,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         t -> t <> '') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ), sh AS MATERIALIZED (
+      SELECT source,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct([array_to_string(toks[i:i+2], ' ')
+                                      for i in range(1, len(toks) - 1)])
+                  ELSE [array_to_string(toks, ' ')] END AS shingles
+      FROM tok
+    ), gs AS MATERIALIZED (
+      SELECT DISTINCT source AS g,
+             ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+      FROM (SELECT source, unnest(shingles) AS s FROM sh)
+    ), sizes AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM gs GROUP BY g
+    ), inter AS (
+      SELECT a.g AS group_a, b.g AS group_b,
+             CAST(COUNT(*) AS BIGINT) AS shared
+      FROM gs a JOIN gs b ON a.h = b.h AND a.g < b.g
+      GROUP BY 1, 2
+    )
+    SELECT group_a, group_b, sa.n AS shingles_a, sb.n AS shingles_b,
+           shared,
+           ROUND(shared * 1.0 / (sa.n + sb.n - shared), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.g = group_a
+    JOIN sizes sb ON sb.g = group_b
+    """
+
+
+@_register(
+    "q211_cross_source_overlap",
+    oracle=_q211_oracle_sql(),
+    tags=("llm", "curation", "overlap", "contamination", "jaccard",
+          "portable"),
+)
+def q211_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.cross_group_overlap(
+        docs, "doc_id", "text", "source", shingle_n=3, portable=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q212 — EXACT two-sample Kolmogorov-Smirnov drift (operators/
+# regress.py:ks_two_sample, new r9): the distribution-drift test a
+# pipeline runs between corpus snapshots — here the n_chars length
+# distributions of the 'en' vs 'zh' document populations. D is exact
+# BIGINT cross-multiplication (d_num = max |n_b·C_a − n_a·C_b|, d_den
+# = n_a·n_b; one double division at the end). The cumulative counts
+# run through the engine's two-phase global_cumsum (range exchange +
+# parallel per-partition cumsums + offset collect) — NEVER a
+# single-partition ORDER BY window; the oracle replays with a plain
+# window cumsum (fine at oracle scale).
+# ---------------------------------------------------------------------------
+
+
+def _q212_oracle_sql() -> str:
+    return """
+    WITH base AS (
+      SELECT n_chars AS v,
+             CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS ca,
+             CAST(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END AS BIGINT) AS cb
+      FROM documents
+      WHERE n_chars IS NOT NULL AND lang IN ('en', 'zh')
+    ), pv AS (
+      SELECT v, SUM(ca) AS ca, SUM(cb) AS cb FROM base GROUP BY v
+    ), cum AS (
+      SELECT v,
+             SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cca,
+             SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ccb
+      FROM pv
+    ), tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+             CAST(SUM(cb) AS BIGINT) AS n_b
+      FROM base
+    )
+    SELECT t.n_a, t.n_b,
+           CAST(MAX(ABS(t.n_b * c.cca - t.n_a * c.ccb)) AS BIGINT) AS d_num,
+           CAST(t.n_a * t.n_b AS BIGINT) AS d_den,
+           ROUND(MAX(ABS(t.n_b * c.cca - t.n_a * c.ccb)) * 1.0
+                 / (t.n_a * t.n_b), 6) AS d_stat
+    FROM cum c, tot t GROUP BY t.n_a, t.n_b
+    """
+
+
+@_register(
+    "q212_ks_drift",
+    oracle=_q212_oracle_sql(),
+    tags=("drift", "ks", "distribution", "monitoring", "exact",
+          "portable"),
+)
+def q212_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.regress import ks_two_sample
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return ks_two_sample(docs, "lang", "n_chars", "en", "zh")
