@@ -35,18 +35,28 @@ def empty_sf(spark, tmp_path_factory):
 
 
 def test_every_batch_query_survives_empty_tables(spark, empty_sf):
-    failures = {}
-    for name, spec in QUERIES.items():
-        if "streaming" in spec.tags:
-            continue
+    # thread-pooled (the parity-prefetch idiom): the serial sweep cost
+    # 80 s (r9 durations profile); each query's build+count is
+    # independent and Spark's scheduler interleaves the jobs
+    from concurrent.futures import ThreadPoolExecutor
+
+    def check(item):
+        name, spec = item
         try:
             spec.fn(spark, empty_sf).count()
+            return name, None
         except ValueError as e:
             if name in EXPECTED_LOUD and "empty" in str(e):
-                continue
-            failures[name] = f"{type(e).__name__}: {e}"
+                return name, None
+            return name, f"{type(e).__name__}: {e}"
         except Exception as e:  # noqa: BLE001 — collecting all failures
-            failures[name] = f"{type(e).__name__}: {str(e).splitlines()[0][:100]}"
+            return name, f"{type(e).__name__}: {str(e).splitlines()[0][:100]}"
+
+    batch = [
+        (n, s) for n, s in QUERIES.items() if "streaming" not in s.tags
+    ]
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        failures = {n: err for n, err in ex.map(check, batch) if err}
     assert failures == {}, failures
 
 

@@ -106,16 +106,24 @@ def test_registry_lints_clean(spark):
     # plan signal — the memory table's plan is a local scan); their
     # plan discipline is enforced by tests/test_streaming.py and the
     # bounded-state arguments in SCALE.md.
-    failures = {}
-    for name, spec in QUERIES.items():
-        if "streaming" in spec.tags:
-            continue
+    # Plan builds + explainString are driver/JVM work that threads
+    # interleave fine — the serial sweep cost 75 s (r9 durations
+    # profile); the pool form is the parity suite's prefetch idiom.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def check(item):
+        name, spec = item
         errors = {
             f.rule
             for f in lint_plan(spec.fn(spark, SF))
             if f.severity == "error"
             and not (f.rule == "cartesian-product" and name in CARTESIAN_EXEMPT)
         }
-        if errors:
-            failures[name] = errors
+        return name, errors
+
+    batch = [
+        (n, s) for n, s in QUERIES.items() if "streaming" not in s.tags
+    ]
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        failures = {n: e for n, e in ex.map(check, batch) if e}
     assert failures == {}

@@ -46,10 +46,16 @@ def test_q04_topk_is_take_ordered(spark):
 
 def test_no_python_udfs_in_batch_queries(spark):
     # every batch query must stay JVM-side; the only sanctioned Python
-    # is mapInPandas in multimodal (not part of compare queries) and
-    # applyInPandasWithState in streaming (q28)
+    # is Arrow-grouped kernels (mapInPandas/applyInPandas) and
+    # applyInPandasWithState in streaming (q28). The REGISTRY-WIDE
+    # enforcement lives in test_plan_lint.py::test_registry_lints_clean
+    # (lint.py flags BatchEvalPython at error severity for all 200+
+    # plans); duplicating that full sweep here cost 65 s of identical
+    # plan builds (r9 durations profile), so this keeps a direct
+    # SAMPLE check on the headline bench set only — an independent
+    # assertion path in case the lint rule itself regresses.
     for name, spec in QUERIES.items():
-        if "streaming" in spec.tags:
+        if "streaming" in spec.tags or not spec.bench:
             continue
         plan = _plan(spark, name)
         assert "BatchEvalPython" not in plan, f"{name} uses a row-wise Python UDF"

@@ -135,3 +135,67 @@ def test_ks_detects_negative_shift(spark):
     r = ks_two_sample(df, "grp", "x", "a", "b").collect()[0]
     na, nb, dn, dd = _py_ks(xs_a, xs_b)
     assert (r.d_num, r.d_den) == (dn, dd)
+
+
+def _py_psi(xs_a, xs_b, lo, width, n_bins):
+    import math
+
+    def binof(v):
+        return max(0, min(n_bins - 1, (v - lo) // width))
+
+    ca = [0] * n_bins
+    cb = [0] * n_bins
+    for v in xs_a:
+        ca[binof(v)] += 1
+    for v in xs_b:
+        cb[binof(v)] += 1
+    na, nb = len(xs_a), len(xs_b)
+    num = 0
+    for i in range(n_bins):
+        p = (ca[i] + 1) * (nb + n_bins)
+        q = (cb[i] + 1) * (na + n_bins)
+        num += (p - q) * round(math.log(p / q) * 1e6)
+    den = (na + n_bins) * (nb + n_bins) * 1_000_000
+    return na, nb, num, den
+
+
+def test_psi_drift_matches_python(spark):
+    from us_immigration_data_lake_spark.operators.regress import psi_drift
+
+    xs_a = [3, 7, 12, 18, 25, 33, 41, 49, 55, 62]
+    xs_b = [5, 5, 6, 8, 9, 11, 14, 15]
+    rows = [("a", v) for v in xs_a] + [("b", v) for v in xs_b] + [("z", 1)]
+    df = spark.createDataFrame(rows, "grp string, x long")
+    r = psi_drift(df, "grp", "x", "a", "b", lo=0, width=10, n_bins=8).collect()
+    assert len(r) == 1
+    na, nb, num, den = _py_psi(xs_a, xs_b, 0, 10, 8)
+    got = r[0]
+    assert (got.n_bins, got.n_a, got.n_b, got.psi_num, got.psi_den) == (
+        8, na, nb, num, den
+    )
+    assert abs(got.psi - num / den) < 1e-6
+
+
+def test_psi_identical_zero_and_shift_positive(spark):
+    from us_immigration_data_lake_spark.operators.regress import psi_drift
+
+    same = [("a", v % 40) for v in range(120)] + [("b", v % 40) for v in range(120)]
+    df = spark.createDataFrame(same, "grp string, x long")
+    r0 = psi_drift(df, "grp", "x", "a", "b", lo=0, width=10, n_bins=4).collect()[0]
+    assert r0.psi_num == 0
+    shifted = [("a", v % 40) for v in range(120)] + [
+        ("b", (v % 40) + 30) for v in range(120)
+    ]
+    df2 = spark.createDataFrame(shifted, "grp string, x long")
+    r1 = psi_drift(df2, "grp", "x", "a", "b", lo=0, width=10, n_bins=4).collect()[0]
+    assert r1.psi > 0.1  # a gross shift is loud
+
+
+def test_psi_out_of_range_values_clamp(spark):
+    from us_immigration_data_lake_spark.operators.regress import psi_drift
+
+    rows = [("a", -100), ("a", 5), ("b", 10**9), ("b", 5)]
+    df = spark.createDataFrame(rows, "grp string, x long")
+    r = psi_drift(df, "grp", "x", "a", "b", lo=0, width=10, n_bins=3).collect()[0]
+    na, nb, num, den = _py_psi([-100, 5], [10**9, 5], 0, 10, 3)
+    assert (r.psi_num, r.psi_den) == (num, den)

@@ -14,19 +14,30 @@ from us_immigration_data_lake_spark.sources.skipping import (
 )
 
 
-def _clustered_table(spark, path):
-    # 4 files, each covering a disjoint k-range — what a zorder/hilbert
-    # (or just sorted) write layout produces
+import pytest
+
+
+@pytest.fixture(scope="module")
+def clustered(spark, tmp_path_factory):
+    """4 files, each covering a disjoint k-range — what a zorder/
+    hilbert (or just sorted) write layout produces. Built ONCE per
+    module with its stats frame: the three pruning tests each paid a
+    ~20 s rebuild + footer-stats pass for identical inputs (r9
+    durations profile)."""
+    path = str(tmp_path_factory.mktemp("skip") / "t")
     for lo in (0, 100, 200, 300):
         spark.createDataFrame(
             [(lo + i, f"v{lo + i}") for i in range(100)], ["k", "v"]
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/part{lo}")
-    return f"{path}/part*"
+    glob = f"{path}/part*"
+    stats = collect_file_stats(spark, glob, ["k"]).cache()
+    stats.count()
+    yield glob, stats
+    stats.unpersist()
 
 
-def test_pruning_sound_and_effective(spark, tmp_path):
-    glob = _clustered_table(spark, str(tmp_path / "t"))
-    stats = collect_file_stats(spark, glob, ["k"])
+def test_pruning_sound_and_effective(spark, clustered):
+    glob, stats = clustered
     assert stats.count() == 4
     preds = [RangePredicate("k", ">=", 150), RangePredicate("k", "<", 250)]
     kept = prune_files(stats, preds)
@@ -38,16 +49,14 @@ def test_pruning_sound_and_effective(spark, tmp_path):
     assert got == want and len(want) == 100
 
 
-def test_equality_predicate_prunes_to_one_file(spark, tmp_path):
-    glob = _clustered_table(spark, str(tmp_path / "t"))
-    stats = collect_file_stats(spark, glob, ["k"])
+def test_equality_predicate_prunes_to_one_file(spark, clustered):
+    _glob, stats = clustered
     kept = prune_files(stats, [RangePredicate("k", "=", 250)])
     assert len(kept) == 1 and "part200" in kept[0]
 
 
-def test_all_pruned_returns_none(spark, tmp_path):
-    glob = _clustered_table(spark, str(tmp_path / "t"))
-    stats = collect_file_stats(spark, glob, ["k"])
+def test_all_pruned_returns_none(spark, clustered):
+    _glob, stats = clustered
     assert read_pruned(spark, stats, [RangePredicate("k", ">", 10_000)]) is None
 
 

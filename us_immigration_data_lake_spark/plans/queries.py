@@ -12750,3 +12750,70 @@ def q212_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tune(spark)
     docs = _t(spark, sf_dir, "documents")
     return ks_two_sample(docs, "lang", "n_chars", "en", "zh")
+
+
+# ---------------------------------------------------------------------------
+# Q213 — Population Stability Index drift (operators/regress.py:
+# psi_drift, new r9): the binned companion to q212's KS — PSI
+# integrates distribution shift across a FIXED binning (explicit
+# lo/width/n_bins contract, so two snapshots' binnings stay
+# comparable), add-1-smoothed shares, each bin's log-ratio
+# integer-ized once to micronats and the common denominators factored
+# out so psi_num/psi_den are exact BIGINTs with one final division.
+# Same populations as q212 (en vs zh n_chars) so the two drift
+# metrics are directly comparable in the registry.
+# ---------------------------------------------------------------------------
+
+_Q213_LO, _Q213_W, _Q213_B = 0, 50, 12
+
+
+def _q213_oracle_sql() -> str:
+    lo, w, b = _Q213_LO, _Q213_W, _Q213_B
+    return f"""
+    WITH base AS (
+      SELECT least({b - 1}, greatest(0, (n_chars - {lo}) // {w})) AS bin,
+             CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS ca,
+             CAST(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END AS BIGINT) AS cb
+      FROM documents
+      WHERE n_chars IS NOT NULL AND lang IN ('en', 'zh')
+    ), per_bin AS (
+      SELECT bin, SUM(ca) AS ca, SUM(cb) AS cb FROM base GROUP BY bin
+    ), dense AS (
+      SELECT g.bin, COALESCE(p.ca, 0) AS ca, COALESCE(p.cb, 0) AS cb
+      FROM (SELECT unnest(generate_series(0, {b - 1})) AS bin) g
+      LEFT JOIN per_bin p USING (bin)
+    ), tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+             CAST(SUM(cb) AS BIGINT) AS n_b
+      FROM base
+    ), terms AS (
+      SELECT t.n_a, t.n_b,
+             ((d.ca + 1) * (t.n_b + {b})) AS p,
+             ((d.cb + 1) * (t.n_a + {b})) AS q
+      FROM dense d, tot t
+    )
+    SELECT CAST({b} AS BIGINT) AS n_bins, n_a, n_b,
+           CAST(SUM((p - q) * CAST(ROUND(ln(p * 1.0 / q) * 1e6) AS BIGINT))
+                AS BIGINT) AS psi_num,
+           CAST((n_a + {b}) * (n_b + {b}) * 1000000 AS BIGINT) AS psi_den,
+           ROUND(SUM((p - q) * CAST(ROUND(ln(p * 1.0 / q) * 1e6) AS BIGINT))
+                 * 1.0 / ((n_a + {b}) * (n_b + {b})) / 1e6, 6) AS psi
+    FROM terms GROUP BY n_a, n_b
+    """
+
+
+@_register(
+    "q213_psi_drift",
+    oracle=_q213_oracle_sql(),
+    tags=("drift", "psi", "distribution", "monitoring", "micronats",
+          "portable"),
+)
+def q213_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.regress import psi_drift
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return psi_drift(
+        docs, "lang", "n_chars", "en", "zh",
+        lo=_Q213_LO, width=_Q213_W, n_bins=_Q213_B,
+    )
