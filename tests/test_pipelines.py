@@ -277,3 +277,40 @@ def test_corpus_scrub_and_decontamination_stages(spark):
     assert "alice@example.com" not in text_all
     # chunker lower-cases; the placeholder survives as [email]
     assert "[email]" in text_all
+
+
+def test_update_embedding_increment_stages(spark):
+    """Embedding-side weekly ingest: a new vector near-identical to the
+    reference is dropped at the CROSS stage; a within-batch duplicate
+    pair collapses to its smallest id at the WITHIN stage; a malformed
+    (wrong-width) vector is dropped at the gate; every stage boundary
+    is pinned in the stats."""
+    import numpy as np
+
+    from us_immigration_data_lake_spark.pipelines.corpus import (
+        update_embedding_increment,
+    )
+
+    rng = np.random.RandomState(11)
+    dim = 8
+    ref_proto = rng.randn(dim)
+    within_proto = rng.randn(dim)
+    new_rows = [
+        (1, (ref_proto + rng.randn(dim) * 0.001).tolist()),   # ~= reference
+        (3, (within_proto + rng.randn(dim) * 0.001).tolist()),  # dup of 5
+        (5, (within_proto + rng.randn(dim) * 0.001).tolist()),
+        (7, rng.randn(dim).tolist()),                           # unique
+        (9, [1.0, 2.0]),                                        # malformed
+    ]
+    ref_rows = [(0, ref_proto.tolist()), (2, rng.randn(dim).tolist())]
+    new_df = spark.createDataFrame(new_rows, "vec_id long, embedding array<double>")
+    ref_df = spark.createDataFrame(ref_rows, "vec_id long, embedding array<double>")
+
+    final, st = update_embedding_increment(
+        new_df, ref_df, "vec_id", "embedding", threshold=0.9, dim=dim,
+        num_bits=4,
+    )
+    assert (st.new_vectors, st.after_dim_gate) == (5, 4)  # 9 gated out
+    assert st.after_cross_dedup == 3        # 1 dropped (ref near-dup)
+    assert st.after_within_dedup == 2       # {3,5} collapse to 3
+    assert {r.vec_id for r in final.collect()} == {3, 7}

@@ -269,3 +269,89 @@ def update_corpus_increment(
     finally:
         for frame in cached:
             frame.unpersist()
+
+
+@dataclass(frozen=True)
+class EmbeddingIncrementStats:
+    new_vectors: int
+    after_dim_gate: int
+    after_cross_dedup: int
+    after_within_dedup: int
+
+
+def update_embedding_increment(
+    new_emb: DataFrame,
+    ref_emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    dim: int = 64,
+    num_bits: int = 8,
+    cross_bucket_cap: int = 1000,
+    within_bucket_cap: int = 1000,
+) -> tuple[DataFrame, EmbeddingIncrementStats]:
+    """The EMBEDDING-side incremental corpus update — the semantic twin
+    of ``update_corpus_increment`` (this week's embedding batch vs the
+    curated reference), composing the cross-corpus SRP machinery into
+    the production stage order:
+
+    1. DIMENSION gate: vectors whose width is not ``dim`` are dropped
+       (a malformed vector would silently score nonsense cosines — the
+       embedding analog of the text quality gate);
+    2. CROSS-corpus semantic dedup: drop new vectors that are cosine
+       near-dups of the reference (one new×ref bucket join, the
+       reference never self-joins — similarity.cross_srp_near_dup_frames);
+    3. WITHIN-batch semantic dedup of the cross survivors
+       (capped-SRP pairs + anchor-star recovery → connected
+       components → keep-smallest survivors — similarity.semantic_dedup).
+
+    Returns (surviving new rows ready to append, EmbeddingIncrementStats
+    with every stage boundary pinned — the q200 discipline: each count
+    is one action on a cached frame; caches release before return)."""
+    from us_immigration_data_lake_spark.operators import similarity as sim
+
+    cached: list[DataFrame] = []
+    try:
+        n_new = new_emb.count()
+
+        gated = new_emb.filter(F.size(F.col(vec_col)) == dim)
+        gated.cache()
+        cached.append(gated)
+        n_gate = gated.count()
+
+        cross_pairs = sim.cross_srp_near_dup_frames(
+            gated, ref_emb, id_col, vec_col, threshold=threshold, dim=dim,
+            num_bits=num_bits, max_bucket_size=cross_bucket_cap,
+        )["pairs"]
+        surv_cross = gated.join(
+            cross_pairs.select(F.col("id_new").alias(id_col)).dropDuplicates(),
+            on=id_col,
+            how="left_anti",
+        )
+        surv_cross.cache()
+        cached.append(surv_cross)
+        n_cross = surv_cross.count()
+
+        keep = (
+            sim.semantic_dedup(
+                surv_cross, id_col, vec_col, threshold=threshold, dim=dim,
+                num_bits=num_bits, max_bucket_size=within_bucket_cap,
+                recover_oversized=True,
+            )
+            .filter(F.col("keep"))
+            .select(id_col)
+        )
+        final = surv_cross.join(keep, on=id_col, how="left_semi")
+        final.cache()
+        cached.append(final)
+        n_within = final.count()
+
+        return final, EmbeddingIncrementStats(
+            new_vectors=n_new,
+            after_dim_gate=n_gate,
+            after_cross_dedup=n_cross,
+            after_within_dedup=n_within,
+        )
+    finally:
+        for frame in cached:
+            frame.unpersist()

@@ -12817,3 +12817,124 @@ def q213_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "lang", "n_chars", "en", "zh",
         lo=_Q213_LO, width=_Q213_W, n_bins=_Q213_B,
     )
+
+
+# ---------------------------------------------------------------------------
+# Q214 — INCREMENTAL EMBEDDING-corpus update end-to-end (pipelines/
+# corpus.py:update_embedding_increment, new r9): the semantic twin of
+# q200's weekly-crawl composition — dimension gate → cross-corpus SRP
+# dedup vs the curated reference (odd vs even vec_ids; one new×ref
+# bucket join, the reference never self-joins) → within-batch
+# capped-SRP dedup with anchor-star recovery → CC → keep-smallest
+# survivors. Output: the surviving new vec_ids. The oracle chains the
+# registry's verified pieces: q192's capped cross CTEs (cap=5), an
+# anti-join, then q187's within machinery (cap=5, star recovery,
+# recursive closure) restricted to the cross survivors.
+# ---------------------------------------------------------------------------
+
+
+def _q214_oracle_sql() -> str:
+    planes = sim_ops.srp_planes(EMBEDDING_DIM, num_bits=_Q187_BITS, seed=42)
+
+    def dot_expr(i: int) -> str:
+        return " + ".join(
+            f"v[{j + 1}]*({float(planes[i][j])!r})" for j in range(EMBEDDING_DIM)
+        )
+
+    bits = " + ".join(
+        f"(CASE WHEN ({dot_expr(i)}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(_Q187_BITS)
+    )
+    return f"""
+    WITH RECURSIVE base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE len(embedding) = {EMBEDDING_DIM}
+    ), b AS MATERIALIZED (
+      SELECT vec_id, v, CAST({bits} AS BIGINT) AS bucket FROM base
+    ), capped AS MATERIALIZED (
+      SELECT bucket, vec_id FROM (
+        SELECT bucket, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+        FROM b WHERE vec_id % 2 = 0
+      ) WHERE rn <= {_Q192_CAP}
+    ), xcand AS MATERIALIZED (
+      SELECT DISTINCT n.vec_id AS id_new, c.vec_id AS id_ref
+      FROM b n JOIN capped c ON n.bucket = c.bucket
+      WHERE n.vec_id % 2 = 1
+    ), xpairs AS MATERIALIZED (
+      SELECT c.id_new
+      FROM xcand c
+      JOIN b x ON c.id_new = x.vec_id
+      JOIN b y ON c.id_ref = y.vec_id
+      WHERE ROUND(list_cosine_similarity(x.v, y.v), 6) >= {_Q181_TAU}
+    ), surv AS MATERIALIZED (
+      SELECT vec_id, v, bucket FROM b
+      WHERE vec_id % 2 = 1
+        AND vec_id NOT IN (SELECT id_new FROM xpairs)
+    ), sizes AS MATERIALIZED (
+      SELECT bucket, COUNT(*) AS n FROM surv GROUP BY bucket
+    ), small_pairs AS (
+      SELECT x.vec_id AS id1, y.vec_id AS id2
+      FROM surv x
+      JOIN surv y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+      JOIN sizes s ON s.bucket = x.bucket
+      WHERE s.n BETWEEN 2 AND {_Q187_CAP}
+    ), anchors AS (
+      SELECT m.bucket, MIN(m.vec_id) AS anchor
+      FROM surv m JOIN sizes s ON s.bucket = m.bucket
+      WHERE s.n > {_Q187_CAP}
+      GROUP BY m.bucket
+    ), star_pairs AS (
+      SELECT an.anchor AS id1, m.vec_id AS id2
+      FROM anchors an
+      JOIN surv m ON m.bucket = an.bucket
+      WHERE an.anchor < m.vec_id
+    ), wcand AS MATERIALIZED (
+      SELECT id1, id2 FROM small_pairs
+      UNION
+      SELECT id1, id2 FROM star_pairs
+    ), wpairs AS MATERIALIZED (
+      SELECT c.id1, c.id2
+      FROM wcand c
+      JOIN surv x ON c.id1 = x.vec_id
+      JOIN surv y ON c.id2 = y.vec_id
+      WHERE ROUND(list_cosine_similarity(x.v, y.v), 6) >= {_Q181_TAU}
+    ), edges AS MATERIALIZED (
+      SELECT id1 AS src, id2 AS dst FROM wpairs
+      UNION SELECT id2, id1 FROM wpairs
+    ), reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      WHERE e.dst <> r.src
+    ), labels AS MATERIALIZED (
+      SELECT src AS id, LEAST(src, MIN(dst)) AS cluster
+      FROM reach GROUP BY src
+    )
+    SELECT s.vec_id FROM surv s
+    LEFT JOIN labels l ON s.vec_id = l.id
+    WHERE s.vec_id = COALESCE(l.cluster, s.vec_id)
+    """
+
+
+@_register(
+    "q214_embedding_increment",
+    oracle=_q214_oracle_sql(),
+    tags=("similarity", "dedup", "semdedup", "cross-corpus", "pipeline",
+          "skew-guard"),
+)
+def q214_embedding_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.pipelines.corpus import (
+        update_embedding_increment,
+    )
+
+    _tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    final, _stats = update_embedding_increment(
+        emb.filter(F.col("vec_id") % 2 == 1),
+        emb.filter(F.col("vec_id") % 2 == 0),
+        "vec_id", "embedding", threshold=_Q181_TAU, dim=EMBEDDING_DIM,
+        num_bits=_Q187_BITS, cross_bucket_cap=_Q192_CAP,
+        within_bucket_cap=_Q187_CAP,
+    )
+    return final.select("vec_id")
