@@ -207,6 +207,10 @@ def main() -> None:
         results["ref_lm_xent"] = probe_reflm(spark)
     if "bpe" in which:
         results["bpe_encode"] = probe_bpe_encode(spark)
+    if "overlap" in which:
+        results["cross_group_overlap"] = probe_overlap(spark)
+    if "embinc" in which:
+        results["embedding_increment"] = probe_embinc(spark)
     print(json.dumps({"probe": "r9_slopes", "results": results}))
 
 
@@ -304,6 +308,54 @@ def probe_bpe_encode(spark) -> dict:
         out[label] = _timed_noop(
             lambda: ts.bpe_token_counts(docs, "doc_id", "text", merges)
         )
+        spark.catalog.clearCache()
+    return out
+
+
+def probe_overlap(spark) -> dict:
+    """q211 cross-source overlap at 1x/3x/10x. Claim: one shingle pass
+    + one shingle-key self-join with fan-out bounded by source-count^2
+    — linear in corpus shingles."""
+    from us_immigration_data_lake_spark.operators import dedup as dd2
+
+    out: dict[str, float] = {}
+    for label, d in DIRS.items():
+        docs = _docs(spark, d)
+        out[label] = _timed_noop(
+            lambda: dd2.cross_group_overlap(
+                docs, "doc_id", "text", "source", shingle_n=3
+            )
+        )
+        spark.catalog.clearCache()
+    return out
+
+
+def probe_embinc(spark) -> dict:
+    """q214 embedding increment at 1x/3x/10x (both sides scale,
+    odd/even split, production xxhash-free SRP path). Claim: every
+    stage is a measured-flat-or-linear parent (q192 cross, q187
+    within)."""
+    from us_immigration_data_lake_spark.pipelines.corpus import (
+        update_embedding_increment,
+    )
+
+    out: dict[str, float] = {}
+    for label, d in DIRS.items():
+        emb = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
+        new_df = emb.filter(F.col("vec_id") % 2 == 1)
+        ref_df = emb.filter(F.col("vec_id") % 2 == 0)
+
+        def run():
+            final, st = update_embedding_increment(
+                new_df, ref_df, "vec_id", "embedding", threshold=0.35,
+                dim=64, num_bits=8,
+            )
+            print(f"# embinc {label}: {st}", file=sys.stderr)
+
+        run()  # first touch
+        t0 = time.perf_counter()
+        run()
+        out[label] = round(time.perf_counter() - t0, 3)
         spark.catalog.clearCache()
     return out
 

@@ -1918,19 +1918,25 @@ def cross_group_overlap(
     the groups' DISTINCT shingle-hash sets.
 
     Plan: one shingle pass (shared with the dedup family), explode to
-    (group, shingle_hash), distinct, then a self-equi-join on the
-    shingle hash — per shingle the fan-out is C(groups-with-shingle, 2),
-    bounded by the GROUP-count squared, a deployment constant (tens of
-    sources, not millions; for high-cardinality grouping use the
-    postings/prefix-filter set-similarity family instead, which prunes
-    by similarity). Group sizes are count+min-free aggregates; output
-    is groups² rows — driver-trivial. Jaccard divides exact bigints
-    once (oracle rule 1)."""
+    (group, shingle_hash), then ONE groupBy(shingle) whose aggregate
+    is collect_set(group) — per-key state bounded by the GROUP count,
+    a deployment constant (tens of sources, not millions; for
+    high-cardinality grouping use the postings/prefix-filter
+    set-similarity family instead, which prunes by similarity). The
+    collect_set both DEDUPLICATES (group, shingle) pairs and hands the
+    pair expansion a sorted in-row array (the candidate_pairs idiom) —
+    one shuffle fewer than the first-cut distinct + self-join form,
+    though A/B-measured cost is identical (6.9/19.7/67 s at 1x/3x/10x
+    either way: the wall is the shingle explode+hash+shuffle itself,
+    inherent to the semantics — the slope is exactly linear in corpus
+    shingles, r9 probe). Group sizes fall out of the same per-shingle
+    sets; output is groups² rows — driver-trivial. Jaccard divides
+    exact bigints once (oracle rule 1)."""
     sh = shingles(
         df.filter(F.col(text_col).isNotNull()), id_col, text_col, shingle_n,
         carry_cols=(group_col,),
     )
-    gs = (
+    per_sh = (
         sh.select(
             F.col(group_col).alias("__g"),
             F.explode(
@@ -1941,15 +1947,27 @@ def cross_group_overlap(
                 )
             ).alias("__h"),
         )
-        .dropDuplicates(["__g", "__h"])
+        .groupBy("__h")
+        .agg(F.array_sort(F.collect_set("__g")).alias("__gl"))
     )
-    sizes = gs.groupBy("__g").agg(F.count(F.lit(1)).cast("long").alias("__n"))
-    a = gs.select(F.col("__g").alias("group_a"), "__h")
-    b = gs.select(F.col("__g").alias("group_b"), "__h")
+    sizes = (
+        per_sh.select(F.explode("__gl").alias("__g"))
+        .groupBy("__g")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col("__gl"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__gl"), i + 2, F.size(F.col("__gl"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, "__h")
-        .filter(F.col("group_a") < F.col("group_b"))
-        .groupBy("group_a", "group_b")
+        per_sh.filter(F.size("__gl") >= 2)
+        .select(F.explode(pairs_arr).alias("p"))
+        .groupBy(F.col("p.a").alias("group_a"), F.col("p.b").alias("group_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("shared"))
     )
     sa = sizes.select(F.col("__g").alias("group_a"), F.col("__n").alias("shingles_a"))
