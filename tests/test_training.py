@@ -9,6 +9,7 @@ import re
 from collections import Counter
 
 import pytest
+from pyspark.sql import functions as F
 
 from us_immigration_data_lake_spark.operators import training as tr
 
@@ -408,3 +409,70 @@ def test_nb_rowwise_is_stateless_per_row(spark):
         df, model, "doc_id", "text", num_buckets=32
     )._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" not in plan and "Aggregate" not in plan
+
+
+# ---------------------------------------------------------------------------
+# r9: exact ROC-AUC evaluation (roc_auc_exact).
+# ---------------------------------------------------------------------------
+
+
+def _py_auc(pairs):
+    """Brute-force pairwise AUC: auc_num = 2*#(pos>neg) + #(pos==neg),
+    auc_den = 2*n_pos*n_neg — an INDEPENDENT formulation (the operator
+    uses rank sums)."""
+    pos = [s for y, s in pairs if y == 1]
+    neg = [s for y, s in pairs if y == 0]
+    gt = sum(1 for p in pos for n in neg if p > n)
+    eq = sum(1 for p in pos for n in neg if p == n)
+    return len(pos), len(neg), 2 * gt + eq, 2 * len(pos) * len(neg)
+
+
+@pytest.mark.parametrize("data", [
+    [(1, 10), (1, 8), (0, 5), (0, 3)],                      # separable
+    [(1, 5), (0, 5), (1, 5), (0, 7), (1, 2)],               # heavy ties
+    [(1, 1), (0, 2), (1, 3), (0, 4), (1, 5), (0, 6)],       # interleaved
+    [(0, -3), (1, -1), (0, -1), (1, 0), (0, 2), (1, 2)],    # negatives+ties
+])
+def test_roc_auc_matches_bruteforce(spark, data):
+    df = spark.createDataFrame(data, "y long, s long")
+    r = tr.roc_auc_exact(df, "y", "s").collect()[0]
+    np_, nn, num, den = _py_auc(data)
+    assert (r.n_pos, r.n_neg, r.auc_num, r.auc_den) == (np_, nn, num, den)
+    assert abs(r.auc - num / den) < 5e-7  # auc is round(·, 6)
+
+
+def test_roc_auc_perfect_and_random(spark):
+    perfect = [(1, 100 + i) for i in range(20)] + [(0, i) for i in range(20)]
+    df = spark.createDataFrame(perfect, "y long, s long")
+    assert tr.roc_auc_exact(df, "y", "s").collect()[0].auc == 1.0
+    all_tied = [(1, 7)] * 10 + [(0, 7)] * 10
+    df2 = spark.createDataFrame(all_tied, "y long, s long")
+    assert tr.roc_auc_exact(df2, "y", "s").collect()[0].auc == 0.5
+
+
+def test_roc_auc_degenerate_raises(spark):
+    df = spark.createDataFrame([(1, 3), (1, 5)], "y long, s long")
+    with pytest.raises(Exception, match="at least one positive AND"):
+        tr.roc_auc_exact(df, "y", "s").collect()
+
+
+def test_auc_of_trained_head_on_planted_signal(spark):
+    """train → score → evaluate end-to-end: a marker-vocabulary head
+    must reach AUC ≈ 1.0 on held-out docs with the same markers."""
+    rows = []
+    for i in range(80):
+        k = (i // 2) % 2  # decorrelated from the train/test parity split
+        word = "alpha" if k == 0 else "bravo"
+        rows.append((i, f"{word} filler{i % 7} {word}", k))
+    df = spark.createDataFrame(rows, "doc_id long, text string, y long")
+    train = df.filter("doc_id % 2 = 0")
+    test = df.filter("doc_id % 2 = 1")
+    model = tr.naive_bayes_model(train, "doc_id", "text", "y", num_buckets=64)
+    scored = (
+        tr.naive_bayes_scores(test, model, "doc_id", "text", num_buckets=64)
+        .filter("class = 0")
+        .join(test.select("doc_id", (F.col("y") == 0).cast("long").alias("lbl")),
+              "doc_id")
+    )
+    r = tr.roc_auc_exact(scored, "lbl", "score_micro").collect()[0]
+    assert r.auc >= 0.99

@@ -369,17 +369,19 @@ def naive_bayes_model(
     return {"weights": weights, "classes": classes}
 
 
-def naive_bayes_classify(
+def naive_bayes_scores(
     df: DataFrame,
     model: dict[str, DataFrame],
     id_col: str,
     text_col: str,
     num_buckets: int = 512,
 ) -> DataFrame:
-    """Classify documents with a ``naive_bayes_model``: per (doc,
-    class), score_micro = prior + sum_b tf_b * logP(b|class) in exact
-    BIGINT micronats; returns (id, pred_class, score_micro) with
-    argmax ties breaking to the smallest class index.
+    """Per-(doc, class) scores under a ``naive_bayes_model`` — the
+    dense scoring frame ``(id, class, score_micro)`` that
+    ``naive_bayes_classify`` argmaxes over, exposed so evaluation
+    (roc_auc_exact on one class's head) and calibration can consume
+    raw scores. score_micro = prior + sum_b tf_b * logP(b|class) in
+    exact BIGINT micronats.
 
     Plan shape — the unseen-bucket default is algebraically folded so
     the grid join stays broadcast-sized:
@@ -400,7 +402,7 @@ def naive_bayes_classify(
     if not cls_rows:
         spark = df.sparkSession
         return spark.createDataFrame(
-            [], f"{id_col} long, pred_class long, score_micro long"
+            [], f"{id_col} long, class long, score_micro long"
         )
     all_feats = hashed_token_features(df, id_col, text_col, num_buckets)
     # bias rows (bucket -1) don't score, but they keep TOKENLESS docs in
@@ -445,7 +447,7 @@ def naive_bayes_classify(
         .select(id_col, "__t", "__c.class", "__c.prior_micro",
                 "__c.default_micro")
     )
-    scored = (
+    return (
         grid.join(obs, [id_col, "class"], "left")
         .select(
             F.col(id_col),
@@ -457,6 +459,22 @@ def naive_bayes_classify(
             ).alias("score_micro"),
         )
     )
+
+
+def naive_bayes_classify(
+    df: DataFrame,
+    model: dict[str, DataFrame],
+    id_col: str,
+    text_col: str,
+    num_buckets: int = 512,
+) -> DataFrame:
+    """Classify documents with a ``naive_bayes_model``: argmax over
+    ``naive_bayes_scores`` (ties to the smallest class index);
+    returns (id, pred_class, score_micro). Plan notes in
+    naive_bayes_scores."""
+    scored = naive_bayes_scores(df, model, id_col, text_col, num_buckets)
+    # an empty model yields an empty scores frame; the argmax below
+    # flows it through to an empty (id, pred_class, score_micro)
     best = scored.groupBy(id_col).agg(
         F.max(F.struct(F.col("score_micro"), (-F.col("class")).alias("__nk")))
         .alias("__best")
@@ -535,4 +553,82 @@ def naive_bayes_classify_rowwise(
         F.col(id_col),
         (-best["__nk"]).alias("pred_class"),
         best["score_micro"].alias("score_micro"),
+    )
+
+
+def roc_auc_exact(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+) -> DataFrame:
+    """EXACT distributed ROC-AUC of a binary classifier's scores — the
+    evaluation leg of the training family (train q203/q205/q206 →
+    score q160/q206/q210 → EVALUATE here). Mann-Whitney U with the
+    standard tie correction (tied scores get their average rank),
+    kept entirely in BIGINTs:
+
+        2U      = sum_v pos(v) * (2*cum_before(v) + cnt(v) + 1)
+                  - n_pos * (n_pos + 1)
+        auc     = 2U / (2 * n_pos * n_neg)
+
+    where v ranges over DISTINCT score values ascending, cnt/pos are
+    the per-value row/positive counts and cum_before the running count
+    of strictly-smaller rows. Returns one row: (n_pos, n_neg, auc_num,
+    auc_den, auc) with auc_num/auc_den the exact rational (one double
+    division at the end — two engines computing CDF ranks in doubles
+    could tie-break differently; integers cannot). A degenerate input
+    (no positives or no negatives) raises: AUC is undefined there and
+    a silent 0.5 would hide a broken label pipeline.
+
+    Scale: one groupBy over distinct scores (map-side combined), the
+    two-phase ``global_cumsum`` for the rank prefix (range exchange +
+    parallel partition cumsums — never a single-partition ORDER BY
+    window), one final aggregate. NULL labels/scores are excluded;
+    labels must be 0/1."""
+    from us_immigration_data_lake_spark.operators.windows import global_cumsum
+
+    base = df.filter(
+        F.col(label_col).isNotNull() & F.col(score_col).isNotNull()
+    ).select(
+        F.col(score_col).alias("__v"),
+        F.col(label_col).cast("long").alias("__y"),
+    )
+    per_value = base.groupBy("__v").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.sum("__y").alias("__pos"),
+    )
+    cum = global_cumsum(per_value, ["__v"], ["__cnt"])
+    totals = base.agg(
+        F.sum("__y").cast("long").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("__y")).cast("long").alias("n_neg"),
+    )
+    guarded = totals.select(
+        F.when(
+            (F.col("n_pos") == 0) | (F.col("n_neg") == 0),
+            F.raise_error(
+                F.lit("roc_auc_exact: need at least one positive AND one "
+                      "negative label")
+            ).cast("long"),
+        ).otherwise(F.col("n_pos")).alias("n_pos"),
+        F.col("n_neg"),
+    )
+    two_u = F.sum(
+        F.col("__pos")
+        * (2 * (F.col("__cnt_cum") - F.col("__cnt")) + F.col("__cnt") + 1)
+    )
+    return (
+        cum.crossJoin(F.broadcast(guarded))  # single-row aggregate
+        .groupBy("n_pos", "n_neg")
+        .agg((two_u - F.col("n_pos") * (F.col("n_pos") + 1)).alias("auc_num"))
+        .select(
+            "n_pos",
+            "n_neg",
+            F.col("auc_num").cast("long").alias("auc_num"),
+            (2 * F.col("n_pos") * F.col("n_neg")).cast("long").alias("auc_den"),
+            F.round(
+                F.col("auc_num").cast("double")
+                / (2 * F.col("n_pos") * F.col("n_neg")).cast("double"),
+                6,
+            ).alias("auc"),
+        )
     )

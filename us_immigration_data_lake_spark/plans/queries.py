@@ -12938,3 +12938,130 @@ def q214_embedding_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
         within_bucket_cap=_Q187_CAP,
     )
     return final.select("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Q215 — EXACT model evaluation: ROC-AUC of the trained lang-id head
+# (operators/training.py:roc_auc_exact + naive_bayes_scores, new r9):
+# the evaluation leg closing the training family's loop (train q206 →
+# score q206/q210 → EVALUATE). The NB model trains on the EVEN docs
+# (q210's split), every ODD doc gets its class-0 ('en') score, and the
+# AUC of that score against the true (lang = 'en') label is computed
+# as exact Mann-Whitney U with tie correction — BIGINT rank sums over
+# the engine's two-phase global_cumsum, one double division at the
+# end. On this synthetic corpus lang is decorrelated from text, so
+# the expected AUC is ≈ 0.5 — the value is the exact replayable
+# pipeline, not the score (a learnable-signal AUC is pinned in
+# tests/test_training.py with marker vocabularies).
+# ---------------------------------------------------------------------------
+
+
+def _q215_oracle_sql() -> str:
+    b = _Q206_B
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         t -> t <> '') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ), lab AS MATERIALIZED (
+      SELECT doc_id, CAST({_Q205_LANG_CASE} AS BIGINT) AS y
+      FROM documents
+      WHERE text IS NOT NULL AND lang IS NOT NULL AND doc_id % 2 = 0
+    ), fx AS MATERIALIZED (
+      SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT doc_id,
+               ('0x' || substr(md5(t), 1, 15))::BIGINT % {b} AS b
+        FROM (SELECT doc_id, unnest(toks) AS t FROM base)
+      ) GROUP BY doc_id, b
+    ), kb AS MATERIALIZED (
+      SELECT l.y AS k, f.b, SUM(f.cnt) AS c_kb
+      FROM fx f JOIN lab l USING (doc_id) GROUP BY l.y, f.b
+    ), ktot AS (SELECT k, SUM(c_kb) AS tot_k FROM kb GROUP BY k
+    ), nk AS (SELECT y AS k, COUNT(*) AS n_k FROM lab GROUP BY y
+    ), nn AS (SELECT COUNT(*) AS n_all FROM lab
+    ), w AS MATERIALIZED (
+      SELECT kb.k, kb.b,
+             CAST(ROUND(ln((c_kb + 1.0) / (tot_k + {b})) * 1e6) AS BIGINT)
+               AS w_micro
+      FROM kb JOIN ktot USING (k)
+    ), cls AS MATERIALIZED (
+      SELECT nk.k,
+             CAST(ROUND(ln(n_k * 1.0 / n.n_all) * 1e6) AS BIGINT)
+               AS prior_micro,
+             CAST(ROUND(ln(1.0 / (COALESCE(tot_k, 0) + {b})) * 1e6) AS BIGINT)
+               AS default_micro
+      FROM nk LEFT JOIN ktot USING (k), nn n
+    ), tsum AS (
+      SELECT base.doc_id, COALESCE(SUM(fx.cnt), 0) AS t_d
+      FROM base LEFT JOIN fx USING (doc_id)
+      WHERE base.doc_id % 2 = 1 GROUP BY base.doc_id
+    ), sobs AS (
+      SELECT f.doc_id, SUM(f.cnt * (w.w_micro - c.default_micro)) AS s_obs
+      FROM fx f JOIN w ON f.b = w.b JOIN cls c ON w.k = c.k
+      WHERE f.doc_id % 2 = 1 AND w.k = 0
+      GROUP BY f.doc_id
+    ), scored AS MATERIALIZED (
+      SELECT t.doc_id,
+             c.prior_micro + t.t_d * c.default_micro
+               + COALESCE(s.s_obs, 0) AS score,
+             CAST(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y
+      FROM tsum t
+      JOIN documents d ON d.doc_id = t.doc_id
+      CROSS JOIN (SELECT * FROM cls WHERE k = 0) c
+      LEFT JOIN sobs s ON s.doc_id = t.doc_id
+    ), per_value AS (
+      SELECT score AS v, COUNT(*) AS cnt, SUM(y) AS pos
+      FROM scored GROUP BY score
+    ), cum AS (
+      SELECT v, cnt, pos,
+             SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ccnt
+      FROM per_value
+    ), tot AS (
+      SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg
+      FROM scored
+    )
+    SELECT t.n_pos, t.n_neg,
+           CAST(SUM(c.pos * (2 * (c.ccnt - c.cnt) + c.cnt + 1))
+                - t.n_pos * (t.n_pos + 1) AS BIGINT) AS auc_num,
+           CAST(2 * t.n_pos * t.n_neg AS BIGINT) AS auc_den,
+           ROUND((SUM(c.pos * (2 * (c.ccnt - c.cnt) + c.cnt + 1))
+                  - t.n_pos * (t.n_pos + 1)) * 1.0
+                 / (2 * t.n_pos * t.n_neg), 6) AS auc
+    FROM cum c, tot t GROUP BY t.n_pos, t.n_neg
+    """
+
+
+@_register(
+    "q215_eval_auc",
+    oracle=_q215_oracle_sql(),
+    tags=("training", "evaluation", "auc", "mann-whitney", "exact",
+          "portable"),
+)
+def q215_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators import training as tr_ops
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    train = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "__y", F.expr(_Q205_LANG_CASE).cast("long")
+    )
+    model = tr_ops.naive_bayes_model(
+        train, "doc_id", "text", "__y", num_buckets=_Q206_B
+    )
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    scored = (
+        tr_ops.naive_bayes_scores(
+            test, model, "doc_id", "text", num_buckets=_Q206_B
+        )
+        .filter(F.col("class") == 0)  # the 'en' head
+        .select("doc_id", "score_micro")
+    )
+    labeled = scored.join(
+        test.select(
+            "doc_id", (F.col("lang") == "en").cast("long").alias("__y")
+        ),
+        "doc_id",
+    )
+    return tr_ops.roc_auc_exact(labeled, "__y", "score_micro")
