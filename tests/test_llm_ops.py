@@ -2021,9 +2021,9 @@ def mega_band(spark):
 
 def test_mega_bucket_cap_sites_have_no_unbounded_collect_list(mega_band):
     """The oversized/star/capped-ref plans must not contain collect_list
-    at all; candidate_pairs may collect only AFTER the window-count
-    filter bounds the bucket (its plan shows the Window before the
-    aggregate)."""
+    at all; candidate_pairs may collect only AFTER the two-phase
+    oversized-key anti-join bounds the bucket (r10: count-first hash
+    agg + broadcast LeftAnti — no window sort on the common path)."""
     over_plan = dd.oversized_buckets(
         mega_band, "doc_id", max_bucket_size=50
     )._jdf.queryExecution().optimizedPlan().toString()
@@ -2036,9 +2036,29 @@ def test_mega_bucket_cap_sites_have_no_unbounded_collect_list(mega_band):
     cand = dd.candidate_pairs(mega_band, "doc_id", max_bucket_size=50)
     cand_plan = cand._jdf.queryExecution().optimizedPlan().toString()
     # the collect_list survives, but only downstream of the bounding
-    # window filter: Window node present, and the filter on the window
-    # count sits between it and the aggregate
-    assert "collect_list" in cand_plan and "windowspecdefinition" in cand_plan.lower()
+    # anti-join against the oversized-key set; the r9 window-count
+    # form (a sort of EVERY bucket) must be gone from this plan
+    assert "collect_list" in cand_plan
+    assert "LeftAnti" in cand_plan
+    assert "windowspecdefinition" not in cand_plan.lower()
+
+
+def test_capped_bucket_members_two_phase_plan_and_results(mega_band):
+    """capped_bucket_members: ≤cap buckets keep every member with NO
+    window on their path (broadcast anti-join), oversized buckets keep
+    the cap smallest ids via a window confined to the rare semi-joined
+    branch."""
+    capped = dd.capped_bucket_members(mega_band, "doc_id", 50)
+    plan = capped._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftAnti" in plan and "LeftSemi" in plan
+    assert "collect_list" not in plan
+    rows = capped.collect()
+    by_bucket: dict = {}
+    for r in rows:
+        by_bucket.setdefault((r.band_idx, r.band_hash), []).append(r.doc_id)
+    # mega bucket capped to the 50 smallest ids; small bucket intact
+    assert sorted(by_bucket[(0, 7)]) == list(range(50))
+    assert sorted(by_bucket[(0, 9)]) == [10**6, 10**6 + 1, 10**6 + 2]
 
 
 def test_mega_bucket_results_unchanged_and_fast(mega_band):

@@ -258,6 +258,55 @@ def oversized_bucket_star_pairs(
     )
 
 
+def oversized_bucket_keys(
+    band_df: DataFrame, max_bucket_size: int,
+    key_cols: tuple[str, ...] = ("band_idx", "band_hash"),
+) -> DataFrame:
+    """Band-bucket keys whose member count exceeds the cap — the RARE
+    set the cap machinery branches on. count-only hash aggregation:
+    map-side combinable, no sort, constant per-key buffer. Bounded
+    output by construction: at most |band_df| / max_bucket_size rows
+    of small key columns, which is why the cap sites broadcast it."""
+    return (
+        band_df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_bucket_size)
+        .select(*key_cols)
+    )
+
+
+def capped_bucket_members(
+    band_df: DataFrame, id_col: str, max_bucket_size: int,
+    key_cols: tuple[str, ...] = ("band_idx", "band_hash"),
+) -> DataFrame:
+    """Keep the ``max_bucket_size`` smallest ``id_col`` values per band
+    bucket, preserving every column of ``band_df`` — the cap-smallest
+    primitive behind the cross-corpus reference indexes.
+
+    Two-phase (r9 verdict ask #1): the r9 form paid a row_number
+    window — a full sort of the band frame — on EVERY bucket even when
+    no bucket was oversized (the common case; measured +8-19% on the
+    capped dedup paths). Here a count-only hash aggregate finds the
+    rare oversized keys first (``oversized_bucket_keys``), the common
+    ≤cap buckets pass through a broadcast anti-join untouched (no sort,
+    no per-key state), and only the flagged keys' members — a rare,
+    bounded set — pay the spillable row_number sort. Semantics are
+    identical; the two broadcasts share one exchange (ReuseExchange).
+    Callers hand in a cheap-to-rescan band frame (a cached frame or a
+    shuffle output): the key-count pass is a second scan."""
+    over = oversized_bucket_keys(band_df, max_bucket_size, key_cols)
+    keys = list(key_cols)
+    common = band_df.join(F.broadcast(over), keys, "left_anti")
+    w = Window.partitionBy(*keys).orderBy(id_col)
+    rare = (
+        band_df.join(F.broadcast(over), keys, "left_semi")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_bucket_size)
+        .drop("__rn")
+    )
+    return common.unionByName(rare)
+
+
 def candidate_pairs(
     band_df: DataFrame, id_col: str, max_bucket_size: int = 1000
 ) -> DataFrame:
@@ -266,25 +315,25 @@ def candidate_pairs(
     reducer) — detect them with ``oversized_buckets`` on the same
     band frame.
 
-    ONE shuffle on the band key: a window count over the bucket sizes
-    each bucket FIRST (WindowExec's partition buffer is spillable, so
-    a mega-bucket sorts to disk instead of materializing in an
-    aggregation buffer), the ≤cap survivors are then collected into
-    per-bucket arrays that are bounded by construction, and pairs are
-    expanded inside the array. The window and the groupBy share the
-    band-key hash partitioning, so Catalyst reuses one exchange. The
-    r8 form collect_list'd BEFORE filtering on size — correct, but it
-    buffered the full uncapped id list of exactly the degenerate
-    bucket the cap exists for."""
-    w_bucket = Window.partitionBy("band_idx", "band_hash")
-    sized = (
-        band_df.select("band_idx", "band_hash", id_col)
-        .withColumn("__n", F.count(F.lit(1)).over(w_bucket))
-        .filter((F.col("__n") >= 2) & (F.col("__n") <= max_bucket_size))
-    )
+    Two-phase cap (r9 verdict ask #1): a count-only hash aggregate
+    (map-side combinable, no sort) finds the rare >cap bucket keys,
+    a broadcast anti-join drops their rows, and THEN the survivors are
+    collected into per-bucket arrays — bounded by construction, since
+    every surviving bucket has ≤ max_bucket_size members — and pairs
+    are expanded inside the array. The r9 form reached the same bound
+    via a window count, which sorted EVERY bucket to answer a question
+    (is this bucket oversized?) that a hash count answers without
+    sorting — a measured +8-19% constant factor on the common case.
+    The oversized-key frame is ≤ |band_df|/cap rows of two columns,
+    safely broadcastable by construction. Singleton buckets flow
+    through the collect (buffer of one) and drop at the size filter."""
+    rows = band_df.select("band_idx", "band_hash", id_col)
+    over = oversized_bucket_keys(rows, max_bucket_size)
+    kept = rows.join(F.broadcast(over), ["band_idx", "band_hash"], "left_anti")
     buckets = (
-        sized.groupBy("band_idx", "band_hash")
+        kept.groupBy("band_idx", "band_hash")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
         .select("ids")
     )
     pairs_arr = F.flatten(
@@ -399,6 +448,12 @@ def near_dup_frames(
     hs_arr.cache()
     sig = _signatures_from_sets(hs_arr, id_col, num_hashes, portable)
     band_df = lsh_bands(sig, id_col, bands, rows, portable)
+    # The two-phase cap scans the band frame twice (key counts, then
+    # the anti-join collect); cache it so the num_hashes-per-doc
+    # signature stage runs once. Tiny rows — (id, band_idx int,
+    # band_hash long) × bands per doc; same LRU-eviction contract as
+    # hs_arr above.
+    band_df.cache()
     cand = candidate_pairs(band_df, id_col, max_bucket_size)
     if recover_oversized:
         cand = cand.unionByName(
@@ -481,9 +536,11 @@ def cross_near_dup_frames(
       its two sides index one frame), same int/int ratio semantics.
 
     Returns ``pairs`` (id_new, id_ref, jaccard), ``oversized`` (ref
-    band buckets over the cap), and ``cached`` — the two hashed-shingle
-    frames this plan caches (each side feeds BOTH the signature stage
-    and the verify join). The caches are the caller's to release:
+    band buckets over the cap), and ``cached`` — the frames this plan
+    caches: the two hashed-shingle frames (each side feeds BOTH the
+    signature stage and the verify join) and the ref band frame (the
+    two-phase cap and the oversized census scan it four times). The
+    caches are the caller's to release:
     unpersist each frame in ``cached`` once ``pairs``/``oversized``
     are fully materialized (update_corpus_increment's finally-block
     pattern) — otherwise repeated invocations accumulate pinned
@@ -502,21 +559,21 @@ def cross_near_dup_frames(
 
     hs_new, bands_new = _side(new_df)
     hs_ref, bands_ref = _side(ref_df)
+    # The two-phase cap scans the ref band frame three times (key
+    # counts, common anti-join, rare semi-join) and ``oversized`` a
+    # fourth — cache it so the 64-hash signature stage runs once.
+    # Tiny rows: (id, band_idx int, band_hash long) × bands per doc.
+    bands_ref.cache()
 
-    # Cap-smallest-ids via row_number, not collect_list+slice: the r8
-    # array form buffered the FULL uncapped bucket in one aggregation
-    # row before slicing — unbounded per-key state on exactly the
-    # mega-bucket input the cap guards against. row_number's window
-    # sort is spillable and keeps the same cap-smallest-ids semantics
-    # (ids are unique per (band_idx, band_hash): one band per band_idx
-    # per doc). Also retires the int32 slice-length overflow trap the
-    # array form had to clamp around.
-    w_ref = Window.partitionBy("band_idx", "band_hash").orderBy(id_col)
-    capped_ref = (
-        bands_ref.withColumn("__rn", F.row_number().over(w_ref))
-        .filter(F.col("__rn") <= max_bucket_size)
-        .select("band_idx", "band_hash", F.col(id_col).alias("__ref_id"))
-    )
+    # Cap-smallest-ids via the two-phase capped_bucket_members (count
+    # first, window-sort only the rare oversized keys) — the r9 form's
+    # row_number window sorted EVERY ref bucket; the r8 array form
+    # buffered the full uncapped bucket in one aggregation row. Ids are
+    # unique per (band_idx, band_hash) — one band per band_idx per doc —
+    # so cap-smallest-ids semantics are exact.
+    capped_ref = capped_bucket_members(
+        bands_ref, id_col, max_bucket_size
+    ).select("band_idx", "band_hash", F.col(id_col).alias("__ref_id"))
     oversized = (
         bands_ref.groupBy("band_idx", "band_hash")
         .agg(F.count(F.lit(1)).alias("bucket_n"),
@@ -545,7 +602,11 @@ def cross_near_dup_frames(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return {"pairs": pairs, "oversized": oversized, "cached": [hs_new, hs_ref]}
+    return {
+        "pairs": pairs,
+        "oversized": oversized,
+        "cached": [hs_new, hs_ref, bands_ref],
+    }
 
 
 def cross_dedup_survivors(
