@@ -37,11 +37,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # with 93+ registered queries the registration ORDER decides which get
 # a driver-verified row. Instead of a hardcoded heuristic (which in r3
 # starved the two newest queries past the cap), priority is derived
-# from the CORRECTNESS_r*.json files the driver itself wrote:
+# from the CORRECTNESS_r*.json files the driver itself wrote, plus the
+# PLAN_HASHES.json snapshot (scripts/plan_hashes.py):
 #   1. red (err or any explicit False) in their LATEST recorded round
 #      — a recorded failure outranks everything: it must re-gate,
-#   2. never gated in any recorded round (new queries, registry order),
-#   3. green, least-recently-verified round first (rotation: stale r1
+#   2. green but the query's OPTIMIZED PLAN changed since its last
+#      driver gate (r10 verdict ask #4: the two-phase cap rework
+#      changed eight already-green queries' executed plans and the
+#      age-only rotation left all eight sampling stale evidence),
+#   3. never gated in any recorded round (new queries, registry order),
+#   4. green, least-recently-verified round first (rotation: stale r1
 #      evidence gets re-checked before last round's fresh greens).
 # Ties within a tier keep registry (definition) order. When red +
 # never-gated together exceed the 50-row cap, the overflow is the
@@ -81,24 +86,48 @@ def _gate_history() -> dict[str, tuple[int, bool, bool]]:
     return hist
 
 
+def _plan_changed_rounds() -> dict[str, int]:
+    """name -> round its optimized-plan hash last changed (0 = never
+    since tracking began). Missing/corrupt file degrades to {} — the
+    ranking then behaves exactly as before the tier existed."""
+    try:
+        with open(os.path.join(_HERE, "PLAN_HASHES.json")) as f:
+            state = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    if not isinstance(state, dict):
+        return {}
+    return {
+        n: row.get("changed_r", 0)
+        for n, row in state.items()
+        if isinstance(row, dict)
+    }
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     names = list(QUERIES)
     hist = _gate_history()
+    changed = _plan_changed_rounds()
     pos = {n: i for i, n in enumerate(names)}
 
     def rank(n: str) -> tuple[int, int, int]:
         if n not in hist:
-            return (1, 0, pos[n])  # never gated
+            return (2, 0, pos[n])  # never gated
         rnd, green, rows_only = hist[n]
         if not green:
             return (0, -rnd, pos[n])  # red, most recent failures first
+        if changed.get(n, 0) > rnd:
+            # plan changed AFTER the query's latest driver gate: its
+            # green evidence describes a plan that no longer runs —
+            # re-gate before rotating anything merely old
+            return (1, rnd, pos[n])
         if rows_only and QUERIES[n].oracle is not None:
             # every recorded gate was the weak rows-only check but the
             # query NOW has an oracle (r5 upgraded q20/q28): the
             # driver has never hash-checked it — rank with never-gated
             # so the new oracle earns its driver row immediately
-            return (1, 0, pos[n])
-        return (2, rnd, pos[n])  # green, oldest evidence first
+            return (2, 0, pos[n])
+        return (3, rnd, pos[n])  # green, oldest evidence first
 
     return {name: QUERIES[name].fn for name in sorted(names, key=rank)}
 

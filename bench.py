@@ -168,11 +168,25 @@ def main() -> None:
             reps.append(time.perf_counter() - t0)
         return round(statistics.median(reps), 3)
 
+    # INTERLEAVED anchor sampling (r10 verdict ask #3): BENCH_r10
+    # proved a mid-run host gradient (anchor 0.123 pre → 0.180 post =
+    # 1.43× ref) that a pre/post-only pair cannot correct — every
+    # query in the back half read slow and min(pre,post) silently
+    # under-corrected them. The anchor is now sampled every
+    # ANCHOR_EVERY headliners (plus before and after), each query is
+    # tagged with its run position, and "queries_norm" divides each
+    # timing by its NEAREST anchor sample's ratio-to-reference —
+    # cross-round comparisons should use queries_norm, falling back
+    # to raw queries only for within-run plan comparisons.
+    ANCHOR_EVERY = 8
+
     _anchor_median()  # codegen/JIT warm-up pass, untimed
-    anchor_pre = _anchor_median()
+    anchor_samples: list[tuple[int, float]] = []  # (run position, sec)
+    anchor_samples.append((0, _anchor_median()))
 
     timings: dict[str, float] = {}
-    for name in names:
+    positions: dict[str, int] = {}
+    for i, name in enumerate(names):
         QUERIES[name].fn(spark, sf_dir).write.mode("overwrite").format(
             "noop"
         ).save()
@@ -180,15 +194,26 @@ def main() -> None:
         df = QUERIES[name].fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        positions[name] = i + 1
         spark.catalog.clearCache()
         gc.collect()
         _cache_documents()
+        if (i + 1) % ANCHOR_EVERY == 0 and (i + 1) < len(names):
+            anchor_samples.append((i + 1, _anchor_median()))
 
-    # second anchor sample AFTER the suite: the pre/post pair also
-    # exposes within-run drift (thermal throttling, a co-tenant
-    # arriving mid-suite), not just round-over-round drift.
-    anchor_post = _anchor_median()
-    anchor = round(min(anchor_pre, anchor_post), 3)
+    # final anchor sample AFTER the suite
+    anchor_samples.append((len(names), _anchor_median()))
+    anchor_pre = anchor_samples[0][1]
+    anchor_post = anchor_samples[-1][1]
+    anchor = round(min(s for _, s in anchor_samples), 3)
+
+    def _nearest_anchor(pos: int) -> float:
+        return min(anchor_samples, key=lambda s: abs(s[0] - pos))[1]
+
+    queries_norm = {
+        name: round(t / max(_nearest_anchor(positions[name]) / ANCHOR_REF_SEC, 1e-9), 3)
+        for name, t in timings.items()
+    }
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -196,10 +221,17 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # host-drift-corrected timings: raw / (nearest anchor sample /
+        # anchor_ref). Compare THESE across rounds.
+        "queries_norm": queries_norm,
+        "total_norm": round(sum(queries_norm.values()), 3),
         "sf": sf,
         "anchor_sec": anchor,
         "anchor_pre_sec": anchor_pre,
         "anchor_post_sec": anchor_post,
+        # every interleaved sample: [run position, seconds]; a gradient
+        # here means the host drifted mid-run (r10's failure mode)
+        "anchor_samples": [[p, s] for p, s in anchor_samples],
         "anchor_ref_sec": ANCHOR_REF_SEC,
         # >1 ⇒ this host/run is slower than the r9 reference recording;
         # divide headline deltas by this before attributing to code

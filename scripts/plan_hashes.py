@@ -1,0 +1,122 @@
+"""Per-query optimized-plan content hashes (r10 verdict ask #4): the
+driver's 50-row correctness rotation ranks by evidence AGE only, so a
+round that rewrites the executed plan of already-green queries (r10's
+two-phase bucket cap touched eight) can leave every affected oracle
+un-re-gated for rounds. This script snapshots a normalized hash of
+each registered query's OPTIMIZED logical plan at sf0.001; the
+__spark_entry__ ranking gives queries whose hash changed since their
+last driver gate a priority tier between "red" and "never gated".
+
+    python scripts/plan_hashes.py            # refresh PLAN_HASHES.json
+    python scripts/plan_hashes.py --check    # exit 1 if stale
+
+State file: /root/repo/PLAN_HASHES.json — {name: {"hash": sha1,
+"changed_r": N}} where changed_r is the round in which the hash was
+last observed to change (0 = unchanged since tracking began). The
+"current round" is inferred as max(CORRECTNESS_r*.json) + 1 — the
+round whose gate has not run yet.
+
+Normalization: Catalyst expression ids (#123), plan/exchange ids,
+LogicalRDD/ExistingRDD output ids and checkpoint RDD numbers vary per
+session; they are stripped before hashing so only the plan SHAPE and
+literals count. Eager fns (q186's pipeline counts, streaming
+availableNow runs) execute at sf0.001 while building their frame —
+that is the same cost the local parity sweep pays per run.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.001"
+STATE = "/root/repo/PLAN_HASHES.json"
+
+
+def normalize(plan: str) -> str:
+    plan = re.sub(r"#\d+", "#", plan)
+    plan = re.sub(r"\[id=#?\d+\]", "[id=]", plan)
+    # physical fragments embedded in InMemoryRelation carry session-
+    # global plan-id counters
+    plan = re.sub(r"\[plan_id=\d+\]", "[plan_id=]", plan)
+    plan = re.sub(r"ExistingRDD\[[^\]]*\]", "ExistingRDD[]", plan)
+    plan = re.sub(r"Scan ExistingRDD[^\n]*", "Scan ExistingRDD", plan)
+    plan = re.sub(r"LogicalRDD \[[^\]]*\]", "LogicalRDD []", plan)
+    # checkpoint/cache RDD numbers and object addresses
+    plan = re.sub(r"@[0-9a-f]{6,}", "@", plan)
+    plan = re.sub(r"rdd_\d+_\d+", "rdd", plan)
+    plan = re.sub(r"MapPartitionsRDD\[\d+\]", "MapPartitionsRDD[]", plan)
+    return plan
+
+
+def current_round() -> int:
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob("/root/repo/CORRECTNESS_r*.json")
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def compute() -> dict[str, str]:
+    from us_immigration_data_lake_spark.plans.queries import QUERIES
+    from us_immigration_data_lake_spark.session import get_spark
+
+    spark = get_spark("plan-hashes")
+    spark.sparkContext.setLogLevel("ERROR")
+    hashes: dict[str, str] = {}
+    for name, spec in QUERIES.items():
+        df = spec.fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        hashes[name] = hashlib.sha1(
+            normalize(plan).encode("utf-8", "replace")
+        ).hexdigest()
+        spark.catalog.clearCache()
+    return hashes
+
+
+def main() -> None:
+    check = "--check" in sys.argv
+    try:
+        with open(STATE) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        prev = {}
+
+    rnd = current_round()
+    fresh = compute()
+    out: dict[str, dict] = {}
+    changed_names: list[str] = []
+    for name, h in fresh.items():
+        old = prev.get(name)
+        if old is None:
+            # new query: never driver-gated yet, the never-gated tier
+            # already covers it — record as unchanged-since-tracking
+            out[name] = {"hash": h, "changed_r": 0}
+        elif old.get("hash") != h:
+            out[name] = {"hash": h, "changed_r": rnd}
+            changed_names.append(name)
+        else:
+            out[name] = old
+
+    stale = out != prev
+    if stale and not check:
+        with open(STATE, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+    print(
+        f"round={rnd} queries={len(fresh)} changed={len(changed_names)} "
+        f"{'STALE' if stale and check else 'updated' if stale else 'in sync'}"
+    )
+    if changed_names:
+        print("plan-changed:", " ".join(sorted(changed_names)))
+    sys.exit(1 if (check and stale) else 0)
+
+
+if __name__ == "__main__":
+    main()

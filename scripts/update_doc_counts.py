@@ -106,6 +106,17 @@ def main() -> None:
         check,
     )
     changed |= rewrite(
+        "/root/repo/SURVEY.md",
+        [
+            (
+                r"\d+ queries, \d+ with DuckDB oracles, \d+ bench headliners\.",
+                f"{n_q} queries, {n_oracle} with DuckDB oracles, "
+                f"{n_bench} bench headliners.",
+            ),
+        ],
+        check,
+    )
+    changed |= rewrite(
         "/root/repo/SCALE.md",
         [
             (

@@ -22,25 +22,32 @@ def test_queries_and_oracles_consistent():
 
 
 def test_gate_ordering_tiers():
-    """Red queries outrank never-gated (including queries whose only
-    recorded gates were weak rows-only checks but which NOW carry an
-    oracle — the driver has never hash-checked those), which outrank
-    greens; greens rotate oldest-evidence-first. Checked against the
-    committed CORRECTNESS_r*.json history the ordering derives from."""
+    """Red queries outrank plan-changed greens (r10 ask #4: a green
+    whose optimized plan changed since its last driver gate carries
+    evidence for a plan that no longer runs), which outrank
+    never-gated (including queries whose only recorded gates were
+    weak rows-only checks but which NOW carry an oracle — the driver
+    has never hash-checked those), which outrank stable greens;
+    stable greens rotate oldest-evidence-first. Checked against the
+    committed CORRECTNESS_r*.json + PLAN_HASHES.json history the
+    ordering derives from."""
     from us_immigration_data_lake_spark.plans.queries import QUERIES
 
     hist = entry_mod._gate_history()
+    changed = entry_mod._plan_changed_rounds()
     names = list(entry_mod.queries())
 
     def tier(n: str) -> int:
         if n not in hist:
-            return 1
+            return 2
         rnd, green, rows_only = hist[n]
         if not green:
             return 0
+        if changed.get(n, 0) > rnd:
+            return 1  # plan changed since the last driver gate
         if rows_only and QUERIES[n].oracle is not None:
-            return 1  # oracle upgraded since the last (weak) gate
-        return 2
+            return 2  # oracle upgraded since the last (weak) gate
+        return 3
 
     tiers = [tier(n) for n in names]
     assert tiers == sorted(tiers)
@@ -53,7 +60,12 @@ def test_gate_ordering_tiers():
     for upgraded in ("q20_minhash_near_dups", "q28_stream_stateful"):
         if upgraded in hist and hist[upgraded][2]:
             assert names.index(upgraded) < 50
+    # plan-changed greens land inside the 50-row cap while the
+    # backlog allows (r11: 13 seeded + reds fit comfortably)
+    plan_changed = [n for n in names if tier(n) == 1]
+    if len(plan_changed) <= 40:
+        assert all(names.index(n) < 50 for n in plan_changed)
     # green rotation: non-decreasing last-verified round
-    greens = [n for n in names if tier(n) == 2]
+    greens = [n for n in names if tier(n) == 3]
     rounds = [hist[n][0] for n in greens]
     assert rounds == sorted(rounds)

@@ -1634,17 +1634,19 @@ def test_global_row_number_leaves_no_cache_entry(spark):
 
 
 def test_cross_near_dup_frames_exposes_caches_for_release(cross_corpora, spark):
-    """The cross plan caches its two hashed-shingle frames (each feeds
-    banding AND the verify join); the dict must hand them to the caller
-    so a pipeline can unpersist them after materializing — and
-    unpersisting must actually clear the entries."""
+    """The cross plan caches three frames — the two hashed-shingle
+    frames (each feeds banding AND the verify join) plus the ref band
+    frame (the two-phase cap + oversized census scan it repeatedly);
+    the dict must hand all of them to the caller so a pipeline can
+    unpersist them after materializing — and unpersisting must
+    actually clear the entries."""
     new_df, ref_df = cross_corpora
     spark.catalog.clearCache()
     frames = dd.cross_near_dup_frames(
         new_df, ref_df, "doc_id", "text", shingle_n=3, num_hashes=32,
         bands=16, threshold=0.5,
     )
-    assert len(frames["cached"]) == 2
+    assert len(frames["cached"]) == 3
     frames["pairs"].count()
     for f in frames["cached"]:
         assert f.storageLevel.useMemory or f.storageLevel.useDisk
@@ -2023,7 +2025,8 @@ def test_mega_bucket_cap_sites_have_no_unbounded_collect_list(mega_band):
     """The oversized/star/capped-ref plans must not contain collect_list
     at all; candidate_pairs may collect only AFTER the two-phase
     oversized-key anti-join bounds the bucket (r10: count-first hash
-    agg + broadcast LeftAnti — no window sort on the common path)."""
+    agg + LeftAnti, broadcast left to AQE — no window sort on the
+    common path)."""
     over_plan = dd.oversized_buckets(
         mega_band, "doc_id", max_bucket_size=50
     )._jdf.queryExecution().optimizedPlan().toString()
@@ -2045,7 +2048,7 @@ def test_mega_bucket_cap_sites_have_no_unbounded_collect_list(mega_band):
 
 def test_capped_bucket_members_two_phase_plan_and_results(mega_band):
     """capped_bucket_members: ≤cap buckets keep every member with NO
-    window on their path (broadcast anti-join), oversized buckets keep
+    window on their path (anti-join, strategy left to AQE), oversized buckets keep
     the cap smallest ids via a window confined to the rare semi-joined
     branch."""
     capped = dd.capped_bucket_members(mega_band, "doc_id", 50)
@@ -2093,7 +2096,12 @@ def test_cross_ref_index_frames_cap_and_oversized(spark):
         max_bucket_size=8,
     )
     idx = frames["index"]
-    assert "collect_list" not in idx._jdf.queryExecution().optimizedPlan().toString()
+    idx_plan = idx._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_list" not in idx_plan
+    # r11: two-phase cap on the index build — common ≤cap buckets pass
+    # the anti-join (broadcast decided by AQE), only flagged keys
+    # reach the window confined to the rare semi-joined branch
+    assert "LeftAnti" in idx_plan and "LeftSemi" in idx_plan
     per_bucket = idx.groupBy("band_idx", "band_hash").count().collect()
     assert all(r["count"] <= 8 for r in per_bucket)
     # capped buckets keep the SMALLEST ids (row_number orderBy id)
@@ -2123,7 +2131,9 @@ def test_srp_ref_index_frames_cap_and_oversized(spark):
     frames = sim.srp_ref_index_frames(
         df, "vec_id", "embedding", dim=dim, num_bits=2, max_bucket_size=5
     )
-    assert "collect_list" not in frames["index"]._jdf.queryExecution().optimizedPlan().toString()
+    srp_idx_plan = frames["index"]._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_list" not in srp_idx_plan
+    assert "LeftAnti" in srp_idx_plan and "LeftSemi" in srp_idx_plan
     per_bucket = frames["index"].groupBy("bucket").count().collect()
     assert all(r["count"] <= 5 for r in per_bucket)
     over = {r.bucket: r for r in frames["oversized"].collect()}
@@ -2133,9 +2143,62 @@ def test_srp_ref_index_frames_cap_and_oversized(spark):
     assert big.anchor_id == 0
 
 
+def test_within_dedup_frames_expose_caches_for_release(spark):
+    """r10 advisor: near_dup_frames / srp_near_dup_frames pin internal
+    caches (hashed-shingle + band frame / SRP bucket frame); both must
+    hand them to the caller via the "cached" entry — the
+    cross_near_dup_frames contract — so loop callers
+    (update_corpus_increment per batch) can release instead of relying
+    on LRU eviction."""
+    import numpy as np
+
+    spark.catalog.clearCache()
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "alpha beta gamma delta epsilon zeta eta iota"),
+         (3, "totally different text about something else")],
+        ["doc_id", "text"],
+    )
+    frames = dd.near_dup_frames(
+        docs, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4,
+        threshold=0.3,
+    )
+    assert len(frames["cached"]) == 2
+    frames["pairs"].count()
+    for f in frames["cached"]:
+        assert f.storageLevel.useMemory or f.storageLevel.useDisk
+        f.unpersist(blocking=True)
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    assert jcm.isEmpty(), "near_dup_frames caches not released"
+
+    rng = np.random.RandomState(3)
+    vecs = [(i, rng.randn(8).tolist()) for i in range(6)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    sframes = sim.srp_near_dup_frames(
+        emb, "vec_id", "embedding", threshold=0.9, dim=8, num_bits=2,
+    )
+    assert len(sframes["cached"]) == 1
+    sframes["pairs"].count()
+    for f in sframes["cached"]:
+        f.unpersist(blocking=True)
+    assert jcm.isEmpty(), "srp_near_dup_frames cache not released"
+
+    # semantic_dedup threads the same frames into a caller registry
+    reg: list = []
+    sim.semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.9, dim=8, num_bits=2,
+        cache_registry=reg,
+    ).count()
+    assert len(reg) == 1
+    for f in reg:
+        f.unpersist(blocking=True)
+    assert jcm.isEmpty(), "semantic_dedup registry cache not released"
+
+
 def test_cross_dedup_survivors_cache_registry(spark):
-    # ADVICE r8 #2: a caller-provided registry receives the two cached
-    # hashed-shingle frames so long-lived sessions can release them.
+    # ADVICE r8 #2: a caller-provided registry receives the cached
+    # frames (two hashed-shingle frames + the ref band frame) so
+    # long-lived sessions can release them.
     new_df = spark.createDataFrame(
         [(1, "shared words in both corpora exactly the same sentence"),
          (2, "fresh new content never seen in the reference corpus")],
@@ -2151,7 +2214,7 @@ def test_cross_dedup_survivors_cache_registry(spark):
         bands=4, threshold=0.5, cache_registry=reg,
     )
     assert [r.doc_id for r in surv.collect()] == [2]
-    assert len(reg) == 2
+    assert len(reg) == 3
     for fr in reg:
         assert fr.storageLevel.useMemory  # actually cached
         fr.unpersist()

@@ -476,3 +476,115 @@ def test_auc_of_trained_head_on_planted_signal(spark):
     )
     r = tr.roc_auc_exact(scored, "lbl", "score_micro").collect()[0]
     assert r.auc >= 0.99
+
+
+# ---------------------------------------------------------------------------
+# r11: exact average precision (pr_auc_exact) + calibration bins
+# (calibration_bins) — the rest of the evaluation family (r9 ask #6).
+# ---------------------------------------------------------------------------
+
+
+def _py_ap(pairs):
+    """Independent AP replay: iterate DISTINCT scores descending with
+    cumulative tp/rank, per-step precision integer-ized to micro
+    exactly as the operator contract states."""
+    from collections import Counter
+
+    n_pos = sum(1 for y, _ in pairs if y == 1)
+    cnt = Counter(s for _, s in pairs)
+    pos = Counter(s for y, s in pairs if y == 1)
+    tp = rank = 0
+    ap_micro = 0
+    for v in sorted(cnt, reverse=True):
+        tp += pos[v]
+        rank += cnt[v]
+        # round-half-away-from-zero, the Spark/DuckDB ROUND semantics
+        x = 1e6 * tp / rank
+        ap_micro += pos[v] * int(x + 0.5)
+    return n_pos, ap_micro
+
+
+@pytest.mark.parametrize("data", [
+    [(1, 10), (1, 8), (0, 5), (0, 3)],                      # separable
+    [(1, 5), (0, 5), (1, 5), (0, 7), (1, 2)],               # heavy ties
+    [(1, 1), (0, 2), (1, 3), (0, 4), (1, 5), (0, 6)],       # interleaved
+    [(0, -3), (1, -1), (0, -1), (1, 0), (0, 2), (1, 2)],    # negatives+ties
+    [(1, 4), (1, 9)],                                       # all positive
+])
+def test_pr_auc_matches_python_exactly(spark, data):
+    df = spark.createDataFrame(data, "y long, s long")
+    r = tr.pr_auc_exact(df, "y", "s").collect()[0]
+    n_pos, ap_micro = _py_ap(data)
+    assert (r.n_pos, r.ap_micro) == (n_pos, ap_micro)
+    assert abs(r.ap - ap_micro / (1e6 * n_pos)) < 5e-7
+
+
+def test_pr_auc_perfect_is_one_and_no_positives_raises(spark):
+    perfect = [(1, 100 + i) for i in range(10)] + [(0, i) for i in range(10)]
+    df = spark.createDataFrame(perfect, "y long, s long")
+    assert tr.pr_auc_exact(df, "y", "s").collect()[0].ap == 1.0
+    neg_only = spark.createDataFrame([(0, 3), (0, 5)], "y long, s long")
+    with pytest.raises(Exception, match="at least one positive"):
+        tr.pr_auc_exact(neg_only, "y", "s").collect()
+
+
+def test_pr_auc_ranks_imbalanced_heads_auc_cannot_separate(spark):
+    """The metric's reason to exist: two heads with the SAME ROC-AUC
+    on a 1:20 imbalance but different false-positive placement get
+    DIFFERENT AP — the early-precision head wins."""
+    # head A: the positive outranks all negatives but one
+    a = [(1, 100)] + [(0, 101)] + [(0, i) for i in range(20)]
+    # head B: the positive sits above only half the negatives
+    b = [(1, 10)] + [(0, i) for i in range(20)]  # 10 negatives above it
+    df_a = spark.createDataFrame(a, "y long, s long")
+    df_b = spark.createDataFrame(b, "y long, s long")
+    ap_a = tr.pr_auc_exact(df_a, "y", "s").collect()[0].ap
+    ap_b = tr.pr_auc_exact(df_b, "y", "s").collect()[0].ap
+    assert ap_a > ap_b
+
+
+def test_calibration_bins_counts_and_fixed_axis(spark):
+    rows = [
+        # bin 0: [0, 10): two rows, one positive
+        (1, 2), (0, 7),
+        # bin 1: [10, 20): one negative
+        (0, 15),
+        # below lo clamps into bin 0; above hi clamps into bin 3
+        (1, -99), (1, 999),
+    ]
+    df = spark.createDataFrame(rows, "y long, s long")
+    out = tr.calibration_bins(df, "y", "s", lo=0, width=10, n_bins=4).collect()
+    assert [r.bin for r in out] == [0, 1, 2, 3]          # densified axis
+    assert [r.bin_lo for r in out] == [0, 10, 20, 30]
+    b0, b1, b2, b3 = out
+    assert (b0.n, b0.n_pos, b0.sum_score) == (3, 2, 2 + 7 - 99)
+    assert (b1.n, b1.n_pos) == (1, 0)
+    assert (b2.n, b2.n_pos, b2.mean_score, b2.pos_rate) == (0, 0, None, None)
+    assert (b3.n, b3.n_pos, b3.sum_score) == (1, 1, 999)
+    assert b0.mean_score == round((2 + 7 - 99) / 3, 6)
+    assert b0.pos_rate == round(2 / 3, 6)
+
+
+def test_calibration_bins_reliability_on_planted_head(spark):
+    """A score that IS the log-odds of the label must produce bins
+    whose empirical rate increases with the bin index (monotone
+    reliability) — and a constant-score head lands in one bin."""
+    import math as m
+
+    rng = __import__("random").Random(7)
+    rows = []
+    for _ in range(4000):
+        lo_nat = rng.uniform(-4, 4)
+        p = 1 / (1 + m.exp(-lo_nat))
+        y = 1 if rng.random() < p else 0
+        rows.append((y, int(lo_nat * 1_000_000)))
+    df = spark.createDataFrame(rows, "y long, s long")
+    out = [
+        r for r in tr.calibration_bins(
+            df, "y", "s", lo=-4_000_000, width=1_000_000, n_bins=8
+        ).collect()
+        if r.n >= 50
+    ]
+    rates = [r.pos_rate for r in out]
+    assert all(b > a - 0.08 for a, b in zip(rates, rates[1:]))  # monotone-ish
+    assert rates[0] < 0.25 and rates[-1] > 0.75

@@ -307,8 +307,14 @@ __all__ += [
 ]
 
 from us_immigration_data_lake_spark.operators.training import (
+    calibration_bins,
     hashed_token_features,
+    pr_auc_exact,
+    roc_auc_exact,
     train_logreg_hashed,
 )
 
-__all__ += ["hashed_token_features", "train_logreg_hashed"]
+__all__ += [
+    "calibration_bins", "hashed_token_features", "pr_auc_exact",
+    "roc_auc_exact", "train_logreg_hashed",
+]

@@ -264,9 +264,10 @@ def oversized_bucket_keys(
 ) -> DataFrame:
     """Band-bucket keys whose member count exceeds the cap — the RARE
     set the cap machinery branches on. count-only hash aggregation:
-    map-side combinable, no sort, constant per-key buffer. Bounded
-    output by construction: at most |band_df| / max_bucket_size rows
-    of small key columns, which is why the cap sites broadcast it."""
+    map-side combinable, no sort, constant per-key buffer. Output is
+    at most |band_df| / max_bucket_size rows of small key columns —
+    usually empty-to-tiny, but a bound in ROWS, not bytes: cap sites
+    leave the join strategy to AQE rather than force a broadcast."""
     return (
         band_df.groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -288,18 +289,38 @@ def capped_bucket_members(
     no bucket was oversized (the common case; measured +8-19% on the
     capped dedup paths). Here a count-only hash aggregate finds the
     rare oversized keys first (``oversized_bucket_keys``), the common
-    ≤cap buckets pass through a broadcast anti-join untouched (no sort,
+    ≤cap buckets pass through an anti-join untouched (no sort,
     no per-key state), and only the flagged keys' members — a rare,
     bounded set — pay the spillable row_number sort. Semantics are
-    identical; the two broadcasts share one exchange (ReuseExchange).
-    Callers hand in a cheap-to-rescan band frame (a cached frame or a
-    shuffle output): the key-count pass is a second scan."""
+    identical; the two joins share the key frame's exchange
+    (ReuseExchange).
+
+    No explicit broadcast hint on the key frame (r10 advisor): its
+    bound is |band_df|/cap ROWS, not a constant — a pathologically
+    high-duplication corpus at 100 TB (1e11 band rows, cap 1000) can
+    yield ~1e8 oversized keys, multi-GB, and a forced broadcast would
+    bypass autoBroadcastJoinThreshold straight into executor OOM.
+    With AQE on (session.py default) the runtime decides from the key
+    stage's ACTUAL size: the common case (empty-to-tiny key set)
+    still becomes a broadcast join; the pathological case degrades to
+    a shuffled join instead of failing.
+
+    Contract on ``band_df`` — callers hand in a frame that is both
+    (1) cheap to rescan (a cached frame or a shuffle output): the
+    key-count pass is a second scan; and (2) DETERMINISTIC across
+    rescans: if the cache is evicted and the input re-evaluates
+    non-deterministically (sampling, monotonically_increasing_id,
+    first/any aggregates), the count phase and the join phases can
+    disagree — an over-cap bucket slipping through whole, or members
+    of a flagged bucket dropped. Every in-engine band frame is a pure
+    hash of (id, text/vector), so this holds by construction;
+    external callers must preserve it."""
     over = oversized_bucket_keys(band_df, max_bucket_size, key_cols)
     keys = list(key_cols)
-    common = band_df.join(F.broadcast(over), keys, "left_anti")
+    common = band_df.join(over, keys, "left_anti")
     w = Window.partitionBy(*keys).orderBy(id_col)
     rare = (
-        band_df.join(F.broadcast(over), keys, "left_semi")
+        band_df.join(over, keys, "left_semi")
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= max_bucket_size)
         .drop("__rn")
@@ -324,12 +345,17 @@ def candidate_pairs(
     via a window count, which sorted EVERY bucket to answer a question
     (is this bucket oversized?) that a hash count answers without
     sorting — a measured +8-19% constant factor on the common case.
-    The oversized-key frame is ≤ |band_df|/cap rows of two columns,
-    safely broadcastable by construction. Singleton buckets flow
+    The oversized-key frame is ≤ |band_df|/cap rows of two columns —
+    small in the common case but NOT constant-bounded, so no explicit
+    broadcast hint (see capped_bucket_members: AQE broadcasts the
+    usual tiny key set at runtime, a pathological high-duplication
+    corpus degrades to a shuffled join instead of OOM). Same
+    rescannable-AND-deterministic contract on ``band_df`` as
+    capped_bucket_members. Singleton buckets flow
     through the collect (buffer of one) and drop at the size filter."""
     rows = band_df.select("band_idx", "band_hash", id_col)
     over = oversized_bucket_keys(rows, max_bucket_size)
-    kept = rows.join(F.broadcast(over), ["band_idx", "band_hash"], "left_anti")
+    kept = rows.join(over, ["band_idx", "band_hash"], "left_anti")
     buckets = (
         kept.groupBy("band_idx", "band_hash")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
@@ -412,6 +438,12 @@ def near_dup_frames(
     - ``pairs``: verified near-dup pairs (id1, id2, jaccard)
     - ``oversized``: the >max_bucket_size band buckets that all-pairs
       generation skipped (band_idx, band_hash, bucket_n, anchor_id)
+    - ``cached``: the frames this plan caches (the hashed-shingle
+      frame and the band frame) — the caller's to release once
+      ``pairs``/``oversized`` are fully materialized, the same
+      contract as cross_near_dup_frames (r10 advisor: loop callers
+      like update_corpus_increment otherwise pin a new pair of
+      CacheManager entries per invocation, relying on LRU eviction)
 
     With ``recover_oversized=True``, each mega-bucket additionally
     contributes anchor-star candidates (member ↔ bucket-min, linear in
@@ -443,16 +475,17 @@ def near_dup_frames(
     # cached: consumed by the signature/banding chain AND the verify
     # join. ~|docs| rows of long arrays — orders of magnitude smaller
     # than r1's exploded (doc, shingle-hash) cache. Cannot be
-    # unpersisted here (the returned frames are lazy); Spark's cache
-    # manager dedupes by logical plan and evicts LRU under pressure.
+    # unpersisted here (the returned frames are lazy) — handed to the
+    # caller via the "cached" entry; un-released entries fall back to
+    # the cache manager's LRU eviction.
     hs_arr.cache()
     sig = _signatures_from_sets(hs_arr, id_col, num_hashes, portable)
     band_df = lsh_bands(sig, id_col, bands, rows, portable)
     # The two-phase cap scans the band frame twice (key counts, then
     # the anti-join collect); cache it so the num_hashes-per-doc
     # signature stage runs once. Tiny rows — (id, band_idx int,
-    # band_hash long) × bands per doc; same LRU-eviction contract as
-    # hs_arr above.
+    # band_hash long) × bands per doc; released by the caller via the
+    # "cached" entry, same contract as hs_arr above.
     band_df.cache()
     cand = candidate_pairs(band_df, id_col, max_bucket_size)
     if recover_oversized:
@@ -462,6 +495,7 @@ def near_dup_frames(
     return {
         "pairs": verify_jaccard_hashed(cand, hs_arr, id_col, threshold),
         "oversized": oversized_buckets(band_df, id_col, max_bucket_size),
+        "cached": [hs_arr, band_df],
     }
 
 
@@ -713,12 +747,16 @@ def cross_ref_index_frames(
 
     Bounded per-key state throughout (the r8 form collect_list'd the
     full bucket before slicing — an unbounded aggregation-buffer row
-    on exactly the mega-bucket input the cap guards against):
-    cap-smallest-ids is a row_number window (spillable sort, identical
-    semantics — ids are unique within a (band_idx, band_hash) bucket,
-    one band per band_idx per doc), oversized detection is count+min
-    aggregates. The row_number form also retires the int32
-    slice-length overflow trap the array form had to clamp around."""
+    on exactly the mega-bucket input the cap guards against), and
+    two-phase since r11 (the r9/r10 form paid a row_number window —
+    a full sort of the band frame — on EVERY reference bucket, the
+    heaviest remaining site of the pattern the r9-ask removed):
+    cap-smallest-ids via ``capped_bucket_members`` — count-only hash
+    agg finds the rare >cap keys, the common ≤cap buckets pass a
+    broadcast anti-join untouched, only flagged keys pay the spillable
+    sort; oversized detection is count+min aggregates. Build-once
+    amortization is unchanged: the extra count scan of the band frame
+    is paid once per reference corpus."""
     rows = num_hashes // bands
     ref_sh = shingles(
         spread_by_id(ref_df, id_col), id_col, text_col, shingle_n
@@ -729,10 +767,8 @@ def cross_ref_index_frames(
         F.col(id_col).alias("id_ref"),
         F.explode(band_structs(bands, rows, portable)).alias("band"),
     ).select("id_ref", "band.band_idx", "band.band_hash")
-    w_ref = Window.partitionBy("band_idx", "band_hash").orderBy("id_ref")
     index = (
-        ref_bands.withColumn("__rn", F.row_number().over(w_ref))
-        .filter(F.col("__rn") <= max_bucket_size)
+        capped_bucket_members(ref_bands, "id_ref", max_bucket_size)
         .select("band_idx", "band_hash", "id_ref")
         .join(
             ref_hs.select(

@@ -551,7 +551,10 @@ def srp_near_dup_frames(
     key rides the band_hash slot with a constant band_idx), so cap
     semantics can never drift between the two pipelines. Returns
     ``{"pairs": (id1, id2, cosine_sim), "oversized": one row per
-    capped bucket}``.
+    capped bucket, "cached": [the cached SRP bucket frame]}`` —
+    ``cached`` is the caller's to release once the other frames are
+    materialized (the near_dup_frames / cross_near_dup_frames
+    contract; un-released entries fall back to LRU eviction).
     """
     from us_immigration_data_lake_spark.operators.dedup import (
         candidate_pairs,
@@ -565,8 +568,8 @@ def srp_near_dup_frames(
     )
     # two-phase candidate_pairs scans the bucket frame twice (key
     # counts, then the anti-join collect); cache the three tiny
-    # columns so the SRP signature arithmetic runs once (same LRU
-    # contract as the text path's band cache).
+    # columns so the SRP signature arithmetic runs once — released by
+    # the caller via the "cached" entry (the text path's contract).
     band_df.cache()
     cand = candidate_pairs(band_df, "__id", max_bucket_size)
     if recover_oversized:
@@ -593,6 +596,7 @@ def srp_near_dup_frames(
     return {
         "pairs": pairs,
         "oversized": oversized_buckets(band_df, "__id", max_bucket_size),
+        "cached": [band_df],
     }
 
 
@@ -813,6 +817,7 @@ def semantic_dedup(
     max_iter: int = 16,
     max_bucket_size: int | None = 1000,
     recover_oversized: bool = True,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication decision over an
     embedding column: SRP-bucketed near-dup pairs →
@@ -830,7 +835,12 @@ def semantic_dedup(
     31× wall-clock for 10× rows, the capped one at 1.4×. Pass
     ``max_bucket_size=None`` explicitly for the uncapped
     exact-within-bucket SemDeDup gate semantics (small corpora /
-    oracle replay only — never the 100 TB configuration)."""
+    oracle replay only — never the 100 TB configuration).
+
+    Loop callers should pass ``cache_registry=[]``: the capped path's
+    internal cached bucket frame is appended to it for release after
+    the returned frame materializes (the cross_dedup_survivors
+    contract); without a registry it falls back to LRU eviction."""
     from us_immigration_data_lake_spark.operators.dedup import (
         dedup_survivors,
     )
@@ -840,11 +850,14 @@ def semantic_dedup(
             df, id_col, vec_col, threshold, dim, num_bits=num_bits, seed=seed
         )
     else:
-        pairs = srp_near_dup_frames(
+        frames = srp_near_dup_frames(
             df, id_col, vec_col, threshold, dim, num_bits=num_bits,
             seed=seed, max_bucket_size=max_bucket_size,
             recover_oversized=recover_oversized,
-        )["pairs"]
+        )
+        if cache_registry is not None:
+            cache_registry.extend(frames["cached"])
+        pairs = frames["pairs"]
     return dedup_survivors(
         df, pairs.select("id1", "id2"), id_col, max_iter=max_iter
     )

@@ -632,3 +632,180 @@ def roc_auc_exact(
             ).alias("auc"),
         )
     )
+
+
+def pr_auc_exact(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+) -> DataFrame:
+    """EXACT distributed average precision (step-interpolated PR-AUC)
+    of a binary classifier's scores — the second evaluation metric
+    next to ``roc_auc_exact`` (r9 verdict ask #6: ROC-AUC is blind to
+    class imbalance; on a 1:1000 filter head the PR curve is the one
+    that moves). Thresholds sweep the DISTINCT scores descending;
+    with cumulative-from-the-top counts tp(v) (positives scored >= v)
+    and rank(v) (rows scored >= v):
+
+        AP = sum_v pos(v)/n_pos * precision(v)
+           = sum_v pos(v)/n_pos * tp(v)/rank(v)
+
+    (each distinct score is one PR-curve step of recall-width
+    pos(v)/n_pos at height precision(v) — sklearn's
+    average_precision_score definition at distinct-value
+    granularity, exact under ties). The per-step precision is the
+    one non-integer; it integer-izes ONCE per distinct value — the
+    micronat rule shared with xent/PSI —
+
+        ap_micro = sum_v pos(v) * CAST(ROUND(1e6*tp(v)/rank(v)) AS BIGINT)
+        ap       = ap_micro / (1e6 * n_pos)
+
+    so the distributed sum is exact BIGINT adds (order-independent
+    across partial aggregation) and an external engine replays it
+    bit-for-bit. Returns one row: (n_pos, n_neg, ap_micro, ap).
+    No positives raises (AP undefined — a silent 0 would hide a
+    broken label pipeline); all-positives yields AP = 1 exactly.
+
+    Scale (the roc_auc_exact story): one groupBy over distinct
+    scores (map-side combined), the two-phase ``global_cumsum`` for
+    the from-the-top prefixes (range exchange + parallel partition
+    cumsums — never a single-partition ORDER BY window), one
+    single-row totals broadcast, one final aggregate. NULL
+    labels/scores are excluded; labels must be 0/1."""
+    from us_immigration_data_lake_spark.operators.windows import global_cumsum
+
+    base = df.filter(
+        F.col(label_col).isNotNull() & F.col(score_col).isNotNull()
+    ).select(
+        F.col(score_col).alias("__v"),
+        F.col(label_col).cast("long").alias("__y"),
+    )
+    per_value = base.groupBy("__v").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.sum("__y").alias("__pos"),
+    )
+    # ascending inclusive prefixes; from-the-top (>= v) counts follow
+    # by subtraction against the single-row totals
+    cum = global_cumsum(per_value, ["__v"], ["__cnt", "__pos"])
+    totals = base.agg(
+        F.sum("__y").cast("long").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("__y")).cast("long").alias("n_neg"),
+    )
+    guarded = totals.select(
+        F.when(
+            F.col("n_pos") == 0,
+            F.raise_error(
+                F.lit("pr_auc_exact: need at least one positive label")
+            ).cast("long"),
+        ).otherwise(F.col("n_pos")).alias("n_pos"),
+        F.col("n_neg"),
+    )
+    n_all = F.col("n_pos") + F.col("n_neg")
+    tp = F.col("n_pos") - (F.col("__pos_cum") - F.col("__pos"))
+    rank = n_all - (F.col("__cnt_cum") - F.col("__cnt"))
+    prec_micro = F.round(
+        F.lit(1000000.0) * tp.cast("double") / rank.cast("double")
+    ).cast("long")
+    return (
+        cum.crossJoin(F.broadcast(guarded))  # single-row aggregate
+        .groupBy("n_pos", "n_neg")
+        .agg(F.sum(F.col("__pos") * prec_micro).cast("long").alias("ap_micro"))
+        .select(
+            "n_pos",
+            "n_neg",
+            "ap_micro",
+            F.round(
+                F.col("ap_micro").cast("double")
+                / (F.lit(1000000.0) * F.col("n_pos").cast("double")),
+                6,
+            ).alias("ap"),
+        )
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    lo: int,
+    width: int,
+    n_bins: int,
+) -> DataFrame:
+    """Reliability-diagram bins for a binary classifier's scores —
+    the calibration leg of the evaluation family (r9 verdict ask #6):
+    per fixed score bin, how does the MEAN PREDICTED score compare to
+    the EMPIRICAL positive rate? A well-calibrated head tracks the
+    diagonal; a confident-but-wrong one doesn't, and neither AUC
+    catches it (AUC is rank-only).
+
+    Binning is the q213 PSI contract — bin = clamp(floor((score -
+    lo)/width), 0, n_bins-1) with EXPLICIT lo/width/n_bins, so two
+    snapshots' reliability tables are comparable by construction and
+    the ECE-style |rate - mean| gap can be differenced across rounds.
+    ALL n_bins rows are returned (empty bins with zero counts — a
+    dashboard diffing tables needs a fixed axis), densified from a
+    range frame exactly like psi_drift.
+
+    Exactness: scores are integer micronats in this engine, so
+    sum_score is an exact BIGINT; the two ratios (mean_score,
+    pos_rate) are each ONE int/int double division, rounded to 6 —
+    deterministic on both engines. Returns (bin, bin_lo, n, n_pos,
+    sum_score, mean_score, pos_rate) ordered by bin.
+
+    Scale: one groupBy over <= n_bins keys (map-side combined) and an
+    n_bins-row densify join — nothing is corpus-order beyond the
+    first scan. NULL labels/scores are excluded; labels must be 0/1."""
+    if width < 1 or n_bins < 1:
+        raise ValueError("width and n_bins must be >= 1")
+    b = int(n_bins)
+    spark = df.sparkSession
+    binx = F.least(
+        F.lit(b - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor(
+                (F.col(score_col).cast("long") - F.lit(int(lo)))
+                / F.lit(int(width))
+            ),
+        ),
+    ).cast("long")
+    base = df.filter(
+        F.col(label_col).isNotNull() & F.col(score_col).isNotNull()
+    ).select(
+        binx.alias("bin"),
+        F.col(label_col).cast("long").alias("__y"),
+        F.col(score_col).cast("long").alias("__s"),
+    )
+    per_bin = base.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__y").alias("n_pos"),
+        F.sum("__s").alias("sum_score"),
+    )
+    return (
+        spark.range(b)
+        .select(F.col("id").alias("bin"))
+        .join(per_bin, "bin", "left")
+        .select(
+            "bin",
+            (F.lit(int(lo)) + F.col("bin") * F.lit(int(width)))
+            .cast("long").alias("bin_lo"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.coalesce("n_pos", F.lit(0)).cast("long").alias("n_pos"),
+            F.coalesce("sum_score", F.lit(0)).cast("long").alias("sum_score"),
+            F.when(
+                F.coalesce("n", F.lit(0)) > 0,
+                F.round(
+                    F.col("sum_score").cast("double")
+                    / F.col("n").cast("double"), 6
+                ),
+            ).alias("mean_score"),
+            F.when(
+                F.coalesce("n", F.lit(0)) > 0,
+                F.round(
+                    F.col("n_pos").cast("double") / F.col("n").cast("double"),
+                    6,
+                ),
+            ).alias("pos_rate"),
+        )
+        .orderBy("bin")
+    )

@@ -137,6 +137,9 @@ def build_training_corpus(
         threshold=jaccard_threshold, max_bucket_size=max_bucket_size,
         recover_oversized=True, portable=portable,
     )
+    # the near-dup plan's internal caches (hashed-shingle + band
+    # frames) are ours to release with the stage caches below
+    cached.extend(frames["cached"])
     pairs = frames["pairs"]
     n_oversized = frames["oversized"].count()
     survivors = dd.dedup_survivors(exact, pairs, id_col).filter(F.col("keep"))
@@ -244,12 +247,16 @@ def update_corpus_increment(
         cached.append(surv_cross)
         n_cross = surv_cross.count()
 
-        within = dd.near_dup_frames(
+        within_frames = dd.near_dup_frames(
             surv_cross, id_col, text_col, shingle_n=shingle_n,
             num_hashes=num_hashes, bands=bands, threshold=threshold,
             max_bucket_size=max_bucket_size, recover_oversized=True,
             portable=portable,
-        )["pairs"].select("id1", "id2")
+        )
+        # per-batch internal caches released in the finally block —
+        # a weekly-ingest loop must not pin two new entries per batch
+        cached.extend(within_frames["cached"])
+        within = within_frames["pairs"].select("id1", "id2")
         keep = (
             dd.dedup_survivors(surv_cross, within, id_col)
             .filter(F.col("keep"))
@@ -336,7 +343,7 @@ def update_embedding_increment(
             sim.semantic_dedup(
                 surv_cross, id_col, vec_col, threshold=threshold, dim=dim,
                 num_bits=num_bits, max_bucket_size=within_bucket_cap,
-                recover_oversized=True,
+                recover_oversized=True, cache_registry=cached,
             )
             .filter(F.col("keep"))
             .select(id_col)

@@ -12956,7 +12956,12 @@ def q214_embedding_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _q215_oracle_sql() -> str:
+def _q215_scored_cte(label_case: str) -> str:
+    """The shared train-on-even / score-the-odd NB chain ending in a
+    ``scored (doc_id, score, y)`` CTE — q215 (ROC-AUC) and q216
+    (PR-AUC) differ only in the metric computed after it.
+    ``label_case`` is the SQL CASE mapping lang -> class id; the
+    scored head is class 0 and y is the (lang = 'en') truth."""
     b = _Q206_B
     return f"""
     WITH base AS MATERIALIZED (
@@ -12965,7 +12970,7 @@ def _q215_oracle_sql() -> str:
                          t -> t <> '') AS toks
       FROM documents WHERE text IS NOT NULL
     ), lab AS MATERIALIZED (
-      SELECT doc_id, CAST({_Q205_LANG_CASE} AS BIGINT) AS y
+      SELECT doc_id, CAST({label_case} AS BIGINT) AS y
       FROM documents
       WHERE text IS NOT NULL AND lang IS NOT NULL AND doc_id % 2 = 0
     ), fx AS MATERIALIZED (
@@ -13010,7 +13015,11 @@ def _q215_oracle_sql() -> str:
       JOIN documents d ON d.doc_id = t.doc_id
       CROSS JOIN (SELECT * FROM cls WHERE k = 0) c
       LEFT JOIN sobs s ON s.doc_id = t.doc_id
-    ), per_value AS (
+    )"""
+
+
+def _q215_oracle_sql() -> str:
+    return _q215_scored_cte(_Q205_LANG_CASE) + """, per_value AS (
       SELECT score AS v, COUNT(*) AS cnt, SUM(y) AS pos
       FROM scored GROUP BY score
     ), cum AS (
@@ -13065,3 +13074,223 @@ def q215_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
     )
     return tr_ops.roc_auc_exact(labeled, "__y", "score_micro")
+
+
+# ---------------------------------------------------------------------------
+# Q216 — EXACT average precision (step-interpolated PR-AUC) of the
+# same trained lang-id head q215 evaluates (operators/training.py:
+# pr_auc_exact, new r11 — r9 verdict ask #6): ROC-AUC is blind to
+# class imbalance, and a training-data filter head is exactly the
+# 1:many setting where the PR curve is the metric that moves. Same
+# train-on-even / score-the-odd split, same class-0 ('en') scores;
+# the metric is AP = sum_v pos(v) * round(1e6·tp(v)/rank(v)) /
+# (1e6·n_pos) over distinct scores — per-step precision integer-ized
+# ONCE (the micronat rule), so the distributed sum is exact BIGINT
+# adds and DuckDB replays it bit-for-bit. Cumulative ranks through
+# the two-phase global_cumsum, never a single-partition window.
+# ---------------------------------------------------------------------------
+
+
+def _q216_oracle_sql() -> str:
+    return _q215_scored_cte(_Q205_LANG_CASE) + """, per_value AS (
+      SELECT score AS v, COUNT(*) AS cnt, SUM(y) AS pos
+      FROM scored GROUP BY score
+    ), cum AS (
+      SELECT v, cnt, pos,
+             SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ccnt,
+             SUM(pos) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cpos
+      FROM per_value
+    ), tot AS (
+      SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg
+      FROM scored
+    )
+    SELECT t.n_pos, t.n_neg,
+           CAST(SUM(c.pos * CAST(ROUND(
+                  1000000.0 * (t.n_pos - (c.cpos - c.pos))
+                  / ((t.n_pos + t.n_neg) - (c.ccnt - c.cnt))
+                ) AS BIGINT)) AS BIGINT) AS ap_micro,
+           ROUND(SUM(c.pos * CAST(ROUND(
+                   1000000.0 * (t.n_pos - (c.cpos - c.pos))
+                   / ((t.n_pos + t.n_neg) - (c.ccnt - c.cnt))
+                 ) AS BIGINT)) * 1.0 / (1000000.0 * t.n_pos), 6) AS ap
+    FROM cum c, tot t GROUP BY t.n_pos, t.n_neg
+    """
+
+
+@_register(
+    "q216_eval_pr_auc",
+    oracle=_q216_oracle_sql(),
+    tags=("training", "evaluation", "pr-auc", "average-precision",
+          "exact", "portable"),
+)
+def q216_eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators import training as tr_ops
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    train = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "__y", F.expr(_Q205_LANG_CASE).cast("long")
+    )
+    model = tr_ops.naive_bayes_model(
+        train, "doc_id", "text", "__y", num_buckets=_Q206_B
+    )
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    scored = (
+        tr_ops.naive_bayes_scores(
+            test, model, "doc_id", "text", num_buckets=_Q206_B
+        )
+        .filter(F.col("class") == 0)  # the 'en' head
+        .select("doc_id", "score_micro")
+    )
+    labeled = scored.join(
+        test.select(
+            "doc_id", (F.col("lang") == "en").cast("long").alias("__y")
+        ),
+        "doc_id",
+    )
+    return tr_ops.pr_auc_exact(labeled, "__y", "score_micro")
+
+
+# ---------------------------------------------------------------------------
+# Q217 — calibration reliability bins of a BINARY NB head
+# (operators/training.py:calibration_bins, new r11 — r9 verdict ask
+# #6's second half): per fixed LOG-ODDS bin, empirical positive rate
+# vs the scores that landed there — the reliability table neither AUC
+# sees (AUC is rank-only; a confidently-miscalibrated head ranks
+# fine). The model here is the two-class (lang = 'en') NB — binary so
+# the log-odds s1 - s0 is ONE exact BIGINT micronat difference per
+# doc, no softmax — trained on even doc_ids, binned over the odd.
+# Binning is the q213 PSI contract (explicit lo/width/n_bins, clamped
+# floor) so two snapshots' tables are comparable by construction; all
+# bins are returned, densified from a range frame. Everything is
+# BIGINT-exact up to the two per-bin int/int divisions (mean_score,
+# pos_rate), each rounded once.
+# ---------------------------------------------------------------------------
+
+_Q217_LABEL_CASE = "CASE WHEN lang = 'en' THEN 1 ELSE 0 END"
+_Q217_LO, _Q217_W, _Q217_B = -50_000_000, 2_000_000, 50
+
+
+def _q217_oracle_sql() -> str:
+    b = _Q206_B
+    lo, w, nb = _Q217_LO, _Q217_W, _Q217_B
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         t -> t <> '') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ), lab AS MATERIALIZED (
+      SELECT doc_id, CAST({_Q217_LABEL_CASE} AS BIGINT) AS y
+      FROM documents
+      WHERE text IS NOT NULL AND lang IS NOT NULL AND doc_id % 2 = 0
+    ), fx AS MATERIALIZED (
+      SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT doc_id,
+               ('0x' || substr(md5(t), 1, 15))::BIGINT % {b} AS b
+        FROM (SELECT doc_id, unnest(toks) AS t FROM base)
+      ) GROUP BY doc_id, b
+    ), kb AS MATERIALIZED (
+      SELECT l.y AS k, f.b, SUM(f.cnt) AS c_kb
+      FROM fx f JOIN lab l USING (doc_id) GROUP BY l.y, f.b
+    ), ktot AS (SELECT k, SUM(c_kb) AS tot_k FROM kb GROUP BY k
+    ), nk AS (SELECT y AS k, COUNT(*) AS n_k FROM lab GROUP BY y
+    ), nn AS (SELECT COUNT(*) AS n_all FROM lab
+    ), w AS MATERIALIZED (
+      SELECT kb.k, kb.b,
+             CAST(ROUND(ln((c_kb + 1.0) / (tot_k + {b})) * 1e6) AS BIGINT)
+               AS w_micro
+      FROM kb JOIN ktot USING (k)
+    ), cls AS MATERIALIZED (
+      SELECT nk.k,
+             CAST(ROUND(ln(n_k * 1.0 / n.n_all) * 1e6) AS BIGINT)
+               AS prior_micro,
+             CAST(ROUND(ln(1.0 / (COALESCE(tot_k, 0) + {b})) * 1e6) AS BIGINT)
+               AS default_micro
+      FROM nk LEFT JOIN ktot USING (k), nn n
+    ), tsum AS (
+      SELECT base.doc_id, COALESCE(SUM(fx.cnt), 0) AS t_d
+      FROM base LEFT JOIN fx USING (doc_id)
+      WHERE base.doc_id % 2 = 1 GROUP BY base.doc_id
+    ), sobs AS (
+      SELECT f.doc_id, w.k, SUM(f.cnt * (w.w_micro - c.default_micro)) AS s_obs
+      FROM fx f JOIN w ON f.b = w.b JOIN cls c ON w.k = c.k
+      WHERE f.doc_id % 2 = 1
+      GROUP BY f.doc_id, w.k
+    ), scored AS MATERIALIZED (
+      SELECT t.doc_id, c.k,
+             c.prior_micro + t.t_d * c.default_micro
+               + COALESCE(s.s_obs, 0) AS score
+      FROM tsum t
+      CROSS JOIN cls c
+      LEFT JOIN sobs s ON s.doc_id = t.doc_id AND s.k = c.k
+    ), lodds AS (
+      SELECT s.doc_id,
+             MAX(CASE WHEN s.k = 1 THEN s.score END)
+               - MAX(CASE WHEN s.k = 0 THEN s.score END) AS lo_micro,
+             CAST(MAX(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+      GROUP BY s.doc_id
+    ), per_bin AS (
+      SELECT LEAST({nb} - 1, GREATEST(0,
+               CAST(FLOOR((lo_micro - ({lo})) * 1.0 / {w}) AS BIGINT)
+             )) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS n_pos,
+             CAST(SUM(lo_micro) AS BIGINT) AS sum_score
+      FROM lodds GROUP BY 1
+    )
+    SELECT r.bin,
+           CAST({lo} + r.bin * {w} AS BIGINT) AS bin_lo,
+           COALESCE(p.n, 0) AS n,
+           COALESCE(p.n_pos, 0) AS n_pos,
+           COALESCE(p.sum_score, 0) AS sum_score,
+           CASE WHEN COALESCE(p.n, 0) > 0
+                THEN ROUND(p.sum_score * 1.0 / p.n, 6) END AS mean_score,
+           CASE WHEN COALESCE(p.n, 0) > 0
+                THEN ROUND(p.n_pos * 1.0 / p.n, 6) END AS pos_rate
+    FROM (SELECT CAST(range AS BIGINT) AS bin FROM range({nb})) r
+    LEFT JOIN per_bin p USING (bin)
+    ORDER BY r.bin
+    """
+
+
+@_register(
+    "q217_eval_calibration",
+    oracle=_q217_oracle_sql(),
+    tags=("training", "evaluation", "calibration", "reliability",
+          "exact", "portable"),
+)
+def q217_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators import training as tr_ops
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    train = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "__y", F.expr(_Q217_LABEL_CASE).cast("long")
+    )
+    model = tr_ops.naive_bayes_model(
+        train, "doc_id", "text", "__y", num_buckets=_Q206_B
+    )
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    scores = tr_ops.naive_bayes_scores(
+        test, model, "doc_id", "text", num_buckets=_Q206_B
+    )
+    lodds = scores.groupBy("doc_id").agg(
+        (
+            F.max(F.when(F.col("class") == 1, F.col("score_micro")))
+            - F.max(F.when(F.col("class") == 0, F.col("score_micro")))
+        ).alias("lo_micro")
+    )
+    labeled = lodds.join(
+        test.select(
+            "doc_id", (F.col("lang") == "en").cast("long").alias("__y")
+        ),
+        "doc_id",
+    )
+    return tr_ops.calibration_bins(
+        labeled, "__y", "lo_micro",
+        lo=_Q217_LO, width=_Q217_W, n_bins=_Q217_B,
+    )
