@@ -18,10 +18,16 @@ round whose gate has not run yet.
 
 Normalization: Catalyst expression ids (#123), plan/exchange ids,
 LogicalRDD/ExistingRDD output ids and checkpoint RDD numbers vary per
-session; they are stripped before hashing so only the plan SHAPE and
-literals count. Eager fns (q186's pipeline counts, streaming
-availableNow runs) execute at sf0.001 while building their frame —
-that is the same cost the local parity sweep pays per run.
+session; they are stripped before hashing. The hash itself is over
+the SORTED TOKEN MULTISET of the normalized plan, not the raw string:
+Spark's multi-distinct-aggregate rewrite assigns `gid` group ids in
+JVM-hash order, so the same q51/q100 profile plan permutes its gid
+numbering (and the Expand projection row order) across sessions — a
+permutation preserves the token multiset while any real plan change
+(operator added/removed, literal changed) alters it. Eager fns
+(q186's pipeline counts, streaming availableNow runs) execute at
+sf0.001 while building their frame — the same cost the local parity
+sweep pays per run.
 """
 
 from __future__ import annotations
@@ -74,8 +80,9 @@ def compute() -> dict[str, str]:
     for name, spec in QUERIES.items():
         df = spec.fn(spark, SF_DIR)
         plan = df._jdf.queryExecution().optimizedPlan().toString()
+        tokens = sorted(re.findall(r"[A-Za-z0-9_.]+", normalize(plan)))
         hashes[name] = hashlib.sha1(
-            normalize(plan).encode("utf-8", "replace")
+            " ".join(tokens).encode("utf-8", "replace")
         ).hexdigest()
         spark.catalog.clearCache()
     return hashes

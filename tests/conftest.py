@@ -20,6 +20,14 @@ def spark(tmp_path_factory):
         extra_conf={
             "spark.driver.memory": "6g",
             "spark.sql.warehouse.dir": str(wh),
+            # test-only: 8 reducers instead of the engine's 32 — suite
+            # inputs are toy-sized and every shuffle stage otherwise
+            # schedules 32 near-empty tasks (pure scheduler overhead;
+            # the r11 durations profile attributed most suite wall to
+            # it). Correctness is partition-count-independent — the
+            # driver-mimic sweep runs the full registry under a
+            # DEFAULT-conf session (200 partitions) every round.
+            "spark.sql.shuffle.partitions": "8",
         },
     )
     s.sparkContext.setLogLevel("ERROR")

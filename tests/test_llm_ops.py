@@ -2064,6 +2064,29 @@ def test_capped_bucket_members_two_phase_plan_and_results(mega_band):
     assert sorted(by_bucket[(0, 9)]) == [10**6, 10**6 + 1, 10**6 + 2]
 
 
+def test_counted_cap_strategy_branches(spark, mega_band):
+    """r11 counted first phase: ZERO oversized keys short-circuits to
+    the band frame itself (no joins in the plan at all); a small
+    oversized key set rides an explicit broadcast (the band side never
+    shuffles for the anti-join)."""
+    clean = spark.createDataFrame(
+        [(0, 5, 1), (0, 5, 2), (0, 9, 3)],
+        ["band_idx", "band_hash", "doc_id"],
+    )
+    out = dd.capped_bucket_members(clean, "doc_id", 50)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan  # passthrough, zero extra work
+    assert out.count() == 3
+
+    capped = dd.capped_bucket_members(mega_band, "doc_id", 50)
+    plan = capped._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" in plan  # counted-small -> hinted
+    cand = dd.candidate_pairs(mega_band, "doc_id", max_bucket_size=50)
+    assert "strategy=broadcast" in (
+        cand._jdf.queryExecution().optimizedPlan().toString()
+    )
+
+
 def test_mega_bucket_results_unchanged_and_fast(mega_band):
     cap = 50
     # candidate_pairs: mega-bucket dropped entirely, small bucket kept

@@ -88,7 +88,7 @@ def prefetched(spark, request):
             if "test_query_matches_oracle[" in item.nodeid:
                 names.append(item.nodeid.split("[", 1)[1].rstrip("]"))
         names = [n for n in dict.fromkeys(names) if n in QUERIES] or list(QUERIES)
-        with ThreadPoolExecutor(max_workers=8) as ex:
+        with ThreadPoolExecutor(max_workers=16) as ex:
             for name, payload in zip(
                 names, ex.map(lambda n: _run_one(spark, n), names)
             ):

@@ -44,24 +44,34 @@ def _cells(df):
     return {(r["__row"], r["__bucket"]): r["__count"] for r in df.collect()}
 
 
-def test_folded_cells_equal_single_pass(spark, tmp_path):
+import pytest
+
+
+@pytest.fixture(scope="module")
+def folded_run(spark, tmp_path_factory):
+    """One shared 3-batch fold: the single-pass-equality and
+    never-undercount tests read the SAME folded state (identical
+    input, identical params — rerunning the stream per test bought
+    no independence, only ~17 s; r11 durations profile)."""
+    root = tmp_path_factory.mktemp("cm_shared")
     src, state, ckpt = (
-        str(tmp_path / "src"), str(tmp_path / "state"), str(tmp_path / "ckpt")
+        str(root / "src"), str(root / "state"), str(root / "ckpt")
     )
     _write_batches(spark, src)
-    _run(spark, src, state, ckpt, "cm_fold")
+    _run(spark, src, state, ckpt, "cm_shared_fold")
+    return src, state
+
+
+def test_folded_cells_equal_single_pass(spark, folded_run):
+    src, state = folded_run
     folded = _cells(read_latest_state(spark, state))
     all_rows = spark.read.schema("k bigint").parquet(f"{src}/f*")
     direct = _cells(countmin_build(all_rows, "k", depth=4, width=W))
     assert folded == direct
 
 
-def test_folded_estimates_never_undercount(spark, tmp_path):
-    src, state, ckpt = (
-        str(tmp_path / "src"), str(tmp_path / "state"), str(tmp_path / "ckpt")
-    )
-    _write_batches(spark, src)
-    _run(spark, src, state, ckpt, "cm_bound")
+def test_folded_estimates_never_undercount(spark, folded_run):
+    src, state = folded_run
     sketch = read_latest_state(spark, state)
     keys = spark.createDataFrame([(k,) for k in [1, 2, 3, 4, 5]], ["k"])
     est = {

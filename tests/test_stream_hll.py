@@ -46,12 +46,25 @@ def _all_rows(spark, src_dir):
     return spark.read.schema("g string, v bigint").parquet(f"{src_dir}/f*")
 
 
-def test_folded_state_equals_single_pass_sketch(spark, tmp_path):
+import pytest
+
+
+@pytest.fixture(scope="module")
+def folded_run(spark, tmp_path_factory):
+    """One shared 3-batch fold for the single-pass-equality and
+    union-not-sum tests (identical input/params — rerunning the stream
+    per test bought no independence, only ~17 s; r11 durations)."""
+    root = tmp_path_factory.mktemp("hll_shared")
     src, state, ckpt = (
-        str(tmp_path / "src"), str(tmp_path / "state"), str(tmp_path / "ckpt")
+        str(root / "src"), str(root / "state"), str(root / "ckpt")
     )
     _write_batches(spark, src)
-    _run(spark, src, state, ckpt, "hll_fold")
+    _run(spark, src, state, ckpt, "hll_shared_fold")
+    return src, state
+
+
+def test_folded_state_equals_single_pass_sketch(spark, folded_run):
+    src, state = folded_run
     versions = sorted(d for d in os.listdir(state) if d.startswith("v="))
     assert len(versions) == 3
     folded = {
@@ -65,12 +78,8 @@ def test_folded_state_equals_single_pass_sketch(spark, tmp_path):
     assert folded == direct  # bit-exact, not approximately equal
 
 
-def test_folded_estimate_counts_union_not_sum(spark, tmp_path):
-    src, state, ckpt = (
-        str(tmp_path / "src"), str(tmp_path / "state"), str(tmp_path / "ckpt")
-    )
-    _write_batches(spark, src)
-    _run(spark, src, state, ckpt, "hll_union")
+def test_folded_estimate_counts_union_not_sum(spark, folded_run):
+    src, state = folded_run
     est = {
         r["g"]: r.est_distinct
         for r in hll_estimate(read_latest_state(spark, state), ["g"]).collect()

@@ -588,3 +588,78 @@ def test_calibration_bins_reliability_on_planted_head(spark):
     rates = [r.pos_rate for r in out]
     assert all(b > a - 0.08 for a, b in zip(rates, rates[1:]))  # monotone-ish
     assert rates[0] < 0.25 and rates[-1] > 0.75
+
+
+def test_classification_report_matches_python(spark):
+    data = [  # (truth, pred) incl. a class never predicted (3) and
+              # one never true (4)
+        (0, 0), (0, 0), (0, 1), (1, 1), (1, 0), (1, 1), (2, 2),
+        (3, 0), (3, 4),
+    ]
+    df = spark.createDataFrame(data, "y long, p long")
+    rows = {r["class"]: r for r in tr.classification_report(df, "y", "p").collect()}
+    from collections import Counter
+
+    n_true = Counter(y for y, _ in data)
+    n_pred = Counter(p for _, p in data)
+    tp = Counter(y for y, p in data if y == p)
+    assert sorted(rows) == sorted(set(n_true) | set(n_pred))
+    for k, r in rows.items():
+        assert (r.n_true, r.n_pred, r.tp) == (n_true[k], n_pred[k], tp[k])
+        assert r.precision == (round(tp[k] / n_pred[k], 6) if n_pred[k] else None)
+        assert r.recall == (round(tp[k] / n_true[k], 6) if n_true[k] else None)
+        assert r.f1 == round(2 * tp[k] / (n_true[k] + n_pred[k]), 6)
+    # class 3: never predicted -> precision NULL, recall 0
+    assert rows[3].precision is None and rows[3].recall == 0.0
+    # class 4: never true -> recall NULL, precision 0
+    assert rows[4].recall is None and rows[4].precision == 0.0
+
+
+def test_classification_report_planted_perfect_head(spark):
+    """End-to-end train→classify→report: a marker-vocabulary K=3 head
+    must reach f1 = 1.0 on every class of held-out docs."""
+    rows = []
+    words = {0: "alpha", 1: "bravo", 2: "charlie"}
+    for i in range(90):
+        k = (i // 2) % 3
+        rows.append((i, f"{words[k]} filler{i % 5} {words[k]}", k))
+    df = spark.createDataFrame(rows, "doc_id long, text string, y long")
+    train, test = df.filter("doc_id % 2 = 0"), df.filter("doc_id % 2 = 1")
+    model = tr.naive_bayes_model(train, "doc_id", "text", "y", num_buckets=64)
+    pred = tr.naive_bayes_classify(test, model, "doc_id", "text", num_buckets=64)
+    rep = tr.classification_report(
+        pred.join(test.select("doc_id", "y"), "doc_id"), "y", "pred_class"
+    ).collect()
+    assert len(rep) == 3
+    assert all(r.f1 == 1.0 for r in rep)
+
+
+def test_temperature_mixture_weights_exact_and_upsamples_tail(spark):
+    from us_immigration_data_lake_spark.operators.sampling import (
+        temperature_mixture_weights,
+    )
+
+    rows = [("big", 900), ("mid", 90), ("tiny", 10), ("zero", 0)]
+    df = spark.createDataFrame(rows, "src string, n_tok long")
+    out = {r["group"]: r for r in temperature_mixture_weights(
+        df, "src", "n_tok", alpha=0.5, budget=1000
+    ).collect()}
+    assert "zero" not in out          # empty sources sample nothing
+    # python replay of the exact integerization contract
+    tot = 1000
+    w = {g: round(1e6 * (n / tot) ** 0.5) for g, n in rows[:3]}
+    ws = sum(w.values())
+    for g, n in rows[:3]:
+        r = out[g]
+        assert (r.n, r.w_micro) == (n, w[g])
+        assert r.q_ppm == round(1e6 * w[g] / ws)
+        assert r.alloc == round(1000 * w[g] / ws)
+    # α < 1 up-samples the tail: tiny's share rises above its raw 1%
+    assert out["tiny"].q_ppm > 10_000
+    # and the head is down-sampled below its raw 90%
+    assert out["big"].q_ppm < 900_000
+    # α = 1 degenerates to proportional sampling
+    prop = {r["group"]: r.q_ppm for r in temperature_mixture_weights(
+        df, "src", "n_tok", alpha=1.0
+    ).collect()}
+    assert abs(prop["big"] - 900_000) <= 1

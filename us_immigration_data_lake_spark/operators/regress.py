@@ -731,3 +731,128 @@ def psi_drift(
             ).alias("psi"),
         )
     )
+
+
+def bin_counts(
+    df: DataFrame,
+    value_col: str,
+    lo: int,
+    width: int,
+    n_bins: int,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fixed-binning histogram counts — the shared census primitive
+    behind psi_drift and the streaming drift monitor
+    (streaming/drift.py). Bin = clamp(floor((v - lo)/width), 0,
+    n_bins-1), the q213 contract. Returns SPARSE counts
+    (*key_cols, bin, cnt) — densify at consumption (psi_vs_census)
+    so a streamed fold never carries empty bins as state. One
+    map-side-combinable groupBy over <= keys x n_bins groups; NULL
+    values are excluded."""
+    if width < 1 or n_bins < 1:
+        raise ValueError("width and n_bins must be >= 1")
+    keys = list(key_cols or [])
+    binx = F.least(
+        F.lit(int(n_bins) - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor(
+                (F.col(value_col).cast("long") - F.lit(int(lo)))
+                / F.lit(int(width))
+            ),
+        ),
+    ).cast("long")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*keys, binx.alias("bin"))
+        .groupBy(*keys, "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def psi_vs_census(
+    counts_a: DataFrame,
+    census_b: DataFrame,
+    n_bins: int,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """PSI of one-or-many binned snapshots against ONE fixed reference
+    census — the factored form of ``psi_drift`` for monitors that bin
+    the reference once and compare every incoming snapshot to it
+    (streaming/drift.py). ``counts_a`` is sparse (*key_cols, bin, cnt)
+    from ``bin_counts``; ``census_b`` is sparse (bin, cnt) over the
+    SAME lo/width/n_bins contract. Identical arithmetic to psi_drift —
+    add-1-smoothed shares, per-bin log-ratio integer-ized once to
+    micronats, common denominators factored into exact BIGINT
+    psi_num/psi_den — applied per key group over the densified bin
+    axis (empty-in-both bins still carry signal when n_a != n_b).
+    Returns (*key_cols, n_bins, n_a, n_b, psi_num, psi_den, psi).
+
+    Scale: the key x bin densify frame is |keys| * n_bins rows (keys =
+    snapshots under monitoring — small by construction); the reference
+    census and per-key totals ride broadcast joins. Nothing here is
+    corpus-order: both inputs are already censuses."""
+    b = int(n_bins)
+    keys = list(key_cols or [])
+    spark = counts_a.sparkSession
+    bins = spark.range(b).select(F.col("id").alias("bin"))
+    if keys:
+        # alias round-trip mints fresh attribute ids for the key-axis
+        # side of the self-join (key_frame derives from counts_a;
+        # identical ids on both sides fail analysis)
+        key_frame = (
+            counts_a.select(
+                *[F.col(k).alias(f"__k_{k}") for k in keys]
+            )
+            .distinct()
+            .crossJoin(F.broadcast(bins))
+            .select(*[F.col(f"__k_{k}").alias(k) for k in keys], "bin")
+        )
+    else:
+        key_frame = bins
+    dense = (
+        key_frame.join(counts_a, [*keys, "bin"], "left")
+        .select(*keys, "bin", F.coalesce("cnt", F.lit(0)).alias("__ca"))
+        .join(
+            F.broadcast(
+                census_b.select(
+                    "bin", F.col("cnt").cast("long").alias("__cb")
+                )
+            ),
+            "bin",
+            "left",
+        )
+        .select(*keys, "bin", "__ca", F.coalesce("__cb", F.lit(0)).alias("__cb"))
+    )
+    tot_a = counts_a.groupBy(*keys).agg(F.sum("cnt").cast("long").alias("n_a"))
+    tot_b = census_b.agg(F.sum("cnt").cast("long").alias("n_b"))
+    joined = (
+        dense.join(F.broadcast(tot_a), keys) if keys
+        else dense.crossJoin(F.broadcast(tot_a))
+    ).crossJoin(F.broadcast(tot_b))
+    pa = (F.col("__ca") + 1) * (F.col("n_b") + b)
+    qb = (F.col("__cb") + 1) * (F.col("n_a") + b)
+    l_micro = F.round(
+        F.log(pa.cast("double") / qb.cast("double")) * 1e6
+    ).cast("long")
+    return (
+        joined.select(*keys, "n_a", "n_b", ((pa - qb) * l_micro).alias("__t"))
+        .groupBy(*keys, "n_a", "n_b")
+        .agg(F.sum("__t").alias("psi_num"))
+        .select(
+            *keys,
+            F.lit(b).cast("long").alias("n_bins"),
+            "n_a",
+            "n_b",
+            "psi_num",
+            ((F.col("n_a") + b) * (F.col("n_b") + b) * F.lit(1_000_000))
+            .cast("long")
+            .alias("psi_den"),
+            F.round(
+                F.col("psi_num").cast("double")
+                / ((F.col("n_a") + b) * (F.col("n_b") + b)).cast("double")
+                / 1e6,
+                6,
+            ).alias("psi"),
+        )
+    )

@@ -329,3 +329,70 @@ def dsir_select(
         .orderBy(F.desc("key_micro"), F.asc(id_col))
         .limit(k)
     )
+
+
+def temperature_mixture_weights(
+    df: DataFrame,
+    group_col: str,
+    size_col: str,
+    alpha: float = 0.3,
+    budget: int | None = None,
+) -> DataFrame:
+    """Temperature-based mixture sampling weights over data sources —
+    the multilingual/multi-source balancing rule (mT5 / XLM-R: sample
+    source s with probability q_s ∝ p_s^α where p_s is its share of
+    the corpus and α < 1 up-samples the tail): given per-row group
+    and size (token count), emit one row per group with
+
+        n         — the group's total size (exact BIGINT sum)
+        w_micro   — round(1e6 · (n_s / N)^α): the unnormalized
+                    temperature weight, integer-ized ONCE per group
+                    (the micronat rule — K groups, K pow() calls,
+                    everything after is exact integer arithmetic)
+        q_ppm     — round(1e6 · w_micro / Σ w_micro): the sampling
+                    share in parts-per-million (one int/int division)
+        alloc     — round(budget · w_micro / Σ w_micro) when a token
+                    ``budget`` is given: the per-source allocation a
+                    sampler/packer consumes (NULL without a budget)
+
+    Scale: ONE corpus scan feeds a map-side-combinable groupBy over
+    the source axis (K rows — languages/domains, a deployment
+    constant); the normalization rides a broadcast single-row total.
+    Sources with zero/NULL size are excluded (p_s = 0 has no finite
+    log-share and samples nothing under any α > 0)."""
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0")
+    per = (
+        df.filter(F.col(size_col).isNotNull())
+        .groupBy(F.col(group_col).alias("group"))
+        .agg(F.sum(F.col(size_col).cast("long")).alias("n"))
+        .filter(F.col("n") > 0)
+    )
+    total = per.agg(F.sum("n").cast("long").alias("__N"))
+    w = F.round(
+        F.lit(1_000_000.0)
+        * F.pow(F.col("n").cast("double") / F.col("__N").cast("double"),
+                F.lit(float(alpha)))
+    ).cast("long")
+    weighted = per.crossJoin(F.broadcast(total)).select(
+        "group", "n", w.alias("w_micro")
+    )
+    wsum = weighted.agg(F.sum("w_micro").cast("long").alias("__W"))
+    out = weighted.crossJoin(F.broadcast(wsum)).select(
+        "group",
+        "n",
+        "w_micro",
+        F.round(
+            F.lit(1_000_000.0) * F.col("w_micro").cast("double")
+            / F.col("__W").cast("double")
+        ).cast("long").alias("q_ppm"),
+        (
+            F.round(
+                F.lit(float(budget)) * F.col("w_micro").cast("double")
+                / F.col("__W").cast("double")
+            ).cast("long")
+            if budget is not None
+            else F.lit(None).cast("long")
+        ).alias("alloc"),
+    )
+    return out.orderBy("group")

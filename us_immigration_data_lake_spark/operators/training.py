@@ -809,3 +809,83 @@ def calibration_bins(
         )
         .orderBy("bin")
     )
+
+
+def classification_report(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Per-class confusion summary of a multiclass classifier — the
+    multiclass leg of the evaluation family (binary: roc_auc_exact /
+    pr_auc_exact; calibration: calibration_bins): for every class in
+    truth ∪ predictions, (n_true, n_pred, tp) and the three derived
+    ratios
+
+        precision = tp / n_pred      (NULL when the class is never
+                                      predicted — not a fake 0)
+        recall    = tp / n_true      (NULL when absent from truth)
+        f1        = 2·tp / (n_true + n_pred)
+
+    each ONE exact int/int division rounded once — f1 in this form
+    needs no precision/recall intermediates, so there is no compounded
+    rounding. Micro-accuracy is sum(tp)/sum(n_true) of the returned
+    frame; macro averages are a trivial driver-side mean over K rows.
+
+    Scale: three map-side-combinable aggregations over at most K keys
+    each plus K-sized joins — nothing is corpus-order beyond the one
+    scan of the scored frame. NULL labels/predictions are excluded.
+    Returns (class, n_true, n_pred, tp, precision, recall, f1)
+    ordered by class."""
+    base = df.filter(
+        F.col(label_col).isNotNull() & F.col(pred_col).isNotNull()
+    ).select(
+        F.col(label_col).cast("long").alias("__y"),
+        F.col(pred_col).cast("long").alias("__p"),
+    )
+    classes = (
+        base.select(F.col("__y").alias("class"))
+        .unionByName(base.select(F.col("__p").alias("class")))
+        .distinct()
+    )
+    truth = base.groupBy(F.col("__y").alias("class")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_true")
+    )
+    pred = base.groupBy(F.col("__p").alias("class")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pred")
+    )
+    tp = (
+        base.filter(F.col("__y") == F.col("__p"))
+        .groupBy(F.col("__y").alias("class"))
+        .agg(F.count(F.lit(1)).cast("long").alias("tp"))
+    )
+    rep = (
+        classes.join(truth, "class", "left")
+        .join(pred, "class", "left")
+        .join(tp, "class", "left")
+        .select(
+            "class",
+            F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+        )
+    )
+    return rep.select(
+        "class", "n_true", "n_pred", "tp",
+        F.when(
+            F.col("n_pred") > 0,
+            F.round(F.col("tp").cast("double") / F.col("n_pred").cast("double"), 6),
+        ).alias("precision"),
+        F.when(
+            F.col("n_true") > 0,
+            F.round(F.col("tp").cast("double") / F.col("n_true").cast("double"), 6),
+        ).alias("recall"),
+        F.when(
+            (F.col("n_true") + F.col("n_pred")) > 0,
+            F.round(
+                2 * F.col("tp").cast("double")
+                / (F.col("n_true") + F.col("n_pred")).cast("double"),
+                6,
+            ),
+        ).alias("f1"),
+    ).orderBy("class")

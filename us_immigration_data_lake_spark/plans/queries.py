@@ -13294,3 +13294,309 @@ def q217_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         labeled, "__y", "lo_micro",
         lo=_Q217_LO, width=_Q217_W, n_bins=_Q217_B,
     )
+
+
+# ---------------------------------------------------------------------------
+# Q218 — STREAMING drift monitor (streaming/drift.py, new r11 — r9
+# verdict ask #7): PSI of a document STREAM against the curated
+# reference's FIXED census, per snapshot window. The reference (even
+# doc_ids) is binned ONCE (q213's explicit lo/width/n_bins contract);
+# the stream (odd doc_ids, snapshot = doc_id % 8) folds per-
+# (snapshot, bin) counts through ONE bounded streaming aggregation —
+# state is snapshots x n_bins counter cells, never row-order — and
+# the exact-BIGINT PSI arithmetic (q213's psi_num/psi_den factoring,
+# operators/regress.py:psi_vs_census) runs batch-side on the folded
+# census. Counts sum-fold associatively, so ANY micro-batch split of
+# the source yields identical output (multi-batch-equals-batch pinned
+# in tests/test_streaming_drift.py, which also exercises the
+# foreachBatch per-micro-batch monitor shape) — which is what lets a
+# batch DuckDB oracle replay the whole monitor.
+# ---------------------------------------------------------------------------
+
+
+def _q218_oracle_sql() -> str:
+    lo, w, nb = _Q213_LO, _Q213_W, _Q213_B
+    return f"""
+    WITH refc AS (
+      SELECT LEAST({nb} - 1, GREATEST(0,
+               CAST(FLOOR((n_chars - ({lo})) * 1.0 / {w}) AS BIGINT))) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cb
+      FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
+      GROUP BY 1
+    ), nbt AS (SELECT CAST(SUM(cb) AS BIGINT) AS n_b FROM refc
+    ), ca AS (
+      SELECT doc_id % 8 AS snapshot,
+             LEAST({nb} - 1, GREATEST(0,
+               CAST(FLOOR((n_chars - ({lo})) * 1.0 / {w}) AS BIGINT))) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS ca
+      FROM documents WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL
+      GROUP BY 1, 2
+    ), na AS (SELECT snapshot, CAST(SUM(ca) AS BIGINT) AS n_a
+              FROM ca GROUP BY 1
+    ), axis AS (
+      SELECT s.snapshot, b.bin
+      FROM (SELECT DISTINCT snapshot FROM ca) s
+      CROSS JOIN (SELECT CAST(range AS BIGINT) AS bin FROM range({nb})) b
+    ), dense AS (
+      SELECT a.snapshot, a.bin,
+             COALESCE(c.ca, 0) AS ca, COALESCE(r.cb, 0) AS cb
+      FROM axis a
+      LEFT JOIN ca c USING (snapshot, bin)
+      LEFT JOIN refc r USING (bin)
+    ), terms AS (
+      SELECT d.snapshot, na.n_a, nbt.n_b,
+             ((d.ca + 1) * (nbt.n_b + {nb})
+              - (d.cb + 1) * (na.n_a + {nb}))
+             * CAST(ROUND(ln(((d.ca + 1) * (nbt.n_b + {nb})) * 1.0
+                             / ((d.cb + 1) * (na.n_a + {nb}))) * 1e6)
+                    AS BIGINT) AS t
+      FROM dense d JOIN na USING (snapshot), nbt
+    )
+    SELECT snapshot,
+           CAST({nb} AS BIGINT) AS n_bins, n_a, n_b,
+           CAST(SUM(t) AS BIGINT) AS psi_num,
+           CAST((n_a + {nb}) * (n_b + {nb}) * 1000000 AS BIGINT) AS psi_den,
+           ROUND(SUM(t) * 1.0 / ((n_a + {nb}) * (n_b + {nb})) / 1e6, 6)
+             AS psi
+    FROM terms GROUP BY 1, 3, 4
+    ORDER BY 1
+    """
+
+
+@_register(
+    "q218_stream_drift_monitor",
+    oracle=_q218_oracle_sql(),
+    tags=("streaming", "drift", "psi", "monitor", "exact", "fold"),
+)
+def q218_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.sources.readers import (
+        read_parquet_stream,
+    )
+    from us_immigration_data_lake_spark.streaming.drift import (
+        reference_census,
+        stream_psi_by_snapshot,
+    )
+
+    _tune(spark)
+    ref = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    census = reference_census(
+        ref, "n_chars", lo=_Q213_LO, width=_Q213_W, n_bins=_Q213_B
+    )
+    stream = (
+        read_parquet_stream(spark, f"{sf_dir.rstrip('/')}/documents*.parquet")
+        .filter(F.col("doc_id") % 2 == 1)
+        .withColumn("snapshot", F.pmod(F.col("doc_id"), F.lit(8)))
+    )
+    return stream_psi_by_snapshot(
+        stream, census, "snapshot", "n_chars",
+        lo=_Q213_LO, width=_Q213_W, n_bins=_Q213_B,
+        sink_name=_sink_name("q218_psi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q219 — multiclass classification report (operators/training.py:
+# classification_report, new r11): the MULTICLASS leg of the
+# evaluation family — q215/q216 evaluate one binary head, this
+# evaluates the full K-class lang-id argmax. Train the q206
+# closed-form NB on the EVEN docs, classify the ODD docs, and report
+# per class: n_true, n_pred, tp, precision, recall, f1 — each ratio
+# ONE exact int/int division (f1 = 2tp/(n_true+n_pred), no compounded
+# precision/recall rounding). Three ≤K-key aggregations + K-sized
+# joins; the oracle replays training, argmax (score DESC, class ASC
+# tiebreak) and the confusion arithmetic bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def _q219_oracle_sql() -> str:
+    b = _Q206_B
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         t -> t <> '') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ), lab AS MATERIALIZED (
+      SELECT doc_id, CAST({_Q205_LANG_CASE} AS BIGINT) AS k
+      FROM documents
+      WHERE text IS NOT NULL AND lang IS NOT NULL AND doc_id % 2 = 0
+    ), fx AS MATERIALIZED (
+      SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT doc_id,
+               ('0x' || substr(md5(t), 1, 15))::BIGINT % {b} AS b
+        FROM (SELECT doc_id, unnest(toks) AS t FROM base)
+      ) GROUP BY doc_id, b
+    ), kb AS MATERIALIZED (
+      SELECT l.k, f.b, SUM(f.cnt) AS c_kb
+      FROM fx f JOIN lab l USING (doc_id) GROUP BY l.k, f.b
+    ), ktot AS (SELECT k, SUM(c_kb) AS tot_k FROM kb GROUP BY k
+    ), nk AS (SELECT k, COUNT(*) AS n_k FROM lab GROUP BY k
+    ), nn AS (SELECT COUNT(*) AS n_all FROM lab
+    ), w AS MATERIALIZED (
+      SELECT kb.k, kb.b,
+             CAST(ROUND(ln((c_kb + 1.0) / (tot_k + {b})) * 1e6) AS BIGINT)
+               AS w_micro
+      FROM kb JOIN ktot USING (k)
+    ), cls AS MATERIALIZED (
+      SELECT nk.k,
+             CAST(ROUND(ln(n_k * 1.0 / n.n_all) * 1e6) AS BIGINT)
+               AS prior_micro,
+             CAST(ROUND(ln(1.0 / (COALESCE(tot_k, 0) + {b})) * 1e6) AS BIGINT)
+               AS default_micro
+      FROM nk LEFT JOIN ktot USING (k), nn n
+    ), tsum AS (
+      SELECT base.doc_id, COALESCE(SUM(fx.cnt), 0) AS t_d
+      FROM base LEFT JOIN fx USING (doc_id)
+      WHERE base.doc_id % 2 = 1 GROUP BY base.doc_id
+    ), sobs AS (
+      SELECT f.doc_id, w.k,
+             SUM(f.cnt * (w.w_micro - c.default_micro)) AS s_obs
+      FROM fx f JOIN w ON f.b = w.b JOIN cls c ON w.k = c.k
+      WHERE f.doc_id % 2 = 1
+      GROUP BY f.doc_id, w.k
+    ), scored AS (
+      SELECT t.doc_id, c.k,
+             c.prior_micro + t.t_d * c.default_micro
+               + COALESCE(s.s_obs, 0) AS score
+      FROM tsum t CROSS JOIN cls c
+      LEFT JOIN sobs s ON s.doc_id = t.doc_id AND s.k = c.k
+    ), predicted AS MATERIALIZED (
+      SELECT s.doc_id, s.k AS p,
+             CAST({_Q205_LANG_CASE.replace("lang", "d.lang")} AS BIGINT) AS y
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY doc_id ORDER BY score DESC, k ASC) AS rn
+            FROM scored) s
+      JOIN documents d ON d.doc_id = s.doc_id
+      WHERE s.rn = 1
+    ), classes AS (
+      SELECT DISTINCT y AS class FROM predicted
+      UNION SELECT DISTINCT p FROM predicted
+    ), tr AS (SELECT y AS class, CAST(COUNT(*) AS BIGINT) AS n_true
+              FROM predicted GROUP BY 1
+    ), pr AS (SELECT p AS class, CAST(COUNT(*) AS BIGINT) AS n_pred
+              FROM predicted GROUP BY 1
+    ), tpx AS (SELECT y AS class, CAST(COUNT(*) AS BIGINT) AS tp
+               FROM predicted WHERE y = p GROUP BY 1
+    )
+    SELECT c.class,
+           COALESCE(tr.n_true, 0) AS n_true,
+           COALESCE(pr.n_pred, 0) AS n_pred,
+           COALESCE(tpx.tp, 0) AS tp,
+           CASE WHEN COALESCE(pr.n_pred, 0) > 0
+                THEN ROUND(COALESCE(tpx.tp, 0) * 1.0 / pr.n_pred, 6)
+           END AS precision,
+           CASE WHEN COALESCE(tr.n_true, 0) > 0
+                THEN ROUND(COALESCE(tpx.tp, 0) * 1.0 / tr.n_true, 6)
+           END AS recall,
+           CASE WHEN COALESCE(tr.n_true, 0) + COALESCE(pr.n_pred, 0) > 0
+                THEN ROUND(2 * COALESCE(tpx.tp, 0) * 1.0
+                           / (COALESCE(tr.n_true, 0) + COALESCE(pr.n_pred, 0)),
+                           6)
+           END AS f1
+    FROM classes c
+    LEFT JOIN tr USING (class)
+    LEFT JOIN pr USING (class)
+    LEFT JOIN tpx USING (class)
+    ORDER BY c.class
+    """
+
+
+@_register(
+    "q219_eval_classification_report",
+    oracle=_q219_oracle_sql(),
+    tags=("training", "evaluation", "confusion-matrix", "f1",
+          "multiclass", "portable"),
+)
+def q219_eval_classification_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from us_immigration_data_lake_spark.operators import training as tr_ops
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    train = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "__y", F.expr(_Q205_LANG_CASE).cast("long")
+    )
+    model = tr_ops.naive_bayes_model(
+        train, "doc_id", "text", "__y", num_buckets=_Q206_B
+    )
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    pred = tr_ops.naive_bayes_classify(
+        test, model, "doc_id", "text", num_buckets=_Q206_B
+    )
+    labeled = pred.join(
+        test.select("doc_id", F.expr(_Q205_LANG_CASE).cast("long").alias("__y")),
+        "doc_id",
+    )
+    return tr_ops.classification_report(labeled, "__y", "pred_class")
+
+
+# ---------------------------------------------------------------------------
+# Q220 — temperature mixture sampling weights (operators/sampling.py:
+# temperature_mixture_weights, new r11): the mT5/XLM-R multi-source
+# balancing rule q_s ∝ p_s^α over the documents corpus's language
+# axis — the knob a multilingual training mixture actually turns.
+# Whitespace
+# token counts per doc (q17's counting convention) sum per lang; the
+# α-tempered share integer-izes ONCE per source (round(1e6·p^α), the
+# micronat rule), then the normalized ppm share and a 10M-token
+# budget allocation are each one exact int/int division. ONE corpus
+# scan + a K-row source axis; the oracle replays pow/round/divide
+# bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_Q220_ALPHA, _Q220_BUDGET = 0.3, 10_000_000
+
+
+def _q220_oracle_sql() -> str:
+    a, budget = _Q220_ALPHA, _Q220_BUDGET
+    return f"""
+    WITH toks AS (
+      SELECT lang,
+             CAST(len(list_filter(
+               string_split_regex(trim(text), '\\s+'), t -> t <> ''
+             )) AS BIGINT) AS n_tok
+      FROM documents WHERE text IS NOT NULL
+    ), per AS (
+      SELECT lang AS "group", CAST(SUM(n_tok) AS BIGINT) AS n
+      FROM toks GROUP BY 1 HAVING SUM(n_tok) > 0
+    ), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM per
+    ), wgt AS (
+      SELECT p."group", p.n,
+             CAST(ROUND(1000000.0 * POW(p.n * 1.0 / t.nn, {a})) AS BIGINT)
+               AS w_micro
+      FROM per p, tot t
+    ), ws AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS ww FROM wgt)
+    SELECT w."group", w.n, w.w_micro,
+           CAST(ROUND(1000000.0 * w.w_micro / s.ww) AS BIGINT) AS q_ppm,
+           CAST(ROUND({budget}.0 * w.w_micro / s.ww) AS BIGINT) AS alloc
+    FROM wgt w, ws s
+    ORDER BY w."group"
+    """
+
+
+@_register(
+    "q220_temperature_mixture",
+    oracle=_q220_oracle_sql(),
+    tags=("sampling", "mixture", "temperature", "multilingual",
+          "portable"),
+)
+def q220_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.sampling import (
+        temperature_mixture_weights,
+    )
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    sized = docs.select(
+        "lang",
+        F.size(
+            F.filter(
+                F.split(F.trim(F.col("text")), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).cast("long").alias("n_tok"),
+    )
+    return temperature_mixture_weights(
+        sized, "lang", "n_tok", alpha=_Q220_ALPHA, budget=_Q220_BUDGET
+    )
