@@ -2537,3 +2537,72 @@ def test_cross_group_overlap_matches_python(spark):
     assert got == want
     assert ("cc", "wiki") in got and got[("cc", "wiki")][2] >= 3
     assert all(k[0] != "books" and k[1] != "books" for k in got)  # no overlap rows
+
+
+# ---------------------------------------------------------------------------
+# r11: ANN recall@k calibration (similarity.ann_recall_at_k, q221).
+# ---------------------------------------------------------------------------
+
+
+def test_ann_recall_multiprobe_dominates_and_tight_cluster_is_perfect(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    dim = 16
+    rows = [(i, rng.randn(dim).tolist()) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id < 10")
+
+    def mean_recall(multiprobe):
+        out = sim.ann_recall_at_k(
+            df, q, "vec_id", "embedding", k=5, dim=dim, num_bits=8,
+            multiprobe=multiprobe,
+        ).collect()
+        assert len(out) == 10
+        return sum(r.recall for r in out) / len(out)
+
+    single, multi = mean_recall(False), mean_recall(True)
+    # Hamming-1 probing strictly widens the candidate set per query,
+    # so recall cannot drop
+    assert multi >= single
+    # 8 random bits over 300 gaussian vectors must lose SOMETHING on
+    # the single-probe path (recall 1.0 would mean the test has no
+    # discriminating power)
+    assert single < 1.0
+
+    # a tight cluster lands in ONE bucket: recall is exactly 1.0
+    proto = rng.randn(dim)
+    tight = [(i, (proto + rng.randn(dim) * 1e-4).tolist()) for i in range(40)]
+    tdf = spark.createDataFrame(tight, "vec_id long, embedding array<double>")
+    out = sim.ann_recall_at_k(
+        tdf, tdf.filter("vec_id < 5"), "vec_id", "embedding", k=3, dim=dim,
+        num_bits=6,
+    ).collect()
+    assert all(r.recall == 1.0 for r in out)
+
+
+def test_cluster_split_no_near_dup_straddles(spark):
+    """q222's defining property: a planted near-dup pair always lands
+    on ONE side of the split, whatever side that is — and every doc of
+    a cluster carries the cluster's split, so filtering split='train'
+    can never keep one half of a duplicate pair."""
+    from us_immigration_data_lake_spark.functions.splits import (
+        cluster_split_label,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, f"{base} twin{i // 2}") for i in range(40)]  # 20 dup pairs
+    rows += [(100 + i, f"unique text number {i} nothing shared here {i}")
+             for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = dd.shingles(df, "doc_id", "text", n=2)
+    pairs = dd.postings_jaccard_pairs(sh, "doc_id", min_jaccard=0.5)
+    out = cluster_split_label(df, pairs.select("id1", "id2"), "doc_id")
+    split_of = {r.doc_id: (r.cluster, r.split) for r in out.collect()}
+    assert len(split_of) == 50
+    got_pairs = {(r.id1, r.id2) for r in pairs.collect()}
+    assert got_pairs, "planted twins must be detected"
+    for i1, i2 in got_pairs:
+        assert split_of[i1][1] == split_of[i2][1], (i1, i2)
+    # both labels actually occur across clusters (non-degenerate split)
+    assert {v[1] for v in split_of.values()} == {"train", "test"}

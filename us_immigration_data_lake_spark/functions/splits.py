@@ -37,3 +37,29 @@ def split_label(
     return F.when(
         hash_split_bucket(id_col, buckets) < train_pct, "train"
     ).otherwise("test")
+
+
+def cluster_split_label(
+    df, pairs, id_col: str, train_pct: int = 80, max_iter: int = 16
+):
+    """Leakage-safe train/test split: the split is assigned at
+    NEAR-DUP CLUSTER granularity, not per document — two documents
+    that are near-duplicates of each other can never straddle the
+    boundary (the classic eval-contamination leak: a test doc whose
+    paraphrase sits in train). Connected components over the given
+    near-dup ``pairs`` (operators/dedup.py:dedup_survivors — cluster
+    = smallest member id, every unpaired doc is its own cluster),
+    then ``split_label`` hashes the CLUSTER id; members inherit it.
+    Returns (id, cluster, split).
+
+    Scale: the CC pass is the q43 machinery (edge-count-driven
+    iterations, bounded by max_iter); the split itself is one md5 per
+    row — no extra shuffle beyond CC's own."""
+    from us_immigration_data_lake_spark.operators.dedup import dedup_survivors
+
+    surv = dedup_survivors(df, pairs, id_col, max_iter=max_iter)
+    return surv.select(
+        id_col,
+        "cluster",
+        split_label(F.col("cluster"), train_pct).alias("split"),
+    )

@@ -282,6 +282,11 @@ def oversized_bucket_keys(
 # in unsafe-row bytes); beyond it the cap joins fall back to unhinted
 # (AQE-planned) joins rather than force a multi-GB broadcast.
 BROADCAST_KEY_LIMIT = 2_000_000
+# ...and sets up to this many rows are collected to the driver and
+# re-shipped as a literal LocalRelation — the keys cross the driver
+# either way under a broadcast, and a local frame saves re-running
+# the key-aggregation subtree in each of the two cap joins.
+COLLECT_KEY_LIMIT = 100_000
 
 
 def _counted_key_plan(
@@ -304,10 +309,21 @@ def _counted_key_plan(
       joins — AQE plans them, nothing is force-broadcast into an OOM.
 
     The count job is why the band-frame contract demands cheap
-    DETERMINISTIC rescans (see capped_bucket_members)."""
+    DETERMINISTIC rescans (see capped_bucket_members).
+
+    Tiny key sets (≤ COLLECT_KEY_LIMIT) are additionally COLLECTED
+    into a literal local frame: the anti/semi joins then broadcast a
+    LocalRelation instead of re-running the key aggregation subtree
+    once per join (the count already executed it; exchange reuse
+    between a count and two later joins is not guaranteed)."""
     over = oversized_bucket_keys(band_df, max_bucket_size, key_cols)
     n_over = over.count()
-    if 0 < n_over <= BROADCAST_KEY_LIMIT:
+    if 0 < n_over <= COLLECT_KEY_LIMIT:
+        spark = band_df.sparkSession
+        over = F.broadcast(
+            spark.createDataFrame(over.collect(), schema=over.schema)
+        )
+    elif COLLECT_KEY_LIMIT < n_over <= BROADCAST_KEY_LIMIT:
         over = F.broadcast(over)
     return n_over, over
 

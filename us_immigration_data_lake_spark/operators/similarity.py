@@ -1154,3 +1154,63 @@ def ivfpq_knn(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "adist_c")
     )
+
+
+def ann_recall_at_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    dim: int,
+    num_bits: int = 12,
+    seed: int = 42,
+    multiprobe: bool = False,
+) -> DataFrame:
+    """Recall@k of the SRP-LSH approximate kNN against the exact
+    brute-force ground truth — the QUALITY metric for the ANN family
+    (q24's plan is the scale path; this prices what it trades away,
+    per query, with the same deterministic tiebreaks on both sides).
+    Returns one row per query: (query_id, n_exact, n_approx, hits,
+    recall) with recall = hits / n_exact (exact/approx sets are both
+    deterministic — cosine DESC, neighbor_id ASC — so two engines
+    agree on every member), ordered by query_id.
+
+    Scale: the ground-truth side is the brute-force broadcast plan —
+    recall measurement is an OFFLINE calibration run over a sampled
+    query set (tune num_bits/multiprobe until recall clears target,
+    then deploy the approximate plan); it is not the serving path."""
+    exact = cosine_knn(corpus, queries, id_col, vec_col, k=k, dim=dim)
+    approx = srp_lsh_knn(
+        corpus, queries, id_col, vec_col, k=k, dim=dim,
+        num_bits=num_bits, seed=seed, multiprobe=multiprobe,
+    )
+    e = exact.select("query_id", "neighbor_id")
+    a = approx.select("query_id", "neighbor_id")
+    n_exact = e.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    n_approx = a.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_approx")
+    )
+    hits = (
+        e.join(a, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+    )
+    return (
+        n_exact.join(n_approx, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_approx", F.lit(0)).cast("long").alias("n_approx"),
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+            F.round(
+                F.coalesce("hits", F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double"),
+                6,
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )

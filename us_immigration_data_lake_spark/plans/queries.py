@@ -13600,3 +13600,161 @@ def q220_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mixture_weights(
         sized, "lang", "n_tok", alpha=_Q220_ALPHA, budget=_Q220_BUDGET
     )
+
+
+# ---------------------------------------------------------------------------
+# Q221 — ANN recall@k calibration (operators/similarity.py:
+# ann_recall_at_k, new r11): the QUALITY metric the ANN family was
+# missing in the registry — q22 is the exact baseline, q24 the scale
+# plan; this measures per query what the bucketed plan trades away
+# (recall = |approx ∩ exact| / k over deterministic top-k sets, both
+# sides tie-broken cosine DESC / neighbor_id ASC so two engines agree
+# on every member). The oracle replays BOTH sides: q22's brute-force
+# chain and q24's hash-for-hash SRP bucket replay (plane literals
+# embedded at full precision), joined into per-query hit counts. The
+# offline-calibration shape: tune num_bits/multiprobe until recall
+# clears target, then deploy the approximate plan.
+# ---------------------------------------------------------------------------
+
+_Q221_K, _Q221_BITS, _Q221_NQ = 5, 6, 50
+
+
+def _q221_oracle_sql() -> str:
+    planes = sim_ops.srp_planes(EMBEDDING_DIM, num_bits=_Q221_BITS, seed=42)
+
+    def dot_expr(i: int) -> str:
+        return " + ".join(
+            f"v[{j + 1}]*({float(planes[i][j])!r})" for j in range(EMBEDDING_DIM)
+        )
+
+    bits = " + ".join(
+        f"(CASE WHEN ({dot_expr(i)}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(_Q221_BITS)
+    )
+    k, nq = _Q221_K, _Q221_NQ
+    return f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, CAST({bits} AS BIGINT) AS bucket FROM base),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b
+          WHERE vec_id < {nq}),
+    c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM b),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY ROUND(list_cosine_similarity(q.qv, c.cv), 6) DESC,
+                          c.neighbor_id) AS rn
+        FROM q JOIN c ON q.query_id != c.neighbor_id
+      ) WHERE rn <= {k}
+    ), approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY ROUND(list_cosine_similarity(q.qv, c.cv), 6) DESC,
+                          c.neighbor_id) AS rn
+        FROM q JOIN c USING (bucket)
+        WHERE q.query_id != c.neighbor_id
+      ) WHERE rn <= {k}
+    ), ne AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+              FROM exact GROUP BY 1
+    ), na AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_approx
+              FROM approx GROUP BY 1
+    ), h AS (
+      SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS hits
+      FROM exact e JOIN approx a USING (query_id, neighbor_id)
+      GROUP BY 1
+    )
+    SELECT ne.query_id, ne.n_exact,
+           COALESCE(na.n_approx, 0) AS n_approx,
+           COALESCE(h.hits, 0) AS hits,
+           ROUND(COALESCE(h.hits, 0) * 1.0 / ne.n_exact, 6) AS recall
+    FROM ne LEFT JOIN na USING (query_id) LEFT JOIN h USING (query_id)
+    ORDER BY ne.query_id
+    """
+
+
+@_register(
+    "q221_ann_recall",
+    oracle=_q221_oracle_sql(),
+    tags=("similarity", "ann", "recall", "evaluation", "calibration"),
+)
+def q221_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _Q221_NQ)
+    return sim_ops.ann_recall_at_k(
+        emb, queries, "vec_id", "embedding", k=_Q221_K, dim=EMBEDDING_DIM,
+        num_bits=_Q221_BITS, seed=42,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q222 — leakage-safe cluster split (functions/splits.py:
+# cluster_split_label, new r11): the eval-contamination guard a real
+# training pipeline runs AFTER near-dup detection — a test document
+# whose near-duplicate sits in train leaks the benchmark, so the
+# train/test split is assigned per CONNECTED near-dup CLUSTER
+# (q43's exact-Jaccard postings pairs → CC → cluster = smallest id),
+# and the md5 split bucket (q48's one-true-formula) hashes the
+# CLUSTER id; members inherit. The oracle chains q43's WITH RECURSIVE
+# reachability with q48's bucket CASE — by construction no near-dup
+# pair can straddle the boundary, and the planted-pair test pins it.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q222_leakage_safe_split",
+    oracle="""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         t -> t <> '') AS toks
+      FROM documents WHERE doc_id < 200
+    ), sh AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 2
+                  THEN list_distinct([array_to_string(toks[i:i+1], ' ')
+                                      for i in range(1, len(toks))])
+                  ELSE [array_to_string(toks, ' ')] END AS shingles
+      FROM tok
+    ), pairs AS MATERIALIZED (
+      SELECT a.doc_id AS id1, b.doc_id AS id2
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))) >= 0.08
+    ), edges AS MATERIALIZED (
+      SELECT id1 AS src, id2 AS dst FROM pairs
+      UNION SELECT id2, id1 FROM pairs
+    ), reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      WHERE e.dst <> r.src
+    ), labels AS MATERIALIZED (
+      SELECT src AS id, LEAST(src, MIN(dst)) AS cluster
+      FROM reach GROUP BY src
+    ), clustered AS (
+      SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+      LEFT JOIN labels l ON d.doc_id = l.id
+    )
+    SELECT doc_id, cluster,
+           CASE WHEN (('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 4))
+                      ::INTEGER) % 100 < 80
+                THEN 'train' ELSE 'test' END AS split
+    FROM clustered
+    """,
+    tags=("sampling", "split", "dedup", "decontamination", "portable"),
+)
+def q222_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.functions.splits import (
+        cluster_split_label,
+    )
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sh = dedup_ops.shingles(docs, "doc_id", "text", n=2)
+    pairs = dedup_ops.postings_jaccard_pairs(sh, "doc_id", min_jaccard=0.08)
+    return cluster_split_label(
+        docs, pairs.select("id1", "id2"), "doc_id", train_pct=80
+    )
