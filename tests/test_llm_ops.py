@@ -2606,3 +2606,60 @@ def test_cluster_split_no_near_dup_straddles(spark):
         assert split_of[i1][1] == split_of[i2][1], (i1, i2)
     # both labels actually occur across clusters (non-degenerate split)
     assert {v[1] for v in split_of.values()} == {"train", "test"}
+
+
+def test_minhash_calibration_identical_docs_and_error_bound(spark):
+    """q223's defining properties: an identical pair estimates AND
+    measures Jaccard 1.0 with zero error; disjoint-vocabulary docs
+    never become candidates; and on a planted partial-overlap pair the
+    estimate sits within the k-hash binomial envelope of the exact
+    value (5 sigma of sqrt(J(1-J)/k) — deterministic given the fixed
+    hash family, generous enough to never flake)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    partial = "alpha beta gamma delta epsilon zeta omega psi chi phi"
+    rows = [
+        (1, base),
+        (2, base),
+        (3, partial),
+        (4, "totally disjoint vocabulary about rivers and mountains"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dd.minhash_estimate_calibration(
+        df, "doc_id", "text", shingle_n=2, num_hashes=64, bands=32,
+    )
+    got = {(r.id1, r.id2): r for r in out.collect()}
+    twin = got[(1, 2)]
+    assert twin.n_match == 64
+    assert twin.est_jaccard == 1.0
+    assert twin.exact_jaccard == 1.0
+    assert twin.abs_err == 0.0
+    assert not any(4 in p for p in got)
+    for r in got.values():
+        j = r.exact_jaccard
+        assert r.abs_err <= 5 * (j * (1 - j) / 64) ** 0.5 + 1e-9, r
+
+
+def test_epoch_shuffle_order_deterministic_permutation(spark):
+    """q224's contract: every id appears exactly once; positions are
+    contiguous 1..n within each shard; the same (epoch, id) input
+    reproduces the identical order; two epochs give different orders."""
+    from us_immigration_data_lake_spark.operators.sampling import (
+        epoch_shuffle_order,
+    )
+
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    e1 = epoch_shuffle_order(df, "doc_id", epoch=1, n_shards=4)
+    rows = e1.collect()
+    assert len(rows) == 200 and len({r.doc_id for r in rows}) == 200
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        assert 0 <= r.shard < 4
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    again = {(r.doc_id): (r.shard, r.pos) for r in
+             epoch_shuffle_order(df, "doc_id", epoch=1, n_shards=4).collect()}
+    assert again == {r.doc_id: (r.shard, r.pos) for r in rows}
+    e2 = {r.doc_id: (r.shard, r.pos) for r in
+          epoch_shuffle_order(df, "doc_id", epoch=2, n_shards=4).collect()}
+    assert e2 != again

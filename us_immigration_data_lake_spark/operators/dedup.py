@@ -2134,3 +2134,76 @@ def cross_group_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def minhash_estimate_calibration(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 2,
+    num_hashes: int = 24,
+    bands: int = 6,
+    portable: bool = False,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Per-candidate-pair calibration of the MinHash Jaccard ESTIMATOR
+    against the exact hashed-set Jaccard — the q221 role for the text
+    near-dup family. q20's banding prices RECALL (which pairs surface
+    at all); this prices the ESTIMATOR those banding thresholds are
+    derived from: est = (matching signature positions) / num_hashes is
+    an unbiased estimate of Jaccard with stderr ~ sqrt(J(1-J)/k), and
+    the offline tuning loop raises num_hashes until the observed
+    |est - exact| spread clears the threshold margin, then deploys the
+    cheaper signature.
+
+    Returns one row per surviving candidate pair: (id1, id2, n_match,
+    est_jaccard, exact_jaccard, abs_err), every ratio an int/int
+    division rounded to 6 so external engines agree bit-for-bit.
+
+    Scale: the pair space is the BANDED candidate set (never all
+    pairs), with the same counted mega-bucket cap as candidate_pairs;
+    both sides of the comparison are per-pair array arithmetic on
+    frames already carried by the near-dup plan — the calibration adds
+    two hash-joins and zero extra shuffle stages beyond q20's own.
+    Like ann_recall_at_k this is an OFFLINE calibration run over a
+    restricted slice, not the serving path."""
+    sh = shingles(df, id_col, text_col, n=shingle_n)
+    hs = hashed_shingle_sets(sh, id_col, portable)
+    sig = _signatures_from_sets(hs, id_col, num_hashes, portable)
+    band_df = lsh_bands(
+        sig.select(id_col, "signature"), id_col, bands,
+        num_hashes // bands, portable,
+    )
+    pairs = candidate_pairs(band_df, id_col, max_bucket_size)
+    s1 = sig.select(
+        F.col(id_col).alias("id1"),
+        F.col("signature").alias("sig1"),
+        F.col("hs").alias("hs1"),
+    )
+    s2 = sig.select(
+        F.col(id_col).alias("id2"),
+        F.col("signature").alias("sig2"),
+        F.col("hs").alias("hs2"),
+    )
+    n_match = F.size(
+        F.filter(
+            F.zip_with("sig1", "sig2", lambda x, y: x == y),
+            lambda v: v,
+        )
+    ).cast("long")
+    inter = F.size(F.array_intersect("hs1", "hs2")).cast("long")
+    union = (F.size("hs1") + F.size("hs2")).cast("long") - inter
+    est = F.round(n_match.cast("double") / F.lit(float(num_hashes)), 6)
+    exact = F.round(inter.cast("double") / union.cast("double"), 6)
+    return (
+        pairs.join(s1, "id1").join(s2, "id2")
+        .select(
+            "id1",
+            "id2",
+            n_match.alias("n_match"),
+            est.alias("est_jaccard"),
+            exact.alias("exact_jaccard"),
+            F.round(F.abs(est - exact), 6).alias("abs_err"),
+        )
+    )

@@ -396,3 +396,50 @@ def temperature_mixture_weights(
         ).alias("alloc"),
     )
     return out.orderBy("group")
+
+
+def epoch_shuffle_order(
+    df: DataFrame, id_col: str, *, epoch: int, n_shards: int = 16,
+) -> DataFrame:
+    """Deterministic global training order for one epoch — the "shuffle
+    the corpus between epochs" step of a training-data pipeline, as a
+    pure function of (epoch, id) so any run, engine, or resumed job
+    reproduces the exact same order with no stored permutation.
+
+    Each row gets a 60-bit portable shuffle key md5_long(epoch || '|'
+    || id); its shard is key mod n_shards and its position is the
+    row_number within the shard ordered by (key, id). A trainer reads
+    shard s in position order; different epochs give statistically
+    independent orders, and the (shard, pos) pair is an addressable
+    coordinate (resume mid-epoch = filter pos > checkpoint).
+
+    Scale: ONE hash shuffle into n_shards groups, then a
+    PARTITION-LOCAL sort — no global ordering exchange. n_shards
+    scales with the cluster (set it to the writer parallelism); at
+    100 TB each shard sorts ~size/n_shards rows independently, the
+    same plan shape as the distributed global row_number but without
+    its two-phase offset pass because positions only need to be
+    per-shard. The md5 key feeds whole-stage codegen; nothing here
+    depends on input partitioning, so retries and AQE re-plans cannot
+    change the order (the weakness of df.sample/rand-based shuffles
+    this module's header documents)."""
+    from pyspark.sql import Window
+
+    from us_immigration_data_lake_spark.functions.hashing import md5_long
+
+    key = md5_long(
+        F.concat_ws(
+            "|",
+            F.lit(int(epoch)).cast("string"),
+            F.col(id_col).cast("string"),
+        )
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return (
+        df.select(F.col(id_col), key.alias("shuffle_key"))
+        .withColumn(
+            "shard",
+            F.pmod(F.col("shuffle_key"), F.lit(int(n_shards))).cast("long"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+    )

@@ -13758,3 +13758,113 @@ def q222_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_split_label(
         docs, pairs.select("id1", "id2"), "doc_id", train_pct=80
     )
+
+
+# ---------------------------------------------------------------------------
+# Q223 — MinHash estimator calibration (operators/dedup.py:
+# minhash_estimate_calibration, new r11): q221's role for the TEXT
+# near-dup family. q20 prices the banding's recall; this prices the
+# ESTIMATOR the band/threshold math is derived from — per banded
+# candidate pair, the signature-agreement estimate (n_match /
+# num_hashes) next to the exact hashed-set Jaccard and their
+# |error|. The offline tuning loop: raise num_hashes until the
+# observed error spread clears the dedup threshold's margin, then
+# deploy the cheaper signature. The oracle replays the full portable
+# pipeline (shared q20 prefix CTEs) and compares the 24 mh columns
+# pairwise, hash-for-hash.
+# ---------------------------------------------------------------------------
+
+_Q223_WHERE = " WHERE doc_id < 1000"
+
+
+def _q223_oracle_sql() -> str:
+    nh, nb = _Q20_HASHES, _Q20_BANDS
+    match_sum = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(nh)
+    )
+    est = f"ROUND(({match_sum}) * 1.0 / {nh}, 6)"
+    exact = (
+        "ROUND(len(list_intersect(h1.hs, h2.hs)) * 1.0"
+        " / (len(h1.hs) + len(h2.hs)"
+        " - len(list_intersect(h1.hs, h2.hs))), 6)"
+    )
+    return f"""
+    WITH {_portable_minhash_prefix_sql(_Q223_WHERE, nh, nb)}, cand AS (
+      SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+      FROM bnd x JOIN bnd y
+        ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+       AND x.doc_id < y.doc_id
+    ), hs AS (
+      SELECT doc_id, list(h) AS hs FROM hx GROUP BY doc_id
+    )
+    SELECT c.id1, c.id2,
+           CAST({match_sum} AS BIGINT) AS n_match,
+           {est} AS est_jaccard,
+           {exact} AS exact_jaccard,
+           ROUND(ABS({est} - {exact}), 6) AS abs_err
+    FROM cand c
+    JOIN sig a ON c.id1 = a.doc_id
+    JOIN sig b ON c.id2 = b.doc_id
+    JOIN hs h1 ON c.id1 = h1.doc_id
+    JOIN hs h2 ON c.id2 = h2.doc_id
+    """
+
+
+@_register(
+    "q223_minhash_calibration",
+    oracle=_q223_oracle_sql(),
+    tags=("dedup", "minhash", "calibration", "evaluation", "portable"),
+)
+def q223_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return dedup_ops.minhash_estimate_calibration(
+        docs, "doc_id", "text", shingle_n=2, num_hashes=_Q20_HASHES,
+        bands=_Q20_BANDS, portable=True, max_bucket_size=2**31,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q224 — deterministic epoch shuffle (operators/sampling.py:
+# epoch_shuffle_order, new r11): the between-epoch corpus shuffle of a
+# training pipeline as a PURE FUNCTION of (epoch, id) — md5_long
+# shuffle key, shard = key mod n_shards, position = row_number within
+# the shard — so any engine, run, or resumed job reproduces the exact
+# byte order with no stored permutation, and resume-mid-epoch is a
+# filter on (shard, pos). One hash shuffle + partition-local sort; no
+# global ordering exchange (contrast W3's two-phase global
+# row_number, which this deliberately avoids because training order
+# only needs per-shard addresses).
+# ---------------------------------------------------------------------------
+
+_Q224_EPOCH, _Q224_SHARDS = 3, 16
+
+
+@_register(
+    "q224_epoch_shuffle",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('{_Q224_EPOCH}|' || CAST(doc_id AS VARCHAR)),
+                             1, 15))::BIGINT AS shuffle_key
+      FROM documents
+    )
+    SELECT doc_id, shuffle_key,
+           shuffle_key % {_Q224_SHARDS} AS shard,
+           CAST(ROW_NUMBER() OVER (
+                  PARTITION BY shuffle_key % {_Q224_SHARDS}
+                  ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
+    FROM keyed
+    """,
+    tags=("sampling", "shuffle", "training-order", "portable"),
+)
+def q224_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.sampling import (
+        epoch_shuffle_order,
+    )
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return epoch_shuffle_order(
+        docs, "doc_id", epoch=_Q224_EPOCH, n_shards=_Q224_SHARDS
+    )
