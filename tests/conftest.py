@@ -28,6 +28,10 @@ def spark(tmp_path_factory):
             # driver-mimic sweep runs the full registry under a
             # DEFAULT-conf session (200 partitions) every round.
             "spark.sql.shuffle.partitions": "8",
+            # same rationale for RDD-side parallelism: createDataFrame
+            # over a handful of local rows otherwise parallelizes into
+            # 32 near-empty tasks per action
+            "spark.default.parallelism": "8",
         },
     )
     s.sparkContext.setLogLevel("ERROR")

@@ -55,7 +55,7 @@ def test_every_batch_query_survives_empty_tables(spark, empty_sf):
     batch = [
         (n, s) for n, s in QUERIES.items() if "streaming" not in s.tags
     ]
-    with ThreadPoolExecutor(max_workers=16) as ex:
+    with ThreadPoolExecutor(max_workers=24) as ex:
         failures = {n: err for n, err in ex.map(check, batch) if err}
     assert failures == {}, failures
 

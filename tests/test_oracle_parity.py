@@ -88,7 +88,7 @@ def prefetched(spark, request):
             if "test_query_matches_oracle[" in item.nodeid:
                 names.append(item.nodeid.split("[", 1)[1].rstrip("]"))
         names = [n for n in dict.fromkeys(names) if n in QUERIES] or list(QUERIES)
-        with ThreadPoolExecutor(max_workers=16) as ex:
+        with ThreadPoolExecutor(max_workers=24) as ex:
             for name, payload in zip(
                 names, ex.map(lambda n: _run_one(spark, n), names)
             ):
@@ -143,7 +143,16 @@ def test_declared_types_match(name, spark, duck):
 
         fields = StructType.fromDDL(spec.result_schema).fields
     else:
-        fields = spec.fn(spark, SF).schema.fields
+        # reuse the parity prefetch's EXECUTED schema when the value
+        # sweep ran in this session (full-suite order guarantees it) —
+        # re-analyzing every fn serially re-paid ~80 s of identical
+        # plan builds (r11 durations profile); a -k filtered run of
+        # this test alone still falls back to the direct analysis
+        pre = _PREFETCH.get(name)
+        if pre is not None and pre[0] == "ok":
+            fields = pre[1].fields
+        else:
+            fields = spec.fn(spark, SF).schema.fields
     sp = {f.name: f.dataType.simpleString() for f in fields}
     rel = duck.sql(spec.oracle)
     du = dict(zip(rel.columns, (str(t) for t in rel.types)))

@@ -124,6 +124,6 @@ def test_registry_lints_clean(spark):
     batch = [
         (n, s) for n, s in QUERIES.items() if "streaming" not in s.tags
     ]
-    with ThreadPoolExecutor(max_workers=16) as ex:
+    with ThreadPoolExecutor(max_workers=24) as ex:
         failures = {n: e for n, e in ex.map(check, batch) if e}
     assert failures == {}

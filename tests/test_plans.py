@@ -58,13 +58,20 @@ def test_no_python_udfs_in_batch_queries(spark):
     # are excluded too: the lint sweep and the parity prefetch already
     # execute each of them, and a third multi-second run buys no new
     # signal for this sample check (r11 durations profile: 41 s → <10 s).
-    for name, spec in QUERIES.items():
-        if "streaming" in spec.tags or not spec.bench:
-            continue
-        if spec.result_schema is not None:
-            continue
-        plan = _plan(spark, name)
-        assert "BatchEvalPython" not in plan, f"{name} uses a row-wise Python UDF"
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = [
+        name
+        for name, spec in QUERIES.items()
+        if "streaming" not in spec.tags
+        and spec.bench
+        and spec.result_schema is None
+    ]
+    # plan builds are independent driver work — pool them like the
+    # parity prefetch (serial form: 23 s in the r11 durations profile)
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        for name, plan in zip(names, ex.map(lambda n: _plan(spark, n), names)):
+            assert "BatchEvalPython" not in plan, f"{name} uses a row-wise Python UDF"
 
 
 def test_whole_stage_codegen_active(spark):

@@ -2170,7 +2170,12 @@ def minhash_estimate_calibration(
     restricted slice, not the serving path."""
     sh = shingles(df, id_col, text_col, n=shingle_n)
     hs = hashed_shingle_sets(sh, id_col, portable)
-    sig = _signatures_from_sets(hs, id_col, num_hashes, portable)
+    # cached: the signature chain (the md5-heavy stage in portable
+    # mode) is scanned by the band side, BOTH pair-join sides, and the
+    # counted-cap rescan — without the cache it recomputes 4× (a
+    # measured 2.3× slowdown of the whole calibration). One-shot
+    # offline run; released to LRU like the other calibration ops.
+    sig = _signatures_from_sets(hs, id_col, num_hashes, portable).cache()
     band_df = lsh_bands(
         sig.select(id_col, "signature"), id_col, bands,
         num_hashes // bands, portable,
