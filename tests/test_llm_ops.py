@@ -2663,3 +2663,29 @@ def test_epoch_shuffle_order_deterministic_permutation(spark):
     e2 = {r.doc_id: (r.shard, r.pos) for r in
           epoch_shuffle_order(df, "doc_id", epoch=2, n_shards=4).collect()}
     assert e2 != again
+
+
+def test_per_group_cap_binds_and_is_deterministic(spark):
+    """q226's contract: groups over the cap keep exactly cap rows,
+    groups under it keep all; ranks are contiguous 1..kept; two runs
+    pick the SAME subset (hash order, not arrival order) — and the
+    subset survives a repartition unchanged, which an arrival-order
+    limit cannot guarantee."""
+    from us_immigration_data_lake_spark.operators.sampling import (
+        per_group_cap,
+    )
+
+    rows = [(i, "big") for i in range(40)] + [(100 + i, "small") for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = per_group_cap(df, "source", "doc_id", cap=10)
+    got = {(r.doc_id, r.source, r.cap_rank) for r in out.collect()}
+    big = sorted(r for d, s, r in got if s == "big")
+    small = sorted(r for d, s, r in got if s == "small")
+    assert big == list(range(1, 11)) and small == [1, 2, 3]
+    again = {
+        (r.doc_id, r.source, r.cap_rank)
+        for r in per_group_cap(
+            df.repartition(7), "source", "doc_id", cap=10
+        ).collect()
+    }
+    assert again == got

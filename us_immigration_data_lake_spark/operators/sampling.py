@@ -443,3 +443,46 @@ def epoch_shuffle_order(
         )
         .withColumn("pos", F.row_number().over(w).cast("long"))
     )
+
+
+def per_group_cap(
+    df: DataFrame, group_col: str, id_col: str, cap: int,
+    rank_col: str = "cap_rank",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, selected by DETERMINISTIC
+    hash order — the per-domain/per-source document cap a crawl
+    pipeline applies so one mega-site cannot dominate the training
+    mix. Selection hashes (group, id), so the kept subset is (a) a
+    uniform pseudo-random sample of the group rather than an
+    arrival-order prefix (``limit`` per group biases toward whatever
+    the scan touched first and changes under repartition), and (b)
+    reproducible across engines, runs, and retries — the same contract
+    as this module's rate-based ``sample_bucket``, for count-based
+    caps. The kept rows carry their 1-based ``rank_col`` so downstream
+    stages can tighten the cap WITHOUT rescanning (filter rank <= c').
+
+    Scale: one hash shuffle on ``group_col`` + a per-group sort. The
+    sort is bounded by the group's size, spillable, and the common
+    web-corpus group (a domain) is far below partition scale; a
+    DEGENERATE group (one source = half the corpus) pays a single-
+    partition sort — if that is your distribution, cap via the counted
+    two-phase machinery (operators/dedup.py:_counted_key_plan) or
+    pre-aggregate sources. Unlike the LSH bucket cap this op's OUTPUT
+    is the capped set itself, so the window rank is the semantics, not
+    an implementation shortcut."""
+    from pyspark.sql import Window
+
+    from us_immigration_data_lake_spark.functions.hashing import md5_long
+
+    key = md5_long(
+        F.concat_ws(
+            "|", F.col(group_col).cast("string"), F.col(id_col).cast("string")
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy("_cap_key", id_col)
+    return (
+        df.withColumn("_cap_key", key)
+        .withColumn(rank_col, F.row_number().over(w).cast("long"))
+        .filter(F.col(rank_col) <= cap)
+        .drop("_cap_key")
+    )

@@ -13868,3 +13868,102 @@ def q224_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_shuffle_order(
         docs, "doc_id", epoch=_Q224_EPOCH, n_shards=_Q224_SHARDS
     )
+
+
+# ---------------------------------------------------------------------------
+# Q225 — tokenizer fertility per language (operators/textstats.py:
+# bpe_token_counts grouped by lang, new r11): fertility = model tokens
+# per whitespace word, THE multilingual tokenizer-quality diagnostic
+# (a vocabulary trained lopsidedly makes some languages 2-3× more
+# expensive per word, which silently reprices every token-budget
+# decision q159/q220 make). Rides q209's machinery end-to-end — train
+# q194's merges, encode the vocabulary, join the corpus — and adds
+# one lang-keyed aggregation; the oracle nests q209's full generated
+# replay as a subquery and re-groups it.
+# ---------------------------------------------------------------------------
+
+
+def _q225_oracle_sql() -> str:
+    return f"""
+    WITH per_doc AS ({_q209_oracle_sql()})
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.n_words) AS BIGINT) AS n_words,
+           CAST(SUM(p.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+           ROUND(SUM(p.n_bpe_tokens) * 1.0 / SUM(p.n_words), 6) AS fertility
+    FROM per_doc p JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+    """
+
+
+@_register(
+    "q225_tokenizer_fertility",
+    oracle=_q225_oracle_sql(),
+    tags=("llm", "tokenizer", "bpe", "fertility", "multilingual",
+          "portable"),
+)
+def q225_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in ts_ops.bpe_merges(docs, "text", n_merges=_Q194_MERGES)
+        .orderBy("rank")
+        .collect()  # model-sized: the trained merge table
+    ]
+    counts = ts_ops.bpe_token_counts(
+        docs.filter(F.col("text").isNotNull()), "doc_id", "text", merges
+    )
+    return (
+        counts.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_bpe_tokens").cast("double")
+                / F.sum("n_words").cast("double"),
+                6,
+            ).alias("fertility"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q226 — per-source document cap (operators/sampling.py:per_group_cap,
+# new r11): keep at most CAP docs per source, selected by
+# deterministic (source, id) hash order — the per-domain cap a crawl
+# pipeline applies so one mega-site cannot dominate the mix; a
+# count-based complement to q63's rate-based stratified downsample
+# (rates can't express "never more than N", caps can't express "keep
+# 10%"; real mixes use both). Kept rows carry their 1-based cap_rank
+# so a tighter cap downstream is a filter, not a rescan.
+# ---------------------------------------------------------------------------
+
+_Q226_CAP = 15
+
+
+@_register(
+    "q226_per_source_cap",
+    oracle=f"""
+    SELECT doc_id, source, rn AS cap_rank FROM (
+      SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5(source || '|'
+                           || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                        doc_id) AS BIGINT) AS rn
+      FROM documents
+    ) WHERE rn <= {_Q226_CAP}
+    """,
+    tags=("sampling", "cap", "group-limit", "portable"),
+)
+def q226_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.sampling import (
+        per_group_cap,
+    )
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return per_group_cap(docs, "source", "doc_id", cap=_Q226_CAP)
