@@ -2689,3 +2689,39 @@ def test_per_group_cap_binds_and_is_deterministic(spark):
         ).collect()
     }
     assert again == got
+
+
+def test_curriculum_order_bin_edges_and_permutation(spark):
+    """q227's contract: fixed-axis bin edges (exact-boundary score
+    lands in the UPPER bin, top edge clamps into the last bin,
+    below-axis clamps to 0); per-bin positions contiguous from 1; and
+    the coordinates are a pure function of (epoch, id, score) — a
+    repartitioned rerun reproduces them exactly."""
+    from us_immigration_data_lake_spark.operators.sampling import (
+        curriculum_order,
+    )
+
+    rows = [
+        (1, 0.0), (2, 0.1), (3, 0.25), (4, 0.49),
+        (5, 0.5), (6, 0.75), (7, 0.99), (8, 1.0), (9, -0.2),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "score"])
+    out = curriculum_order(df, "doc_id", "score", n_bins=4, epoch=2)
+    got = {r.doc_id: (r.quality_bin, r.pos) for r in out.collect()}
+    assert {d: b for d, (b, _) in got.items()} == {
+        1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 3, 7: 3, 8: 3, 9: 0,
+    }
+    from collections import defaultdict
+
+    per_bin = defaultdict(list)
+    for b, p in got.values():
+        per_bin[b].append(p)
+    for b, ps in per_bin.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), b
+    again = {
+        r.doc_id: (r.quality_bin, r.pos)
+        for r in curriculum_order(
+            df.repartition(5), "doc_id", "score", n_bins=4, epoch=2
+        ).collect()
+    }
+    assert again == got

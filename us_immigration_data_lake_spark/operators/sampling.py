@@ -486,3 +486,61 @@ def per_group_cap(
         .filter(F.col(rank_col) <= cap)
         .drop("_cap_key")
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    *,
+    n_bins: int = 4,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    epoch: int = 0,
+) -> DataFrame:
+    """Curriculum data ordering: fixed-width quality bins + a
+    deterministic pseudo-random order WITHIN each bin — the
+    quality-staged consumption plan (anneal from one end of the
+    quality axis to the other as training progresses) with
+    epoch_shuffle_order's reproducibility contract: coordinates are a
+    pure function of (epoch, id, score), so any engine or resumed job
+    reproduces them and resume = a (bin, pos) filter.
+
+    Bins use the FIXED [lo, hi) axis (q96/q213's idiom — n_bins
+    equal widths, top edge clamped into the last bin), NOT ntile:
+    ntile needs a global sort and re-draws every bin boundary when one
+    document is added; fixed edges are stable across corpus versions,
+    so two snapshots' curricula are comparable.
+
+    Scale: one hash shuffle on the bin key + per-bin partition-local
+    sort — no global ordering exchange. With a handful of bins, one
+    bin ≈ corpus/n_bins rows in one sort partition: for 100 TB
+    curricula raise parallelism by sub-sharding (compose with
+    epoch_shuffle_order's shard inside each bin) — documented rather
+    than automatic because bin-sequential consumption is the common
+    case and sub-shards change the coordinate scheme."""
+    from pyspark.sql import Window
+
+    from us_immigration_data_lake_spark.functions.hashing import md5_long
+
+    width = (hi - lo) / n_bins
+    raw = F.floor((F.col(score_col) - F.lit(lo)) / F.lit(width)).cast("long")
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(int(n_bins - 1)))
+    key = md5_long(
+        F.concat_ws(
+            "|",
+            F.lit(int(epoch)).cast("string"),
+            F.col(id_col).cast("string"),
+        )
+    )
+    w = Window.partitionBy("quality_bin").orderBy("_cur_key", id_col)
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(score_col),
+            bin_.alias("quality_bin"),
+            key.alias("_cur_key"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("_cur_key")
+    )

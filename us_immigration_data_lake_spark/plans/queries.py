@@ -13967,3 +13967,56 @@ def q226_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tune(spark)
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
     return per_group_cap(docs, "source", "doc_id", cap=_Q226_CAP)
+
+
+# ---------------------------------------------------------------------------
+# Q227 — curriculum ordering (operators/sampling.py:curriculum_order,
+# new r11): the quality-staged training plan — q17's per-doc quality
+# score binned on a FIXED [0,1) axis (stable across corpus versions,
+# unlike ntile's data-dependent edges) with a deterministic
+# pseudo-random order inside each bin (q224's hash contract). A
+# trainer consumes bins in its chosen direction and resumes from any
+# (bin, pos). The oracle nests q17's scoring replay, re-derives the
+# bin arithmetic, and replays the per-bin row_number.
+# ---------------------------------------------------------------------------
+
+_Q227_BINS, _Q227_EPOCH = 4, 1
+
+
+def _q227_oracle_sql() -> str:
+    q17 = QUERIES["q17_quality_score"].oracle
+    nb, ep = _Q227_BINS, _Q227_EPOCH
+    return f"""
+    WITH scored AS ({q17}), binned AS (
+      SELECT doc_id, quality_score,
+             LEAST(GREATEST(CAST(FLOOR(quality_score / (1.0 / {nb}))
+                                 AS BIGINT), 0), {nb - 1}) AS quality_bin,
+             ('0x' || substr(md5('{ep}|' || CAST(doc_id AS VARCHAR)),
+                             1, 15))::BIGINT AS k
+      FROM scored
+    )
+    SELECT doc_id, quality_score, quality_bin,
+           CAST(ROW_NUMBER() OVER (PARTITION BY quality_bin
+                                   ORDER BY k, doc_id) AS BIGINT) AS pos
+    FROM binned
+    """
+
+
+@_register(
+    "q227_curriculum_order",
+    oracle=_q227_oracle_sql(),
+    tags=("sampling", "curriculum", "quality", "training-order",
+          "portable"),
+)
+def q227_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.sampling import (
+        curriculum_order,
+    )
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    scored = ts_ops.quality_score(ts_ops.text_features(docs, "doc_id", "text"))
+    return curriculum_order(
+        scored, "doc_id", "quality_score",
+        n_bins=_Q227_BINS, epoch=_Q227_EPOCH,
+    )

@@ -114,6 +114,17 @@ def write_table(
         else:
             writer.json(path)
         return path
+    if fmt == "orc":
+        # columnar interchange sink: ORC ships IN Spark (no extra
+        # package), keeps predicate pushdown + column pruning like
+        # parquet — for estates standardized on Hive/Trino ORC. Same
+        # partition_by contract as the parquet sink.
+        path = posixpath.join(base_path.rstrip("/"), table)
+        writer = df.write.mode(kwargs.get("mode", "overwrite"))
+        if partition_by := kwargs.get("partition_by"):
+            writer = writer.partitionBy(*partition_by)
+        writer.orc(path)
+        return path
     if fmt == "delta":
         try:
             import delta  # noqa: F401
