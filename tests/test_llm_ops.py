@@ -2725,3 +2725,47 @@ def test_curriculum_order_bin_edges_and_permutation(spark):
         ).collect()
     }
     assert again == got
+
+
+def test_mixture_interleave_wfq_matches_python_replay(spark):
+    """q228's semantics against a pure-Python WFQ replay on an
+    injected policy: a source with double the ppm share appears twice
+    as often in every window of the order; zero-ppm groups are never
+    scheduled; the whole schedule is reproducible."""
+    import hashlib
+
+    from us_immigration_data_lake_spark.operators.sampling import (
+        mixture_interleave_order,
+    )
+
+    rows = [(i, "a") for i in range(10)] + [(100 + i, "b") for i in range(10)]
+    rows += [(900, "ghost")]  # zero-ppm source: must not appear
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    wdf = spark.createDataFrame(
+        [("a", 600000), ("b", 300000), ("ghost", 0)], ["group", "q_ppm"]
+    )
+    out = mixture_interleave_order(df, "doc_id", "source", wdf, epoch=4)
+    got = sorted(
+        ((r.global_pos, r.doc_id, r.source, r.pos, r.v_time)
+         for r in out.collect())
+    )
+
+    def md5_long(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    exp = []
+    for grp, ppm in (("a", 600000), ("b", 300000)):
+        ids = sorted(
+            (d for d, g in rows if g == grp),
+            key=lambda d: (md5_long(f"4|{d}"), d),
+        )
+        step = round(1e12 / ppm)
+        exp += [(d, grp, i + 1, (i + 1) * step) for i, d in enumerate(ids)]
+    exp.sort(key=lambda t: (t[3], t[1], t[0]))
+    assert got == [
+        (i + 1, d, g, p, v) for i, (d, g, p, v) in enumerate(exp)
+    ]
+    # share property: in the first 9 slots, 'a' (2x share) fills 6
+    first9 = [g for _, _, g, _, _ in got[:9]]
+    assert first9.count("a") == 6 and first9.count("b") == 3
+    assert all(g != "ghost" for _, _, g, _, _ in got)

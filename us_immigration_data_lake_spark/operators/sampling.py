@@ -544,3 +544,77 @@ def curriculum_order(
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .drop("_cur_key")
     )
+
+
+def mixture_interleave_order(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    weights_df: DataFrame,
+    *,
+    epoch: int = 0,
+) -> DataFrame:
+    """Deterministic weighted interleave of sources into ONE global
+    training order — the consumption schedule that REALIZES a mixture
+    policy (temperature_mixture_weights says "sample source s with
+    share q_s"; this says exactly which document is read 1st, 2nd,
+    3rd so that every prefix of the order respects those shares).
+    Weighted-fair-queuing virtual time: source s's i-th document
+    (i = per-source hash position, epoch_shuffle_order's contract) is
+    scheduled at
+
+        v_time = i * round(1e12 / q_ppm(s))
+
+    — the integerized once-per-source virtual step (micronat rule), so
+    a source with twice the share advances half as fast and appears
+    twice as often in any window of the order. The global order sorts
+    (v_time, group, id); ties across sources resolve by group name —
+    deterministic, engine-independent.
+
+    ``weights_df`` carries (group, q_ppm) — temperature_mixture_
+    weights output or any policy table; zero/absent-ppm groups are
+    never scheduled (a share of 0 has no finite step).
+
+    Scale: per-source positions are one hash shuffle + partition-local
+    sort; the weights join broadcasts a K-row policy table; the ONLY
+    global structure is the final total order, which uses
+    global_row_number's two-phase range exchange (never a
+    single-partition window). Resume-mid-epoch = filter
+    global_pos > checkpoint."""
+    from pyspark.sql import Window
+
+    from us_immigration_data_lake_spark.functions.hashing import md5_long
+    from us_immigration_data_lake_spark.operators.windows import (
+        global_row_number,
+    )
+
+    key = md5_long(
+        F.concat_ws(
+            "|",
+            F.lit(int(epoch)).cast("string"),
+            F.col(id_col).cast("string"),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy("_mix_key", id_col)
+    positioned = (
+        df.select(F.col(id_col), F.col(group_col), key.alias("_mix_key"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("_mix_key")
+    )
+    policy = weights_df.select(
+        F.col("group").alias(group_col), F.col("q_ppm")
+    ).filter(F.col("q_ppm") > 0)
+    v_step = F.round(F.lit(1_000_000_000_000.0) / F.col("q_ppm")).cast("long")
+    timed = (
+        positioned.join(F.broadcast(policy), group_col)
+        .select(
+            id_col,
+            group_col,
+            "pos",
+            (F.col("pos") * v_step).cast("long").alias("v_time"),
+        )
+    )
+    return global_row_number(
+        timed, order_by=["v_time", group_col, id_col],
+        rank_col="global_pos",
+    )

@@ -13842,6 +13842,8 @@ _Q224_EPOCH, _Q224_SHARDS = 3, 16
 
 @_register(
     "q224_epoch_shuffle",
+    bench=True,  # r11: the training-order perf axis — one hash shuffle
+    # + partition-local sort; benches the no-global-exchange claim
     oracle=f"""
     WITH keyed AS (
       SELECT doc_id,
@@ -13958,6 +13960,7 @@ _Q226_CAP = 15
     ) WHERE rn <= {_Q226_CAP}
     """,
     tags=("sampling", "cap", "group-limit", "portable"),
+    bench=True,  # r11: the group-limit window shape at corpus scale
 )
 def q226_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from us_immigration_data_lake_spark.operators.sampling import (
@@ -14019,4 +14022,79 @@ def q227_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curriculum_order(
         scored, "doc_id", "quality_score",
         n_bins=_Q227_BINS, epoch=_Q227_EPOCH,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q228 — mixture interleave order (operators/sampling.py:
+# mixture_interleave_order, new r11): the schedule that REALIZES
+# q220's mixture policy — weighted-fair-queuing virtual time
+# (source s's i-th doc at i·round(1e12/q_ppm)) turns per-source
+# shares into one deterministic global reading order whose every
+# prefix respects the shares. Per-source positions are q224's hash
+# contract; the only global structure is W3's two-phase
+# global_row_number range exchange. The oracle nests q220's full
+# weights replay, re-derives positions/virtual times, and replays the
+# single total order.
+# ---------------------------------------------------------------------------
+
+_Q228_EPOCH = 1
+
+
+def _q228_oracle_sql() -> str:
+    ep = _Q228_EPOCH
+    return f"""
+    WITH w AS ({_q220_oracle_sql()}), keyed AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5('{ep}|' || CAST(doc_id AS VARCHAR)),
+                             1, 15))::BIGINT AS k
+      FROM documents WHERE text IS NOT NULL
+    ), pos AS (
+      SELECT doc_id, lang,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY k, doc_id) AS BIGINT) AS pos
+      FROM keyed
+    ), vt AS (
+      SELECT p.doc_id, p.lang, p.pos,
+             p.pos * CAST(ROUND(1000000000000.0 / w.q_ppm) AS BIGINT)
+               AS v_time
+      FROM pos p JOIN w ON p.lang = w."group"
+      WHERE w.q_ppm > 0
+    )
+    SELECT doc_id, lang, pos, v_time,
+           CAST(ROW_NUMBER() OVER (ORDER BY v_time, lang, doc_id)
+                AS BIGINT) AS global_pos
+    FROM vt
+    """
+
+
+@_register(
+    "q228_mixture_interleave",
+    oracle=_q228_oracle_sql(),
+    tags=("sampling", "mixture", "interleave", "wfq", "training-order",
+          "portable"),
+)
+def q228_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.sampling import (
+        mixture_interleave_order,
+        temperature_mixture_weights,
+    )
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    sized = docs.select(
+        "lang",
+        F.size(
+            F.filter(
+                F.split(F.trim(F.col("text")), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).cast("long").alias("n_tok"),
+    )
+    weights = temperature_mixture_weights(
+        sized, "lang", "n_tok", alpha=_Q220_ALPHA, budget=_Q220_BUDGET
+    )
+    return mixture_interleave_order(
+        docs.select("doc_id", "lang"), "doc_id", "lang", weights,
+        epoch=_Q228_EPOCH,
     )
