@@ -28,11 +28,17 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from us_immigration_data_lake_spark.operators.dedup import (  # noqa: E402
     minhash_estimate_calibration,
 )
 from us_immigration_data_lake_spark.operators.sampling import (  # noqa: E402
+    curriculum_order,
     epoch_shuffle_order,
+    mixture_interleave_order,
+    per_group_cap,
+    temperature_mixture_weights,
 )
 from us_immigration_data_lake_spark.session import get_spark  # noqa: E402
 
@@ -65,6 +71,33 @@ def main() -> None:
                 docs, "doc_id", "text", shingle_n=2, num_hashes=24,
                 bands=6, portable=False, max_bucket_size=1000,
             )
+        )
+        out.setdefault("per_group_cap", {})[label] = _timed_noop(
+            lambda: per_group_cap(
+                docs.select("doc_id", "source"), "source", "doc_id", cap=50
+            )
+        )
+        out.setdefault("curriculum_order", {})[label] = _timed_noop(
+            lambda: curriculum_order(
+                docs.select(
+                    "doc_id",
+                    (F.col("n_chars").cast("double") / 1e4).alias("s"),
+                ),
+                "doc_id", "s", n_bins=4,
+            )
+        )
+
+        def _interleave():
+            sized = docs.select(
+                "lang", F.col("n_chars").cast("long").alias("n_tok")
+            )
+            weights = temperature_mixture_weights(sized, "lang", "n_tok")
+            return mixture_interleave_order(
+                docs.select("doc_id", "lang"), "doc_id", "lang", weights,
+            )
+
+        out.setdefault("mixture_interleave", {})[label] = _timed_noop(
+            _interleave
         )
         spark.catalog.clearCache()
     print(json.dumps(out))

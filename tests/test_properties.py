@@ -695,3 +695,43 @@ def test_cross_dedup_sound_and_finds_planted_exacts(spark, new_texts, ref_texts)
         want_j = len(a & b) / len(a | b)
         assert abs(r.jaccard - want_j) < 1e-9 and want_j >= 0.3
     assert (0, 100) in {(r.id_new, r.id_ref) for r in pairs}
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),
+            st.sampled_from(["a", "b", "c", "d"]),
+        ),
+        min_size=1,
+        max_size=120,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=8),
+)
+def test_per_group_cap_matches_python_reference(spark, rows, cap):
+    """per_group_cap (q226) against the pure-Python semantics: per
+    group, sort ids by (md5_long(f'{group}|{id}'), id), keep the first
+    ``cap`` with 1-based ranks — on adversarial group shapes
+    (singleton groups, all-one-group, ids colliding across groups)."""
+    import hashlib
+
+    from us_immigration_data_lake_spark.operators.sampling import (
+        per_group_cap,
+    )
+
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    got = {
+        (r.doc_id, r.source): r.cap_rank
+        for r in per_group_cap(df, "source", "doc_id", cap=cap).collect()
+    }
+
+    def key(g, d):
+        return (int(hashlib.md5(f"{g}|{d}".encode()).hexdigest()[:15], 16), d)
+
+    exp = {}
+    for g in {s for _, s in rows}:
+        ids = sorted((d for d, s in rows if s == g), key=lambda d: key(g, d))
+        exp.update({(d, g): i + 1 for i, d in enumerate(ids[:cap])})
+    assert got == exp
