@@ -2769,3 +2769,69 @@ def test_mixture_interleave_wfq_matches_python_replay(spark):
     first9 = [g for _, _, g, _, _ in got[:9]]
     assert first9.count("a") == 6 and first9.count("b") == 3
     assert all(g != "ghost" for _, _, g, _, _ in got)
+
+
+def test_script_profile_mixed_scripts_and_edges(spark):
+    """q229 semantics on REAL multi-script text (the sf corpus is
+    all-latin, so the CJK/other machinery is pinned here): counts
+    partition the codepoints exactly, ppm shares are integer-exact,
+    dominance follows raw counts with fixed precedence, and the
+    empty-string doc reports 'empty' rather than 0/0."""
+    rows = [
+        (1, "hello world 42"),
+        (2, "你好世界你好"),          # pure CJK
+        (3, "abc 你好!"),             # mixed latin+cjk+punct(other)
+        (4, ""),
+        (5, "¡señor!"),               # non-ASCII latin-ish -> other
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in ts.script_profile(df, "doc_id", "text").collect()}
+    r1 = out[1]
+    assert (r1.n_latin, r1.n_digit, r1.n_space, r1.n_cjk, r1.n_other) == (10, 2, 2, 0, 0)
+    assert r1.n_chars_total == 14 and r1.dominant_script == "latin"
+    assert r1.latin_ppm == round(1e6 * 10 / 14)
+    r2 = out[2]
+    assert r2.n_cjk == 6 and r2.n_other == 0 and r2.dominant_script == "cjk"
+    assert r2.cjk_ppm == 1000000
+    r3 = out[3]
+    assert (r3.n_latin, r3.n_cjk, r3.n_other) == (3, 2, 1)
+    assert out[4].dominant_script == "empty" and out[4].latin_ppm == 0
+    r5 = out[5]  # ¡/ñ/! are outside [A-Za-z]: s,e,o,r latin + 3 other
+    assert (r5.n_latin, r5.n_other) == (4, 3)
+    for r in out.values():
+        assert r.n_latin + r.n_digit + r.n_space + r.n_cjk + r.n_other == r.n_chars_total
+
+
+def test_hard_negatives_exclude_whole_cluster_transitively(spark):
+    """q230's defining property: a CHAIN of near-dups (a~b, b~c but a
+    and c not directly over threshold) is ONE cluster, and none of its
+    members may appear as negatives for any other member — pairwise
+    exclusion would leak c into a's negatives. Planted geometry: a
+    3-vector chain plus two far-away vectors that are each other's
+    honest hard negatives."""
+    import numpy as np
+
+    def on_circle(deg):
+        t = np.deg2rad(deg)
+        return [float(np.cos(t)), float(np.sin(t)), 0.0, 0.0]
+
+    # chain at 0/10/20 degrees: adjacent cosines cos(10°)=0.985 >= 0.97,
+    # endpoints cos(20°)=0.940 < 0.97 — transitive cluster {0,1,2};
+    # 90°/120° are 30° apart (cos 0.866: not dups, mutually closest)
+    rows = [
+        (0, on_circle(0)), (1, on_circle(10)), (2, on_circle(20)),
+        (10, on_circle(90)), (11, on_circle(120)),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sim.hard_negatives(
+        df, "vec_id", "embedding", k=3, dim=4, dup_threshold=0.97
+    )
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # 0-1 and 1-2 are >=0.97-cosine; 0-2 is below — cluster {0,1,2}
+    chain = {0, 1, 2}
+    for q in chain:
+        assert by_q.get(q, set()).isdisjoint(chain), (q, by_q.get(q))
+    # the far pair are in each other's negatives (closest non-dups)
+    assert 11 in by_q[10] and 10 in by_q[11]

@@ -1214,3 +1214,81 @@ def ann_recall_at_k(
         )
         .orderBy("query_id")
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int,
+    dim: int,
+    dup_threshold: float,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for every vector, the ``k``
+    highest-cosine candidates OUTSIDE its exact near-dup cluster —
+    the training-pair generator for embedding models (hard negatives
+    are what make contrastive losses learn; random negatives are too
+    easy). Exclusion is CLUSTER-transitive, not pairwise: a near-dup
+    of a near-dup is still the same content, and pushing it away as a
+    "negative" poisons the space — so duplicates (pairs with
+    round(cosine, 6) >= dup_threshold) are clustered by connected
+    components first and a candidate is ineligible iff it shares the
+    query's cluster. Rankings tie-break (cosine DESC, neighbor_id
+    ASC), so two engines agree on every emitted pair.
+
+    Returns (query_id, neighbor_id, cosine_sim, neg_rank) with
+    neg_rank 1..k per query.
+
+    Scale: this is the VERIFICATION-grade all-pairs form — run it on
+    the restricted/sampled mining slice (the standard offline shape,
+    like ann_recall_at_k). At corpus scale, generate candidates with
+    srp_lsh_knn (probe depth > k to survive exclusion) and anti-join
+    the cluster frame the dedup pipeline already maintains; the
+    cluster-exclusion semantics here are the contract that path must
+    match."""
+    from us_immigration_data_lake_spark.operators.dedup import (
+        dedup_survivors,
+    )
+
+    pairs = cosine_near_dup_pairs(df, id_col, vec_col, dup_threshold)
+    clusters = dedup_survivors(
+        df, pairs.select("id1", "id2"), id_col
+    ).select(F.col(id_col), F.col("cluster"))
+    a = df.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    ).join(
+        clusters.select(
+            F.col(id_col).alias("query_id"),
+            F.col("cluster").alias("q_cluster"),
+        ),
+        "query_id",
+    )
+    b = df.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    ).join(
+        clusters.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("cluster").alias("c_cluster"),
+        ),
+        "neighbor_id",
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        a.crossJoin(b)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .filter(F.col("q_cluster") != F.col("c_cluster"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("neg_rank") <= k)
+    )

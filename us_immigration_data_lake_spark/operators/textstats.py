@@ -984,3 +984,66 @@ def bpe_token_counts(
             F.sum("__n").cast("long").alias("n_bpe_tokens"),
         )
     )
+
+
+# literal-character ranges so ONE pattern string is valid in both
+# Java/Spark regex and RE2/DuckDB (the \uXXXX vs \x{XXXX} escape
+# spellings differ between the engines; the characters themselves
+# do not): CJK Unified Ideographs U+4E00-U+9FFF.
+SCRIPT_CLASSES: tuple[tuple[str, str], ...] = (
+    ("latin", "[A-Za-z]"),
+    ("digit", "[0-9]"),
+    ("space", r"\s"),
+    ("cjk", "[一-鿿]"),
+)
+
+
+def script_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document writing-system profile: codepoint counts per script
+    class (latin / digit / whitespace / CJK, ``other`` = the
+    complement) with ppm shares and a deterministic dominant-class
+    label — the script-mix diagnostic that catches mojibake,
+    mis-tagged languages and markup-heavy documents BEFORE the
+    stopword lang-id (q18) runs (stopword profiles assume you already
+    know the script; a 40%-CJK document scored against latin stopword
+    lists classifies as noise). ppm shares are integer-ized once per
+    class (micronat rule); dominance compares raw counts with fixed
+    class precedence, so two engines agree on every tie.
+
+    Scale: pure per-row regexp_count expressions inside whole-stage
+    codegen — no shuffle, no UDF, no state; the profile is a map-side
+    filter input for routing (latin docs → latin pipeline, mixed docs
+    → transliteration review), exactly like quality_score."""
+    text = F.col(text_col)
+    total = F.length(text).cast("long")
+    counts = {
+        name: F.regexp_count(text, F.lit(pat)).cast("long")
+        for name, pat in SCRIPT_CLASSES
+    }
+    known = None
+    for c in counts.values():
+        known = c if known is None else (known + c)
+    counts["other"] = (total - known).cast("long")
+    names = [n for n, _ in SCRIPT_CLASSES] + ["other"]
+    sel = [
+        F.col(id_col),
+        total.alias("n_chars_total"),
+        *[counts[n].alias(f"n_{n}") for n in names],
+        *[
+            F.when(total == 0, F.lit(0)).otherwise(
+                F.round(F.lit(1_000_000.0) * counts[n] / total)
+            ).cast("long").alias(f"{n}_ppm")
+            for n in names
+        ],
+    ]
+    dominant = F.when(total == 0, F.lit("empty"))
+    for i, n in enumerate(names):
+        cond = None
+        for o in names[i + 1:]:
+            c = counts[n] >= counts[o]
+            cond = c if cond is None else (cond & c)
+        if cond is not None:
+            dominant = dominant.when(cond, F.lit(n))
+        else:
+            dominant = dominant.otherwise(F.lit(n))
+    return df.select(*sel, dominant.alias("dominant_script"))

@@ -41,7 +41,16 @@ class Finding:
 # cartesian-product finding — shared by scripts/lint_registry.py and
 # tests/test_plan_lint.py so the gate and the report can't drift.
 CARTESIAN_EXEMPT = frozenset(
-    {"q22_knn_cosine", "q19_ngram_jaccard", "q34_embedding_near_dups"}
+    {
+        "q22_knn_cosine",
+        "q19_ngram_jaccard",
+        "q34_embedding_near_dups",
+        # q230: verification-grade all-pairs mining on a contract-
+        # restricted slice (vec_id bound in the registry fn); the scale
+        # path is srp_lsh_knn candidates + cluster anti-join — see
+        # similarity.py:hard_negatives docstring
+        "q230_hard_negatives",
+    }
 )
 
 

@@ -14098,3 +14098,144 @@ def q228_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang"), "doc_id", "lang", weights,
         epoch=_Q228_EPOCH,
     )
+
+
+# ---------------------------------------------------------------------------
+# Q229 — script profile (operators/textstats.py:script_profile, new
+# r11): per-document writing-system mix (latin/digit/whitespace/CJK
+# counts, ppm shares, deterministic dominant class) — the diagnostic
+# that routes documents BEFORE stopword lang-id (q18 assumes you
+# already know the script). Pure per-row regexp_count expressions in
+# whole-stage codegen; the pattern strings embed literal characters
+# (not \u escapes) so the SAME pattern is valid RE2 and Java regex,
+# and the oracle replays it with regexp_extract_all.
+# ---------------------------------------------------------------------------
+
+
+def _q229_oracle_sql() -> str:
+    from us_immigration_data_lake_spark.operators.textstats import (
+        SCRIPT_CLASSES,
+    )
+
+    names = [n for n, _ in SCRIPT_CLASSES] + ["other"]
+    cnt = {
+        n: f"CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT)"
+        for n, p in SCRIPT_CLASSES
+    }
+    known = " + ".join(f"n_{n}" for n, _ in SCRIPT_CLASSES)
+    ppm = ",\n           ".join(
+        f"CASE WHEN n_chars_total = 0 THEN 0 ELSE "
+        f"CAST(ROUND(1000000.0 * n_{n} / n_chars_total) AS BIGINT) END"
+        f" AS {n}_ppm"
+        for n in names
+    )
+    dom = "CASE WHEN n_chars_total = 0 THEN 'empty' "
+    for i, n in enumerate(names):
+        others = names[i + 1:]
+        if others:
+            cond = " AND ".join(f"n_{n} >= n_{o}" for o in others)
+            dom += f"WHEN {cond} THEN '{n}' "
+        else:
+            dom += f"ELSE '{n}' "
+    dom += "END AS dominant_script"
+    counts_sql = ",\n             ".join(
+        f"{cnt[n]} AS n_{n}" for n, _ in SCRIPT_CLASSES
+    )
+    return f"""
+    WITH c AS (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_total,
+             {counts_sql}
+      FROM documents
+    ), full_c AS (
+      SELECT *, CAST(n_chars_total - ({known}) AS BIGINT) AS n_other
+      FROM c
+    )
+    SELECT doc_id, n_chars_total,
+           {", ".join(f"n_{n}" for n in names)},
+           {ppm},
+           {dom}
+    FROM full_c
+    """
+
+
+@_register(
+    "q229_script_profile",
+    oracle=_q229_oracle_sql(),
+    tags=("textstats", "script", "unicode", "profile", "portable"),
+)
+def q229_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return ts_ops.script_profile(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Q230 — contrastive hard-negative mining (operators/similarity.py:
+# hard_negatives, new r11): per vector, the k highest-cosine
+# candidates OUTSIDE its exact near-dup CLUSTER — the training-pair
+# generator for embedding models. Exclusion is cluster-transitive
+# (q34's exact pair graph → q43's connected components): a near-dup
+# of a near-dup is the same content, and pushing it away as a
+# "negative" poisons the space. Verification-grade all-pairs on the
+# contract-restricted slice (the offline mining shape, like q221); at
+# corpus scale the candidates come from srp_lsh_knn + a cluster
+# anti-join with these semantics as the contract. Oracle: recursive
+# reachability over the round-6 cosine pair graph (q222's idiom on
+# the embedding side) + the exclusion-filtered ranking replay.
+# ---------------------------------------------------------------------------
+
+_Q230_N, _Q230_K, _Q230_THR = 150, 5, 0.35
+
+
+def _q230_oracle_sql() -> str:
+    n, k, thr = _Q230_N, _Q230_K, _Q230_THR
+    return f"""
+    WITH RECURSIVE base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id < {n}
+    ), pairs AS MATERIALIZED (
+      SELECT a.vec_id AS id1, b.vec_id AS id2
+      FROM base a JOIN base b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= {thr}
+    ), edges AS MATERIALIZED (
+      SELECT id1 AS src, id2 AS dst FROM pairs
+      UNION SELECT id2, id1 FROM pairs
+    ), reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      WHERE e.dst <> r.src
+    ), labels AS MATERIALIZED (
+      SELECT src AS id, LEAST(src, MIN(dst)) AS cluster
+      FROM reach GROUP BY src
+    ), cl AS (
+      SELECT b.vec_id, b.v, COALESCE(l.cluster, b.vec_id) AS cluster
+      FROM base b LEFT JOIN labels l ON b.vec_id = l.id
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.v, c.v), 6) AS cosine_sim
+      FROM cl q JOIN cl c
+        ON q.vec_id <> c.vec_id AND q.cluster <> c.cluster
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rn AS neg_rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id
+        ORDER BY cosine_sim DESC, neighbor_id) AS BIGINT) AS rn
+      FROM scored
+    ) WHERE rn <= {k}
+    """
+
+
+@_register(
+    "q230_hard_negatives",
+    oracle=_q230_oracle_sql(),
+    tags=("similarity", "contrastive", "hard-negatives", "mining",
+          "clustering", "portable"),
+)
+def q230_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _Q230_N)
+    return sim_ops.hard_negatives(
+        emb, "vec_id", "embedding", k=_Q230_K, dim=EMBEDDING_DIM,
+        dup_threshold=_Q230_THR,
+    )
