@@ -161,3 +161,44 @@ def test_per_batch_monitor_matches_per_snapshot(spark, ref):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stream_mixture_split_invariant_and_vanished_source(spark, tmp_path):
+    """q231: the share fold must equal the batch computation under a
+    snapshot-CROSSING micro-batch split, and a policy source absent
+    from a snapshot must surface as an explicit n=0 row (vanished
+    source), not disappear from the report."""
+    from us_immigration_data_lake_spark.streaming.drift import (
+        stream_mixture_by_snapshot,
+    )
+
+    rows = [
+        # snapshot 0: a-heavy, NO 'c' at all (vanished source)
+        *[(i, 0, "a") for i in range(6)], (6, 0, "b"),
+        # snapshot 1: balanced
+        (10, 1, "a"), (11, 1, "b"), (12, 1, "c"), (13, 1, "c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, snapshot long, src string")
+    src_dir = str(tmp_path / "mixsrc")
+    # split FILES mid-snapshot so micro-batches cross snapshot edges
+    df.filter("doc_id < 4").coalesce(1).write.parquet(src_dir, mode="overwrite")
+    df.filter("doc_id >= 4").coalesce(1).write.parquet(src_dir, mode="append")
+    policy = spark.createDataFrame(
+        [("a", 500000), ("b", 250000), ("c", 250000)], ["group", "policy_ppm"]
+    )
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    out = stream_mixture_by_snapshot(
+        stream, policy, "snapshot", "src", sink_name="q231_test_mix"
+    )
+    got = {(r.snapshot, r.src): (r.n, r.share_ppm, r.dev_ppm)
+           for r in out.collect()}
+    # dense grid: every (snapshot, policy-source) pair reports
+    assert set(got) == {(s, g) for s in (0, 1) for g in ("a", "b", "c")}
+    assert got[(0, "c")] == (0, 0, -250000)          # vanished source
+    assert got[(0, "a")] == (6, round(1e6 * 6 / 7), round(1e6 * 6 / 7) - 500000)
+    assert got[(1, "a")] == (1, 250000, -250000)
+    assert got[(1, "c")] == (2, 500000, 250000)

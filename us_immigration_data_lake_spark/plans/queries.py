@@ -14239,3 +14239,85 @@ def q230_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", k=_Q230_K, dim=EMBEDDING_DIM,
         dup_threshold=_Q230_THR,
     )
+
+
+# ---------------------------------------------------------------------------
+# Q231 — STREAMING mixture-share monitor (streaming/drift.py:
+# stream_mixture_by_snapshot, new r11): q218 asked "does the value
+# DISTRIBUTION still look like the curated corpus?"; this asks the
+# companion question a mixture pipeline owns — "does the SOURCE MIX?"
+# Per snapshot, per-source doc shares against the curated reference's
+# own mix (policy_ppm), via ONE bounded streaming count fold
+# (snapshots × sources state cells); share/deviation arithmetic
+# batch-side. Sources present in the policy but ABSENT from a
+# snapshot report n=0 (a vanished source is drift too). Oracle: the
+# batch replay of fold + densify + shares (finite source ⇒ identical
+# results, the q195/q218 argument).
+# ---------------------------------------------------------------------------
+
+_Q231_SNAPS = 6
+
+
+def _q231_oracle_sql() -> str:
+    k = _Q231_SNAPS
+    return f"""
+    WITH ref AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS rn
+      FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+    ), rt AS (SELECT CAST(SUM(rn) AS BIGINT) AS rr FROM ref
+    ), policy AS (
+      SELECT lang, CAST(ROUND(1000000.0 * rn / rr) AS BIGINT) AS policy_ppm
+      FROM ref, rt
+    ), folded AS (
+      SELECT doc_id % {k} AS snapshot, lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents WHERE doc_id % 2 = 1 GROUP BY 1, 2
+    ), tot AS (
+      SELECT snapshot, CAST(SUM(n) AS BIGINT) AS nn
+      FROM folded GROUP BY 1
+    )
+    SELECT t.snapshot, p.lang,
+           COALESCE(f.n, 0) AS n,
+           CAST(ROUND(1000000.0 * COALESCE(f.n, 0) / t.nn) AS BIGINT)
+             AS share_ppm,
+           p.policy_ppm,
+           CAST(ROUND(1000000.0 * COALESCE(f.n, 0) / t.nn) AS BIGINT)
+             - p.policy_ppm AS dev_ppm
+    FROM tot t CROSS JOIN policy p
+    LEFT JOIN folded f ON f.snapshot = t.snapshot AND f.lang = p.lang
+    """
+
+
+@_register(
+    "q231_stream_mixture_monitor",
+    oracle=_q231_oracle_sql(),
+    tags=("streaming", "mixture", "monitor", "drift", "fold",
+          "portable"),
+)
+def q231_stream_mixture_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.sources.readers import (
+        read_parquet_stream,
+    )
+    from us_immigration_data_lake_spark.streaming.drift import (
+        stream_mixture_by_snapshot,
+    )
+
+    _tune(spark)
+    ref = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    per = ref.groupBy(F.col("lang").alias("group")).agg(
+        F.count(F.lit(1)).cast("long").alias("rn")
+    )
+    total = per.agg(F.sum("rn").cast("long").alias("rr"))
+    policy = per.crossJoin(F.broadcast(total)).select(
+        "group",
+        F.round(F.lit(1_000_000.0) * F.col("rn") / F.col("rr"))
+        .cast("long").alias("policy_ppm"),
+    )
+    stream = (
+        read_parquet_stream(spark, f"{sf_dir.rstrip('/')}/documents*.parquet")
+        .filter(F.col("doc_id") % 2 == 1)
+        .withColumn("snapshot", F.pmod(F.col("doc_id"), F.lit(_Q231_SNAPS)))
+    )
+    return stream_mixture_by_snapshot(
+        stream, policy, "snapshot", "lang",
+        sink_name=_sink_name("q231_mix"),
+    )

@@ -141,3 +141,65 @@ def stream_psi_per_batch(
 
     run_foreach_batch(stream, _one_batch, checkpoint_dir, name=name)
     return [results[k] for k in sorted(results)]
+
+
+def stream_mixture_by_snapshot(
+    stream: DataFrame,
+    ref_shares: DataFrame,
+    snapshot_col: str,
+    group_col: str,
+    sink_name: str,
+) -> DataFrame:
+    """Per-snapshot source-MIX monitor: is the incoming stream's
+    source composition still the curated corpus's? The streaming stage
+    is ONE groupBy((snapshot, group)).count() — bounded state
+    (snapshots × sources counter cells, a deployment constant),
+    complete-mode memory sink, availableNow; the share arithmetic runs
+    batch-side on the folded table, the same fold-then-finish
+    factoring (and oracle-ability argument) as stream_psi_by_snapshot.
+
+    ``ref_shares`` carries (group, policy_ppm) — the curated
+    reference's own mix, or any target policy (q220 weights). Emits
+    one row per (snapshot, group): n, share_ppm = round(1e6·n/N),
+    policy_ppm, dev_ppm = share − policy; groups the policy names but
+    the snapshot never saw report n=0 via the policy join, so a
+    silently VANISHED source is visible, not just a drifted one."""
+    from us_immigration_data_lake_spark.streaming.windows import run_to_memory
+
+    folded = run_to_memory(
+        stream.select(
+            F.col(snapshot_col).alias("__snap"), F.col(group_col)
+        )
+        .groupBy("__snap", group_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n")),
+        sink_name,
+        mode="complete",
+    )
+    # ONE aggregation pass per snapshot carrying both the total and a
+    # group->count map (sources per snapshot are a deployment constant,
+    # so the map row is bounded); densifying against the policy is then
+    # a broadcast cross of two tiny frames — no self-join back into the
+    # folded subtree (which trips Catalyst's conflicting-reference
+    # resolution on the memory-sink table).
+    per_snap = folded.groupBy("__snap").agg(
+        F.sum("n").cast("long").alias("__N"),
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col(group_col), F.col("n")))
+        ).alias("__m"),
+    )
+    dense = per_snap.crossJoin(F.broadcast(ref_shares.select(
+        F.col("group").alias(group_col), F.col("policy_ppm")
+    )))
+    n = F.coalesce(
+        F.col("__m").getItem(F.col(group_col)), F.lit(0)
+    ).cast("long")
+    share = F.round(F.lit(1_000_000.0) * n / F.col("__N")).cast("long")
+    out = dense.select(
+        F.col("__snap").alias(snapshot_col),
+        F.col(group_col),
+        n.alias("n"),
+        share.alias("share_ppm"),
+        F.col("policy_ppm").cast("long").alias("policy_ppm"),
+        (share - F.col("policy_ppm")).cast("long").alias("dev_ppm"),
+    )
+    return out.orderBy(snapshot_col, group_col)
