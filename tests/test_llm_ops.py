@@ -2835,3 +2835,41 @@ def test_hard_negatives_exclude_whole_cluster_transitively(spark):
         assert by_q.get(q, set()).isdisjoint(chain), (q, by_q.get(q))
     # the far pair are in each other's negatives (closest non-dups)
     assert 11 in by_q[10] and 10 in by_q[11]
+
+
+def test_incremental_cap_immutable_and_slot_bounded(spark):
+    """q232's contract: kept rows survive unchanged whatever arrives;
+    admissions fill exactly the remaining slots per group (full group
+    admits nothing, empty group admits up to cap); and re-running with
+    the union as the new kept set admits nothing more (idempotent at
+    the fixpoint)."""
+    from us_immigration_data_lake_spark.operators.sampling import (
+        update_capped_corpus,
+    )
+
+    kept = spark.createDataFrame(
+        [(i, "full") for i in range(5)] + [(100, "half"), (101, "half")],
+        ["doc_id", "source"],
+    )
+    new = spark.createDataFrame(
+        [(200 + i, "full") for i in range(4)]
+        + [(300 + i, "half") for i in range(4)]
+        + [(400 + i, "fresh") for i in range(7)],
+        ["doc_id", "source"],
+    )
+    out = update_capped_corpus(kept, new, "source", "doc_id", cap=5)
+    rows = [(r.doc_id, r.source, r.status) for r in out.collect()]
+    kept_out = {(d, s) for d, s, st in rows if st == "kept"}
+    adm = {}
+    for d, s, st in rows:
+        if st == "admitted":
+            adm.setdefault(s, set()).add(d)
+    assert kept_out == {(i, "full") for i in range(5)} | {(100, "half"), (101, "half")}
+    assert "full" not in adm                       # group already at cap
+    assert len(adm["half"]) == 3                   # 5 - 2 slots
+    assert len(adm["fresh"]) == 5                  # unseen group: up to cap
+    # fixpoint: feeding the union back as kept admits nothing
+    again = update_capped_corpus(
+        out.select("doc_id", "source"), new, "source", "doc_id", cap=5
+    )
+    assert again.filter("status = 'admitted'").count() == 0

@@ -618,3 +618,60 @@ def mixture_interleave_order(
         timed, order_by=["v_time", group_col, id_col],
         rank_col="global_pos",
     )
+
+
+def update_capped_corpus(
+    kept: DataFrame,
+    new: DataFrame,
+    group_col: str,
+    id_col: str,
+    cap: int,
+) -> DataFrame:
+    """Incremental per-group cap — q226's ``per_group_cap`` for a
+    LIVING corpus. Re-running the batch cap over old ∪ new re-ranks
+    everything, so adding one document can EVICT a previously-kept one
+    — which a training pipeline must never do (shards, packing and
+    epoch orders already reference the kept set). The increment
+    contract instead:
+
+    - existing kept rows are IMMUTABLE (status 'kept');
+    - new rows are admitted per group only into the remaining slots
+      (cap − kept_n, clamped at 0), chosen by the same deterministic
+      (group, id) hash order within the new batch (status 'admitted').
+
+    The price of stability is hash-order purity: the ADMITTED set
+    depends on arrival batching (a doc that would have out-hashed a
+    kept one arrives too late for its slot) — that is the point, and
+    the same trade q200's incremental dedup documents. Inputs are
+    assumed id-disjoint (the ingest pipeline dedups first).
+
+    Scale: one count aggregate over the kept frame's group axis
+    (K rows, broadcast), one q226 window over the NEW batch only —
+    the increment never re-shuffles the existing corpus."""
+    slots = (
+        kept.groupBy(F.col(group_col))
+        .agg(F.count(F.lit(1)).cast("long").alias("__kept_n"))
+        .select(
+            F.col(group_col),
+            F.greatest(
+                F.lit(0).cast("long"),
+                (F.lit(int(cap)) - F.col("__kept_n")).cast("long"),
+            ).alias("__slots"),
+        )
+    )
+    ranked = per_group_cap(
+        new.select(F.col(id_col), F.col(group_col)),
+        group_col, id_col, cap=cap,
+    )
+    admitted = (
+        ranked.join(F.broadcast(slots), group_col, "left")
+        .filter(
+            F.col("cap_rank") <= F.coalesce("__slots", F.lit(int(cap)))
+        )
+        .select(id_col, group_col)
+    )
+    return (
+        kept.select(F.col(id_col), F.col(group_col))
+        .withColumn("status", F.lit("kept"))
+        .unionByName(admitted.withColumn("status", F.lit("admitted")))
+    )

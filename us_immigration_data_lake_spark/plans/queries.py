@@ -14321,3 +14321,67 @@ def q231_stream_mixture_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, policy, "snapshot", "lang",
         sink_name=_sink_name("q231_mix"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q232 — incremental per-source cap (operators/sampling.py:
+# update_capped_corpus, new r11): q226 for a LIVING corpus — the
+# q200-family increment discipline applied to the count-based cap.
+# Existing kept rows are IMMUTABLE (a batch re-rank could evict docs
+# that shards/orders already reference); the new batch is admitted
+# per source only into the remaining slots, by the same hash order.
+# Base = q226's cap over the EVEN docs; increment = the ODD docs.
+# Oracle replays base cap → slots → new-batch rank → admission.
+# ---------------------------------------------------------------------------
+
+_Q232_CAP = 20
+
+
+@_register(
+    "q232_incremental_cap",
+    oracle=f"""
+    WITH kept AS (
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                 PARTITION BY source
+                 ORDER BY ('0x' || substr(md5(source || '|'
+                             || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                          doc_id) AS rn
+        FROM documents WHERE doc_id % 2 = 0
+      ) WHERE rn <= {_Q232_CAP}
+    ), slots AS (
+      SELECT source,
+             GREATEST(0, {_Q232_CAP} - CAST(COUNT(*) AS BIGINT)) AS s
+      FROM kept GROUP BY source
+    ), ranked_new AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5(source || '|'
+                           || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                        doc_id) AS rn
+      FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT doc_id, source, 'kept' AS status FROM kept
+    UNION ALL
+    SELECT r.doc_id, r.source, 'admitted' AS status
+    FROM ranked_new r LEFT JOIN slots sl USING (source)
+    WHERE r.rn <= COALESCE(sl.s, {_Q232_CAP})
+    """,
+    tags=("sampling", "cap", "incremental", "group-limit", "portable"),
+)
+def q232_incremental_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.sampling import (
+        per_group_cap,
+        update_capped_corpus,
+    )
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    base = per_group_cap(
+        docs.filter(F.col("doc_id") % 2 == 0), "source", "doc_id",
+        cap=_Q232_CAP,
+    ).select("doc_id", "source")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return update_capped_corpus(base, new, "source", "doc_id", cap=_Q232_CAP)
