@@ -191,7 +191,7 @@ def stream_mixture_by_snapshot(
         F.col("group").alias(group_col), F.col("policy_ppm")
     )))
     n = F.coalesce(
-        F.col("__m").getItem(F.col(group_col)), F.lit(0)
+        F.try_element_at("__m", F.col(group_col)), F.lit(0)
     ).cast("long")
     share = F.round(F.lit(1_000_000.0) * n / F.col("__N")).cast("long")
     out = dense.select(
