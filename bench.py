@@ -216,25 +216,44 @@ def main() -> None:
     }
 
     total = round(sum(timings.values()), 3)
+    # The r11 bench artifact was LOST ("parsed": null) because all the
+    # diagnostics rode the single metric line and pushed it past the
+    # driver's tail-capture window (r11 verdict, What's wrong #2). Split
+    # the emission: a DIAGNOSTICS line first (host-drift-corrected
+    # per-query timings + the interleaved anchor samples — compare
+    # queries_norm across rounds, a gradient in anchor_samples means
+    # the host drifted mid-run, r10's failure mode), then the COMPACT
+    # machine-readable metric object as the FINAL line of stdout, in
+    # the exact shape the driver parsed successfully through r10 plus
+    # two scalars (total_norm, anchor_ratio). The diagnostics are also
+    # written to bench_diag.json so a truncated log never loses them.
+    diag = {
+        "diag": "bench_diagnostics",
+        "queries_norm": queries_norm,
+        "anchor_sec": anchor,
+        "anchor_pre_sec": anchor_pre,
+        "anchor_post_sec": anchor_post,
+        "anchor_samples": [[p, s] for p, s in anchor_samples],
+        "anchor_ref_sec": ANCHOR_REF_SEC,
+    }
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_diag.json"), "w") as f:
+            json.dump(diag, f)
+    except OSError:
+        pass  # read-only checkout: diagnostics still go to stdout
+    print(json.dumps(diag))
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        # host-drift-corrected timings: raw / (nearest anchor sample /
-        # anchor_ref). Compare THESE across rounds.
-        "queries_norm": queries_norm,
-        "total_norm": round(sum(queries_norm.values()), 3),
         "sf": sf,
-        "anchor_sec": anchor,
-        "anchor_pre_sec": anchor_pre,
-        "anchor_post_sec": anchor_post,
-        # every interleaved sample: [run position, seconds]; a gradient
-        # here means the host drifted mid-run (r10's failure mode)
-        "anchor_samples": [[p, s] for p, s in anchor_samples],
-        "anchor_ref_sec": ANCHOR_REF_SEC,
-        # >1 ⇒ this host/run is slower than the r9 reference recording;
-        # divide headline deltas by this before attributing to code
+        # drift-corrected suite total (sum of queries_norm); >1
+        # anchor_ratio ⇒ this host/run is slower than the r9 reference
+        # recording — divide headline deltas by it before attributing
+        # to code. Per-query norms are on the diagnostics line.
+        "total_norm": round(sum(queries_norm.values()), 3),
         "anchor_ratio": round(anchor / ANCHOR_REF_SEC, 3),
     }))
 

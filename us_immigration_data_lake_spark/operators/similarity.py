@@ -557,9 +557,10 @@ def srp_near_dup_frames(
     contract; un-released entries fall back to LRU eviction).
     """
     from us_immigration_data_lake_spark.operators.dedup import (
+        _census_report,
+        _census_star_pairs,
+        _counted_census_plan,
         candidate_pairs,
-        oversized_bucket_star_pairs,
-        oversized_buckets,
     )
 
     sig = _srp_sig_frame(df, id_col, vec_col, dim, num_bits, seed)
@@ -571,10 +572,16 @@ def srp_near_dup_frames(
     # columns so the SRP signature arithmetic runs once — released by
     # the caller via the "cached" entry (the text path's contract).
     band_df.cache()
-    cand = candidate_pairs(band_df, "__id", max_bucket_size)
-    if recover_oversized:
+    # ONE bucket census shared by the key count, the anchor-star seeds
+    # and the oversized report — the text path's r12 consolidation
+    # (dedup.near_dup_frames), applied identically here so cap-site
+    # cost can never drift between the two pipelines.
+    n_over, census = _counted_census_plan(band_df, "__id", max_bucket_size)
+    cand = candidate_pairs(band_df, "__id", max_bucket_size,
+                           _census=(n_over, census))
+    if recover_oversized and n_over > 0:
         cand = cand.unionByName(
-            oversized_bucket_star_pairs(band_df, "__id", max_bucket_size)
+            _census_star_pairs(band_df, "__id", census)
         ).dropDuplicates()
     v1 = sig.select(
         F.col("__id").alias("id1"), F.col("__v").alias("v1"),
@@ -595,7 +602,7 @@ def srp_near_dup_frames(
     )
     return {
         "pairs": pairs,
-        "oversized": oversized_buckets(band_df, "__id", max_bucket_size),
+        "oversized": _census_report(census),
         "cached": [band_df],
     }
 
@@ -1282,7 +1289,13 @@ def hard_negatives(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+            # unrolled-codegen cosine when the width is known — same
+            # left-to-right summation order as the HOF form, so oracle
+            # parity holds (r11 advisor: dim was accepted but unused,
+            # leaving the ~25% codegen win of knn_pairs on the table
+            # for exactly this brute-force shape)
+            F.round(_cosine_maybe_fixed("qv", "cv", dim), 6)
+            .alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

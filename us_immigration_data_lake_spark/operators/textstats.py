@@ -989,11 +989,16 @@ def bpe_token_counts(
 # literal-character ranges so ONE pattern string is valid in both
 # Java/Spark regex and RE2/DuckDB (the \uXXXX vs \x{XXXX} escape
 # spellings differ between the engines; the characters themselves
-# do not): CJK Unified Ideographs U+4E00-U+9FFF.
+# do not): CJK Unified Ideographs U+4E00-U+9FFF. The space class is
+# an EXPLICIT range, not \s — Java's \s matches U+000B (vertical
+# tab) while RE2's does not, a latent Spark-vs-oracle parity break
+# on any text containing VT (r11 advisor). [ \t-\r] = space plus
+# tab..CR (tab, LF, VT, FF, CR), identical in both engines and a
+# superset-consistent reading of "whitespace" for routing purposes.
 SCRIPT_CLASSES: tuple[tuple[str, str], ...] = (
     ("latin", "[A-Za-z]"),
     ("digit", "[0-9]"),
-    ("space", r"\s"),
+    ("space", r"[ \t-\r]"),
     ("cjk", "[一-鿿]"),
 )
 
