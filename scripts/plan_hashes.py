@@ -46,6 +46,11 @@ STATE = "/root/repo/PLAN_HASHES.json"
 
 
 def normalize(plan: str) -> str:
+    # higher-order-function lambda variables are named with a SESSION-
+    # GLOBAL counter (lambda x_13, y_14, …): stable within one full
+    # in-order sweep, but any subset/out-of-order recompute (the pytest
+    # sentinel gate) sees different numbers for the identical plan
+    plan = re.sub(r"lambda ([A-Za-z]+)_\d+", r"lambda \1_", plan)
     plan = re.sub(r"#\d+", "#", plan)
     plan = re.sub(r"\[id=#?\d+\]", "[id=]", plan)
     # physical fragments embedded in InMemoryRelation carry session-
@@ -70,14 +75,21 @@ def current_round() -> int:
     return (max(rounds) + 1) if rounds else 1
 
 
-def compute() -> dict[str, str]:
+def compute(only: list[str] | None = None) -> dict[str, str]:
     from us_immigration_data_lake_spark.plans.queries import QUERIES
     from us_immigration_data_lake_spark.session import get_spark
+
+    if only:
+        unknown = [n for n in only if n not in QUERIES]
+        if unknown:
+            raise SystemExit(f"unknown query name(s): {' '.join(unknown)}")
 
     spark = get_spark("plan-hashes")
     spark.sparkContext.setLogLevel("ERROR")
     hashes: dict[str, str] = {}
     for name, spec in QUERIES.items():
+        if only and name not in only:
+            continue
         df = spec.fn(spark, SF_DIR)
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         tokens = sorted(re.findall(r"[A-Za-z0-9_.]+", normalize(plan)))
@@ -90,14 +102,54 @@ def compute() -> dict[str, str]:
 
 def main() -> None:
     check = "--check" in sys.argv
+    only: list[str] | None = None
+    if "--only" in sys.argv:
+        # subset mode (the pytest freshness gate): recompute ONLY the
+        # named sentinels and compare them against the snapshot.
+        # Refresh (non---check) writes are refused in subset mode — a
+        # partial recompute must never overwrite full-registry state.
+        only = sys.argv[sys.argv.index("--only") + 1:]
+        if not only:
+            raise SystemExit("--only requires at least one query name")
+        if not check:
+            raise SystemExit("--only is valid only with --check")
     try:
         with open(STATE) as f:
             prev = json.load(f)
     except (OSError, ValueError):
         prev = {}
 
+    # --renorm: the HASH FUNCTION changed (a normalization fix), not
+    # the plans — rewrite every hash but keep each query's changed_r,
+    # so the driver's re-gate tier is not flooded with false
+    # "plan-changed" signals for queries whose executed plan is
+    # identical.
+    renorm = "--renorm" in sys.argv
+
     rnd = current_round()
-    fresh = compute()
+    fresh = compute(only)
+    if renorm:
+        out = {
+            name: {"hash": h,
+                   "changed_r": prev.get(name, {}).get("changed_r", 0)}
+            for name, h in fresh.items()
+        }
+        with open(STATE, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+        print(f"round={rnd} queries={len(fresh)} renormalized")
+        return
+    if only:
+        drifted = sorted(
+            n for n, h in fresh.items()
+            if prev.get(n, {}).get("hash") != h
+        )
+        print(
+            f"round={rnd} sentinels={len(fresh)} changed={len(drifted)} "
+            f"{'STALE' if drifted else 'in sync'}"
+        )
+        if drifted:
+            print("plan-changed:", " ".join(drifted))
+        sys.exit(1 if drifted else 0)
     out: dict[str, dict] = {}
     changed_names: list[str] = []
     for name, h in fresh.items():
