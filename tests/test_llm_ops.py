@@ -2873,3 +2873,118 @@ def test_incremental_cap_immutable_and_slot_bounded(spark):
         out.select("doc_id", "source"), new, "source", "doc_id", cap=5
     )
     assert again.filter("status = 'admitted'").count() == 0
+
+
+def test_hard_negatives_indexed_agrees_where_probes_recall(spark):
+    """q233's contract vs q230 (r11 verdict ask #3): the indexed miner
+    IS hard_negatives restricted to SRP-probed candidates — so on any
+    query whose exact top-k negatives ALL land within Hamming-1 of the
+    query's bucket, the two must emit identical rows (same neighbors,
+    same cosines, same ranks). Both sides share the SAME exclusion
+    clusters here so candidate generation is the only difference; the
+    candidate set is recomputed independently in numpy from the seeded
+    planes."""
+    import numpy as np
+
+    # bits=2 (not q233's 6): with Hamming-1 multiprobe that probes 3 of
+    # the 4 buckets, so a useful fraction of queries have their exact
+    # top-k fully recalled on these near-random synthetic embeddings —
+    # the agreement contract is bit-width-independent, the FILTERING is
+    # still non-trivial (1 of 4 buckets unprobed per query)
+    n, k, dim, bits, thr = 150, 5, 64, 2, 0.35
+    sf = "/root/testdata/sf0.001"
+    emb = (
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .filter(F.col("vec_id") < n)
+    )
+    exact = sim.hard_negatives(
+        emb, "vec_id", "embedding", k=k, dim=dim, dup_threshold=thr
+    )
+    # same cluster frame hard_negatives builds internally
+    pairs = sim.cosine_near_dup_pairs(emb, "vec_id", "embedding", thr)
+    clusters = dd.dedup_survivors(
+        emb, pairs.select("id1", "id2"), "vec_id"
+    ).select("vec_id", "cluster")
+    idx = sim.hard_negatives_indexed(
+        emb, "vec_id", "embedding", clusters, k=k, dim=dim,
+        num_bits=bits, seed=42, multiprobe=True,
+    )
+    ex = {(r.query_id, r.neg_rank): (r.neighbor_id, r.cosine_sim)
+          for r in exact.collect()}
+    ix = {(r.query_id, r.neg_rank): (r.neighbor_id, r.cosine_sim)
+          for r in idx.collect()}
+
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+    planes = sim.srp_planes(dim, num_bits=bits, seed=42)
+    bucket = {
+        i: sum((1 << b) for b in range(bits) if planes[b] @ v > 0)
+        for i, v in vecs.items()
+    }
+
+    def probed(q, c):  # candidate iff buckets within Hamming distance 1
+        return bin(bucket[q] ^ bucket[c]).count("1") <= 1
+
+    recalled = [
+        q for q in {qq for qq, _ in ex.items() for qq in [qq[0]]}
+        if all(probed(q, ex[(q, r)][0]) for r in range(1, k + 1)
+               if (q, r) in ex)
+    ]
+    assert len(recalled) >= 10, "vacuous slice: too few fully-recalled queries"
+    for q in recalled:
+        for r in range(1, k + 1):
+            if (q, r) in ex:
+                assert ix.get((q, r)) == ex[(q, r)], (q, r, ix.get((q, r)), ex[(q, r)])
+
+
+def test_training_order_pipeline_stage_pins(spark):
+    """q234's stage-boundary pins (r11 verdict ask #5): the composed
+    cap → policy → curriculum → interleave pipeline conserves rows at
+    every boundary on the sf0.001 fixture — 20 sources × 25 docs,
+    cap 18 ⇒ capped = 360 exactly; bins are a partition of the capped
+    set (pinned per-bin counts); the final order is a dense
+    permutation 1..360; per-(bin, source) positions are contiguous
+    from 1. A stage silently dropping or duplicating rows breaks one
+    of these before it could reach the oracle gate."""
+    from us_immigration_data_lake_spark.operators.sampling import (
+        per_group_cap,
+    )
+    from us_immigration_data_lake_spark.plans.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["q234_training_order_pipeline"].fn(spark, sf).cache()
+    rows = out.collect()
+
+    # stage 1 pin: cap bites every source (25 docs each, cap 18)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    capped = per_group_cap(
+        docs.select("doc_id", "source"), "source", "doc_id", cap=18
+    )
+    per_src = {r.source: r.n for r in
+               capped.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert len(per_src) == 20 and all(n == 18 for n in per_src.values())
+
+    # conservation: |output| = |capped| (stages 2-4 drop nothing)
+    assert len(rows) == 360 == sum(per_src.values())
+    # the interleave scheduled EXACTLY the capped ids
+    assert ({r.doc_id for r in rows}
+            == {r.doc_id for r in capped.select("doc_id").collect()})
+
+    # stage 3 pin: bin partition of the capped set (fixture-pinned)
+    by_bin = {}
+    for r in rows:
+        by_bin[r.quality_bin] = by_bin.get(r.quality_bin, 0) + 1
+    assert by_bin == {1: 243, 2: 117}
+
+    # stage 4: dense global permutation; contiguous per-(bin, source)
+    assert sorted(r.global_pos for r in rows) == list(range(1, 361))
+    cell = {}
+    for r in rows:
+        cell.setdefault((r.quality_bin, r.source), []).append(r.pos)
+    for key, ps in cell.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), key
+    # senior key: global order never interleaves across bins
+    last_of_bin1 = max(r.global_pos for r in rows if r.quality_bin == 1)
+    first_of_bin2 = min(r.global_pos for r in rows if r.quality_bin == 2)
+    assert last_of_bin1 < first_of_bin2
+    out.unpersist()

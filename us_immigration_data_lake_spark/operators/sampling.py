@@ -488,6 +488,19 @@ def per_group_cap(
     )
 
 
+def quality_bin_expr(
+    score_col: str, n_bins: int, lo: float, hi: float
+) -> Column:
+    """The fixed-width bin assignment shared by curriculum_order and
+    training_order_pipeline — ONE expression definition so the
+    composed pipeline can never drift from the standalone operator:
+    floor((score - lo) / width), clamped into [0, n_bins-1] (q96/
+    q213's idiom; the top edge lands in the last bin)."""
+    width = (hi - lo) / n_bins
+    raw = F.floor((F.col(score_col) - F.lit(lo)) / F.lit(width)).cast("long")
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(int(n_bins - 1)))
+
+
 def curriculum_order(
     df: DataFrame,
     id_col: str,
@@ -523,9 +536,7 @@ def curriculum_order(
 
     from us_immigration_data_lake_spark.functions.hashing import md5_long
 
-    width = (hi - lo) / n_bins
-    raw = F.floor((F.col(score_col) - F.lit(lo)) / F.lit(width)).cast("long")
-    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(int(n_bins - 1)))
+    bin_ = quality_bin_expr(score_col, n_bins, lo, hi)
     key = md5_long(
         F.concat_ws(
             "|",
@@ -553,6 +564,7 @@ def mixture_interleave_order(
     weights_df: DataFrame,
     *,
     epoch: int = 0,
+    stage_col: str | None = None,
 ) -> DataFrame:
     """Deterministic weighted interleave of sources into ONE global
     training order — the consumption schedule that REALIZES a mixture
@@ -580,7 +592,16 @@ def mixture_interleave_order(
     global structure is the final total order, which uses
     global_row_number's two-phase range exchange (never a
     single-partition window). Resume-mid-epoch = filter
-    global_pos > checkpoint."""
+    global_pos > checkpoint.
+
+    ``stage_col`` (optional): a senior ordering key carried on ``df``
+    (training_order_pipeline passes the curriculum's quality_bin).
+    When set, per-source positions restart within each (stage, group)
+    cell and the global order sorts (stage, v_time, group, id) — i.e.
+    every curriculum stage is consumed as its OWN weighted-fair
+    interleave, so every prefix of every stage respects the mixture
+    shares. Plan shape is unchanged: the stage key rides the same
+    position shuffle and the same range exchange."""
     from pyspark.sql import Window
 
     from us_immigration_data_lake_spark.functions.hashing import md5_long
@@ -595,9 +616,13 @@ def mixture_interleave_order(
             F.col(id_col).cast("string"),
         )
     )
-    w = Window.partitionBy(group_col).orderBy("_mix_key", id_col)
+    stage = [stage_col] if stage_col else []
+    w = Window.partitionBy(*stage, group_col).orderBy("_mix_key", id_col)
     positioned = (
-        df.select(F.col(id_col), F.col(group_col), key.alias("_mix_key"))
+        df.select(
+            F.col(id_col), F.col(group_col),
+            *[F.col(s) for s in stage], key.alias("_mix_key"),
+        )
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .drop("_mix_key")
     )
@@ -610,12 +635,13 @@ def mixture_interleave_order(
         .select(
             id_col,
             group_col,
+            *stage,
             "pos",
             (F.col("pos") * v_step).cast("long").alias("v_time"),
         )
     )
     return global_row_number(
-        timed, order_by=["v_time", group_col, id_col],
+        timed, order_by=[*stage, "v_time", group_col, id_col],
         rank_col="global_pos",
     )
 
@@ -674,4 +700,68 @@ def update_capped_corpus(
         kept.select(F.col(id_col), F.col(group_col))
         .withColumn("status", F.lit("kept"))
         .unionByName(admitted.withColumn("status", F.lit("admitted")))
+    )
+
+
+def training_order_pipeline(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    score_col: str,
+    size_col: str,
+    *,
+    cap: int,
+    alpha: float,
+    n_bins: int = 4,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    epoch: int = 0,
+) -> DataFrame:
+    """The reading-order pipeline a training run actually executes
+    (r11 verdict ask #5) — the q226 → q220 → q227 → q228 stages
+    composed END-TO-END instead of verified only in isolation:
+
+    1. **cap** (per_group_cap): at most ``cap`` rows per ``group_col``,
+       hash-selected, so one mega-source cannot dominate anything
+       downstream — the policy and the curriculum both see the CAPPED
+       corpus, which is why cap must run first;
+    2. **policy** (temperature_mixture_weights): per-group q_ppm from
+       the capped corpus's ``size_col`` totals at temperature
+       ``alpha`` — recomputing the mix on the capped corpus is the
+       point (pre-cap totals would re-inflate the capped source);
+    3. **curriculum** (quality_bin_expr — the SAME expression
+       curriculum_order uses): fixed-axis quality bins over
+       ``score_col``, the stage key of the final order;
+    4. **interleave** (mixture_interleave_order with
+       stage_col="quality_bin"): weighted-fair-queuing within each
+       bin, global order (bin, v_time, group, id).
+
+    Row conservation: stages 2–4 drop nothing (every capped group has
+    size > 0 ⇒ w_micro ≥ 1 ⇒ q_ppm ≥ 1 at any realistic group count,
+    and the bin expression clamps instead of filtering), so
+    |output| = |capped| — the stage-boundary pin the tests assert.
+
+    Shuffle budget, end to end: the cap's hash exchange on group, the
+    position exchange on (bin, group), the K-row policy broadcast, and
+    global_row_number's two-phase range exchange — four exchanges
+    total, none a global sort, nothing corpus-sized on one partition.
+
+    Returns (id, group, quality_bin, pos, v_time, global_pos) —
+    resume = filter global_pos > checkpoint, identical to q228."""
+    capped = per_group_cap(
+        df.select(F.col(id_col), F.col(group_col), F.col(score_col),
+                  F.col(size_col)),
+        group_col, id_col, cap=cap,
+    )
+    weights = temperature_mixture_weights(
+        capped.select(F.col(group_col), F.col(size_col)),
+        group_col, size_col, alpha=alpha, budget=1_000_000,
+    )
+    binned = capped.select(
+        F.col(id_col), F.col(group_col),
+        quality_bin_expr(score_col, n_bins, lo, hi).alias("quality_bin"),
+    )
+    return mixture_interleave_order(
+        binned, id_col, group_col, weights,
+        epoch=epoch, stage_col="quality_bin",
     )

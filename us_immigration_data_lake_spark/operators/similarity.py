@@ -1249,11 +1249,12 @@ def hard_negatives(
 
     Scale: this is the VERIFICATION-grade all-pairs form — run it on
     the restricted/sampled mining slice (the standard offline shape,
-    like ann_recall_at_k). At corpus scale, generate candidates with
-    srp_lsh_knn (probe depth > k to survive exclusion) and anti-join
-    the cluster frame the dedup pipeline already maintains; the
-    cluster-exclusion semantics here are the contract that path must
-    match."""
+    like ann_recall_at_k). At corpus scale use ``hard_negatives_indexed``
+    below: srp_lsh_knn's candidate generation (probe depth > k to
+    survive exclusion) against the cluster frame the dedup pipeline
+    already maintains; the cluster-exclusion semantics here are the
+    contract that path matches (property-tested on the probe-recalled
+    slice)."""
     from us_immigration_data_lake_spark.operators.dedup import (
         dedup_survivors,
     )
@@ -1294,6 +1295,95 @@ def hard_negatives(
             # parity holds (r11 advisor: dim was accepted but unused,
             # leaving the ~25% codegen win of knn_pairs on the table
             # for exactly this brute-force shape)
+            F.round(_cosine_maybe_fixed("qv", "cv", dim), 6)
+            .alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("neg_rank") <= k)
+    )
+
+
+def hard_negatives_indexed(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    clusters: DataFrame,
+    *,
+    k: int,
+    dim: int,
+    num_bits: int = 6,
+    seed: int = 42,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """The SCALE path of ``hard_negatives`` (whose cluster-exclusion
+    semantics are the contract this must match): candidate negatives
+    come from the SRP-LSH index instead of an all-pairs cross join —
+    each vector scores only the corpus members sharing its sign bucket
+    (plus, with ``multiprobe``, every Hamming-1 probe bucket — probe
+    depth 1+num_bits buckets per query, the ">k candidate depth"
+    recall knob that survives the exclusion filter), exactly
+    srp_lsh_knn's candidate generation. One equi-join on the bucket
+    key: the corpus shuffles once on its single bucket, only the query
+    side replicates under multiprobe — no CartesianProduct anywhere in
+    the plan, so this is NOT lint-exempt, unlike the all-pairs form.
+
+    ``clusters`` is the (id_col, cluster) frame the dedup pipeline
+    already maintains (dedup_survivors over whichever near-dup pair
+    graph the corpus uses); ids absent from it form singleton clusters.
+    Exclusion and ranking replicate hard_negatives verbatim: a
+    candidate is ineligible iff it shares the query's cluster, and the
+    per-query ranking tie-breaks (cosine DESC, neighbor_id ASC) — so
+    on any query whose true top-k all land in probed buckets, the two
+    forms emit identical rows (property-tested).
+
+    Approximation (priced offline by ann_recall_at_k, q221's loop): a
+    true hard negative more than one hyperplane away from the query's
+    bucket is never scored, and — when the cluster graph itself is
+    bucket-bounded (srp_bucket_near_dup_pairs) — a near-dup pair
+    missed by the cluster graph can surface as a "negative". Both are
+    the standard SemDeDup-era trade; tune num_bits/multiprobe until
+    q221-style recall clears target, then deploy this plan.
+
+    Returns (query_id, neighbor_id, cosine_sim, neg_rank 1..k)."""
+    planes = srp_planes(dim, num_bits, seed)
+    base = (
+        df.select(F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v"))
+        .withColumn("bucket", srp_signature("__v", planes))
+        .join(
+            clusters.select(F.col(id_col).alias("__id"), F.col("cluster")),
+            "__id", "left",
+        )
+        .withColumn("cluster", F.coalesce("cluster", F.col("__id")))
+    )
+    q = base.select(
+        F.col("__id").alias("query_id"), F.col("__v").alias("qv"),
+        F.col("cluster").alias("q_cluster"), "bucket",
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(num_bits)
+            ],
+        )
+        q = q.withColumn("bucket", F.explode(probes))
+    c = base.select(
+        F.col("__id").alias("neighbor_id"), F.col("__v").alias("cv"),
+        F.col("cluster").alias("c_cluster"), "bucket",
+    )
+    scored = (
+        c.join(q, on="bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .filter(F.col("q_cluster") != F.col("c_cluster"))
+        .select(
+            "query_id",
+            "neighbor_id",
             F.round(_cosine_maybe_fixed("qv", "cv", dim), 6)
             .alias("cosine_sim"),
         )

@@ -14385,3 +14385,224 @@ def q232_incremental_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
     new = docs.filter(F.col("doc_id") % 2 == 1)
     return update_capped_corpus(base, new, "source", "doc_id", cap=_Q232_CAP)
+
+
+# ---------------------------------------------------------------------------
+# Q233 — INDEXED hard-negative mining (operators/similarity.py:
+# hard_negatives_indexed, new r12 — the r11 verdict's named scale path
+# for q230): candidates come from the SRP-LSH index (own bucket + all
+# Hamming-1 probes, srp_lsh_knn's generation) instead of q230's
+# all-pairs cross join, and the exclusion cluster frame comes from the
+# bucket-bounded pair graph (srp_bucket_near_dup_pairs → connected
+# components) instead of the exact one — i.e. every stage is the plan
+# a 100 TB corpus actually runs: one signature projection, equi-joins
+# on the bucket key, pair volume Σ|bucket|² not |corpus|², NO
+# CartesianProduct (not lint-exempt, unlike q230). Exclusion and
+# ranking semantics replicate q230 verbatim (cluster-transitive,
+# cosine DESC / neighbor_id ASC); where the probes recall the true
+# top-k the two emit identical rows (tests/test_llm_ops.py slice
+# agreement). Oracle: hash-for-hash SRP replay (plane literals at
+# full precision, q221's idiom) + q230's recursive-reachability
+# clustering over the BUCKET-bounded pair graph + multiprobe unnest.
+# ---------------------------------------------------------------------------
+
+_Q233_K, _Q233_BITS, _Q233_THR = 5, 6, 0.35
+
+
+def _q233_oracle_sql() -> str:
+    planes = sim_ops.srp_planes(EMBEDDING_DIM, num_bits=_Q233_BITS, seed=42)
+
+    def dot_expr(i: int) -> str:
+        return " + ".join(
+            f"v[{j + 1}]*({float(planes[i][j])!r})" for j in range(EMBEDDING_DIM)
+        )
+
+    bits = " + ".join(
+        f"(CASE WHEN ({dot_expr(i)}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(_Q233_BITS)
+    )
+    probes = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(_Q233_BITS)]
+    )
+    k, thr = _Q233_K, _Q233_THR
+    return f"""
+    WITH RECURSIVE base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), b AS MATERIALIZED (
+      SELECT vec_id, v, CAST({bits} AS BIGINT) AS bucket FROM base
+    ), pairs AS MATERIALIZED (
+      SELECT x.vec_id AS id1, y.vec_id AS id2
+      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+      WHERE ROUND(list_cosine_similarity(x.v, y.v), 6) >= {thr}
+    ), edges AS MATERIALIZED (
+      SELECT id1 AS src, id2 AS dst FROM pairs
+      UNION SELECT id2, id1 FROM pairs
+    ), reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      WHERE e.dst <> r.src
+    ), labels AS MATERIALIZED (
+      SELECT src AS id, LEAST(src, MIN(dst)) AS cluster
+      FROM reach GROUP BY src
+    ), cl AS MATERIALIZED (
+      SELECT b.vec_id, b.v, b.bucket,
+             COALESCE(l.cluster, b.vec_id) AS cluster
+      FROM b LEFT JOIN labels l ON b.vec_id = l.id
+    ), probed AS (
+      SELECT vec_id AS query_id, v AS qv, cluster AS q_cluster,
+             unnest(list_value({probes})) AS bucket
+      FROM cl
+    ), scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(p.qv, c.v), 6) AS cosine_sim
+      FROM probed p JOIN cl c USING (bucket)
+      WHERE p.query_id <> c.vec_id AND p.q_cluster <> c.cluster
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rn AS neg_rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id
+        ORDER BY cosine_sim DESC, neighbor_id) AS BIGINT) AS rn
+      FROM scored
+    ) WHERE rn <= {k}
+    """
+
+
+@_register(
+    "q233_hard_negatives_indexed",
+    oracle=_q233_oracle_sql(),
+    tags=("similarity", "contrastive", "hard-negatives", "ann", "lsh",
+          "mining", "clustering", "portable"),
+    bench=True,  # q230's scale twin: the bench prices index vs all-pairs
+)
+def q233_hard_negatives_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = sim_ops.srp_bucket_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=_Q233_THR,
+        dim=EMBEDDING_DIM, num_bits=_Q233_BITS, seed=42,
+    )
+    clusters = dedup_ops.dedup_survivors(
+        emb, pairs.select("id1", "id2"), "vec_id"
+    ).select("vec_id", "cluster")
+    return sim_ops.hard_negatives_indexed(
+        emb, "vec_id", "embedding", clusters, k=_Q233_K,
+        dim=EMBEDDING_DIM, num_bits=_Q233_BITS, seed=42, multiprobe=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q234 — training-order pipeline END-TO-END (operators/sampling.py:
+# training_order_pipeline, new r12 — the r11 verdict's ask #5): the
+# reading order a training run actually executes, as ONE query instead
+# of separately-verified pieces — q226's per-source cap → q220's
+# temperature policy RECOMPUTED ON THE CAPPED CORPUS (pre-cap totals
+# would re-inflate the capped source) → q227's fixed-axis quality bins
+# (q17's score) → q228's WFQ interleave WITHIN each bin (stage_col),
+# global order (bin, v_time, source, id). Stage boundaries are pinned
+# by tests (|output| = |capped|, per-bin conservation); the oracle
+# replays the full four-stage chain. Plan: four exchanges end-to-end
+# (cap hash, (bin, source) position hash, K-row policy broadcast,
+# two-phase range exchange) — no global sort, nothing corpus-sized on
+# one partition.
+# ---------------------------------------------------------------------------
+
+_Q234_CAP, _Q234_BINS, _Q234_EPOCH, _Q234_ALPHA = 18, 4, 1, 0.3
+
+
+def _q234_oracle_sql() -> str:
+    cap, nb, ep, a = _Q234_CAP, _Q234_BINS, _Q234_EPOCH, _Q234_ALPHA
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ), feat AS (
+      SELECT doc_id, source,
+             CAST(array_length(toks) AS BIGINT) AS n_tokens,
+             CAST(array_length(list_distinct(toks)) AS BIGINT) AS n_distinct,
+             CAST(len(list_filter(toks, t -> list_contains(['the','a','and','of','to','is','in','it'], t))) AS BIGINT) AS n_stop,
+             CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len
+      FROM tok
+    ), scored AS (
+      SELECT doc_id, source, n_tokens,
+             CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE) ELSE ROUND(
+               0.4 * (n_distinct / CAST(n_tokens AS DOUBLE))
+               + 0.2 * LEAST((n_stop / CAST(n_tokens AS DOUBLE)) * 5.0, 1.0)
+               + 0.2 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+               + 0.2 * LEAST((sum_len / CAST(n_tokens AS DOUBLE)) / 8.0, 1.0)
+             , 6) END AS quality_score
+      FROM feat
+    ), capped AS (
+      SELECT doc_id, source, n_tokens, quality_score FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY source
+          ORDER BY ('0x' || substr(md5(source || '|'
+                      || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                   doc_id) AS rn
+        FROM scored
+      ) WHERE rn <= {cap}
+    ), per AS (
+      SELECT source AS "group", CAST(SUM(n_tokens) AS BIGINT) AS n
+      FROM capped GROUP BY 1 HAVING SUM(n_tokens) > 0
+    ), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM per
+    ), wgt AS (
+      SELECT p."group",
+             CAST(ROUND(1000000.0 * POW(p.n * 1.0 / t.nn, {a})) AS BIGINT)
+               AS w_micro
+      FROM per p, tot t
+    ), ws AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS ww FROM wgt
+    ), w AS (
+      SELECT g."group",
+             CAST(ROUND(1000000.0 * g.w_micro / s.ww) AS BIGINT) AS q_ppm
+      FROM wgt g, ws s
+    ), keyed AS (
+      SELECT doc_id, source,
+             LEAST(GREATEST(CAST(FLOOR(quality_score / (1.0 / {nb}))
+                                 AS BIGINT), 0), {nb - 1}) AS quality_bin,
+             ('0x' || substr(md5('{ep}|' || CAST(doc_id AS VARCHAR)),
+                             1, 15))::BIGINT AS k
+      FROM capped
+    ), pos AS (
+      SELECT doc_id, source, quality_bin,
+             CAST(ROW_NUMBER() OVER (PARTITION BY quality_bin, source
+                                     ORDER BY k, doc_id) AS BIGINT) AS pos
+      FROM keyed
+    ), vt AS (
+      SELECT p.doc_id, p.source, p.quality_bin, p.pos,
+             p.pos * CAST(ROUND(1000000000000.0 / w.q_ppm) AS BIGINT)
+               AS v_time
+      FROM pos p JOIN w ON p.source = w."group"
+      WHERE w.q_ppm > 0
+    )
+    SELECT doc_id, source, quality_bin, pos, v_time,
+           CAST(ROW_NUMBER() OVER (ORDER BY quality_bin, v_time, source,
+                                   doc_id) AS BIGINT) AS global_pos
+    FROM vt
+    """
+
+
+@_register(
+    "q234_training_order_pipeline",
+    oracle=_q234_oracle_sql(),
+    tags=("sampling", "pipeline", "cap", "curriculum", "mixture",
+          "wfq", "training-order", "portable"),
+    bench=True,  # the end-to-end composite prices the composition
+)
+def q234_training_order_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.sampling import (
+        training_order_pipeline,
+    )
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    scored = ts_ops.quality_score(ts_ops.text_features(docs, "doc_id", "text"))
+    base = scored.select("doc_id", "n_tokens", "quality_score").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return training_order_pipeline(
+        base, "doc_id", "source", "quality_score", "n_tokens",
+        cap=_Q234_CAP, alpha=_Q234_ALPHA, n_bins=_Q234_BINS,
+        epoch=_Q234_EPOCH,
+    )
