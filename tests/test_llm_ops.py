@@ -2988,3 +2988,61 @@ def test_training_order_pipeline_stage_pins(spark):
     first_of_bin2 = min(r.global_pos for r in rows if r.quality_bin == 2)
     assert last_of_bin1 < first_of_bin2
     out.unpersist()
+
+
+def test_census_plan_matches_legacy_aggregates(mega_band):
+    """r12 census consolidation: the single (keys, __n, __anchor)
+    census must be value-equivalent to the three r11 aggregates it
+    replaced — the oversized_buckets report, the
+    oversized_bucket_star_pairs seeds, and the oversized-key set — on
+    a planted mega-bucket corpus, including the collected-LocalRelation
+    fast path (census here is 1 row, far under COLLECT_KEY_LIMIT)."""
+    n_over, census = dd._counted_census_plan(mega_band, "doc_id", 50)
+    assert n_over == 1
+
+    # report == legacy oversized_buckets (rows and columns)
+    report = {tuple(r) for r in dd._census_report(census).collect()}
+    legacy = {tuple(r) for r in
+              dd.oversized_buckets(mega_band, "doc_id", 50).collect()}
+    assert report == legacy == {(0, 7, 5000, 0)}
+
+    # star pairs == legacy anchor-star recovery
+    star = {(r.id1, r.id2) for r in
+            dd._census_star_pairs(mega_band, "doc_id", census).collect()}
+    legacy_star = {(r.id1, r.id2) for r in
+                   dd.oversized_bucket_star_pairs(
+                       mega_band, "doc_id", 50).collect()}
+    assert star == legacy_star
+    assert star == {(0, i) for i in range(1, 5000)}
+
+    # candidate_pairs fed the census == candidate_pairs re-deriving
+    fed = {(r.id1, r.id2) for r in
+           dd.candidate_pairs(mega_band, "doc_id", 50,
+                              _census=(n_over, census)).collect()}
+    rederived = {(r.id1, r.id2) for r in
+                 dd.candidate_pairs(mega_band, "doc_id", 50).collect()}
+    assert fed == rederived
+    # only the 3-member bucket expands: mega bucket dropped, pairs from
+    # {1e6, 1e6+1, 1e6+2}
+    assert fed == {(10**6, 10**6 + 1), (10**6, 10**6 + 2),
+                   (10**6 + 1, 10**6 + 2)}
+
+
+def test_census_empty_case_is_local_and_lazy_free(spark):
+    """Clean-corpus short-circuit: zero oversized keys must yield a
+    collected EMPTY LocalRelation census — consumers of the report
+    frame (near_dup_frames callers observing truncation) then pay ZERO
+    further aggregation jobs, and candidate generation skips the
+    anti-join entirely."""
+    rows = [(0, h, i) for h in (1, 2, 3) for i in range(3)]
+    band = spark.createDataFrame(rows, ["band_idx", "band_hash", "doc_id"])
+    n_over, census = dd._counted_census_plan(band, "doc_id", 50)
+    assert n_over == 0
+    plan = census._jdf.queryExecution().optimizedPlan().toString()
+    # empty-python-built frame (LocalRelation or empty LogicalRDD) —
+    # the point is that NO aggregate subtree survives to re-run
+    assert ("LocalRelation" in plan or "LogicalRDD" in plan)
+    assert "Aggregate" not in plan
+    assert census.count() == 0
+    cand = dd.candidate_pairs(band, "doc_id", 50, _census=(n_over, census))
+    assert "Join" not in cand._jdf.queryExecution().optimizedPlan().toString()

@@ -383,22 +383,30 @@ def _counted_census_plan(
     - renamed to (bucket_n, anchor_id) it IS the oversized report.
 
     Same strategy ladder as _counted_key_plan — collected to a literal
-    broadcast LocalRelation when tiny (≤ COLLECT_KEY_LIMIT, INCLUDING
-    the empty clean-corpus case, so downstream consumers of the report
-    frame never re-run the aggregation), broadcast-hinted when it fits
-    BROADCAST_KEY_LIMIT, unhinted AQE plan beyond. min() adds a
-    constant per-key aggregation buffer next to the count — still
-    map-side combinable, no sort. Same rescannable-AND-DETERMINISTIC
-    contract on ``band_df`` as capped_bucket_members; EAGER (one count
-    job) like _counted_key_plan."""
+    broadcast LocalRelation when tiny (≤ COLLECT_KEY_LIMIT),
+    broadcast-hinted when it fits BROADCAST_KEY_LIMIT, unhinted AQE
+    plan beyond. The clean-corpus case (count = 0) builds the empty
+    LocalRelation IN PYTHON with no second action — an unconditional
+    collect() re-runs the whole aggregation as a second job on every
+    clean cap site, which an early r12 build paid as a measured ~1.4×
+    on q20's bench (the count already proved the frame empty; there is
+    nothing to fetch). min() adds a constant per-key aggregation
+    buffer next to the count — still map-side combinable, no sort.
+    Same rescannable-AND-DETERMINISTIC contract on ``band_df`` as
+    capped_bucket_members; EAGER (one count job) like
+    _counted_key_plan."""
     census = (
         band_df.groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("__n"), F.min(id_col).alias("__anchor"))
         .filter(F.col("__n") > max_bucket_size)
     )
     n_over = census.count()
-    if n_over <= COLLECT_KEY_LIMIT:
-        spark = band_df.sparkSession
+    spark = band_df.sparkSession
+    if n_over == 0:
+        census = F.broadcast(
+            spark.createDataFrame([], schema=census.schema)
+        )
+    elif n_over <= COLLECT_KEY_LIMIT:
         census = F.broadcast(
             spark.createDataFrame(census.collect(), schema=census.schema)
         )
