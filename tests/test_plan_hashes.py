@@ -38,9 +38,11 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# One query per frequently-edited engine surface; composites (q186,
-# q188) execute eagerly at sf0.001 and transitively exercise the
-# dedup + similarity + corpus-pipeline plan builders.
+# One query per frequently-edited engine surface. The eager
+# composites (q186/q188) are deliberately NOT sentinels: they execute
+# their whole pipeline at build time (~15 s each in the subprocess)
+# and their plan builders are exactly q20+q182+q187's — the sentinels
+# cover the same drift for a fraction of the suite's wall clock.
 SENTINELS = [
     "q01_pricing_summary",        # scan + agg core
     "q04_top_revenue_orders",          # join + global top-k
@@ -49,7 +51,6 @@ SENTINELS = [
     "q97_asof_forward",           # as-of join
     "q182_lsh_bucket_cap",        # cap machinery, both branches firing
     "q187_semantic_dedup_capped", # SRP bucket cap
-    "q188_joint_dedup",           # eager composite: text+semantic dedup
     "q212_ks_drift",              # global_cumsum / drift family
     "q215_eval_auc",          # evaluation family
     "q228_mixture_interleave",    # sampling/order family (WFQ)

@@ -1349,6 +1349,11 @@ def hard_negatives_indexed(
     the standard SemDeDup-era trade; tune num_bits/multiprobe until
     q221-style recall clears target, then deploy this plan.
 
+    Scaling discipline (measured, SCALE.md r12): at FIXED num_bits the
+    bucket join is still Σ|bucket|² — grow num_bits ~ log(corpus) so
+    occupancy stays constant (10× corpus: bits 6→10 ran 6.9× faster,
+    ~120× below projected all-pairs), and re-price recall with q221.
+
     Returns (query_id, neighbor_id, cosine_sim, neg_rank 1..k)."""
     planes = srp_planes(dim, num_bits, seed)
     base = (
