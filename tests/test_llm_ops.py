@@ -3052,3 +3052,48 @@ def test_census_empty_case_is_local_and_lazy_free(spark):
     assert census.count() == 0
     cand = dd.candidate_pairs(band, "doc_id", 50, _census=(n_over, census))
     assert "Join" not in cand._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_line_repetition_stats_planted_and_shuffle_free(spark):
+    """q235's Gopher line-rule semantics on planted geometry: a
+    template doc (same line repeated) maxes both signals; a doc with
+    ONE long repeated line among short unique ones moves the char
+    fraction far more than the line fraction (why Gopher thresholds
+    both); empty/null docs report zeros. And the plan is per-row
+    arithmetic only — NO exchange."""
+    long = "x" * 96
+    rows = [
+        (1, "buy now\nbuy now\nbuy now\nbuy now"),   # 4 identical lines
+        (2, "alpha\nbeta\ngamma"),                     # all distinct
+        (3, f"{long}\n{long}\na\nb\nc"),             # char-heavy dup
+        (4, "  \n\n  "),                               # whitespace only
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           ts.line_repetition_stats(df, "doc_id", "text").collect()}
+
+    assert out[1].n_lines == 4 and out[1].n_dup_lines == 3
+    assert out[1].dup_line_frac == 0.75
+    assert out[1].n_line_chars == 28 and out[1].n_dup_line_chars == 21
+    assert out[1].dup_line_char_frac == 0.75
+
+    assert out[2].n_dup_lines == 0 and out[2].dup_line_char_frac == 0.0
+
+    # 5 lines, 1 dup → line frac 0.2; chars 192+3, dup chars 96 → 0.49
+    r3 = out[3]
+    assert r3.n_lines == 5 and r3.n_dup_lines == 1
+    assert r3.dup_line_frac == 0.2
+    assert r3.n_line_chars == 195 and r3.n_dup_line_chars == 96
+    assert r3.dup_line_char_frac == round(96 / 195, 6)
+
+    for d in (4, 5):
+        r = out[d]
+        assert (r.n_lines, r.n_dup_lines, r.dup_line_frac,
+                r.n_line_chars, r.n_dup_line_chars,
+                r.dup_line_char_frac) == (0, 0, 0.0, 0, 0, 0.0)
+
+    plan = ts.line_repetition_stats(
+        df, "doc_id", "text"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

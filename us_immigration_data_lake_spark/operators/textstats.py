@@ -1052,3 +1052,60 @@ def script_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         else:
             dominant = dominant.otherwise(F.lit(n))
     return df.select(*sel, dominant.alias("dominant_script"))
+
+
+def line_repetition_stats(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Gopher-style LINE-level repetition signals (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1, public — the MassiveText quality rules):
+    duplicate-line fraction and duplicate-line CHARACTER fraction —
+    the boilerplate/template filters real corpus pipelines apply
+    (scraped navigation, cookie banners, stuck generators repeat whole
+    lines; q60's repetition_stats covers the token/bigram axis of the
+    same ruleset, quality q17 the vocabulary/length axis).
+
+    - dup_line_frac: share of non-empty trimmed lines that repeat an
+      earlier line (n_lines − distinct) / n_lines;
+    - dup_line_char_frac: share of line CHARACTERS sitting in those
+      repeat occurrences — Gopher thresholds both, because one long
+      repeated line can dominate chars while barely moving the line
+      count (and vice versa).
+
+    Everything is per-row array arithmetic (line split, distinct, two
+    length folds) — zero exchanges in the plan; ratios are int/int
+    divides rounded to 6 (oracle rule). Empty/whitespace-only/NULL
+    documents report zeros, not nulls.
+
+    Returns (id, n_lines, n_dup_lines, dup_line_frac, n_line_chars,
+    n_dup_line_chars, dup_line_char_frac)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+    distinct = F.array_distinct(lines)
+
+    def chars(arr: Column) -> Column:
+        return F.aggregate(
+            F.transform(arr, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    n_lines = F.size(lines).cast("long")
+    n_dup = (n_lines - F.size(distinct)).cast("long")
+    n_chars = chars(lines)
+    n_dup_chars = (n_chars - chars(distinct)).cast("long")
+    frac = lambda num, den: F.when(  # noqa: E731 — tiny local shaper
+        den == 0, F.lit(0.0)
+    ).otherwise(F.round(num.cast("double") / den.cast("double"), 6))
+    return df.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        n_dup.alias("n_dup_lines"),
+        frac(n_dup, n_lines).alias("dup_line_frac"),
+        n_chars.alias("n_line_chars"),
+        n_dup_chars.alias("n_dup_line_chars"),
+        frac(n_dup_chars, n_chars).alias("dup_line_char_frac"),
+    )

@@ -14606,3 +14606,58 @@ def q234_training_order_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         cap=_Q234_CAP, alpha=_Q234_ALPHA, n_bins=_Q234_BINS,
         epoch=_Q234_EPOCH,
     )
+
+
+# ---------------------------------------------------------------------------
+# Q235 — LINE-level repetition signals (operators/textstats.py:
+# line_repetition_stats, new r12): the Gopher/MassiveText
+# duplicate-LINE rules (Rae et al. 2021 §A1.1, public) — dup-line
+# fraction AND dup-line character fraction, the boilerplate/template
+# filters real corpus pipelines threshold (q60 covers the
+# token/bigram axis of the same ruleset; one long repeated line can
+# dominate chars while barely moving the line count, hence both).
+# Per-row array arithmetic end to end (line split, distinct, two
+# length folds) — zero exchanges in the plan. Oracle replays the line
+# pipeline with list_transform/list_filter/list_distinct + list
+# length-sums.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q235_line_repetition_stats",
+    oracle="""
+    WITH l AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(COALESCE(text, ''),
+                                                     chr(10)),
+                         x -> trim(x)), x -> x <> '') AS lines
+      FROM documents
+    ), m AS (
+      SELECT doc_id, lines, list_distinct(lines) AS dlines,
+             CAST(COALESCE(list_sum(list_transform(lines,
+                                                   x -> length(x))), 0)
+                  AS BIGINT) AS n_chars,
+             CAST(COALESCE(list_sum(list_transform(list_distinct(lines),
+                                                   x -> length(x))), 0)
+                  AS BIGINT) AS n_dchars
+      FROM l
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(lines) - len(dlines) AS BIGINT) AS n_dup_lines,
+           CASE WHEN len(lines) = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE ROUND((len(lines) - len(dlines)) * 1.0 / len(lines), 6)
+                END AS dup_line_frac,
+           n_chars AS n_line_chars,
+           n_chars - n_dchars AS n_dup_line_chars,
+           CASE WHEN n_chars = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE ROUND((n_chars - n_dchars) * 1.0 / n_chars, 6)
+                END AS dup_line_char_frac
+    FROM m
+    """,
+    tags=("textstats", "quality", "repetition", "gopher", "portable"),
+)
+def q235_line_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return ts_ops.line_repetition_stats(docs, "doc_id", "text")
