@@ -102,17 +102,30 @@ def compute(only: list[str] | None = None) -> dict[str, str]:
 
 def main() -> None:
     check = "--check" in sys.argv
+    renorm = "--renorm" in sys.argv
     only: list[str] | None = None
     if "--only" in sys.argv:
         # subset mode (the pytest freshness gate): recompute ONLY the
         # named sentinels and compare them against the snapshot.
         # Refresh (non---check) writes are refused in subset mode — a
         # partial recompute must never overwrite full-registry state.
-        only = sys.argv[sys.argv.index("--only") + 1:]
+        # Name parsing stops at the next flag, so argument order can't
+        # silently misread a flag as a query name.
+        rest = sys.argv[sys.argv.index("--only") + 1:]
+        only = []
+        for a in rest:
+            if a.startswith("-"):
+                break
+            only.append(a)
         if not only:
             raise SystemExit("--only requires at least one query name")
         if not check:
             raise SystemExit("--only is valid only with --check")
+    # --renorm REWRITES the full snapshot; it is incompatible with the
+    # read-only --check contract and with a partial --only recompute
+    # (a subset renorm would destroy every other entry).
+    if renorm and (check or only):
+        raise SystemExit("--renorm cannot be combined with --check/--only")
     try:
         with open(STATE) as f:
             prev = json.load(f)
@@ -123,8 +136,11 @@ def main() -> None:
     # the plans — rewrite every hash but keep each query's changed_r,
     # so the driver's re-gate tier is not flooded with false
     # "plan-changed" signals for queries whose executed plan is
-    # identical.
-    renorm = "--renorm" in sys.argv
+    # identical. PRECONDITION (not machine-checkable): run it
+    # immediately after a plain refresh with NO engine change in
+    # between — the renorm pass cannot itself distinguish a
+    # normalization-driven hash change from a genuine plan change, so
+    # any plan change in that window would keep its stale changed_r.
 
     rnd = current_round()
     fresh = compute(only)

@@ -736,10 +736,20 @@ def training_order_pipeline(
        stage_col="quality_bin"): weighted-fair-queuing within each
        bin, global order (bin, v_time, group, id).
 
-    Row conservation: stages 2–4 drop nothing (every capped group has
-    size > 0 ⇒ w_micro ≥ 1 ⇒ q_ppm ≥ 1 at any realistic group count,
-    and the bin expression clamps instead of filtering), so
-    |output| = |capped| — the stage-boundary pin the tests assert.
+    Row conservation — a CONDITIONAL contract, not an unconditional
+    one: the bin expression clamps instead of filtering, so stages 3-4
+    drop nothing, but the POLICY stage inherits the mixture rules'
+    exclusions — a group whose capped ``size_col`` total is 0 (e.g. a
+    source of empty texts) gets no temperature weight (a 0-share
+    source has no finite WFQ step), and a group whose share rounds
+    below 1 ppm (possible only past ~10⁶ effective groups) is never
+    scheduled; EITHER drops that whole group from the order, by
+    design. |output| = |capped| therefore holds exactly when every
+    capped group has a positive size total and q_ppm ≥ 1 — true of
+    any corpus that filtered empty documents upstream, pinned by the
+    stage-boundary tests on the fixture, and observable in production
+    by comparing the weights frame's group count to the capped
+    corpus's (the explicit check a pipeline owner should run).
 
     Shuffle budget, end to end: the cap's hash exchange on group, the
     position exchange on (bin, group), the K-row policy broadcast, and

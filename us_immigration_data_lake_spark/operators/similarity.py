@@ -1354,6 +1354,13 @@ def hard_negatives_indexed(
     occupancy stays constant (10× corpus: bits 6→10 ran 6.9× faster,
     ~120× below projected all-pairs), and re-price recall with q221.
 
+    Implementation note (A/B-measured, SCALE.md r12): the inline
+    signature + 3-dot unrolled cosine below deliberately does NOT use
+    _srp_sig_frame's checkpoint + precomputed-norm discipline — that
+    variant measured ~1.5× SLOWER cold at the 10× fixture (bisect:
+    the 1-dot ÷ n1·n2 form itself regresses on this shape). Re-run
+    the A/B before porting to dim ≥ 512.
+
     Returns (query_id, neighbor_id, cosine_sim, neg_rank 1..k)."""
     planes = srp_planes(dim, num_bits, seed)
     base = (
