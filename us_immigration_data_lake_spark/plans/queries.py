@@ -14626,12 +14626,25 @@ def q234_training_order_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "q235_line_repetition_stats",
     oracle="""
-    WITH l AS (
+    WITH ml AS (
+      -- the fixture's texts are single-line; synthesize a
+      -- deterministic multi-line corpus (doc_id mod 3: dup line +
+      -- prefix line / distinct prefix line / unchanged) so the gate
+      -- exercises REAL duplicate-line structure, identically on both
+      -- engines
+      SELECT doc_id,
+             CASE doc_id % 3
+               WHEN 0 THEN concat_ws(chr(10), text, text,
+                                     substr(text, 1, 50))
+               WHEN 1 THEN concat_ws(chr(10), text, substr(text, 1, 50))
+               ELSE text END AS text
+      FROM documents
+    ), l AS (
       SELECT doc_id,
              list_filter(list_transform(string_split(COALESCE(text, ''),
                                                      chr(10)),
                          x -> trim(x)), x -> x <> '') AS lines
-      FROM documents
+      FROM ml
     ), m AS (
       SELECT doc_id, lines, list_distinct(lines) AS dlines,
              CAST(COALESCE(list_sum(list_transform(lines,
@@ -14660,4 +14673,18 @@ def q234_training_order_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q235_line_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tune(spark)
     docs = _t(spark, sf_dir, "documents")
-    return ts_ops.line_repetition_stats(docs, "doc_id", "text")
+    # deterministic multi-line synthesis (see oracle comment): the
+    # fixture's texts are single-line, which would gate the operator
+    # on degenerate input
+    ml = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat_ws("\n", F.col("text"), F.col("text"),
+                        F.substring("text", 1, 50)),
+        ).when(
+            F.col("doc_id") % 3 == 1,
+            F.concat_ws("\n", F.col("text"), F.substring("text", 1, 50)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return ts_ops.line_repetition_stats(ml, "doc_id", "text")
