@@ -59,14 +59,25 @@ SENTINELS = [
 ]
 
 
+# The subprocess (own JVM, ~50-90 s) is fully independent of the test
+# session, so START it at collection time — pytest imports every test
+# module up front, and this file sits mid-alphabet, so the check runs
+# CONCURRENTLY with the first half of the suite and the test below
+# only joins an already-finished process (measured: the serial form
+# was the suite's #3 wall-clock item at 90 s). Cost of the side
+# effect: a filtered `-k` run that deselects the test still spawns
+# the subprocess once — detached, bounded, and it never blocks.
+_PROC = subprocess.Popen(
+    [sys.executable, os.path.join(REPO, "scripts", "plan_hashes.py"),
+     "--check", "--only", *SENTINELS],
+    stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, cwd=REPO,
+)
+
+
 def test_sentinel_plan_hashes_fresh():
-    proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "scripts", "plan_hashes.py"),
-         "--check", "--only", *SENTINELS],
-        capture_output=True, text=True, timeout=600, cwd=REPO,
-    )
-    tail = "\n".join((proc.stdout + proc.stderr).splitlines()[-6:])
-    assert proc.returncode == 0, (
+    out, err = _PROC.communicate(timeout=600)
+    tail = "\n".join((out + err).splitlines()[-6:])
+    assert _PROC.returncode == 0, (
         "PLAN_HASHES.json is stale for sentinel queries — an engine "
         "change rewrote executed plans without refreshing the snapshot, "
         "so the driver's plan-changed re-gate tier will not fire. Run "
