@@ -1075,13 +1075,16 @@ def line_repetition_stats(
     Everything is per-row array arithmetic (line split, distinct, two
     length folds) — zero exchanges in the plan; ratios are int/int
     divides rounded to 6 (oracle rule). Empty/whitespace-only/NULL
-    documents report zeros, not nulls.
+    documents report zeros, not nulls. Lines split on ``\\r?\\n`` so
+    CRLF corpora (Windows-origin scrapes) dedup identically to LF ones
+    — trim() only strips spaces, so a bare-\\n split would leave a
+    trailing ``\\r`` on every line and silently zero both signals.
 
     Returns (id, n_lines, n_dup_lines, dup_line_frac, n_line_chars,
     n_dup_line_chars, dup_line_char_frac)."""
     text = F.coalesce(F.col(text_col), F.lit(""))
     lines = F.filter(
-        F.transform(F.split(text, "\n"), lambda x: F.trim(x)),
+        F.transform(F.split(text, "\r?\n"), lambda x: F.trim(x)),
         lambda x: x != F.lit(""),
     )
     distinct = F.array_distinct(lines)

@@ -14629,20 +14629,23 @@ def q234_training_order_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ml AS (
       -- the fixture's texts are single-line; synthesize a
       -- deterministic multi-line corpus (doc_id mod 3: dup line +
-      -- prefix line / distinct prefix line / unchanged) so the gate
-      -- exercises REAL duplicate-line structure, identically on both
-      -- engines
+      -- prefix line, CRLF-terminated / distinct prefix line, LF /
+      -- unchanged) so the gate exercises REAL duplicate-line
+      -- structure AND the CRLF-tolerant split (r12 advice: a bare-LF
+      -- split leaves a trailing CR on every CRLF line and zeroes both
+      -- signals), identically on both engines
       SELECT doc_id,
              CASE doc_id % 3
-               WHEN 0 THEN concat_ws(chr(10), text, text,
+               WHEN 0 THEN concat_ws(chr(13) || chr(10), text, text,
                                      substr(text, 1, 50))
                WHEN 1 THEN concat_ws(chr(10), text, substr(text, 1, 50))
                ELSE text END AS text
       FROM documents
     ), l AS (
       SELECT doc_id,
-             list_filter(list_transform(string_split(COALESCE(text, ''),
-                                                     chr(10)),
+             list_filter(list_transform(
+                         string_split_regex(COALESCE(text, ''),
+                                            '\\r?\\n'),
                          x -> trim(x)), x -> x <> '') AS lines
       FROM ml
     ), m AS (
@@ -14680,7 +14683,9 @@ def q235_line_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(
             F.col("doc_id") % 3 == 0,
-            F.concat_ws("\n", F.col("text"), F.col("text"),
+            # CRLF-terminated branch: proves the \r?\n split (a bare-\n
+            # split would leave '\r' on each line and zero the signals)
+            F.concat_ws("\r\n", F.col("text"), F.col("text"),
                         F.substring("text", 1, 50)),
         ).when(
             F.col("doc_id") % 3 == 1,
