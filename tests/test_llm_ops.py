@@ -1045,6 +1045,72 @@ def test_srp_bucket_pairs_subset_of_allpairs(spark):
     assert bucketed <= exact
 
 
+def test_recommended_num_bits_rule():
+    """The SRP plane-count rule as code (r12 verdict ask #4):
+    monotone in corpus size, realized occupancy within √2 of target
+    when unclamped, and it reproduces BOTH of SCALE.md's measured
+    ladders — the dedup rule (2 k rows → 8 bits, 20 k → 11, the
+    'num_bits ≈ 8 + log2(ref scale)' row) and q233's mining ladder
+    (2 k → 6 bits, 20 k → 10 at candidate occupancy 24)."""
+    import math
+
+    # monotone non-decreasing in n_rows, for both documented targets
+    for occ in (8, 24):
+        prev = 0
+        for n in [1, 10, 100, 500, 2_000, 20_000, 1_000_000,
+                  10**9, 10**12]:
+            b = sim.recommended_num_bits(n, target_occupancy=occ)
+            assert b >= prev, (occ, n, b, prev)
+            prev = b
+
+    # occupancy target: unclamped picks keep n / 2^bits within √2×
+    # of the target (nearest-integer rounding of log2)
+    for occ in (8, 24):
+        for n in [400, 2_000, 20_000, 300_000, 5_000_000]:
+            b = sim.recommended_num_bits(n, target_occupancy=occ)
+            if 4 < b < 24:  # unclamped region only
+                assert occ / math.sqrt(2) <= n / 2**b <= occ * math.sqrt(2)
+
+    # SCALE.md anchor points (measured rows, r8 + r12)
+    assert sim.recommended_num_bits(2_000) == 8
+    assert sim.recommended_num_bits(20_000) == 11
+    assert sim.recommended_num_bits(2_000, target_occupancy=24) == 6
+    assert sim.recommended_num_bits(20_000, target_occupancy=24) == 10
+
+    # clamps: tiny corpora floor at 4 bits, huge ones cap at 24
+    # (plane-literal expressions must stay inside JVM codegen limits)
+    assert sim.recommended_num_bits(0) == 4
+    assert sim.recommended_num_bits(50) == 4
+    assert sim.recommended_num_bits(10**12) == 24
+
+
+def test_srp_auto_bits_matches_explicit(spark):
+    """num_bits=None → the rule applied to a count() of the corpus:
+    identical frames to passing the recommended value explicitly, on
+    both wired operators (srp_bucket_near_dup_pairs and
+    hard_negatives_indexed)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    dim = 8
+    n = 600  # recommended_num_bits(600)=6 — away from the clamp floor
+    rows = [(i, rng.randn(dim).tolist()) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    want_bits = sim.recommended_num_bits(n)
+    assert want_bits == 6
+
+    auto = sim.srp_bucket_near_dup_pairs(
+        df, "vec_id", "embedding", threshold=0.3, dim=dim, num_bits=None
+    )
+    explicit = sim.srp_bucket_near_dup_pairs(
+        df, "vec_id", "embedding", threshold=0.3, dim=dim,
+        num_bits=want_bits,
+    )
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
+
+
 def test_dedup_survivors_by_keeps_highest_score_smallest_id_tie(spark):
     # pairs: {1,2,3} one cluster, {7,8} another, 9 isolated.
     # scores: 2 is longest in cluster 1 -> survivor 2 (not min id 1);
@@ -2882,10 +2948,8 @@ def test_hard_negatives_indexed_agrees_where_probes_recall(spark):
     query's bucket, the two must emit identical rows (same neighbors,
     same cosines, same ranks). Both sides share the SAME exclusion
     clusters here so candidate generation is the only difference; the
-    candidate set is recomputed independently in numpy from the seeded
+    candidate set is recomputed independently from the seeded
     planes."""
-    import numpy as np
-
     # bits=2 (not q233's 6): with Hamming-1 multiprobe that probes 3 of
     # the 4 buckets, so a useful fraction of queries have their exact
     # top-k fully recalled on these near-random synthetic embeddings —
@@ -2914,11 +2978,23 @@ def test_hard_negatives_indexed_agrees_where_probes_recall(spark):
     ix = {(r.query_id, r.neg_rank): (r.neighbor_id, r.cosine_sim)
           for r in idx.collect()}
 
-    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+    vecs = {r.vec_id: [float(x) for x in r.embedding]
             for r in emb.collect()}
     planes = sim.srp_planes(dim, num_bits=bits, seed=42)
+
+    def _dot_ltr(p, v):
+        # STRICT left-to-right sequential adds — the engine's unrolled
+        # SQL dot (_dot_fixed_sql) folds this way, and numpy's
+        # pairwise/SIMD summation (or math.fsum) can differ in the
+        # last ulp, flipping the bucket of a vector sitting on a
+        # hyperplane boundary (r12 advice)
+        acc = 0.0
+        for a, b in zip(p, v):
+            acc += float(a) * b
+        return acc
+
     bucket = {
-        i: sum((1 << b) for b in range(bits) if planes[b] @ v > 0)
+        i: sum((1 << b) for b in range(bits) if _dot_ltr(planes[b], v) > 0)
         for i, v in vecs.items()
     }
 
@@ -3068,6 +3144,9 @@ def test_line_repetition_stats_planted_and_shuffle_free(spark):
         (3, f"{long}\n{long}\na\nb\nc"),             # char-heavy dup
         (4, "  \n\n  "),                               # whitespace only
         (5, None),
+        # CRLF corpus (r12 advice): a bare-\n split leaves '\r' on
+        # every line ('foo\r' != 'foo') and both signals read 0
+        (6, "buy now\r\nbuy now\r\nbuy now\r\nbuy now"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r for r in
@@ -3092,6 +3171,12 @@ def test_line_repetition_stats_planted_and_shuffle_free(spark):
         assert (r.n_lines, r.n_dup_lines, r.dup_line_frac,
                 r.n_line_chars, r.n_dup_line_chars,
                 r.dup_line_char_frac) == (0, 0, 0.0, 0, 0, 0.0)
+
+    # CRLF text dedups identically to LF text — same rows as doc 1
+    r6 = out[6]
+    assert (r6.n_lines, r6.n_dup_lines, r6.dup_line_frac,
+            r6.n_line_chars, r6.n_dup_line_chars,
+            r6.dup_line_char_frac) == (4, 3, 0.75, 28, 21, 0.75)
 
     plan = ts.line_repetition_stats(
         df, "doc_id", "text"
