@@ -32,9 +32,11 @@ refresh, which by construction follows an operator edit.
 
 from __future__ import annotations
 
+import atexit
 import os
 import subprocess
 import sys
+import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -64,19 +66,54 @@ SENTINELS = [
 # module up front, and this file sits mid-alphabet, so the check runs
 # CONCURRENTLY with the first half of the suite and the test below
 # only joins an already-finished process (measured: the serial form
-# was the suite's #3 wall-clock item at 90 s). Cost of the side
-# effect: a filtered `-k` run that deselects the test still spawns
-# the subprocess once — detached, bounded, and it never blocks.
-_PROC = subprocess.Popen(
-    [sys.executable, os.path.join(REPO, "scripts", "plan_hashes.py"),
-     "--check", "--only", *SENTINELS],
-    stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, cwd=REPO,
+# was the suite's #3 wall-clock item at 90 s).
+#
+# Output goes to a TEMP FILE, never PIPE (r12 advice): a deselected
+# run (-k, --collect-only) exits pytest without draining the pipes,
+# and a child that writes more than the OS pipe buffer (Spark/ivy/
+# log4j noise on a cold cache) would block forever on write as a
+# lingering JVM. With a file sink the child always runs to completion
+# on its own; atexit reaps it if the test never joined. Under
+# pytest-xdist every worker imports this module — spawn at collection
+# only in the single-process run and fall back to a lazy in-test
+# spawn there, so N workers never launch N JVMs.
+_OUT = tempfile.NamedTemporaryFile(
+    mode="w+", suffix=".planhash.log", delete=False
 )
+_PROC: subprocess.Popen | None = None
+
+
+def _spawn() -> subprocess.Popen:
+    return subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "scripts", "plan_hashes.py"),
+         "--check", "--only", *SENTINELS],
+        stdout=_OUT, stderr=subprocess.STDOUT, cwd=REPO,
+    )
+
+
+if os.environ.get("PYTEST_XDIST_WORKER") is None:
+    _PROC = _spawn()
+
+
+@atexit.register
+def _reap() -> None:
+    if _PROC is not None and _PROC.poll() is None:
+        _PROC.terminate()
+    try:
+        _OUT.close()
+        os.unlink(_OUT.name)
+    except OSError:
+        pass
 
 
 def test_sentinel_plan_hashes_fresh():
-    out, err = _PROC.communicate(timeout=600)
-    tail = "\n".join((out + err).splitlines()[-6:])
+    global _PROC
+    if _PROC is None:  # xdist worker: lazy spawn, serial cost accepted
+        _PROC = _spawn()
+    _PROC.wait(timeout=600)
+    _OUT.flush()
+    with open(_OUT.name) as f:
+        tail = "\n".join(f.read().splitlines()[-6:])
     assert _PROC.returncode == 0, (
         "PLAN_HASHES.json is stale for sentinel queries — an engine "
         "change rewrote executed plans without refreshing the snapshot, "
