@@ -155,30 +155,35 @@ def main() -> None:
     # NOT re-measured.
     ANCHOR_REF_SEC = 0.126
 
-    def _anchor_median() -> float:
+    def _anchor_median(reps: int = 5) -> float:
         path = f"{sf_dir.rstrip('/')}/lineitem.parquet"
-        reps = []
-        for _ in range(5):
+        samples = []
+        for _ in range(reps):
             t0 = time.perf_counter()
             spark.read.parquet(path).selectExpr(
                 "count(*) AS n",
                 "sum(cast(l_quantity AS bigint)) AS s",
                 "sum(l_orderkey) AS k",
             ).collect()
-            reps.append(time.perf_counter() - t0)
-        return round(statistics.median(reps), 3)
+            samples.append(time.perf_counter() - t0)
+        return round(statistics.median(samples), 3)
 
-    # INTERLEAVED anchor sampling (r10 verdict ask #3): BENCH_r10
-    # proved a mid-run host gradient (anchor 0.123 pre → 0.180 post =
-    # 1.43× ref) that a pre/post-only pair cannot correct — every
-    # query in the back half read slow and min(pre,post) silently
-    # under-corrected them. The anchor is now sampled every
-    # ANCHOR_EVERY headliners (plus before and after), each query is
-    # tagged with its run position, and "queries_norm" divides each
-    # timing by its NEAREST anchor sample's ratio-to-reference —
-    # cross-round comparisons should use queries_norm, falling back
-    # to raw queries only for within-run plan comparisons.
-    ANCHOR_EVERY = 8
+    # PER-HEADLINER anchor bracketing (r12 verdict ask #1): the r12
+    # record sampled the anchor every 8 headliners, and a 2× host
+    # spike that rose and fell INSIDE one 8-query segment (anchor
+    # trace 0.171→0.307→0.269→0.159) landed exactly on the heavy
+    # composites — nearest-sample normalization under-corrected them
+    # and the official record read q186 at 2.19× vs the builder's
+    # three flat controlled samples. The anchor now runs after EVERY
+    # headliner (median of 3; pre/post keep 5 reps), so each query is
+    # bracketed by the host state immediately before and after it,
+    # and "queries_norm" divides each timing by the MEAN of its two
+    # bracketing samples' ratio-to-reference. A spike during query i
+    # is visible in at least one of its own brackets rather than
+    # smeared across a segment. Cross-round comparisons should use
+    # queries_norm; raw queries only for within-run plan comparisons.
+    # Cost: ~36 extra samples × 3 reps × ~0.15 s ≈ 16 s on a 100 s
+    # suite — the price of a drift-proof record.
 
     _anchor_median()  # codegen/JIT warm-up pass, untimed
     anchor_samples: list[tuple[int, float]] = []  # (run position, sec)
@@ -198,8 +203,8 @@ def main() -> None:
         spark.catalog.clearCache()
         gc.collect()
         _cache_documents()
-        if (i + 1) % ANCHOR_EVERY == 0 and (i + 1) < len(names):
-            anchor_samples.append((i + 1, _anchor_median()))
+        if (i + 1) < len(names):
+            anchor_samples.append((i + 1, _anchor_median(reps=3)))
 
     # final anchor sample AFTER the suite
     anchor_samples.append((len(names), _anchor_median()))
@@ -207,11 +212,16 @@ def main() -> None:
     anchor_post = anchor_samples[-1][1]
     anchor = round(min(s for _, s in anchor_samples), 3)
 
-    def _nearest_anchor(pos: int) -> float:
-        return min(anchor_samples, key=lambda s: abs(s[0] - pos))[1]
+    by_pos = dict(anchor_samples)
+
+    def _bracket_ratio(pos: int) -> float:
+        # query at position p ran between anchor samples p-1 and p
+        pair = [s for p, s in ((pos - 1, by_pos.get(pos - 1)),
+                               (pos, by_pos.get(pos))) if s is not None]
+        return (sum(pair) / len(pair)) / ANCHOR_REF_SEC
 
     queries_norm = {
-        name: round(t / max(_nearest_anchor(positions[name]) / ANCHOR_REF_SEC, 1e-9), 3)
+        name: round(t / max(_bracket_ratio(positions[name]), 1e-9), 3)
         for name, t in timings.items()
     }
 
