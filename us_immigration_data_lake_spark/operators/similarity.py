@@ -238,6 +238,54 @@ def srp_planes(dim: int, num_bits: int = 12, seed: int = 42) -> np.ndarray:
     return rng.randn(num_bits, dim)
 
 
+def recommended_num_bits(
+    n_rows: int,
+    *,
+    target_occupancy: int = 8,
+    min_bits: int = 4,
+    max_bits: int = 24,
+) -> int:
+    """The SRP plane-count rule as code (r12 verdict ask #4): pick
+    ``num_bits`` so expected bucket occupancy ``n_rows / 2**num_bits``
+    stays ~constant as the corpus grows — the discipline SCALE.md
+    measures twice (cross-corpus dedup: "num_bits ≈ 8 + log2(ref
+    scale)" held the ref-axis slope at 1.4×; q233 mining: bits 6→10
+    at 10× ran 6.9× cheaper than fixed bits). With occupancy held,
+    the within-bucket pair volume Σ|bucket|² ≈ n·occupancy is LINEAR
+    in the corpus instead of quadratic.
+
+    ``num_bits = clamp(round(log2(n_rows / target_occupancy)))`` —
+    rounding to the nearest integer keeps realized occupancy within
+    √2× of the target (each whole bit halves/doubles it). Defaults:
+
+    - ``target_occupancy=8`` — the DEDUP-pair rule. Pairs need only
+      survive a cosine threshold, so small buckets cost little recall;
+      reproduces SCALE.md's measured ladder (2 k rows → 8 bits,
+      20 k → 11).
+    - pass ``target_occupancy=24`` at CANDIDATE-GENERATION sites
+      (kNN / hard-negative mining), where each query must see enough
+      same-bucket candidates to fill k after exclusion filtering;
+      reproduces q233's measured 2 k → 6 bits, 20 k → 10.
+
+    Recall per pair falls as (1 − θ/π)**bits — at corpus scale run
+    wider signatures or multiple independent tables (the MinHash
+    banding analog) and let q221's calibration loop price the trade
+    before deployment. ``min_bits=4`` floors tiny corpora (16 buckets
+    keeps the self-join off near-cross-join shapes); ``max_bits=24``
+    caps the literal-plane expression size (bits·dim terms must stay
+    inside JVM codegen limits).
+
+    Operators accept ``num_bits=None`` → this rule applied to a
+    ``count()`` of their corpus side — one eager aggregation job at
+    plan-build time, the same priced discipline as the cap census."""
+    import math
+
+    if n_rows <= 0:
+        return min_bits
+    bits = round(math.log2(max(n_rows, 1) / target_occupancy))
+    return max(min_bits, min(max_bits, int(bits)))
+
+
 def _best_cells(vec: Column, centroids: list[list[float]], n: int) -> Column:
     """The ``n`` nearest centroids (by cosine) to ``vec`` as an array of
     (neg_sim, cell) structs. Centroids ship as literal arrays, so this
@@ -433,7 +481,7 @@ def srp_bucket_near_dup_pairs(
     vec_col: str,
     threshold: float,
     dim: int,
-    num_bits: int = 8,
+    num_bits: int | None = 8,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding near-duplicate pairs sought ONLY within an SRP
@@ -470,7 +518,12 @@ def srp_bucket_near_dup_pairs(
 
     Returns (id1, id2, cosine_sim) with id1 < id2 and
     round(cosine, 6) >= threshold.
+
+    ``num_bits=None`` → ``recommended_num_bits(df.count())`` (the
+    dedup-occupancy rule; one eager count job at plan-build time).
     """
+    if num_bits is None:
+        num_bits = recommended_num_bits(df.count())
     sig = _srp_sig_frame(df, id_col, vec_col, dim, num_bits, seed)
     a = sig.select(
         F.col("__id").alias("id1"), F.col("__v").alias("v1"),
@@ -612,7 +665,7 @@ def srp_ref_index(
     id_col: str,
     vec_col: str,
     dim: int,
-    num_bits: int = 8,
+    num_bits: int | None = 8,
     seed: int = 42,
     max_bucket_size: int = 1000,
 ) -> DataFrame:
@@ -639,7 +692,7 @@ def srp_ref_index_frames(
     id_col: str,
     vec_col: str,
     dim: int,
-    num_bits: int = 8,
+    num_bits: int | None = 8,
     seed: int = 42,
     max_bucket_size: int = 1000,
 ) -> dict[str, DataFrame]:
@@ -657,11 +710,19 @@ def srp_ref_index_frames(
     (r9 verdict ask #1: the r9 row_number form sorted EVERY bucket);
     oversized detection via count+min aggregates. Extra scans of the
     per-row SRP signature stage are paid ONCE per reference corpus —
-    the index is built once and cached by the caller."""
+    the index is built once and cached by the caller.
+
+    ``num_bits=None`` → ``recommended_num_bits(ref_df.count())`` —
+    SCALE.md's ref-axis rule ("num_bits ≈ 8 + log2(ref scale)") as
+    code: one eager count per index BUILD, amortized with the index.
+    NOTE the new side must sign with the SAME bit count; read it back
+    from the index width or pass explicit bits to both sides."""
     from us_immigration_data_lake_spark.operators.dedup import (
         capped_bucket_members,
     )
 
+    if num_bits is None:
+        num_bits = recommended_num_bits(ref_df.count())
     sig_ref = _srp_sig_frame(ref_df, id_col, vec_col, dim, num_bits, seed)
     capped = capped_bucket_members(
         sig_ref.select("bucket", "__id"), "__id", max_bucket_size,
@@ -1316,7 +1377,7 @@ def hard_negatives_indexed(
     *,
     k: int,
     dim: int,
-    num_bits: int = 6,
+    num_bits: int | None = 6,
     seed: int = 42,
     multiprobe: bool = True,
 ) -> DataFrame:
@@ -1353,6 +1414,10 @@ def hard_negatives_indexed(
     bucket join is still Σ|bucket|² — grow num_bits ~ log(corpus) so
     occupancy stays constant (10× corpus: bits 6→10 ran 6.9× faster,
     ~120× below projected all-pairs), and re-price recall with q221.
+    ``num_bits=None`` applies exactly that rule:
+    ``recommended_num_bits(df.count(), target_occupancy=24)`` — the
+    candidate-generation occupancy that reproduces the measured 2 k→6,
+    20 k→10 ladder (one eager count job at plan-build time).
 
     Implementation note (A/B-measured, SCALE.md r12): the inline
     signature + 3-dot unrolled cosine below deliberately does NOT use
@@ -1362,6 +1427,8 @@ def hard_negatives_indexed(
     the A/B before porting to dim ≥ 512.
 
     Returns (query_id, neighbor_id, cosine_sim, neg_rank 1..k)."""
+    if num_bits is None:
+        num_bits = recommended_num_bits(df.count(), target_occupancy=24)
     planes = srp_planes(dim, num_bits, seed)
     base = (
         df.select(F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v"))
