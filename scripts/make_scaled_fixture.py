@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Synthesize a k×-scaled BENCH fixture from an existing testdata dir.
 
-Usage: python3 scripts/make_scaled_fixture.py SRC_DIR OUT_DIR K
+Usage: python3 scripts/make_scaled_fixture.py SRC_DIR OUT_DIR K [--dim D]
 
 Purpose (r5 verdict ask #6): all bench evidence was a single scale
 factor; a super-linear query (LSH pair explosion, window skew) is
@@ -28,6 +28,18 @@ Scaling model (TPC-H convention — dims fixed, facts scale):
 - embeddings: k copies with vec_id offset and the vector circularly
   rotated by copy_idx dims (norms and within-copy geometry preserved,
   cross-copy cosine decorrelated — same reasoning as documents).
+
+High-dimension mode (r12 verdict ask #2 — every embedding measurement
+ran at the fixture's dim 64; real corpora are 768-4096-dim and the
+inline-vs-checkpoint cosine trade plausibly flips there): `--dim D`
+(D a multiple of the source dim) EXPANDS each embedding to D dims by
+tiling ``D/dim`` blocks, block b the source vector circularly rotated
+by ``b*5 mod dim`` (block 0 unrotated). Rotations are orthogonal and
+IDENTICAL across vectors, so for any pair <u', v'> = (D/dim)·<u, v>
+and ‖u'‖ = √(D/dim)·‖u‖ — every pairwise COSINE is preserved
+EXACTLY. The high-dim fixture therefore has bit-identical candidate
+and pair structure to its dim-64 twin; only the per-dimension
+arithmetic scales, which is precisely the axis the A/B isolates.
 
 Deterministic, no RNG. DuckDB does all the work; ~seconds at sf0.1.
 """
@@ -94,8 +106,27 @@ def copy_select(table: str, src: str, i: int) -> str:
     )
 
 
+def expand_dim_sql(src_dim: int, target_dim: int) -> str:
+    """Tiled-rotation expansion expression (cosine-preserving; see
+    module docstring). ``b*5 mod dim`` with dim 64 gives 12 distinct
+    block rotations up to D=768 and stays distinct through D=4096."""
+    assert target_dim % src_dim == 0, (target_dim, src_dim)
+    blocks = []
+    for b in range(target_dim // src_dim):
+        r = (b * 5) % src_dim
+        if r == 0:
+            blocks.append("embedding")
+        else:
+            blocks.append(f"(embedding[{r + 1}:] || embedding[:{r}])")
+    return f"flatten([{', '.join(blocks)}])::FLOAT[] AS embedding"
+
+
 def main() -> int:
-    src, out, k = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    src, out, k = args[0], args[1], int(args[2])
+    target_dim = None
+    if "--dim" in sys.argv:
+        target_dim = int(sys.argv[sys.argv.index("--dim") + 1])
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     for table in COPY_UNCHANGED:
@@ -108,6 +139,15 @@ def main() -> int:
         union = " UNION ALL ".join(
             copy_select(table, src, i) for i in range(k)
         )
+        if table == "embeddings" and target_dim is not None:
+            src_dim = con.execute(
+                f"SELECT len(embedding) FROM "
+                f"read_parquet('{src}/{table}.parquet') LIMIT 1"
+            ).fetchone()[0]
+            union = (
+                f"SELECT vec_id, {expand_dim_sql(src_dim, target_dim)}, "
+                f"label FROM ({union})"
+            )
         con.execute(
             f"COPY ({union}) TO '{out}/{table}.parquet' (FORMAT PARQUET)"
         )
@@ -115,6 +155,12 @@ def main() -> int:
             f"SELECT COUNT(*) FROM read_parquet('{out}/{table}.parquet')"
         ).fetchone()[0]
         print(f"{table}: {n} rows ({k} copies)")
+    if target_dim is not None:
+        d = con.execute(
+            f"SELECT max(len(embedding)) FROM "
+            f"read_parquet('{out}/embeddings.parquet')"
+        ).fetchone()[0]
+        print(f"embeddings dim: {d}")
     return 0
 
 
