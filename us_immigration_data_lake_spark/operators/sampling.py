@@ -758,6 +758,33 @@ def training_order_pipeline(
 
     Returns (id, group, quality_bin, pos, v_time, global_pos) —
     resume = filter global_pos > checkpoint, identical to q228."""
+    weights, binned = _training_order_stages(
+        df, id_col, group_col, score_col, size_col,
+        cap=cap, alpha=alpha, n_bins=n_bins, lo=lo, hi=hi,
+    )
+    return mixture_interleave_order(
+        binned, id_col, group_col, weights,
+        epoch=epoch, stage_col="quality_bin",
+    )
+
+
+def _training_order_stages(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    score_col: str,
+    size_col: str,
+    *,
+    cap: int,
+    alpha: float,
+    n_bins: int,
+    lo: float,
+    hi: float,
+) -> tuple[DataFrame, DataFrame]:
+    """The EPOCH-INVARIANT prefix of the training-order pipeline
+    (cap → policy-on-capped → quality bins), shared by the one-epoch
+    and multi-epoch forms so E epochs never recompute it. Returns
+    (weights, binned)."""
     capped = per_group_cap(
         df.select(F.col(id_col), F.col(group_col), F.col(score_col),
                   F.col(size_col)),
@@ -771,7 +798,62 @@ def training_order_pipeline(
         F.col(id_col), F.col(group_col),
         quality_bin_expr(score_col, n_bins, lo, hi).alias("quality_bin"),
     )
-    return mixture_interleave_order(
-        binned, id_col, group_col, weights,
-        epoch=epoch, stage_col="quality_bin",
+    return weights, binned
+
+
+def training_order_epochs(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    score_col: str,
+    size_col: str,
+    *,
+    cap: int,
+    alpha: float,
+    epochs: int,
+    n_bins: int = 4,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    start_epoch: int = 0,
+) -> DataFrame:
+    """MULTI-EPOCH training order (r12 verdict ask #5): real runs
+    consume E epochs of the same capped corpus, each epoch a fresh
+    within-(bin, source) permutation — epoch_shuffle_order's
+    epoch-keyed hash rides mixture_interleave_order's ``epoch``
+    argument, so epoch e's WFQ positions come from md5('e|id') and no
+    two epochs read a source in the same order (the
+    anti-memorization property epoch reshuffling exists for), while
+    the CURRICULUM (bin sequence) and the MIXTURE (per-source shares,
+    every prefix of every bin) are identical across epochs by
+    construction.
+
+    The epoch-invariant stages (cap → policy-recomputed-on-capped →
+    fixed-axis bins) run ONCE — the binned frame is materialized with
+    an eager localCheckpoint and re-consumed by every epoch's
+    interleave, so E epochs cost E position exchanges + E range
+    exchanges on top of the one-time cap hash (NOT E recomputations
+    of the quality features; at corpus scale the feature pass
+    dominates, so this is the difference between O(corpus) and
+    O(E·corpus) feature work).
+
+    Returns (epoch, id, group, quality_bin, pos, v_time, global_pos);
+    pos/v_time/global_pos are PER-EPOCH (global_pos restarts at 1
+    each epoch) — resume-mid-run = filter
+    (epoch > e) OR (epoch = e AND global_pos > checkpoint)."""
+    weights, binned = _training_order_stages(
+        df, id_col, group_col, score_col, size_col,
+        cap=cap, alpha=alpha, n_bins=n_bins, lo=lo, hi=hi,
     )
+    binned = binned.localCheckpoint(eager=True)
+    out = None
+    for e in range(start_epoch, start_epoch + epochs):
+        part = mixture_interleave_order(
+            binned, id_col, group_col, weights,
+            epoch=e, stage_col="quality_bin",
+        ).select(
+            F.lit(e).cast("long").alias("epoch"),
+            id_col, group_col, "quality_bin", "pos", "v_time",
+            "global_pos",
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

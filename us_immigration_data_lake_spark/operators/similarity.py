@@ -44,9 +44,36 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+# Widest vector the UNROLLED dot-product form may be used at (r12
+# verdict ask #2 — the high-dimension regime). The unrolled sum is a
+# left-associative chain, one Catalyst analyzer stack frame per
+# element: COLD-session measured on this JVM, a dim-384 chain
+# analyzes fine and dim-512 dies with java.lang.StackOverflowError —
+# and the boundary is NOT stable (a session that ramped up through
+# smaller plans first JIT-compiled the analyzer's recursion into
+# smaller frames and survived dim 768). Half the measured cold floor
+# for margin. Above this width every dot/cosine/signature renders as
+# the HOF string (aggregate over zip_with) — a WIDE-but-SHALLOW tree
+# whose fold order is identical, so values stay bitwise-equal.
+UNROLL_MAX_DIM = 256
+
+
+def _dot_hof_sql(a: str, b: str) -> str:
+    """HOF dot product as one parsed SQL string: same left-to-right
+    0.0-seeded fold as the unrolled form (bitwise-equal values), tree
+    depth O(1) instead of O(dim). Interpreted per element — the
+    high-dim path, where the unrolled chain overflows the analyzer
+    stack (see UNROLL_MAX_DIM)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+
+
 def _dot_fixed_sql(a: str, b: str, dim: int) -> str:
-    """Unrolled dot product for a KNOWN vector width, rendered as ONE
-    SQL string. Two wins over the HOF form (zip_with/aggregate):
+    """Dot product for a KNOWN vector width, rendered as ONE SQL
+    string. Up to UNROLL_MAX_DIM the sum is unrolled; two wins over
+    the HOF form (zip_with/aggregate):
 
     - zip_with/aggregate evaluate interpreted, one lambda call per
       element — unrolling keeps the whole expression inside
@@ -56,9 +83,16 @@ def _dot_fixed_sql(a: str, b: str, dim: int) -> str:
       py4j round-trips PER dot product (3.5 s of driver time on q24's
       plan construction alone); one parsed string is one round-trip.
 
+    Above UNROLL_MAX_DIM the unrolled chain StackOverflows the
+    Catalyst analyzer (cold-session measured; see the constant), so
+    the HOF string is emitted instead — same fold order, bitwise-
+    equal values, depth-O(1) tree.
+
     The leading 0.0D seed and left-associative addition reproduce
-    F.aggregate's fold exactly, so values are bitwise-equal to both
-    prior forms (and to the DuckDB oracles generated against them)."""
+    F.aggregate's fold exactly, so values are bitwise-equal across
+    both forms (and to the DuckDB oracles generated against them)."""
+    if dim > UNROLL_MAX_DIM:
+        return _dot_hof_sql(a, b)
     terms = " + ".join(f"{a}[{d}] * {b}[{d}]" for d in range(dim))
     return f"(0.0D + {terms})"
 
@@ -221,14 +255,28 @@ def srp_signature(vec_col: str, planes: np.ndarray) -> Column:
     operator-by-operator (driver-side plan construction was the
     dominant cost of the LSH queries at gate scale). repr() literals
     round-trip IEEE-754 doubles exactly, and the unrolled left-fold
-    matches the previous HOF-aggregate fold bit-for-bit."""
+    matches the previous HOF-aggregate fold bit-for-bit.
+
+    Above UNROLL_MAX_DIM each per-plane dot renders as the HOF string
+    over a literal plane ARRAY instead of the unrolled chain (which
+    StackOverflows the analyzer there — see UNROLL_MAX_DIM): an array
+    literal is one wide-but-shallow node, and the HOF fold order is
+    identical, so bucket assignments are bit-identical across the two
+    forms (tested)."""
     parts = []
+    dim = planes.shape[1] if hasattr(planes, "shape") else len(planes[0])
     for i, plane in enumerate(planes):
-        terms = " + ".join(
-            f"{vec_col}[{j}] * {float(x)!r}D" for j, x in enumerate(plane)
-        )
+        if dim > UNROLL_MAX_DIM:
+            lits = ", ".join(f"{float(x)!r}D" for x in plane)
+            dot = _dot_hof_sql(vec_col, f"array({lits})")
+        else:
+            terms = " + ".join(
+                f"{vec_col}[{j}] * {float(x)!r}D"
+                for j, x in enumerate(plane)
+            )
+            dot = f"(0.0D + {terms})"
         parts.append(
-            f"shiftleft(CASE WHEN (0.0D + {terms}) > 0.0D THEN 1L ELSE 0L END, {i})"
+            f"shiftleft(CASE WHEN {dot} > 0.0D THEN 1L ELSE 0L END, {i})"
         )
     return F.expr("(" + " | ".join(parts) + ")")
 
@@ -1419,30 +1467,59 @@ def hard_negatives_indexed(
     candidate-generation occupancy that reproduces the measured 2 k→6,
     20 k→10 ladder (one eager count job at plan-build time).
 
-    Implementation note (A/B-measured, SCALE.md r12): the inline
-    signature + 3-dot unrolled cosine below deliberately does NOT use
-    _srp_sig_frame's checkpoint + precomputed-norm discipline — that
-    variant measured ~1.5× SLOWER cold at the 10× fixture (bisect:
-    the 1-dot ÷ n1·n2 form itself regresses on this shape). Re-run
-    the A/B before porting to dim ≥ 512.
+    Implementation note (A/B-measured, SCALE.md r12 + r13): at
+    MODERATE dims the inline signature + 3-dot unrolled cosine wins —
+    the checkpoint + precomputed-norm variant measured ~1.5× SLOWER
+    cold at the dim-64 10× fixture (bisect: the 1-dot ÷ n1·n2 form
+    itself regresses on this shape). At HIGH dims the trade flips:
+    the unrolled 3-dot cosine can't exist above UNROLL_MAX_DIM
+    (analyzer StackOverflow), and with the HOF cosine interpreted
+    per element, recomputing every signature and paying 3 dots per
+    pair loses to materializing the signature frame once and paying
+    1 dot ÷ n1·n2 (A/B-measured at dim 768, SCALE.md r13). The
+    dispatch threshold is UNROLL_MAX_DIM; both paths share exclusion
+    and ranking semantics and the same float sequence (n1·n2 is
+    sqrt(dot)·sqrt(dot) verbatim), so results are identical
+    (tested).
 
     Returns (query_id, neighbor_id, cosine_sim, neg_rank 1..k)."""
     if num_bits is None:
         num_bits = recommended_num_bits(df.count(), target_occupancy=24)
-    planes = srp_planes(dim, num_bits, seed)
-    base = (
-        df.select(F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v"))
-        .withColumn("bucket", srp_signature("__v", planes))
-        .join(
-            clusters.select(F.col(id_col).alias("__id"), F.col("cluster")),
-            "__id", "left",
+    if dim > UNROLL_MAX_DIM:
+        sig = _srp_sig_frame(df, id_col, vec_col, dim, num_bits, seed)
+        base = (
+            sig.join(
+                clusters.select(
+                    F.col(id_col).alias("__id"), F.col("cluster")
+                ),
+                "__id", "left",
+            )
+            .withColumn("cluster", F.coalesce("cluster", F.col("__id")))
         )
-        .withColumn("cluster", F.coalesce("cluster", F.col("__id")))
-    )
-    q = base.select(
-        F.col("__id").alias("query_id"), F.col("__v").alias("qv"),
-        F.col("cluster").alias("q_cluster"), "bucket",
-    )
+        q = base.select(
+            F.col("__id").alias("query_id"), F.col("__v").alias("qv"),
+            F.col("__n").alias("n1"),
+            F.col("cluster").alias("q_cluster"), "bucket",
+        )
+    else:
+        planes = srp_planes(dim, num_bits, seed)
+        base = (
+            df.select(
+                F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v")
+            )
+            .withColumn("bucket", srp_signature("__v", planes))
+            .join(
+                clusters.select(
+                    F.col(id_col).alias("__id"), F.col("cluster")
+                ),
+                "__id", "left",
+            )
+            .withColumn("cluster", F.coalesce("cluster", F.col("__id")))
+        )
+        q = base.select(
+            F.col("__id").alias("query_id"), F.col("__v").alias("qv"),
+            F.col("cluster").alias("q_cluster"), "bucket",
+        )
     if multiprobe:
         probes = F.array(
             F.col("bucket"),
@@ -1452,10 +1529,21 @@ def hard_negatives_indexed(
             ],
         )
         q = q.withColumn("bucket", F.explode(probes))
-    c = base.select(
-        F.col("__id").alias("neighbor_id"), F.col("__v").alias("cv"),
-        F.col("cluster").alias("c_cluster"), "bucket",
-    )
+    if dim > UNROLL_MAX_DIM:
+        c = base.select(
+            F.col("__id").alias("neighbor_id"), F.col("__v").alias("cv"),
+            F.col("__n").alias("n2"),
+            F.col("cluster").alias("c_cluster"), "bucket",
+        )
+        pair_cos = F.expr(_dot_fixed_sql("qv", "cv", dim)) / (
+            F.col("n1") * F.col("n2")
+        )
+    else:
+        c = base.select(
+            F.col("__id").alias("neighbor_id"), F.col("__v").alias("cv"),
+            F.col("cluster").alias("c_cluster"), "bucket",
+        )
+        pair_cos = _cosine_maybe_fixed("qv", "cv", dim)
     scored = (
         c.join(q, on="bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -1463,8 +1551,7 @@ def hard_negatives_indexed(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_cosine_maybe_fixed("qv", "cv", dim), 6)
-            .alias("cosine_sim"),
+            F.round(pair_cos, 6).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1474,3 +1561,84 @@ def hard_negatives_indexed(
         scored.withColumn("neg_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("neg_rank") <= k)
     )
+
+
+def hard_negative_recall(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int,
+    dim: int,
+    dup_threshold: float,
+    configs: tuple[tuple[int, bool], ...] = ((2, False), (2, True),
+                                             (4, True), (6, True)),
+    seed: int = 42,
+) -> DataFrame:
+    """NEGATIVE recall of the indexed hard-negative miner against the
+    all-pairs ground truth — q221's calibration idiom applied to
+    mining (r12 verdict ask #3: q233's speed axis had no quality
+    axis). ann_recall_at_k prices srp_lsh_knn's NEIGHBOR recall, but
+    mining usefulness depends on how many of the true top-k hard
+    NEGATIVES (post cluster-exclusion) the probed buckets recover —
+    a different quantity, because exclusion eats part of every
+    bucket's candidates and rank k refills from whatever survives.
+
+    Both sides share the SAME exclusion clusters (the exact pair
+    graph's connected components, ``hard_negatives``'s own frame), so
+    the measured gap isolates CANDIDATE-GENERATION coverage — exactly
+    the knob num_bits/multiprobe tunes. Per config (num_bits,
+    multiprobe): micro-averaged recall = |indexed ∩ exact| / |exact|
+    over all (query, neighbor) pairs.
+
+    Returns one row per config: (num_bits, multiprobe 0/1, n_queries,
+    n_exact, hits, recall), ordered by (num_bits, multiprobe).
+
+    Scale: the ground-truth side is the all-pairs plan — this is an
+    OFFLINE calibration loop over the restricted mining slice (run it
+    at bits b-1/b/b+1 around recommended_num_bits's pick, deploy the
+    cheapest config whose recall clears target; SCALE.md r13 pairs
+    these recalls with q233's speed ladder). The exact side and the
+    cluster frame are built ONCE (eager checkpoint) and reused by
+    every config."""
+    from us_immigration_data_lake_spark.operators.dedup import (
+        dedup_survivors,
+    )
+
+    exact = hard_negatives(
+        df, id_col, vec_col, k=k, dim=dim, dup_threshold=dup_threshold
+    )
+    e = exact.select("query_id", "neighbor_id").localCheckpoint(eager=True)
+    pairs = cosine_near_dup_pairs(df, id_col, vec_col, dup_threshold)
+    clusters = (
+        dedup_survivors(df, pairs.select("id1", "id2"), id_col)
+        .select(F.col(id_col), F.col("cluster"))
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for bits, mp in configs:
+        idx = hard_negatives_indexed(
+            df, id_col, vec_col, clusters, k=k, dim=dim, num_bits=bits,
+            seed=seed, multiprobe=mp,
+        )
+        marked = e.join(
+            idx.select("query_id", "neighbor_id").withColumn(
+                "__hit", F.lit(1)
+            ),
+            ["query_id", "neighbor_id"], "left",
+        )
+        stat = marked.agg(
+            F.count_distinct("query_id").cast("long").alias("n_queries"),
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("hits"),
+        ).select(
+            F.lit(bits).cast("long").alias("num_bits"),
+            F.lit(int(mp)).cast("long").alias("multiprobe"),
+            "n_queries", "n_exact", "hits",
+            F.round(
+                F.col("hits").cast("double") / F.col("n_exact").cast("double"),
+                6,
+            ).alias("recall"),
+        )
+        out = stat if out is None else out.unionByName(stat)
+    return out.orderBy("num_bits", "multiprobe")

@@ -14510,10 +14510,11 @@ def q233_hard_negatives_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q234_CAP, _Q234_BINS, _Q234_EPOCH, _Q234_ALPHA = 18, 4, 1, 0.3
 
 
-def _q234_oracle_sql() -> str:
-    cap, nb, ep, a = _Q234_CAP, _Q234_BINS, _Q234_EPOCH, _Q234_ALPHA
-    return f"""
-    WITH tok AS (
+def _training_order_oracle_prefix(cap: int, nb: int, a: float) -> str:
+    """Epoch-invariant CTE chain of the training-order oracle
+    (tok -> features -> score -> cap -> temperature policy), shared
+    verbatim by q234 (one epoch) and q237 (multi-epoch)."""
+    return f"""WITH tok AS (
       SELECT doc_id, source,
              list_filter(string_split_regex(trim(text), '\\s+'),
                          t -> t <> '') AS toks
@@ -14557,25 +14558,39 @@ def _q234_oracle_sql() -> str:
       SELECT g."group",
              CAST(ROUND(1000000.0 * g.w_micro / s.ww) AS BIGINT) AS q_ppm
       FROM wgt g, ws s
-    ), keyed AS (
+    )"""
+
+
+def _training_order_oracle_epoch_block(nb: int, ep: int, suffix: str) -> str:
+    """One epoch's keyed/pos/vt CTEs, names suffixed so q237 can
+    instantiate several; the fold/ordering text is q234's verbatim."""
+    keyed, pos, vt = f"keyed{suffix}", f"pos{suffix}", f"vt{suffix}"
+    return f""", {keyed} AS (
       SELECT doc_id, source,
              LEAST(GREATEST(CAST(FLOOR(quality_score / (1.0 / {nb}))
                                  AS BIGINT), 0), {nb - 1}) AS quality_bin,
              ('0x' || substr(md5('{ep}|' || CAST(doc_id AS VARCHAR)),
                              1, 15))::BIGINT AS k
       FROM capped
-    ), pos AS (
+    ), {pos} AS (
       SELECT doc_id, source, quality_bin,
              CAST(ROW_NUMBER() OVER (PARTITION BY quality_bin, source
                                      ORDER BY k, doc_id) AS BIGINT) AS pos
-      FROM keyed
-    ), vt AS (
+      FROM {keyed}
+    ), {vt} AS (
       SELECT p.doc_id, p.source, p.quality_bin, p.pos,
              p.pos * CAST(ROUND(1000000000000.0 / w.q_ppm) AS BIGINT)
                AS v_time
-      FROM pos p JOIN w ON p.source = w."group"
+      FROM {pos} p JOIN w ON p.source = w."group"
       WHERE w.q_ppm > 0
-    )
+    )"""
+
+
+def _q234_oracle_sql() -> str:
+    cap, nb, ep, a = _Q234_CAP, _Q234_BINS, _Q234_EPOCH, _Q234_ALPHA
+    return f"""
+    {_training_order_oracle_prefix(cap, nb, a)}
+    {_training_order_oracle_epoch_block(nb, ep, "")}
     SELECT doc_id, source, quality_bin, pos, v_time,
            CAST(ROW_NUMBER() OVER (ORDER BY quality_bin, v_time, source,
                                    doc_id) AS BIGINT) AS global_pos
@@ -14693,3 +14708,205 @@ def q235_line_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")).alias("text"),
     )
     return ts_ops.line_repetition_stats(ml, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Q236 — hard-negative RECALL calibration (operators/similarity.py:
+# hard_negative_recall, new r13 — the r12 verdict's ask #3: q233's
+# speed axis had no quality axis). Per (num_bits, multiprobe) config,
+# the micro-averaged share of the true top-k hard negatives (q230's
+# all-pairs, cluster-excluded ground truth) that the SRP-indexed
+# miner recovers — BOTH sides sharing the exact pair graph's
+# exclusion clusters, so the measured gap isolates candidate-
+# generation coverage, the knob the bits-growth rule
+# (recommended_num_bits) trades against speed. Oracle: q230's
+# recursive-reachability exact replay + one q233-idiom indexed replay
+# per config (plane literals at full precision, multiprobe unnest),
+# joined and aggregated. SCALE.md r13 pairs these recalls with the
+# q233 speed ladder at bits 6/8/10.
+# ---------------------------------------------------------------------------
+
+_Q236_N, _Q236_K, _Q236_THR = 150, 5, 0.35
+_Q236_CONFIGS = ((2, False), (2, True), (4, True), (6, True))
+
+
+def _q236_oracle_sql() -> str:
+    n, k, thr = _Q236_N, _Q236_K, _Q236_THR
+
+    def config_ctes(bits: int, mp: bool) -> tuple[str, str]:
+        planes = sim_ops.srp_planes(EMBEDDING_DIM, num_bits=bits, seed=42)
+
+        def dot_expr(i: int) -> str:
+            return " + ".join(
+                f"v[{j + 1}]*({float(planes[i][j])!r})"
+                for j in range(EMBEDDING_DIM)
+            )
+
+        sig = " + ".join(
+            f"(CASE WHEN ({dot_expr(i)}) > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(bits)
+        )
+        probes = ", ".join(
+            ["bucket"]
+            + ([f"xor(bucket, {1 << i})" for i in range(bits)] if mp else [])
+        )
+        tag = f"{bits}_{int(mp)}"
+        cte = f"""b_{tag} AS MATERIALIZED (
+      SELECT vec_id, v, cluster, CAST({sig} AS BIGINT) AS bucket FROM cl
+    ), probed_{tag} AS (
+      SELECT vec_id AS query_id, v AS qv, cluster AS q_cluster,
+             unnest(list_value({probes})) AS bucket
+      FROM b_{tag}
+    ), idx_{tag} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT s.query_id, s.neighbor_id, ROW_NUMBER() OVER (
+          PARTITION BY s.query_id
+          ORDER BY s.cosine_sim DESC, s.neighbor_id) AS rn
+        FROM (
+          SELECT p.query_id, c.vec_id AS neighbor_id,
+                 ROUND(list_cosine_similarity(p.qv, c.v), 6) AS cosine_sim
+          FROM probed_{tag} p JOIN b_{tag} c USING (bucket)
+          WHERE p.query_id <> c.vec_id AND p.q_cluster <> c.cluster
+        ) s
+      ) WHERE rn <= {k}
+    )"""
+        stat = f"""SELECT CAST({bits} AS BIGINT) AS num_bits,
+             CAST({int(mp)} AS BIGINT) AS multiprobe,
+             CAST(COUNT(DISTINCT e.query_id) AS BIGINT) AS n_queries,
+             CAST(COUNT(*) AS BIGINT) AS n_exact,
+             CAST(COALESCE(SUM(CASE WHEN i.query_id IS NOT NULL
+                                    THEN 1 END), 0) AS BIGINT) AS hits,
+             ROUND(COALESCE(SUM(CASE WHEN i.query_id IS NOT NULL
+                                     THEN 1 END), 0) * 1.0
+                   / COUNT(*), 6) AS recall
+      FROM exact e LEFT JOIN idx_{tag} i
+        ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id"""
+        return cte, stat
+
+    ctes, stats = [], []
+    for bits, mp in _Q236_CONFIGS:
+        cte, stat = config_ctes(bits, mp)
+        ctes.append(cte)
+        stats.append(stat)
+    all_ctes = ",\n    ".join(ctes)
+    union = "\n      UNION ALL\n      ".join(f"({s})" for s in stats)
+    return f"""
+    WITH RECURSIVE base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id < {n}
+    ), pairs AS MATERIALIZED (
+      SELECT a.vec_id AS id1, b.vec_id AS id2
+      FROM base a JOIN base b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= {thr}
+    ), edges AS MATERIALIZED (
+      SELECT id1 AS src, id2 AS dst FROM pairs
+      UNION SELECT id2, id1 FROM pairs
+    ), reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      WHERE e.dst <> r.src
+    ), labels AS MATERIALIZED (
+      SELECT src AS id, LEAST(src, MIN(dst)) AS cluster
+      FROM reach GROUP BY src
+    ), cl AS MATERIALIZED (
+      SELECT b.vec_id, b.v, COALESCE(l.cluster, b.vec_id) AS cluster
+      FROM base b LEFT JOIN labels l ON b.vec_id = l.id
+    ), exact AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT s.query_id, s.neighbor_id, ROW_NUMBER() OVER (
+          PARTITION BY s.query_id
+          ORDER BY s.cosine_sim DESC, s.neighbor_id) AS rn
+        FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 ROUND(list_cosine_similarity(q.v, c.v), 6) AS cosine_sim
+          FROM cl q JOIN cl c
+            ON q.vec_id <> c.vec_id AND q.cluster <> c.cluster
+        ) s
+      ) WHERE rn <= {k}
+    ),
+    {all_ctes}
+    SELECT * FROM (
+      {union}
+    ) ORDER BY num_bits, multiprobe
+    """
+
+
+@_register(
+    "q236_hard_negative_recall",
+    oracle=_q236_oracle_sql(),
+    tags=("similarity", "contrastive", "hard-negatives", "recall",
+          "calibration", "lsh", "portable"),
+)
+def q236_hard_negative_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _Q236_N)
+    return sim_ops.hard_negative_recall(
+        emb, "vec_id", "embedding", k=_Q236_K, dim=EMBEDDING_DIM,
+        dup_threshold=_Q236_THR, configs=_Q236_CONFIGS, seed=42,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q237 — MULTI-EPOCH training order (operators/sampling.py:
+# training_order_epochs, new r13 — the r12 verdict's ask #5): real
+# training runs consume E epochs of q234's order, each epoch a fresh
+# epoch-keyed within-(bin, source) permutation (md5('e|id'), q224's
+# contract) while the curriculum and the mixture shares stay
+# identical across epochs by construction. The epoch-invariant prefix
+# (cap → policy-on-capped → bins) runs ONCE (eager checkpoint) and
+# feeds every epoch's interleave; pos/v_time/global_pos restart per
+# epoch, so resume-mid-run is the (epoch, global_pos) filter. Oracle:
+# q234's verbatim CTE chain + one epoch block per epoch, UNION ALL
+# with the epoch literal.
+# ---------------------------------------------------------------------------
+
+_Q237_EPOCHS = 2
+
+
+def _q237_oracle_sql() -> str:
+    cap, nb, a = _Q234_CAP, _Q234_BINS, _Q234_ALPHA
+    blocks = "".join(
+        _training_order_oracle_epoch_block(nb, e, f"_e{e}")
+        for e in range(_Q237_EPOCHS)
+    )
+    selects = "\n      UNION ALL\n      ".join(
+        f"""(SELECT CAST({e} AS BIGINT) AS epoch, doc_id, source,
+             quality_bin, pos, v_time,
+             CAST(ROW_NUMBER() OVER (ORDER BY quality_bin, v_time,
+                                     source, doc_id) AS BIGINT)
+               AS global_pos
+      FROM vt_e{e})"""
+        for e in range(_Q237_EPOCHS)
+    )
+    return f"""
+    {_training_order_oracle_prefix(cap, nb, a)}
+    {blocks}
+    SELECT * FROM (
+      {selects}
+    )
+    """
+
+
+@_register(
+    "q237_training_order_epochs",
+    oracle=_q237_oracle_sql(),
+    tags=("sampling", "order", "mixture", "curriculum", "epochs",
+          "training", "portable"),
+)
+def q237_training_order_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_immigration_data_lake_spark.operators.sampling import (
+        training_order_epochs,
+    )
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    scored = ts_ops.quality_score(ts_ops.text_features(docs, "doc_id", "text"))
+    base = scored.select("doc_id", "n_tokens", "quality_score").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return training_order_epochs(
+        base, "doc_id", "source", "quality_score", "n_tokens",
+        cap=_Q234_CAP, alpha=_Q234_ALPHA, epochs=_Q237_EPOCHS,
+        n_bins=_Q234_BINS,
+    )
