@@ -63,7 +63,14 @@ def _canon(rows, cols):
 # Per-query pytest granularity is preserved: the pool memoizes either
 # the collected payload or the exception, and each parametrized test
 # reports its own query's outcome.
+#
+# The sweep LAUNCHES at collection-finish (conftest's background-sweep
+# hook, r12 verdict ask #6) so it overlaps the empty sweep, the plan
+# lint AND the front half of the suite instead of blocking at its
+# alphabetical slot; `prefetched` joins the future. -k runs / xdist /
+# collect-only get no background launch and fall back inline.
 _PREFETCH: dict[str, tuple] = {}
+_SWEEP_FUTURE = None
 
 
 def _run_one(spark, name):
@@ -76,23 +83,41 @@ def _run_one(spark, name):
         return ("err", e)
 
 
+def _selected_names(nodeids):
+    names = [
+        n.split("[", 1)[1].rstrip("]")
+        for n in nodeids
+        if "test_query_matches_oracle[" in n
+    ]
+    return [n for n in dict.fromkeys(names) if n in QUERIES] or list(QUERIES)
+
+
+def _sweep(spark, names):
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        for name, payload in zip(
+            names, ex.map(lambda n: _run_one(spark, n), names)
+        ):
+            _PREFETCH[name] = payload
+    return _PREFETCH
+
+
+def start_background_sweep(spark, nodeids, executor):
+    global _SWEEP_FUTURE
+    if any("test_query_matches_oracle[" in n for n in nodeids):
+        _SWEEP_FUTURE = executor.submit(_sweep, spark, _selected_names(nodeids))
+
+
 @pytest.fixture(scope="module")
 def prefetched(spark, request):
+    if _SWEEP_FUTURE is not None:
+        return _SWEEP_FUTURE.result(timeout=1800)
     if not _PREFETCH:
-        from concurrent.futures import ThreadPoolExecutor
-
         # prefetch only the SELECTED queries (a -k filtered run must
-        # not pay the full 205-query sweep)
-        names = []
-        for item in request.session.items:
-            if "test_query_matches_oracle[" in item.nodeid:
-                names.append(item.nodeid.split("[", 1)[1].rstrip("]"))
-        names = [n for n in dict.fromkeys(names) if n in QUERIES] or list(QUERIES)
-        with ThreadPoolExecutor(max_workers=24) as ex:
-            for name, payload in zip(
-                names, ex.map(lambda n: _run_one(spark, n), names)
-            ):
-                _PREFETCH[name] = payload
+        # not pay the full registry sweep)
+        nodeids = [item.nodeid for item in request.session.items]
+        _sweep(spark, _selected_names(nodeids))
     return _PREFETCH
 
 

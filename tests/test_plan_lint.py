@@ -96,7 +96,10 @@ def test_report_orders_errors_first(spark):
     assert report.index("[ERROR") < report.index("[INFO")
 
 
-def test_registry_lints_clean(spark):
+_SWEEP_FUTURE = None
+
+
+def _registry_sweep(spark):
     # REGISTRY-WIDE gate (r5, promoted from the r2–r4 bench-only
     # sweep per the r4 verdict): every registered batch query's
     # physical plan must carry zero error-severity findings, except
@@ -124,6 +127,22 @@ def test_registry_lints_clean(spark):
     batch = [
         (n, s) for n, s in QUERIES.items() if "streaming" not in s.tags
     ]
-    with ThreadPoolExecutor(max_workers=24) as ex:
-        failures = {n: e for n, e in ex.map(check, batch) if e}
+    with ThreadPoolExecutor(max_workers=12) as ex:
+        return {n: e for n, e in ex.map(check, batch) if e}
+
+
+def start_background_sweep(spark, nodeids, executor):
+    # launched at collection-finish (conftest hook, r12 verdict ask
+    # #6) so the full-registry lint overlaps the parity prefetch, the
+    # empty sweep and the front of the suite
+    global _SWEEP_FUTURE
+    if any("test_registry_lints_clean" in n for n in nodeids):
+        _SWEEP_FUTURE = executor.submit(_registry_sweep, spark)
+
+
+def test_registry_lints_clean(spark):
+    if _SWEEP_FUTURE is not None:
+        failures = _SWEEP_FUTURE.result(timeout=1800)
+    else:
+        failures = _registry_sweep(spark)
     assert failures == {}
