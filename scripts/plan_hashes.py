@@ -92,7 +92,17 @@ def compute(only: list[str] | None = None) -> dict[str, str]:
             continue
         df = spec.fn(spark, SF_DIR)
         plan = df._jdf.queryExecution().optimizedPlan().toString()
-        tokens = sorted(re.findall(r"[A-Za-z0-9_.]+", normalize(plan)))
+        # tokenize ALNUM runs AND punctuation runs (r13: the
+        # alnum-only tokenizer was blind to punctuation-only plan
+        # changes — a split regex literal flipping "\n" -> "\r?\n",
+        # or a filter flipping < to <=, hashed identically and never
+        # reached the re-gate tier). Whitespace inside string
+        # literals (e.g. a real CR/LF in a separator literal) still
+        # splits tokens, but the RUN CONTENTS differ, which is what
+        # the multiset hash needs.
+        tokens = sorted(
+            re.findall(r"[A-Za-z0-9_.]+|[^\sA-Za-z0-9_.]+", normalize(plan))
+        )
         hashes[name] = hashlib.sha1(
             " ".join(tokens).encode("utf-8", "replace")
         ).hexdigest()
