@@ -3072,6 +3072,134 @@ def test_training_order_pipeline_stage_pins(spark):
     assert last_of_bin1 < first_of_bin2
 
 
+def test_training_order_epochs_pins_and_reshuffle(spark):
+    """q237's contracts: E epochs of q234's order — (a) epoch 1 of the
+    two-epoch run is ROW-IDENTICAL to q234's single-epoch output
+    (q234 runs at epoch=1; same md5('1|id') keys, same policy, same
+    bins), so the multi-epoch composition provably reuses the
+    single-epoch semantics; (b) each epoch is a dense per-epoch
+    permutation 1..360 over the SAME capped id set; (c) the two
+    epochs' within-corpus orders actually differ (the epoch-keyed
+    reshuffle is live, not a copy)."""
+    from us_immigration_data_lake_spark.plans.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    multi = QUERIES["q237_training_order_epochs"].fn(spark, sf).collect()
+    single = QUERIES["q234_training_order_pipeline"].fn(spark, sf).collect()
+
+    by_epoch: dict = {}
+    for r in multi:
+        by_epoch.setdefault(r.epoch, []).append(r)
+    assert set(by_epoch) == {0, 1}
+
+    # (a) epoch-1 slice == q234 (modulo the epoch column)
+    strip = lambda r: (r.doc_id, r.source, r.quality_bin,  # noqa: E731
+                       r.pos, r.v_time, r.global_pos)
+    assert sorted(map(strip, by_epoch[1])) == sorted(map(strip, single))
+
+    # (b) dense per-epoch permutations over the same capped ids
+    ids = {r.doc_id for r in single}
+    for e in (0, 1):
+        rows = by_epoch[e]
+        assert {r.doc_id for r in rows} == ids
+        assert sorted(r.global_pos for r in rows) == list(range(1, 361))
+
+    # (c) the reshuffle is live: the two epochs disagree somewhere
+    order = {e: [r.doc_id for r in sorted(by_epoch[e],
+                                          key=lambda r: r.global_pos)]
+             for e in (0, 1)}
+    assert order[0] != order[1]
+
+
+def test_hard_negatives_indexed_highdim_matches_reference(spark):
+    """The dim > UNROLL_MAX_DIM checkpoint path of
+    hard_negatives_indexed against an engine-free python replay
+    (left-to-right folds throughout, the _dot_hof_sql order): same
+    buckets, same multiprobe candidates, same exclusion, same
+    ranking — so the high-dim dispatch (r12 verdict ask #2) changes
+    the COST model only, never the rows."""
+    import math
+
+    dim, bits, k, n = 320, 3, 3, 60
+    assert dim > sim.UNROLL_MAX_DIM
+    base = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).filter(F.col("vec_id") < n).select("vec_id", "embedding").collect()
+    # tile 64 -> 320 (5 rotated blocks, the --dim fixture recipe)
+    vecs = {}
+    for r in base:
+        v = [float(x) for x in r.embedding]
+        big = []
+        for b in range(5):
+            rot = (b * 5) % 64
+            big.extend(v[rot:] + v[:rot])
+        vecs[r.vec_id] = big
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    clusters_rows = [(i, i % 7) for i in vecs]  # synthetic exclusion
+    clusters = spark.createDataFrame(
+        clusters_rows, "vec_id long, cluster long"
+    )
+    got = {(r.query_id, r.neg_rank): (r.neighbor_id, r.cosine_sim)
+           for r in sim.hard_negatives_indexed(
+               df, "vec_id", "embedding", clusters, k=k, dim=dim,
+               num_bits=bits, seed=7, multiprobe=True).collect()}
+
+    def ltr_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    planes = sim.srp_planes(dim, num_bits=bits, seed=7)
+    bucket = {
+        i: sum((1 << b) for b in range(bits)
+               if ltr_dot([float(p) for p in planes[b]], v) > 0.0)
+        for i, v in vecs.items()
+    }
+    cl = dict(clusters_rows)
+    want = {}
+    for q in vecs:
+        probed = {bucket[q]} | {bucket[q] ^ (1 << b) for b in range(bits)}
+        cand = []
+        for c in vecs:
+            if c == q or cl[c] == cl[q] or bucket[c] not in probed:
+                continue
+            cos = round(
+                ltr_dot(vecs[q], vecs[c])
+                / (math.sqrt(ltr_dot(vecs[q], vecs[q]))
+                   * math.sqrt(ltr_dot(vecs[c], vecs[c]))), 6)
+            cand.append((-cos, c))
+        for rank, (negcos, c) in enumerate(sorted(cand)[:k], start=1):
+            want[(q, rank)] = (c, -negcos)
+    assert got == want
+
+
+def test_hard_negative_recall_theorems(spark):
+    """hard_negative_recall's structural guarantees, independent of
+    fixture geometry: hits <= n_exact; recall = round(hits/n_exact);
+    and at equal bits, multiprobe recall >= single-probe recall — a
+    THEOREM, because multiprobe's candidate set is a superset and any
+    candidate that displaces an exact-top-k member from the indexed
+    top-k would itself belong to the exact top-k (same deterministic
+    tiebreak both sides)."""
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).filter(F.col("vec_id") < 120)
+    out = {(r.num_bits, r.multiprobe): r for r in sim.hard_negative_recall(
+        emb, "vec_id", "embedding", k=4, dim=64, dup_threshold=0.35,
+        configs=((2, False), (2, True), (3, True)), seed=42,
+    ).collect()}
+    assert set(out) == {(2, 0), (2, 1), (3, 1)}
+    for r in out.values():
+        assert 0 <= r.hits <= r.n_exact
+        assert r.recall == round(r.hits / r.n_exact, 6)
+        assert r.n_queries > 0
+    assert out[(2, 1)].recall >= out[(2, 0)].recall
+
+
 def test_census_plan_matches_legacy_aggregates(mega_band):
     """r12 census consolidation: the single (keys, __n, __anchor)
     census must be value-equivalent to the three r11 aggregates it
