@@ -146,3 +146,63 @@ def test_registry_lints_clean(spark):
     else:
         failures = _registry_sweep(spark)
     assert failures == {}
+
+
+def test_union_partitioned_aggregate_flagged(spark):
+    """r13 wrong-results root-cause as a permanent gate. The measured
+    bad variant: a keyed aggregate over a union whose children BOTH
+    end in a repartition on the key, composed into a self-join of the
+    union against its own aggregate — the aggregate skips its
+    exchange and emits one group per union child (the trainers'
+    gradients silently doubled). The linter flags the tree shape as a
+    WARN (the identical tree is provably sound in six green sketch
+    queries whose runtime exchanges differ — the decider is the AQE
+    final plan, invisible to a tree heuristic); the hard gate is the
+    VALUE regression below: the shipped hashed_token_features (bias
+    branch unspread) must self-join 1:1 against its own per-doc
+    aggregate."""
+    from us_immigration_data_lake_spark.functions.hashing import md5_long
+    from us_immigration_data_lake_spark.operators.dedup import spread_by_id
+    from us_immigration_data_lake_spark.operators.training import (
+        hashed_token_features,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).filter(F.col("text").isNotNull())
+    base = spread_by_id(docs, "doc_id").select(
+        "doc_id",
+        F.filter(
+            F.split(F.trim(F.lower(F.col("text"))), r"[ \t]+"),
+            lambda t: t != F.lit(""),
+        ).alias("__toks"),
+    )
+    feats_bad = (
+        base.select("doc_id", F.explode("__toks").alias("__t"))
+        .select(
+            "doc_id", F.pmod(md5_long("__t"), F.lit(512)).alias("bucket")
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bias_bad = base.select(
+        "doc_id",
+        F.lit(-1).cast("long").alias("bucket"),
+        F.lit(1).cast("long").alias("cnt"),
+    )
+    z_bad = feats_bad.unionByName(bias_bad).groupBy("doc_id").agg(
+        F.sum("cnt").alias("s")
+    )
+    assert "union-partitioned-aggregate" in _rules(lint_plan(z_bad), "warn")
+
+    good = hashed_token_features(docs, "doc_id", "text")
+    z_good = good.groupBy("doc_id").agg(F.sum("cnt").alias("s"))
+    assert "union-partitioned-aggregate" not in _rules(lint_plan(z_good))
+    # THE regression: the self-join composition that doubled on the
+    # old shape (u ⋈ agg(u) produced 2x rows because agg(u) emitted
+    # one group per union child) must be exactly 1:1 on the fix —
+    # uncached, the production state after any eviction
+    assert good.join(z_good, "doc_id").count() == good.count()
+    assert z_good.groupBy("doc_id").count().filter(
+        F.col("count") > 1
+    ).count() == 0

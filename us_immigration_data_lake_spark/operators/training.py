@@ -28,10 +28,13 @@ Plan shape per round: ONE job — score (broadcast join of the <=
 num_buckets-row weight frame + groupBy(doc)), error (per-row clamp
 arithmetic), gradient (groupBy(bucket)), then a model-sized collect
 (<= num_buckets+1 rows, the IVF-codebook-style sanctioned collect).
-k rounds = k jobs over a cached feature frame. At 100 TB: persist the
-feature frame once (one tokenize scan), then each round is one
-aggregate pass — textbook full-batch distributed GD, with the model
-always driver-sized and broadcast back.
+k rounds = k jobs over an eagerly CHECKPOINTED feature frame (not
+merely cached — r13: a cached frame is an eviction away from
+re-planning as raw lineage, and this module's union shape
+double-counted gradients there; see hashed_token_features). At
+100 TB: checkpoint the feature frame once (one tokenize scan), then
+each round is one aggregate pass — textbook full-batch distributed
+GD, with the model always driver-sized and broadcast back.
 """
 
 from __future__ import annotations
@@ -57,10 +60,26 @@ def hashed_token_features(
     intercept row (bucket = -1, cnt = 1) per document. Buckets are
     pmod(md5_long(token), num_buckets) — md5-based so an external
     engine replays every bucket (functions/hashing.py). NULL-text
-    rows are excluded (they have no token evidence to train on)."""
-    base = spread_by_id(
-        df.filter(F.col(text_col).isNotNull()), id_col
-    ).select(
+    rows are excluded (they have no token evidence to train on).
+
+    The bias branch deliberately comes from the UNSPREAD input, NOT
+    from the spread tokenize branch (r13 wrong-results root-cause):
+    when BOTH union children end in RepartitionByExpression(id), the
+    physical Union advertises the common hash partitioning, and a
+    downstream aggregate on the id skips its exchange — but each id
+    lives in TWO partitions (one per child), so the "final" aggregate
+    emits duplicate groups. In the trainers that doubled every
+    gradient whenever the feature frame was NOT cached (caching
+    inserted the materialization barrier that masked the bug; a
+    concurrent clearCache() or ordinary executor-memory eviction
+    exposed it). The unspread bias child reports the scan's
+    partitioning, the Union degrades to Unknown, and downstream
+    aggregates shuffle correctly — and the doc-list exchange this
+    branch used to pay disappears. plans/lint.py's
+    union-partitioned-aggregate rule now flags the bad shape
+    registry-wide."""
+    filtered = df.filter(F.col(text_col).isNotNull())
+    base = spread_by_id(filtered, id_col).select(
         F.col(id_col),
         F.filter(
             F.split(F.trim(F.lower(F.col(text_col))), _WS),
@@ -76,7 +95,7 @@ def hashed_token_features(
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    bias = base.select(
+    bias = filtered.select(
         F.col(id_col),
         F.lit(-1).cast("long").alias("bucket"),
         F.lit(1).cast("long").alias("cnt"),
@@ -133,50 +152,57 @@ def train_logreg_hashed(
     )
     feats = hashed_token_features(df, id_col, text_col, num_buckets)
 
-    cached = [labels.cache(), feats.cache()]
-    try:
-        n = labels.count()
-        if n == 0:
-            return spark.createDataFrame([], "bucket long, w_pm long")
-        w: dict[int, int] = {}
-        for r in range(rounds):
-            m = lr_den * 4 * n * ((r + 1) if decay else 1)
-            wdf = spark.createDataFrame(
-                list(w.items()) or [], "bucket long, __w long"
-            )
-            z = (
-                feats.join(F.broadcast(wdf), "bucket", "left")
-                .groupBy(id_col)
-                .agg(
-                    F.sum(F.coalesce(F.col("__w"), F.lit(0)) * F.col("cnt"))
-                    .alias("__z")
-                )
-            )
-            err = labels.join(z, id_col).select(
-                F.col(id_col),
-                (
-                    F.lit(4_000_000) * F.col("__y")
-                    - F.least(
-                        F.lit(4_000_000),
-                        F.greatest(F.lit(0), F.col("__z") + F.lit(2_000_000)),
-                    )
-                ).alias("__e"),
-            )
-            grad = (
-                feats.join(err, id_col)
-                .groupBy("bucket")
-                .agg(F.sum(F.col("__e") * F.col("cnt")).alias("__g"))
-                .collect()  # model-sized: <= num_buckets + 1 rows
-            )
-            for row in grad:
-                # python // is floor division == the SQL pmod formula
-                w[row["bucket"]] = w.get(row["bucket"], 0) + row["__g"] // m
-        return spark.createDataFrame(
-            sorted(w.items()), "bucket long, w_pm long"
+    # EAGER localCheckpoint, not cache() (r13 wrong-results root-cause,
+    # see hashed_token_features): a cached feature frame is an eviction
+    # away from re-planning as the raw union lineage, whose falsely
+    # co-partitioned shape double-counted every gradient — a routine
+    # event under executor memory pressure at corpus scale (and
+    # reproduced locally with a concurrent clearCache()). The
+    # checkpoint truncates lineage to a LogicalRDD: the iteration reads
+    # materialized rows, cannot be silently re-derived mid-train, and
+    # every downstream aggregate plans its own exchange.
+    labels = labels.localCheckpoint(eager=True)
+    feats = feats.localCheckpoint(eager=True)
+    n = labels.count()
+    if n == 0:
+        return spark.createDataFrame([], "bucket long, w_pm long")
+    w: dict[int, int] = {}
+    for r in range(rounds):
+        m = lr_den * 4 * n * ((r + 1) if decay else 1)
+        wdf = spark.createDataFrame(
+            list(w.items()) or [], "bucket long, __w long"
         )
-    finally:
-        for frame in cached:
-            frame.unpersist()
+        z = (
+            feats.join(F.broadcast(wdf), "bucket", "left")
+            .groupBy(id_col)
+            .agg(
+                F.sum(F.coalesce(F.col("__w"), F.lit(0)) * F.col("cnt"))
+                .alias("__z")
+            )
+        )
+        err = labels.join(z, id_col).select(
+            F.col(id_col),
+            (
+                F.lit(4_000_000) * F.col("__y")
+                - F.least(
+                    F.lit(4_000_000),
+                    F.greatest(F.lit(0), F.col("__z") + F.lit(2_000_000)),
+                )
+            ).alias("__e"),
+        )
+        grad = (
+            feats.join(err, id_col)
+            .groupBy("bucket")
+            .agg(F.sum(F.col("__e") * F.col("cnt")).alias("__g"))
+            .collect()  # model-sized: <= num_buckets + 1 rows
+        )
+        for row in grad:
+            # python // is floor division == the SQL pmod formula
+            w[row["bucket"]] = w.get(row["bucket"], 0) + row["__g"] // m
+    return spark.createDataFrame(
+        sorted(w.items()), "bucket long, w_pm long"
+    )
+
 
 
 def train_multinomial_logreg_hashed(
@@ -233,57 +259,57 @@ def train_multinomial_logreg_hashed(
     feats = hashed_token_features(df, id_col, text_col, num_buckets)
     classes = F.array(*[F.lit(k).cast("long") for k in range(num_classes)])
 
-    cached = [labels.cache(), feats.cache()]
-    try:
-        n = labels.count()
-        if n == 0:
-            return spark.createDataFrame(
-                [], "class long, bucket long, w_pm long"
-            )
-        w: dict[tuple[int, int], int] = {}
-        for r in range(rounds):
-            m = lr_den * 4 * n * ((r + 1) if decay else 1)
-            wdf = spark.createDataFrame(
-                [(k, b, v) for (k, b), v in w.items()] or [],
-                "__k long, bucket long, __w long",
-            )
-            z = (
-                feats.withColumn("__k", F.explode(classes))
-                .join(F.broadcast(wdf), ["__k", "bucket"], "left")
-                .groupBy(id_col, "__k")
-                .agg(
-                    F.sum(F.coalesce(F.col("__w"), F.lit(0)) * F.col("cnt"))
-                    .alias("__z")
-                )
-            )
-            err = labels.join(z, id_col).select(
-                F.col(id_col),
-                F.col("__k"),
-                (
-                    F.lit(4_000_000)
-                    * (F.col("__y") == F.col("__k")).cast("long")
-                    - F.least(
-                        F.lit(4_000_000),
-                        F.greatest(F.lit(0), F.col("__z") + F.lit(2_000_000)),
-                    )
-                ).alias("__e"),
-            )
-            grad = (
-                feats.join(err, id_col)
-                .groupBy("__k", "bucket")
-                .agg(F.sum(F.col("__e") * F.col("cnt")).alias("__g"))
-                .collect()  # model-sized: <= num_classes*(num_buckets+1)
-            )
-            for row in grad:
-                key = (row["__k"], row["bucket"])
-                w[key] = w.get(key, 0) + row["__g"] // m
+    # eager localCheckpoint, not cache() — same wrong-results
+    # root-cause as train_logreg_hashed above
+    labels = labels.localCheckpoint(eager=True)
+    feats = feats.localCheckpoint(eager=True)
+    n = labels.count()
+    if n == 0:
         return spark.createDataFrame(
-            [(k, b, v) for (k, b), v in sorted(w.items())],
-            "class long, bucket long, w_pm long",
+            [], "class long, bucket long, w_pm long"
         )
-    finally:
-        for frame in cached:
-            frame.unpersist()
+    w: dict[tuple[int, int], int] = {}
+    for r in range(rounds):
+        m = lr_den * 4 * n * ((r + 1) if decay else 1)
+        wdf = spark.createDataFrame(
+            [(k, b, v) for (k, b), v in w.items()] or [],
+            "__k long, bucket long, __w long",
+        )
+        z = (
+            feats.withColumn("__k", F.explode(classes))
+            .join(F.broadcast(wdf), ["__k", "bucket"], "left")
+            .groupBy(id_col, "__k")
+            .agg(
+                F.sum(F.coalesce(F.col("__w"), F.lit(0)) * F.col("cnt"))
+                .alias("__z")
+            )
+        )
+        err = labels.join(z, id_col).select(
+            F.col(id_col),
+            F.col("__k"),
+            (
+                F.lit(4_000_000)
+                * (F.col("__y") == F.col("__k")).cast("long")
+                - F.least(
+                    F.lit(4_000_000),
+                    F.greatest(F.lit(0), F.col("__z") + F.lit(2_000_000)),
+                )
+            ).alias("__e"),
+        )
+        grad = (
+            feats.join(err, id_col)
+            .groupBy("__k", "bucket")
+            .agg(F.sum(F.col("__e") * F.col("cnt")).alias("__g"))
+            .collect()  # model-sized: <= num_classes*(num_buckets+1)
+        )
+        for row in grad:
+            key = (row["__k"], row["bucket"])
+            w[key] = w.get(key, 0) + row["__g"] // m
+    return spark.createDataFrame(
+        [(k, b, v) for (k, b), v in sorted(w.items())],
+        "class long, bucket long, w_pm long",
+    )
+
 
 
 def naive_bayes_model(

@@ -66,9 +66,81 @@ def _scan_blocks(plan: str) -> list[str]:
     return parts[1:]
 
 
+# Operators a partial→final aggregate pair can legitimately sit above
+# while the grouping distribution flows through from deeper in the
+# plan (project/filter/generate preserve partitioning; a broadcast
+# join preserves its STREAM side's partitioning, which is the first
+# child in the formatted tree).
+_PARTITION_TRANSPARENT = (
+    "Project",
+    "Filter",
+    "Generate",
+    "BroadcastHashJoin",
+    "BroadcastNestedLoopJoin",
+)
+
+
+def _tree_op(line: str) -> str:
+    m = re.match(r"^[\s:+\-*(]*([A-Za-z]+)", line)
+    return m.group(1) if m else ""
+
+
+def _tree_depth(line: str) -> int:
+    m = re.match(r"^[\s:+\-*]*", line)
+    return len(m.group(0))
+
+
+def _union_partitioned_aggregate(plan: str) -> bool:
+    """True iff a partial→final aggregate pair sits above a Union with
+    no shuffle Exchange between them (r13 wrong-results root-cause,
+    training.hashed_token_features): when every Union child reports
+    the same hash partitioning (e.g. both end in
+    RepartitionByExpression on the grouping key), the physical Union
+    advertises that partitioning and the aggregate skips its
+    exchange — but the union CONCATENATES child partitions, so each
+    key lives in as many partitions as children and the "final"
+    aggregate emits duplicate groups. Detection: two directly stacked
+    HashAggregates (the no-exchange signature) whose first-child
+    chain reaches a Union through partition-transparent operators
+    only."""
+    tree = plan.split("\n\n", 1)[0].splitlines()
+    for i in range(len(tree) - 2):
+        if _tree_op(tree[i]) != "HashAggregate":
+            continue
+        j = i + 1
+        if (
+            _tree_op(tree[j]) != "HashAggregate"
+            or _tree_depth(tree[j]) <= _tree_depth(tree[i])
+        ):
+            continue
+        # walk the first-child chain below the partial aggregate
+        k = j + 1
+        while k < len(tree) and _tree_op(tree[k]) in _PARTITION_TRANSPARENT:
+            k += 1
+        if k < len(tree) and _tree_op(tree[k]) == "Union":
+            return True
+    return False
+
+
 def lint_plan(df: DataFrame) -> list[Finding]:
     plan = formatted_plan(df)
     findings: list[Finding] = []
+
+    if _union_partitioned_aggregate(plan):
+        findings.append(Finding(
+            "union-partitioned-aggregate", "warn",
+            "Keyed aggregate directly over a Union with no Exchange "
+            "between them: correct ONLY if the runtime plan really "
+            "co-locates each key in one partition. A measured variant "
+            "of this shape (both union children pinned by "
+            "RepartitionByExpression, a Generate in one child, the "
+            "union self-joined against its own aggregate — r13, "
+            "training.hashed_token_features) emitted one group per "
+            "union child and silently doubled every gradient. VERIFY "
+            "with a duplicate-group count on real data; to be safe, "
+            "leave one union child unrepartitioned or materialize the "
+            "union (localCheckpoint) before aggregating.",
+        ))
 
     if "CartesianProduct" in plan:
         findings.append(Finding(
