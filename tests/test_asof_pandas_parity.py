@@ -60,11 +60,27 @@ def _pandas_asof(left_pd, right_pd, direction, tolerance):
 
 
 def test_asof_matches_pandas_backward_and_forward(spark):
+    # the four (direction, tolerance) configs are independent
+    # fixed-machinery-bound collects (~13 s each on tiny inputs);
+    # thread them like the registry sweeps — wall = slowest config,
+    # not the sum (r13 durations profile: this was the suite's #1
+    # single test at 54 s serial)
+    from concurrent.futures import ThreadPoolExecutor
+
     rng = np.random.default_rng(13)
+    cases = []
     for direction in ("backward", "forward"):
         for tolerance in (None, 50):
             left_pd = _random_series(rng, 300, 8, 1000)
             right_pd = _random_series(rng, 200, 8, 1000)
-            got = _spark_asof(spark, left_pd, right_pd, direction, tolerance)
-            want = _pandas_asof(left_pd, right_pd, direction, tolerance)
+            cases.append((direction, tolerance, left_pd, right_pd))
+
+    def run(case):
+        direction, tolerance, left_pd, right_pd = case
+        got = _spark_asof(spark, left_pd, right_pd, direction, tolerance)
+        want = _pandas_asof(left_pd, right_pd, direction, tolerance)
+        return direction, tolerance, got, want
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        for direction, tolerance, got, want in ex.map(run, cases):
             assert got == want, (direction, tolerance)

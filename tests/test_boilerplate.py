@@ -134,11 +134,25 @@ def test_prefix_join_boundary_threshold(spark):
         prefix_jaccard_pairs,
     )
 
-    # J exactly == t must be KEPT (>=): two sets with J = 1/2
+    # J exactly == t must be KEPT (>=): two sets with J = 1/2.
+    # Two independent fixed-machinery-bound collects (~17 s each on
+    # 2-row input) — thread them (r13 durations profile)
+    from concurrent.futures import ThreadPoolExecutor
+
     sets = {1: ["a", "b"], 2: ["a", "c"]}  # inter 1, union 3 → 333‰
-    got = prefix_jaccard_pairs(_sets_df(spark, sets), "doc_id", 333).collect()
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f1 = ex.submit(
+            lambda: prefix_jaccard_pairs(
+                _sets_df(spark, sets), "doc_id", 333
+            ).collect()
+        )
+        f2 = ex.submit(
+            lambda: prefix_jaccard_pairs(
+                _sets_df(spark, sets), "doc_id", 334
+            ).collect()
+        )
+        got, got2 = f1.result(), f2.result()
     assert len(got) == 1 and got[0].jaccard_permille == 333
-    got2 = prefix_jaccard_pairs(_sets_df(spark, sets), "doc_id", 334).collect()
     assert got2 == []
 
 

@@ -48,8 +48,15 @@ def test_merge_by_cell_sum_equals_single_build(spark):
         .agg(F.sum("__count").cast("long").alias("__count"))
     )
     single = countmin_build(spark.createDataFrame([(v,) for v in vals], ["k"]), "k")
-    m = {(r["__row"], r["__bucket"]): r["__count"] for r in merged.collect()}
-    s = {(r["__row"], r["__bucket"]): r["__count"] for r in single.collect()}
+    # two independent collects of machinery-bound sketch builds —
+    # thread them (r13 durations profile: 35 s serial)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        fm = ex.submit(merged.collect)
+        fs = ex.submit(single.collect)
+        m = {(r["__row"], r["__bucket"]): r["__count"] for r in fm.result()}
+        s = {(r["__row"], r["__bucket"]): r["__count"] for r in fs.result()}
     assert m == s
 
 
