@@ -14893,6 +14893,7 @@ def _q237_oracle_sql() -> str:
     oracle=_q237_oracle_sql(),
     tags=("sampling", "order", "mixture", "curriculum", "epochs",
           "training", "portable"),
+    bench=True,  # prices the multi-epoch composition vs q234's single
 )
 def q237_training_order_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from us_immigration_data_lake_spark.operators.sampling import (
