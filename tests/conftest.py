@@ -111,3 +111,21 @@ def pytest_collection_finish(session):
 def pytest_sessionfinish(session, exitstatus):
     if _SWEEP_EXECUTOR is not None:
         _SWEEP_EXECUTOR.shutdown(wait=False, cancel_futures=True)
+
+
+def wait_for_background_sweeps(timeout: int = 1800) -> None:
+    """Join any in-flight background sweeps. Tests that assert on
+    SESSION-GLOBAL state (CacheManager emptiness) call this before
+    their clearCache(): a still-running sweep registers cache entries
+    concurrently, and without the join such a test races it on -k
+    subsets where the sweep outlives the few foreground tests.
+    Failures are swallowed here — the sweep's owning test reports
+    them."""
+    for name in _SWEEP_MODULES:
+        mod = sys.modules.get(name) or sys.modules.get(f"tests.{name}")
+        fut = getattr(mod, "_SWEEP_FUTURE", None) if mod else None
+        if fut is not None:
+            try:
+                fut.result(timeout=timeout)
+            except BaseException:  # noqa: BLE001 — owner reports it
+                pass

@@ -1111,6 +1111,35 @@ def test_srp_auto_bits_matches_explicit(spark):
     )
 
 
+def test_srp_bucket_pairs_highdim_hof_subset_of_exact(spark):
+    """The dim > UNROLL_MAX_DIM dedup path (HOF signature + HOF pair
+    cosine, r13): bucketed pairs remain a SUBSET of the exact all-pairs
+    set at dim 320 — the high-dim fallback changes the expression
+    form, never the candidate semantics. (The dim-8 twin above pins
+    the unrolled path; this pins the HOF one.)"""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    dim = 320
+    assert dim > sim.UNROLL_MAX_DIM
+    rows = [(i, rng.randn(dim).tolist()) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bucketed = {
+        (r.id1, r.id2)
+        for r in sim.srp_bucket_near_dup_pairs(
+            df, "vec_id", "embedding", threshold=0.1, dim=dim, num_bits=2
+        ).collect()
+    }
+    exact = {
+        (r.id1, r.id2): r.cosine_sim
+        for r in sim.cosine_near_dup_pairs(
+            df, "vec_id", "embedding", threshold=0.1
+        ).collect()
+    }
+    assert bucketed <= set(exact)
+    assert len(bucketed) > 0, "vacuous: no same-bucket pair above threshold"
+
+
 def test_dedup_survivors_by_keeps_highest_score_smallest_id_tie(spark):
     # pairs: {1,2,3} one cluster, {7,8} another, 9 isolated.
     # scores: 2 is longest in cluster 1 -> survivor 2 (not min id 1);
@@ -1690,6 +1719,11 @@ def test_global_row_number_leaves_no_cache_entry(spark):
         global_row_number,
     )
 
+    from conftest import wait_for_background_sweeps
+
+    # CacheManager-emptiness asserts race any in-flight background
+    # sweep (it registers cache entries concurrently) — join first
+    wait_for_background_sweeps()
     spark.catalog.clearCache()
     df = spark.createDataFrame([(i, i % 3) for i in range(50)], ["id", "key"])
     out = global_row_number(df, ["key", "id"], num_partitions=4)
@@ -1707,6 +1741,11 @@ def test_cross_near_dup_frames_exposes_caches_for_release(cross_corpora, spark):
     unpersist them after materializing — and unpersisting must
     actually clear the entries."""
     new_df, ref_df = cross_corpora
+    from conftest import wait_for_background_sweeps
+
+    # CacheManager-emptiness asserts race any in-flight background
+    # sweep (it registers cache entries concurrently) — join first
+    wait_for_background_sweeps()
     spark.catalog.clearCache()
     frames = dd.cross_near_dup_frames(
         new_df, ref_df, "doc_id", "text", shingle_n=3, num_hashes=32,
@@ -2241,6 +2280,11 @@ def test_within_dedup_frames_expose_caches_for_release(spark):
     on LRU eviction."""
     import numpy as np
 
+    from conftest import wait_for_background_sweeps
+
+    # CacheManager-emptiness asserts race any in-flight background
+    # sweep (it registers cache entries concurrently) — join first
+    wait_for_background_sweeps()
     spark.catalog.clearCache()
     docs = spark.createDataFrame(
         [(1, "alpha beta gamma delta epsilon zeta eta theta"),
