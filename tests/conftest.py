@@ -105,7 +105,15 @@ def pytest_collection_finish(session):
     )
     spark = _make_spark()
     for hook in hooks:
-        hook(spark, nodeids, _SWEEP_EXECUTOR)
+        # each sweep runs on its own newSession() CLONE (shared
+        # SparkContext + CacheManager, PRIVATE SQLConf and temp-view
+        # catalog): registry builders _tune() the session to the
+        # engine's 32 shuffle partitions, which on the shared session
+        # flipped the foreground tests' conf (8) mid-suite for every
+        # concurrent test (r13 advisor). Cache state is still global —
+        # tests that assert on it join the sweeps first
+        # (wait_for_background_sweeps).
+        hook(spark.newSession(), nodeids, _SWEEP_EXECUTOR)
 
 
 def pytest_sessionfinish(session, exitstatus):

@@ -3155,6 +3155,57 @@ def test_training_order_epochs_pins_and_reshuffle(spark):
     assert order[0] != order[1]
 
 
+def test_training_order_epochs_rejects_nonpositive_epochs(spark):
+    """epochs <= 0 must raise BEFORE the one-time stages run — the
+    r13 form paid the eager localCheckpoint and returned None (the
+    loop never ran), crashing the caller later with AttributeError
+    (r13 advisor)."""
+    from us_immigration_data_lake_spark.operators.sampling import (
+        training_order_epochs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 0.5, 10)], "doc_id long, source string, q double, sz long"
+    )
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="epochs"):
+            training_order_epochs(
+                df, "doc_id", "source", "q", "sz",
+                cap=10, alpha=0.5, epochs=bad,
+            )
+
+
+def test_srp_ref_index_num_bits_contract(spark):
+    """r13 advisor (medium): an auto-picked bit count the query side
+    cannot recover is silent wrong results (it would sign with the
+    default 8 and match nothing). srp_ref_index_frames must RETURN
+    the resolved bits (auto and passthrough); the index-only wrapper
+    must reject num_bits=None outright."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    df = spark.createDataFrame(
+        [(i, rng.randn(8).tolist()) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    frames = sim.srp_ref_index_frames(
+        df, "vec_id", "embedding", dim=8, num_bits=None
+    )
+    assert frames["num_bits"] == sim.recommended_num_bits(30)
+    # a query side signing with the returned bits actually matches
+    got = sim.cross_srp_pairs_indexed(
+        df, frames["index"], "vec_id", "embedding",
+        threshold=0.99, dim=8, num_bits=frames["num_bits"],
+    )
+    assert got.filter(F.col("id_new") == F.col("id_ref")).count() == 30
+    # passthrough case returns the passed value unchanged
+    assert sim.srp_ref_index_frames(
+        df, "vec_id", "embedding", dim=8, num_bits=5
+    )["num_bits"] == 5
+    with pytest.raises(ValueError, match="num_bits"):
+        sim.srp_ref_index(df, "vec_id", "embedding", dim=8, num_bits=None)
+
+
 def test_hard_negatives_indexed_highdim_matches_reference(spark):
     """The dim > UNROLL_MAX_DIM checkpoint path of
     hard_negatives_indexed against an engine-free python replay

@@ -206,3 +206,157 @@ def test_union_partitioned_aggregate_flagged(spark):
     assert z_good.groupBy("doc_id").count().filter(
         F.col("count") > 1
     ).count() == 0
+
+
+def test_union_agg_walker_stops_at_sibling_subtree():
+    """r13 advisor: the first-child walk was a flat line scan — after
+    a transparent BINARY node it could fall out of the first child's
+    subtree and flag a Union on the sibling/build side, which does
+    not feed the aggregate's distribution. The walk now follows only
+    strictly-deeper lines (a transparent op always has a child, so
+    the next line of a followed node is its first child)."""
+    from us_immigration_data_lake_spark.plans.lint import (
+        _union_partitioned_aggregate,
+    )
+
+    # Union is the JOIN'S SECOND CHILD (same depth as the first):
+    # never on the aggregate's distribution path -> must NOT flag
+    sibling = "\n".join([
+        "HashAggregate (5)",
+        "+- HashAggregate (4)",
+        "   +- BroadcastHashJoin (3)",
+        "      :- Project (2)",
+        "      +- Union (1)",
+    ])
+    assert not _union_partitioned_aggregate(sibling)
+
+    # straight first-child chain through transparent ops -> still
+    # flagged (the real r13 trainer shape)
+    chain = "\n".join([
+        "HashAggregate (6)",
+        "+- HashAggregate (5)",
+        "   +- Project (4)",
+        "      +- BroadcastHashJoin (3)",
+        "         :- Generate (2)",
+        "         :  +- Union (1)",
+        "         +- BroadcastExchange (0)",
+    ])
+    assert _union_partitioned_aggregate(chain)
+
+
+# ---------------------------------------------------------------------------
+# r13 verdict ask #2: the six registry queries sharing the trainers'
+# bug TREE shape (keyed aggregate directly over a Union — the
+# union-partitioned-aggregate lint warn), adjudicated sound by their
+# runtime behavior in r13, now carry that adjudication as a GATE.
+# The decisive invariant is group CARDINALITY at runtime: the r13
+# bug emitted one group per union child (u ⋈ agg(u) counted 2x), so
+# each shape's union-fed aggregate must emit EXACTLY one row per
+# group key on real executed data. Plan text cannot decide this —
+# the final AQE plan legitimately keeps the no-exchange shape when
+# the claim is true — so the gate executes the composition.
+# ---------------------------------------------------------------------------
+
+UNION_AGG_SHAPES = (
+    "q121_incremental_agg",
+    "q142_kmv_jaccard",
+    "q156_hll_distinct",
+    "q165_histogram_quantiles",
+    "q169_hll_overlap",
+    "q197_edit_distance_join",
+)
+
+
+def _n_dup_groups(df, keys):
+    return df.groupBy(*keys).count().filter(F.col("count") > 1).count()
+
+
+def test_union_agg_shapes_lint_inventory(spark):
+    """Pin the shape inventory: exactly these six registry queries
+    trip the union-partitioned-aggregate warn. A NEW query growing
+    the set must be adjudicated (add its runtime-cardinality case
+    below) — warn-severity lint alone does not gate it."""
+    flagged = sorted(
+        n for n in UNION_AGG_SHAPES
+        if "union-partitioned-aggregate"
+        in _rules(lint_plan(QUERIES[n].fn(spark, SF)))
+    )
+    assert flagged == sorted(UNION_AGG_SHAPES)
+
+
+def test_union_agg_shapes_runtime_cardinality(spark):
+    """Execute each adjudicated shape's union-fed aggregate (the
+    exact composition its registry query builds) and assert one row
+    per group — the runtime decider the r13 verdict asked to encode."""
+    from us_immigration_data_lake_spark.operators.incremental import (
+        agg_state,
+        merge_states,
+    )
+    from us_immigration_data_lake_spark.operators.sketches import (
+        histogram_build,
+        histogram_merge,
+        hll_merge,
+        hll_registers,
+        kmv_hashes,
+        kmv_union,
+    )
+    from us_immigration_data_lake_spark.plans.queries import _cents
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+
+    # q121: merge_states(base, delta) re-aggregates a union of two
+    # agg_state frames keyed o_custkey
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_custkey", "o_orderdate", _cents(F.col("o_totalprice")).alias("c")
+    )
+    merged = merge_states(
+        agg_state(orders.filter(F.col("o_orderdate") < "1999-01-01"),
+                  ["o_custkey"], {"t": "c"}),
+        agg_state(orders.filter(F.col("o_orderdate") >= "1999-01-01"),
+                  ["o_custkey"], {"t": "c"}),
+        ["o_custkey"],
+    )
+    assert _n_dup_groups(merged, ["o_custkey"]) == 0
+
+    # q142: kmv_union's distinct over the unioned hash sets, keyed
+    # (group, __h)
+    sk_a = kmv_hashes(li.filter(F.col("l_returnflag") == "A"),
+                      ["l_linestatus"], "l_partkey", k=64)
+    sk_b = kmv_hashes(li.filter(F.col("l_returnflag") == "R"),
+                      ["l_linestatus"], "l_partkey", k=64)
+    assert _n_dup_groups(kmv_union(sk_a, sk_b, ["l_linestatus"], k=64),
+                         ["l_linestatus", "__h"]) == 0
+
+    # q156: hll_merge over two register frames, keyed (group, __j)
+    g = ["l_returnflag"]
+    hm = hll_merge(
+        hll_registers(li.filter(F.col("l_linenumber") <= 3), g, "l_orderkey"),
+        hll_registers(li.filter(F.col("l_linenumber") > 3), g, "l_orderkey"),
+        g,
+    )
+    assert _n_dup_groups(hm, [*g, "__j"]) == 0
+
+    # q169: the same merge with NO group columns (global grand
+    # aggregate over the union), keyed __j alone
+    hm0 = hll_merge(
+        hll_registers(li.filter(F.col("l_linenumber") <= 3), [], "l_orderkey"),
+        hll_registers(li.filter(F.col("l_linenumber") > 3), [], "l_orderkey"),
+        [],
+    )
+    assert _n_dup_groups(hm0, ["__j"]) == 0
+
+    # q165: histogram_merge cell addition, keyed (group, bin)
+    lic = li.withColumn("cents", _cents(F.col("l_extendedprice")))
+    hg = histogram_merge(
+        histogram_build(lic.filter(F.col("l_linenumber") <= 3), g,
+                        "cents", 0, 2_000_00, 64),
+        histogram_build(lic.filter(F.col("l_linenumber") > 3), g,
+                        "cents", 0, 2_000_00, 64),
+        g,
+    )
+    assert _n_dup_groups(hg, [*g, "bin"]) == 0
+
+    # q197: the PassJoin branch union's dropDuplicates — the query
+    # output itself is keyed (id1, id2)
+    pairs = QUERIES["q197_edit_distance_join"].fn(spark, SF)
+    assert _n_dup_groups(pairs, ["id1", "id2"]) == 0

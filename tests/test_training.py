@@ -150,11 +150,45 @@ def test_lr_decay_converges_where_fixed_step_oscillates(spark):
 
 
 def test_training_releases_caches(spark):
+    # clearCache() is session-GLOBAL: join the background registry
+    # sweeps first or this evicts their caches mid-flight (values stay
+    # correct via recompute, but the suite pays the latency — r13
+    # advisor)
+    from tests.conftest import wait_for_background_sweeps
+
+    wait_for_background_sweeps()
     spark.catalog.clearCache()
     df = spark.createDataFrame(FIXTURE, "doc_id long, text string, y long")
     tr.train_logreg_hashed(df, "doc_id", "text", "y", num_buckets=32, rounds=2)
     jcm = spark._jsparkSession.sharedState().cacheManager()
     assert jcm.isEmpty(), "train_logreg_hashed leaked a cache entry"
+
+
+def test_training_releases_checkpoint_storage(spark):
+    """The r13 localCheckpoint swap must not trade the cache leak for
+    a storage leak: checkpointed MEMORY_AND_DISK blocks are reaped
+    only on driver GC unless released, so repeated trainer calls in a
+    long session accumulate (r13 advisor). Both trainers now
+    unpersist their checkpointed frames in a finally — the persisted-
+    RDD count must come back to where it started."""
+    from tests.conftest import wait_for_background_sweeps
+
+    wait_for_background_sweeps()
+    sc = spark.sparkContext
+
+    def n_persisted():
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    df = spark.createDataFrame(FIXTURE, "doc_id long, text string, y long")
+    mdf = spark.createDataFrame(
+        MULTI_FIXTURE, "doc_id long, text string, y long"
+    )
+    before = n_persisted()
+    tr.train_logreg_hashed(df, "doc_id", "text", "y", num_buckets=32, rounds=2)
+    tr.train_multinomial_logreg_hashed(
+        mdf, "doc_id", "text", "y", num_classes=3, num_buckets=32, rounds=2
+    )
+    assert n_persisted() <= before, "trainer leaked checkpoint storage"
 
 
 def test_train_logreg_ignores_null_labels(spark):
@@ -270,6 +304,9 @@ def test_train_multinomial_learns_planted_signal(spark):
 
 
 def test_train_multinomial_releases_caches(spark):
+    from tests.conftest import wait_for_background_sweeps
+
+    wait_for_background_sweeps()  # clearCache is session-global
     df = spark.createDataFrame(MULTI_FIXTURE, "doc_id long, text string, y long")
     spark.catalog.clearCache()
     tr.train_multinomial_logreg_hashed(

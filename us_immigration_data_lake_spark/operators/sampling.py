@@ -840,6 +840,12 @@ def training_order_epochs(
     pos/v_time/global_pos are PER-EPOCH (global_pos restarts at 1
     each epoch) — resume-mid-run = filter
     (epoch > e) OR (epoch = e AND global_pos > checkpoint)."""
+    # validated BEFORE the one-time stages run: epochs <= 0 would pay
+    # the eager localCheckpoint and then return None (the loop never
+    # runs), crashing the caller later with AttributeError instead of
+    # a clear error here (r13 advisor).
+    if epochs < 1:
+        raise ValueError(f"epochs must be >= 1, got {epochs}")
     weights, binned = _training_order_stages(
         df, id_col, group_col, score_col, size_col,
         cap=cap, alpha=alpha, n_bins=n_bins, lo=lo, hi=hi,

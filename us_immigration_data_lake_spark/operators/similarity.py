@@ -728,7 +728,21 @@ def srp_ref_index(
     batch and micro-batch — the ref-side cost (signature pass + one
     capped-bucket window) is linear in the reference and paid once.
     Use ``srp_ref_index_frames`` to also observe which buckets the
-    cap truncated (the dedup.cross_ref_index_frames twin)."""
+    cap truncated (the dedup.cross_ref_index_frames twin).
+
+    ``num_bits=None`` is rejected here: this form returns ONLY the
+    index frame, so an auto-picked bit count would be unrecoverable
+    and a query side signing with the default 8 would silently match
+    nothing. Auto-pick via ``srp_ref_index_frames`` (which returns
+    the resolved value under ``"num_bits"``) or pass explicit bits
+    from ``recommended_num_bits`` to both sides."""
+    if num_bits is None:
+        raise ValueError(
+            "srp_ref_index(num_bits=None) would auto-pick a bit count "
+            "the caller cannot recover; use srp_ref_index_frames "
+            "(returns the resolved 'num_bits') or pass explicit bits "
+            "from recommended_num_bits() to both index and query sides"
+        )
     return srp_ref_index_frames(
         ref_df, id_col, vec_col, dim, num_bits=num_bits, seed=seed,
         max_bucket_size=max_bucket_size,
@@ -746,7 +760,8 @@ def srp_ref_index_frames(
 ) -> dict[str, DataFrame]:
     """``srp_ref_index`` with its truncation observable: ``{"index":
     (bucket, id_ref, v2, n2), "oversized": (bucket, bucket_n,
-    anchor_id)}`` — the embedding twin of dedup.cross_ref_index_frames,
+    anchor_id), "num_bits": int}`` —
+    the embedding twin of dedup.cross_ref_index_frames,
     so amortized/streaming semantic ingest can monitor capped recall
     instead of inheriting the truncation silently.
 
@@ -763,8 +778,11 @@ def srp_ref_index_frames(
     ``num_bits=None`` → ``recommended_num_bits(ref_df.count())`` —
     SCALE.md's ref-axis rule ("num_bits ≈ 8 + log2(ref scale)") as
     code: one eager count per index BUILD, amortized with the index.
-    NOTE the new side must sign with the SAME bit count; read it back
-    from the index width or pass explicit bits to both sides."""
+    The new side must sign with the SAME bit count, so the RESOLVED
+    value is returned under the ``"num_bits"`` key (always an int,
+    whether auto-picked or passed through) — pass it to
+    cross_srp_pairs_indexed / the streaming wrapper. A query side
+    signing with a different width silently matches nothing."""
     from us_immigration_data_lake_spark.operators.dedup import (
         capped_bucket_members,
     )
@@ -790,7 +808,7 @@ def srp_ref_index_frames(
              F.min("__id").alias("anchor_id"))
         .filter(F.col("bucket_n") > max_bucket_size)
     )
-    return {"index": index, "oversized": oversized}
+    return {"index": index, "oversized": oversized, "num_bits": num_bits}
 
 
 def cross_srp_pairs_indexed(

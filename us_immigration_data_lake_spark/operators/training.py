@@ -50,6 +50,27 @@ from us_immigration_data_lake_spark.operators.dedup import spread_by_id
 _WS = r"[ \t\n\x0B\f\r]+"
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free the MEMORY_AND_DISK blocks behind an eager
+    ``localCheckpoint`` once the trainer is done with the frame.
+
+    ContextCleaner only reaps checkpointed blocks when driver GC
+    happens to collect the RDD handle, so repeated trainer calls in
+    one long session would accumulate storage nondeterministically
+    (r13 advisor) — the deterministic release the old
+    cache()+unpersist() pair had, restored without giving up the
+    lineage truncation. The checkpointed Dataset's analyzed plan is
+    the LogicalRDD holding the persisted RDD; unpersisting a locally
+    checkpointed RDD deletes its block data, which is exactly right
+    for a frame nobody will read again. Best-effort: if the internal
+    plan shape ever changes, leaking (the old behavior) beats
+    crashing a finished training run."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def hashed_token_features(
     df: DataFrame,
     id_col: str,
@@ -163,45 +184,53 @@ def train_logreg_hashed(
     # every downstream aggregate plans its own exchange.
     labels = labels.localCheckpoint(eager=True)
     feats = feats.localCheckpoint(eager=True)
-    n = labels.count()
-    if n == 0:
-        return spark.createDataFrame([], "bucket long, w_pm long")
-    w: dict[int, int] = {}
-    for r in range(rounds):
-        m = lr_den * 4 * n * ((r + 1) if decay else 1)
-        wdf = spark.createDataFrame(
-            list(w.items()) or [], "bucket long, __w long"
-        )
-        z = (
-            feats.join(F.broadcast(wdf), "bucket", "left")
-            .groupBy(id_col)
-            .agg(
-                F.sum(F.coalesce(F.col("__w"), F.lit(0)) * F.col("cnt"))
-                .alias("__z")
+    try:
+        n = labels.count()
+        if n == 0:
+            return spark.createDataFrame([], "bucket long, w_pm long")
+        w: dict[int, int] = {}
+        for r in range(rounds):
+            m = lr_den * 4 * n * ((r + 1) if decay else 1)
+            wdf = spark.createDataFrame(
+                list(w.items()) or [], "bucket long, __w long"
             )
-        )
-        err = labels.join(z, id_col).select(
-            F.col(id_col),
-            (
-                F.lit(4_000_000) * F.col("__y")
-                - F.least(
-                    F.lit(4_000_000),
-                    F.greatest(F.lit(0), F.col("__z") + F.lit(2_000_000)),
+            z = (
+                feats.join(F.broadcast(wdf), "bucket", "left")
+                .groupBy(id_col)
+                .agg(
+                    F.sum(F.coalesce(F.col("__w"), F.lit(0)) * F.col("cnt"))
+                    .alias("__z")
                 )
-            ).alias("__e"),
+            )
+            err = labels.join(z, id_col).select(
+                F.col(id_col),
+                (
+                    F.lit(4_000_000) * F.col("__y")
+                    - F.least(
+                        F.lit(4_000_000),
+                        F.greatest(
+                            F.lit(0), F.col("__z") + F.lit(2_000_000)
+                        ),
+                    )
+                ).alias("__e"),
+            )
+            grad = (
+                feats.join(err, id_col)
+                .groupBy("bucket")
+                .agg(F.sum(F.col("__e") * F.col("cnt")).alias("__g"))
+                .collect()  # model-sized: <= num_buckets + 1 rows
+            )
+            for row in grad:
+                # python // is floor division == the SQL pmod formula
+                w[row["bucket"]] = w.get(row["bucket"], 0) + row["__g"] // m
+        return spark.createDataFrame(
+            sorted(w.items()), "bucket long, w_pm long"
         )
-        grad = (
-            feats.join(err, id_col)
-            .groupBy("bucket")
-            .agg(F.sum(F.col("__e") * F.col("cnt")).alias("__g"))
-            .collect()  # model-sized: <= num_buckets + 1 rows
-        )
-        for row in grad:
-            # python // is floor division == the SQL pmod formula
-            w[row["bucket"]] = w.get(row["bucket"], 0) + row["__g"] // m
-    return spark.createDataFrame(
-        sorted(w.items()), "bucket long, w_pm long"
-    )
+    finally:
+        # the model is driver-sized data by now; the feature blocks
+        # are dead weight — release them deterministically
+        _release_local_checkpoint(feats)
+        _release_local_checkpoint(labels)
 
 
 
@@ -263,52 +292,58 @@ def train_multinomial_logreg_hashed(
     # root-cause as train_logreg_hashed above
     labels = labels.localCheckpoint(eager=True)
     feats = feats.localCheckpoint(eager=True)
-    n = labels.count()
-    if n == 0:
-        return spark.createDataFrame(
-            [], "class long, bucket long, w_pm long"
-        )
-    w: dict[tuple[int, int], int] = {}
-    for r in range(rounds):
-        m = lr_den * 4 * n * ((r + 1) if decay else 1)
-        wdf = spark.createDataFrame(
-            [(k, b, v) for (k, b), v in w.items()] or [],
-            "__k long, bucket long, __w long",
-        )
-        z = (
-            feats.withColumn("__k", F.explode(classes))
-            .join(F.broadcast(wdf), ["__k", "bucket"], "left")
-            .groupBy(id_col, "__k")
-            .agg(
-                F.sum(F.coalesce(F.col("__w"), F.lit(0)) * F.col("cnt"))
-                .alias("__z")
+    try:
+        n = labels.count()
+        if n == 0:
+            return spark.createDataFrame(
+                [], "class long, bucket long, w_pm long"
             )
-        )
-        err = labels.join(z, id_col).select(
-            F.col(id_col),
-            F.col("__k"),
-            (
-                F.lit(4_000_000)
-                * (F.col("__y") == F.col("__k")).cast("long")
-                - F.least(
-                    F.lit(4_000_000),
-                    F.greatest(F.lit(0), F.col("__z") + F.lit(2_000_000)),
+        w: dict[tuple[int, int], int] = {}
+        for r in range(rounds):
+            m = lr_den * 4 * n * ((r + 1) if decay else 1)
+            wdf = spark.createDataFrame(
+                [(k, b, v) for (k, b), v in w.items()] or [],
+                "__k long, bucket long, __w long",
+            )
+            z = (
+                feats.withColumn("__k", F.explode(classes))
+                .join(F.broadcast(wdf), ["__k", "bucket"], "left")
+                .groupBy(id_col, "__k")
+                .agg(
+                    F.sum(F.coalesce(F.col("__w"), F.lit(0)) * F.col("cnt"))
+                    .alias("__z")
                 )
-            ).alias("__e"),
+            )
+            err = labels.join(z, id_col).select(
+                F.col(id_col),
+                F.col("__k"),
+                (
+                    F.lit(4_000_000)
+                    * (F.col("__y") == F.col("__k")).cast("long")
+                    - F.least(
+                        F.lit(4_000_000),
+                        F.greatest(
+                            F.lit(0), F.col("__z") + F.lit(2_000_000)
+                        ),
+                    )
+                ).alias("__e"),
+            )
+            grad = (
+                feats.join(err, id_col)
+                .groupBy("__k", "bucket")
+                .agg(F.sum(F.col("__e") * F.col("cnt")).alias("__g"))
+                .collect()  # model-sized: <= num_classes*(num_buckets+1)
+            )
+            for row in grad:
+                key = (row["__k"], row["bucket"])
+                w[key] = w.get(key, 0) + row["__g"] // m
+        return spark.createDataFrame(
+            [(k, b, v) for (k, b), v in sorted(w.items())],
+            "class long, bucket long, w_pm long",
         )
-        grad = (
-            feats.join(err, id_col)
-            .groupBy("__k", "bucket")
-            .agg(F.sum(F.col("__e") * F.col("cnt")).alias("__g"))
-            .collect()  # model-sized: <= num_classes*(num_buckets+1)
-        )
-        for row in grad:
-            key = (row["__k"], row["bucket"])
-            w[key] = w.get(key, 0) + row["__g"] // m
-    return spark.createDataFrame(
-        [(k, b, v) for (k, b), v in sorted(w.items())],
-        "class long, bucket long, w_pm long",
-    )
+    finally:
+        _release_local_checkpoint(feats)
+        _release_local_checkpoint(labels)
 
 
 

@@ -113,11 +113,30 @@ def _union_partitioned_aggregate(plan: str) -> bool:
             or _tree_depth(tree[j]) <= _tree_depth(tree[i])
         ):
             continue
-        # walk the first-child chain below the partial aggregate
+        # walk the first-child chain below the partial aggregate —
+        # FIRST child only: each followed line must be strictly deeper
+        # than the last, else the flat scan has fallen out of the
+        # child's subtree into a sibling (r13 advisor false-positive:
+        # after a transparent binary node like BroadcastHashJoin the
+        # depth-blind walk continued through the stream child's leaf
+        # into the build-side subtree and flagged a Union that never
+        # feeds the aggregate's distribution). Transparent ops always
+        # have a child, so line k+1 of a followed node is its first
+        # child, never a sibling.
         k = j + 1
-        while k < len(tree) and _tree_op(tree[k]) in _PARTITION_TRANSPARENT:
+        depth = _tree_depth(tree[j])
+        while (
+            k < len(tree)
+            and _tree_depth(tree[k]) > depth
+            and _tree_op(tree[k]) in _PARTITION_TRANSPARENT
+        ):
+            depth = _tree_depth(tree[k])
             k += 1
-        if k < len(tree) and _tree_op(tree[k]) == "Union":
+        if (
+            k < len(tree)
+            and _tree_depth(tree[k]) > depth
+            and _tree_op(tree[k]) == "Union"
+        ):
             return True
     return False
 
