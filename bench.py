@@ -258,11 +258,16 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # bracketed per-query norms ON the official record (r13
+        # verdict ask #5): the driver-parsed line is self-contained —
+        # total_norm below is exactly sum(queries_norm.values()),
+        # no bench_diag.json needed to audit a per-query claim.
+        "queries_norm": queries_norm,
         "sf": sf,
         # drift-corrected suite total (sum of queries_norm); >1
         # anchor_ratio ⇒ this host/run is slower than the r9 reference
         # recording — divide headline deltas by it before attributing
-        # to code. Per-query norms are on the diagnostics line.
+        # to code.
         "total_norm": round(sum(queries_norm.values()), 3),
         "anchor_ratio": round(anchor / ANCHOR_REF_SEC, 3),
     }))
