@@ -21,8 +21,13 @@ def _make_spark():
     whoever runs first pins the session)."""
     global _SPARK
     if _SPARK is None:
+        import os
         import tempfile
 
+        # suite-tuning experiments (r13 verdict ask #7): override the
+        # test session's reducer/parallelism counts without editing
+        # this file — the r14 A/B measured 8 vs 4 vs 2 with it
+        par = os.environ.get("SPARK_GRAFT_TEST_PARTITIONS", "8")
         wh = tempfile.mkdtemp(prefix="spark-warehouse-")
         _SPARK = get_spark(
             "tests",
@@ -37,12 +42,12 @@ def _make_spark():
                 # partition-count-independent — the driver-mimic sweep
                 # runs the full registry under a DEFAULT-conf session
                 # (200 partitions) every round.
-                "spark.sql.shuffle.partitions": "8",
+                "spark.sql.shuffle.partitions": par,
                 # same rationale for RDD-side parallelism:
                 # createDataFrame over a handful of local rows
                 # otherwise parallelizes into 32 near-empty tasks per
                 # action
-                "spark.default.parallelism": "8",
+                "spark.default.parallelism": par,
             },
         )
         _SPARK.sparkContext.setLogLevel("ERROR")

@@ -113,15 +113,18 @@ def test_recall_ladder_discriminates_on_clustered_geometry(
     from us_immigration_data_lake_spark.operators import similarity as sim
 
     ids, vecs = clustered
+    # 300-row slice: the exact all-pairs side is the cost driver and
+    # the discrimination claim needs geometry, not volume (the
+    # multiprobe>=single theorem is pinned in test_llm_ops)
     df = spark.createDataFrame(
-        [(i, [float(x) for x in v]) for i, v in zip(ids, vecs)],
+        [(i, [float(x) for x in v])
+         for i, v in zip(ids, vecs) if i < 300],
         "vec_id long, embedding array<double>",
     )
     rows = sim.hard_negative_recall(
         df, "vec_id", "embedding", k=3, dim=64, dup_threshold=0.9,
-        configs=((3, True), (5, True), (5, False)), seed=42,
+        configs=((3, True), (5, True)), seed=42,
     ).collect()
     rec = {(r.num_bits, bool(r.multiprobe)): r.recall for r in rows}
     assert rec[(3, True)] > rec[(5, True)] + 0.05  # bits discriminate
-    assert rec[(5, True)] >= rec[(5, False)]  # multiprobe theorem
     assert rec[(3, True)] > 0.5  # meaningful absolute recall, not noise
