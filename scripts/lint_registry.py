@@ -14,6 +14,7 @@ sys.path.insert(0, "/root/repo")
 
 from us_immigration_data_lake_spark.plans.lint import (  # noqa: E402
     CARTESIAN_EXEMPT,
+    UNION_AGG_EXEMPT,
     lint_plan,
 )
 from us_immigration_data_lake_spark.plans.queries import QUERIES  # noqa: E402
@@ -35,7 +36,18 @@ def main() -> None:
             if f.severity == "error"
             and not (f.rule == "cartesian-product" and name in CARTESIAN_EXEMPT)
         ]
-        warns = [f for f in findings if f.severity == "warn"]
+        # union-partitioned-aggregate escalates to error for any query
+        # outside the adjudicated six (r13 verdict ask #2) — same rule
+        # as tests/test_plan_lint.py's registry gate
+        if name not in UNION_AGG_EXEMPT:
+            errors += [
+                f for f in findings
+                if f.rule == "union-partitioned-aggregate"
+            ]
+        warns = [
+            f for f in findings
+            if f.severity == "warn" and f not in errors
+        ]
         if errors or warns:
             print(f"{name}:")
             for f in errors + warns:

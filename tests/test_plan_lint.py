@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from us_immigration_data_lake_spark.plans.lint import (
     CARTESIAN_EXEMPT,
+    UNION_AGG_EXEMPT,
     lint_plan,
     lint_report,
 )
@@ -116,12 +117,22 @@ def _registry_sweep(spark):
 
     def check(item):
         name, spec = item
+        findings = lint_plan(spec.fn(spark, SF))
         errors = {
             f.rule
-            for f in lint_plan(spec.fn(spark, SF))
+            for f in findings
             if f.severity == "error"
             and not (f.rule == "cartesian-product" and name in CARTESIAN_EXEMPT)
         }
+        if name not in UNION_AGG_EXEMPT:
+            # error-with-exemptions (r13 verdict ask #2): a NEW query
+            # adopting the keyed-aggregate-over-Union shape fails the
+            # registry gate until it is adjudicated (runtime
+            # 1:1-cardinality case added below + name exempted)
+            errors |= {
+                f.rule for f in findings
+                if f.rule == "union-partitioned-aggregate"
+            }
         return name, errors
 
     batch = [
@@ -257,14 +268,9 @@ def test_union_agg_walker_stops_at_sibling_subtree():
 # the claim is true — so the gate executes the composition.
 # ---------------------------------------------------------------------------
 
-UNION_AGG_SHAPES = (
-    "q121_incremental_agg",
-    "q142_kmv_jaccard",
-    "q156_hll_distinct",
-    "q165_histogram_quantiles",
-    "q169_hll_overlap",
-    "q197_edit_distance_join",
-)
+# single-sourced with the registry sweep's error-with-exemptions rule
+# (plans/lint.py) so the gate and the adjudication list cannot drift
+UNION_AGG_SHAPES = tuple(sorted(UNION_AGG_EXEMPT))
 
 
 def _n_dup_groups(df, keys):

@@ -53,6 +53,26 @@ CARTESIAN_EXEMPT = frozenset(
     }
 )
 
+# The six registry queries whose keyed-aggregate-over-Union tree shape
+# (the r13 trainers'-bug signature) is ADJUDICATED runtime-sound: their
+# union-fed aggregates execute 1:1 per group key, gated every suite by
+# tests/test_plan_lint.py::test_union_agg_shapes_runtime_cardinality.
+# The registry lint sweep treats the union-partitioned-aggregate warn
+# as an ERROR for any query NOT in this set (r13 verdict ask #2's
+# "error-with-exemptions for new queries"): a new query adopting the
+# shape must be adjudicated — add its runtime-cardinality case to the
+# gate — before it can land here.
+UNION_AGG_EXEMPT = frozenset(
+    {
+        "q121_incremental_agg",
+        "q142_kmv_jaccard",
+        "q156_hll_distinct",
+        "q165_histogram_quantiles",
+        "q169_hll_overlap",
+        "q197_edit_distance_join",
+    }
+)
+
 
 def formatted_plan(df: DataFrame) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(
