@@ -3175,6 +3175,68 @@ def test_training_order_epochs_rejects_nonpositive_epochs(spark):
             )
 
 
+def test_choose_srp_config_replays_selection_rule(spark):
+    """q238's operator: the ladder rows are hard_negative_recall's
+    verbatim, exactly ONE row is chosen, and the chosen row replays
+    the documented rule (cheapest config clearing target, cost key
+    2·bits + (1−mp) maximized; best-hits-then-cheapest fallback when
+    nothing clears) — derived independently in python from the same
+    ladder. Both branches exercised: a clearable target and an
+    impossible one."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(5, 16)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(60):
+        g = rng.randn(16)
+        v = centers[i % 5] + 0.6 * g / np.linalg.norm(g)
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    configs = ((2, True), (3, True), (4, False))
+    ladder = {
+        (r.num_bits, r.multiprobe): r
+        for r in sim.hard_negative_recall(
+            df, "vec_id", "embedding", k=3, dim=16, dup_threshold=0.95,
+            configs=configs, seed=42,
+        ).collect()
+    }
+
+    def expected_choice(target):
+        ck = lambda b, mp: 2 * b + (1 - mp)  # noqa: E731
+        met = [key for key, r in ladder.items()
+               if r.hits * 1000 >= target * r.n_exact]
+        if met:
+            return max(met, key=lambda key: ck(*key))
+        return max(ladder, key=lambda key: (ladder[key].hits, ck(*key)))
+
+    for target in (50, 1000):
+        got = sim.choose_srp_config(
+            df, "vec_id", "embedding", k=3, dim=16, dup_threshold=0.95,
+            target_recall_permille=target, configs=configs, seed=42,
+        ).collect()
+        assert {(r.num_bits, r.multiprobe): (r.n_exact, r.hits, r.recall)
+                for r in got} == {
+            key: (r.n_exact, r.hits, r.recall)
+            for key, r in ladder.items()
+        }  # the ladder is the evidence, returned verbatim
+        chosen = [r for r in got if r.chosen]
+        assert len(chosen) == 1
+        assert (chosen[0].num_bits, chosen[0].multiprobe) == \
+            expected_choice(target)
+        if target == 1000 and not any(r.met_target for r in got):
+            # the miss is visible, the pick still deterministic
+            assert chosen[0].hits == max(r.hits for r in got)
+
+    with pytest.raises(ValueError, match="target_recall_permille"):
+        sim.choose_srp_config(
+            df, "vec_id", "embedding", k=3, dim=16, dup_threshold=0.95,
+            target_recall_permille=0,
+        )
+
+
 def test_srp_ref_index_num_bits_contract(spark):
     """r13 advisor (medium): an auto-picked bit count the query side
     cannot recover is silent wrong results (it would sign with the

@@ -1660,3 +1660,82 @@ def hard_negative_recall(
         )
         out = stat if out is None else out.unionByName(stat)
     return out.orderBy("num_bits", "multiprobe")
+
+
+def choose_srp_config(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int,
+    dim: int,
+    dup_threshold: float,
+    target_recall_permille: int,
+    configs: tuple[tuple[int, bool], ...] = ((2, False), (2, True),
+                                             (4, True), (6, True)),
+    seed: int = 42,
+) -> DataFrame:
+    """The q236 deployment rule AS CODE: run hard_negative_recall over
+    the candidate ladder and mark the CHEAPEST config whose negative
+    recall clears the target — "run the ladder at bits b−1/b/b+1,
+    deploy the cheapest config whose recall clears target" (SCALE.md
+    r13/r14), executed instead of prose. Returns the full ladder (the
+    evidence, one row per config) with two extra columns:
+
+    - ``met_target``: hits·1000 ≥ target·n_exact — exact BIGINT
+      arithmetic on both engine sides, no float-threshold ambiguity;
+    - ``chosen``: true on exactly ONE row — the cheapest config
+      meeting the target, or, when none does, the best-recall config
+      (cheapest among ties) so the caller still gets a deterministic
+      deployment pick plus the visible miss (all met_target false).
+
+    Cost order is the measured one (SCALE.md r14 clustered ladder:
+    miner cost falls ~5× from bits 4→8 while multiprobe multiplies
+    candidate volume ~(bits+1)×): HIGHER bits cheaper, and at equal
+    bits single-probe cheaper than multiprobe — encoded as the key
+    ``2·num_bits + (1 − multiprobe)``, maximized. n_exact is
+    config-independent (the ground truth is built once), so the
+    fallback's max-hits comparison needs no recall division.
+
+    Everything after the ladder is arithmetic over ≤ |configs| rows —
+    one broadcast join of two scalar aggregates, no window, no sort
+    assumptions; at 100 TB this remains an offline calibration run
+    whose cost is the ladder's (exact side built once, checkpointed,
+    reused per config — hard_negative_recall's contract)."""
+    if not 0 < target_recall_permille <= 1000:
+        raise ValueError(
+            f"target_recall_permille must be in (0, 1000], "
+            f"got {target_recall_permille}"
+        )
+    ladder = hard_negative_recall(
+        df, id_col, vec_col, k=k, dim=dim, dup_threshold=dup_threshold,
+        configs=configs, seed=seed,
+    )
+    cost_key = (F.lit(2) * F.col("num_bits")
+                + (F.lit(1) - F.col("multiprobe"))).cast("long")
+    meets = (
+        F.col("hits") * F.lit(1000)
+        >= F.lit(int(target_recall_permille)) * F.col("n_exact")
+    )
+    ranked = ladder.withColumn("__ck", cost_key).withColumn(
+        "met_target", meets
+    )
+    pick = ranked.agg(
+        F.max(F.when(F.col("met_target"), F.col("__ck")))
+        .alias("__pick_meet"),
+        F.max(F.struct(F.col("hits"), F.col("__ck")))
+        .getField("__ck")
+        .alias("__pick_best"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(pick))
+        .select(
+            "num_bits", "multiprobe", "n_queries", "n_exact", "hits",
+            "recall", "met_target",
+            (
+                F.col("__ck")
+                == F.coalesce(F.col("__pick_meet"), F.col("__pick_best"))
+            ).alias("chosen"),
+        )
+        .orderBy("num_bits", "multiprobe")
+    )

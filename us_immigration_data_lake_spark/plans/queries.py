@@ -14730,7 +14730,12 @@ _Q236_N, _Q236_K, _Q236_THR = 150, 5, 0.35
 _Q236_CONFIGS = ((2, False), (2, True), (4, True), (6, True))
 
 
-def _q236_oracle_sql() -> str:
+def _hn_recall_oracle_parts(
+    configs: tuple[tuple[int, bool], ...],
+) -> tuple[str, str]:
+    """(WITH-prefix, per-config UNION body) of the hard-negative-recall
+    ladder replay — shared by q236 (the ladder verbatim) and q238 (the
+    ladder + the deployment-rule selection)."""
     n, k, thr = _Q236_N, _Q236_K, _Q236_THR
 
     def config_ctes(bits: int, mp: bool) -> tuple[str, str]:
@@ -14784,13 +14789,13 @@ def _q236_oracle_sql() -> str:
         return cte, stat
 
     ctes, stats = [], []
-    for bits, mp in _Q236_CONFIGS:
+    for bits, mp in configs:
         cte, stat = config_ctes(bits, mp)
         ctes.append(cte)
         stats.append(stat)
     all_ctes = ",\n    ".join(ctes)
     union = "\n      UNION ALL\n      ".join(f"({s})" for s in stats)
-    return f"""
+    prefix = f"""
     WITH RECURSIVE base AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
       WHERE vec_id < {n}
@@ -14825,7 +14830,14 @@ def _q236_oracle_sql() -> str:
         ) s
       ) WHERE rn <= {k}
     ),
-    {all_ctes}
+    {all_ctes}"""
+    return prefix, union
+
+
+def _q236_oracle_sql() -> str:
+    prefix, union = _hn_recall_oracle_parts(_Q236_CONFIGS)
+    return f"""
+    {prefix}
     SELECT * FROM (
       {union}
     ) ORDER BY num_bits, multiprobe
@@ -14910,4 +14922,63 @@ def q237_training_order_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, "doc_id", "source", "quality_score", "n_tokens",
         cap=_Q234_CAP, alpha=_Q234_ALPHA, epochs=_Q237_EPOCHS,
         n_bins=_Q234_BINS,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q238 — SRP config CHOSEN by recall target (operators/similarity.py:
+# choose_srp_config, new r14): the q236 deployment rule as code —
+# re-run the recall ladder, mark the CHEAPEST config whose negative
+# recall clears the target (cost order = the SCALE.md r14 measured
+# one: higher bits cheaper, single-probe cheaper at equal bits), or,
+# if none clears, the best-recall config so the caller still gets a
+# deterministic pick plus the visible miss. met_target is exact
+# BIGINT arithmetic (hits·1000 ≥ target·n_exact) on both sides; the
+# oracle is q236's ladder replay verbatim + one selection CTE (max
+# cost key among meeting configs, hits-then-cost fallback).
+# ---------------------------------------------------------------------------
+
+_Q238_TARGET_PERMILLE = 80
+
+
+def _q238_oracle_sql() -> str:
+    prefix, union = _hn_recall_oracle_parts(_Q236_CONFIGS)
+    t = _Q238_TARGET_PERMILLE
+    return f"""
+    {prefix},
+    ladder AS (
+      SELECT * FROM (
+        {union}
+      )
+    ), ranked AS (
+      SELECT *, CAST(2 * num_bits + (1 - multiprobe) AS BIGINT) AS ck,
+             (hits * 1000 >= {t} * n_exact) AS met_target
+      FROM ladder
+    ), pick AS (
+      SELECT COALESCE(
+               MAX(CASE WHEN met_target THEN ck END),
+               (SELECT ck FROM ranked ORDER BY hits DESC, ck DESC LIMIT 1)
+             ) AS ck
+      FROM ranked
+    )
+    SELECT num_bits, multiprobe, n_queries, n_exact, hits, recall,
+           met_target, (ranked.ck = pick.ck) AS chosen
+    FROM ranked, pick
+    ORDER BY num_bits, multiprobe
+    """
+
+
+@_register(
+    "q238_srp_config_choice",
+    oracle=_q238_oracle_sql(),
+    tags=("similarity", "hard-negatives", "recall", "calibration",
+          "lsh", "deployment-rule", "portable"),
+)
+def q238_srp_config_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _Q236_N)
+    return sim_ops.choose_srp_config(
+        emb, "vec_id", "embedding", k=_Q236_K, dim=EMBEDDING_DIM,
+        dup_threshold=_Q236_THR, target_recall_permille=_Q238_TARGET_PERMILLE,
+        configs=_Q236_CONFIGS, seed=42,
     )
