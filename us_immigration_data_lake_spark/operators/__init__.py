@@ -318,3 +318,15 @@ __all__ += [
     "calibration_bins", "hashed_token_features", "pr_auc_exact",
     "roc_auc_exact", "train_logreg_hashed",
 ]
+
+from us_immigration_data_lake_spark.operators.similarity import (
+    choose_srp_config,
+    hard_negative_recall,
+    hard_negatives_indexed,
+    recommended_num_bits,
+)
+
+__all__ += [
+    "choose_srp_config", "hard_negative_recall",
+    "hard_negatives_indexed", "recommended_num_bits",
+]
