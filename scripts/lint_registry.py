@@ -13,9 +13,8 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 from us_immigration_data_lake_spark.plans.lint import (  # noqa: E402
-    CARTESIAN_EXEMPT,
-    UNION_AGG_EXEMPT,
     lint_plan,
+    unexempted_error_rules,
 )
 from us_immigration_data_lake_spark.plans.queries import QUERIES  # noqa: E402
 from us_immigration_data_lake_spark.session import get_spark  # noqa: E402
@@ -30,28 +29,27 @@ def main() -> None:
         if "streaming" in spec.tags:
             continue
         findings = lint_plan(spec.fn(spark, sf_dir))
-        errors = [
-            f
-            for f in findings
-            if f.severity == "error"
-            and not (f.rule == "cartesian-product" and name in CARTESIAN_EXEMPT)
-        ]
-        # union-partitioned-aggregate escalates to error for any query
-        # outside the adjudicated six (r13 verdict ask #2) — same rule
-        # as tests/test_plan_lint.py's registry gate
-        if name not in UNION_AGG_EXEMPT:
-            errors += [
-                f for f in findings
-                if f.rule == "union-partitioned-aggregate"
-            ]
+        # gate rule single-sourced with tests/test_plan_lint.py's
+        # registry sweep (plans/lint.py:unexempted_error_rules) —
+        # incl. the union-agg warn escalated to error outside the
+        # adjudicated exemptions (r13 verdict ask #2)
+        gate_rules = unexempted_error_rules(name, findings)
+        errors = [f for f in findings if f.rule in gate_rules]
         warns = [
             f for f in findings
-            if f.severity == "warn" and f not in errors
+            if f.severity == "warn" and f.rule not in gate_rules
         ]
         if errors or warns:
             print(f"{name}:")
-            for f in errors + warns:
-                print(f"  [{f.severity.upper()}] {f.rule}: {f.message}")
+            for f in errors:
+                # label by GATE outcome, not raw severity, so the
+                # report never prints [WARN] on a finding that fails
+                # the sweep
+                tag = ("ERROR" if f.severity == "error"
+                       else "ERROR (escalated warn)")
+                print(f"  [{tag}] {f.rule}: {f.message}")
+            for f in warns:
+                print(f"  [WARN] {f.rule}: {f.message}")
             bad += len(errors)
     print(f"\nlint sweep: {bad} unexempted error-severity finding(s)")
     sys.exit(1 if bad else 0)

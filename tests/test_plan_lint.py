@@ -10,6 +10,7 @@ from us_immigration_data_lake_spark.plans.lint import (
     UNION_AGG_EXEMPT,
     lint_plan,
     lint_report,
+    unexempted_error_rules,
 )
 from us_immigration_data_lake_spark.plans.queries import QUERIES
 
@@ -116,24 +117,13 @@ def _registry_sweep(spark):
     from concurrent.futures import ThreadPoolExecutor
 
     def check(item):
+        # error-with-exemptions incl. the union-agg escalation (r13
+        # verdict ask #2), single-sourced in plans/lint.py so this
+        # gate and scripts/lint_registry.py cannot drift
         name, spec = item
-        findings = lint_plan(spec.fn(spark, SF))
-        errors = {
-            f.rule
-            for f in findings
-            if f.severity == "error"
-            and not (f.rule == "cartesian-product" and name in CARTESIAN_EXEMPT)
-        }
-        if name not in UNION_AGG_EXEMPT:
-            # error-with-exemptions (r13 verdict ask #2): a NEW query
-            # adopting the keyed-aggregate-over-Union shape fails the
-            # registry gate until it is adjudicated (runtime
-            # 1:1-cardinality case added below + name exempted)
-            errors |= {
-                f.rule for f in findings
-                if f.rule == "union-partitioned-aggregate"
-            }
-        return name, errors
+        return name, unexempted_error_rules(
+            name, lint_plan(spec.fn(spark, SF))
+        )
 
     batch = [
         (n, s) for n, s in QUERIES.items() if "streaming" not in s.tags

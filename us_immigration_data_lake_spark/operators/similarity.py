@@ -757,7 +757,7 @@ def srp_ref_index_frames(
     num_bits: int | None = 8,
     seed: int = 42,
     max_bucket_size: int = 1000,
-) -> dict[str, DataFrame]:
+) -> dict[str, DataFrame | int]:
     """``srp_ref_index`` with its truncation observable: ``{"index":
     (bucket, id_ref, v2, n2), "oversized": (bucket, bucket_n,
     anchor_id), "num_bits": int}`` —

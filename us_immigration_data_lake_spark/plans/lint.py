@@ -74,6 +74,29 @@ UNION_AGG_EXEMPT = frozenset(
 )
 
 
+def unexempted_error_rules(name: str, findings: list["Finding"]) -> set[str]:
+    """The registry gate's error-with-exemptions rule, single-sourced
+    (used by BOTH tests/test_plan_lint.py's sweep and
+    scripts/lint_registry.py so the CI gate and the report can't
+    drift): error-severity findings minus the documented cartesian
+    exemptions, PLUS the union-partitioned-aggregate warn escalated to
+    error for any query outside the adjudicated six (r13 verdict ask
+    #2 — a new query adopting the shape must land its runtime
+    1:1-cardinality case and an exemption entry first)."""
+    rules = {
+        f.rule
+        for f in findings
+        if f.severity == "error"
+        and not (f.rule == "cartesian-product" and name in CARTESIAN_EXEMPT)
+    }
+    if name not in UNION_AGG_EXEMPT:
+        rules |= {
+            f.rule for f in findings
+            if f.rule == "union-partitioned-aggregate"
+        }
+    return rules
+
+
 def formatted_plan(df: DataFrame) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
