@@ -3175,6 +3175,56 @@ def test_training_order_epochs_rejects_nonpositive_epochs(spark):
             )
 
 
+def test_srp_multi_table_compat_and_recall_dominance(spark):
+    """q239's operator: (a) ONE table reproduces
+    srp_bucket_near_dup_pairs exactly (table 0's planes are the
+    single-table planes — seed+0), so the multi-table composition
+    provably reuses the single-table semantics; (b) more tables can
+    only ADD verified pairs (candidate sets are unions over tables —
+    a superset theorem), and on planted-cluster geometry they
+    strictly do; (c) the frames contract (oversized report + released
+    cached band frame) holds with a tiny cap."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    centers = rng.randn(6, 16)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(120):
+        g = rng.randn(16)
+        v = centers[i % 6] + 0.55 * g / np.linalg.norm(g)
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(threshold=0.5, dim=16, num_bits=4, seed=42)
+
+    one = {(r.id1, r.id2, r.cosine_sim) for r in
+           sim.srp_bucket_near_dup_pairs(df, "vec_id", "embedding",
+                                         **kw).collect()}
+    mt1 = {(r.id1, r.id2, r.cosine_sim) for r in
+           sim.srp_multi_table_pairs(df, "vec_id", "embedding",
+                                     num_tables=1, **kw).collect()}
+    mt3 = {(r.id1, r.id2, r.cosine_sim) for r in
+           sim.srp_multi_table_pairs(df, "vec_id", "embedding",
+                                     num_tables=3, **kw).collect()}
+    assert mt1 == one  # table-0 compat
+    assert mt1 <= mt3  # superset theorem
+    assert len(mt3) > len(mt1)  # tables buy recall on clusters
+
+    frames = sim.srp_multi_table_frames(
+        df, "vec_id", "embedding", num_tables=3, max_bucket_size=10,
+        **kw,
+    )
+    over = frames["oversized"].collect()
+    assert over and all(r.bucket_n > 10 for r in over)
+    assert frames["pairs"].count() <= len(mt3)  # cap only removes
+    for f in frames["cached"]:
+        f.unpersist()
+
+    with pytest.raises(ValueError, match="num_tables"):
+        sim.srp_multi_table_pairs(df, "vec_id", "embedding",
+                                  num_tables=0, **kw)
+
+
 def test_choose_srp_config_replays_selection_rule(spark):
     """q238's operator: the ladder rows are hard_negative_recall's
     verbatim, exactly ONE row is chosen, and the chosen row replays

@@ -708,6 +708,128 @@ def srp_near_dup_frames(
     }
 
 
+def srp_multi_table_frames(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    dim: int,
+    num_bits: int,
+    num_tables: int,
+    seed: int = 42,
+    max_bucket_size: int = 1000,
+) -> dict[str, DataFrame]:
+    """MULTI-TABLE SRP near-dup pairs — the MinHash-BANDING analog for
+    embeddings the scale notes kept recommending as prose
+    ("at corpus scale run wider signatures or multiple independent
+    tables"), now an operator: ``num_tables`` INDEPENDENT
+    hyperplane tables (table t's planes seeded ``seed + t``, so table
+    0 reproduces the single-table bucketing exactly), a candidate
+    pair needs to share a bucket in ANY table, exact cosine verifies.
+    Per-pair recall rises from p^b (one table) to 1 − (1−p^b)^L with
+    p = 1 − θ/π — the OTHER recall lever next to multiprobe: probes
+    recover Hamming-1 neighbors of one partition, independent tables
+    resample the partition itself, and the two compose.
+
+    Plan shape IS the text path's banding (dedup.candidate_pairs):
+    the per-row signature stage computes all L buckets in one
+    projection (literal-plane JVM arithmetic), posexplode emits
+    (band_idx=table, band_hash=bucket) — so the counted-census
+    bucket-cap machinery, oversized observability and OOM-safe
+    strategy selection are shared verbatim with MinHash banding and
+    the single-table SRP path; cap semantics can never drift across
+    the three. Cost is Σ over (table, bucket) of |bucket|² — L× the
+    single-table candidate volume at equal bits, which is the point:
+    spend it to BUY recall at the same bucket granularity, with
+    num_bits still growing ~log(corpus) (recommended_num_bits) to
+    hold per-table occupancy.
+
+    Returns the near_dup_frames contract: ``{"pairs": (id1, id2,
+    cosine_sim), "oversized": one row per capped (table, bucket),
+    "cached": [band frame]}`` — ``cached`` is the caller's to release
+    after materializing. A pair colliding in several tables is
+    emitted once (candidate_pairs dedups inside the bucket expand).
+    """
+    if num_tables < 1:
+        raise ValueError(f"num_tables must be >= 1, got {num_tables}")
+    from us_immigration_data_lake_spark.operators.dedup import (
+        _census_report,
+        _counted_census_plan,
+        candidate_pairs,
+    )
+
+    sig = df.select(
+        F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v")
+    ).select(
+        "__id", "__v",
+        F.array(*[
+            srp_signature("__v", srp_planes(dim, num_bits, seed + t))
+            for t in range(num_tables)
+        ]).alias("__buckets"),
+    )
+    if dim:
+        sig = sig.withColumn(
+            "__n", F.expr(f"sqrt({_dot_fixed_sql('__v', '__v', dim)})")
+        )
+    else:
+        sig = sig.withColumn("__n", l2_norm(F.col("__v")))
+    # one barrier for the L·bits·dim-term signature stage (the
+    # srp_bucket_near_dup_pairs rationale: it feeds the band frame
+    # AND the verify join's vector/norm lookups)
+    sig = sig.localCheckpoint(eager=True)
+
+    band_df = sig.select(
+        "__id",
+        F.posexplode("__buckets").alias("band_idx", "band_hash"),
+    ).select("__id", "band_idx", "band_hash")
+    band_df.cache()
+    n_over, census = _counted_census_plan(band_df, "__id", max_bucket_size)
+    cand = candidate_pairs(band_df, "__id", max_bucket_size,
+                           _census=(n_over, census))
+    v1 = sig.select(
+        F.col("__id").alias("id1"), F.col("__v").alias("v1"),
+        F.col("__n").alias("n1"),
+    )
+    v2 = sig.select(
+        F.col("__id").alias("id2"), F.col("__v").alias("v2"),
+        F.col("__n").alias("n2"),
+    )
+    pairs = (
+        cand.join(v1, "id1")
+        .join(v2, "id2")
+        .select(
+            "id1", "id2",
+            F.round(_pair_cosine(dim), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+    return {
+        "pairs": pairs,
+        "oversized": _census_report(census),
+        "cached": [band_df],
+    }
+
+
+def srp_multi_table_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    dim: int,
+    num_bits: int,
+    num_tables: int,
+    seed: int = 42,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """``srp_multi_table_frames``'s pairs frame alone (the band cache
+    is left to LRU — loop callers should use the frames form and
+    release ``cached`` explicitly)."""
+    return srp_multi_table_frames(
+        df, id_col, vec_col, threshold, dim, num_bits, num_tables,
+        seed=seed, max_bucket_size=max_bucket_size,
+    )["pairs"]
+
+
 def srp_ref_index(
     ref_df: DataFrame,
     id_col: str,

@@ -14982,3 +14982,79 @@ def q238_srp_config_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_threshold=_Q236_THR, target_recall_permille=_Q238_TARGET_PERMILLE,
         configs=_Q236_CONFIGS, seed=42,
     )
+
+
+# ---------------------------------------------------------------------------
+# Q239 — MULTI-TABLE SRP near-dup pairs (operators/similarity.py:
+# srp_multi_table_frames, new r14): the MinHash-banding analog for
+# embeddings that the scale notes recommended as prose ("run wider
+# signatures or multiple independent tables"), as an operator. L
+# independent hyperplane tables (table t seeded seed+t; table 0 IS
+# the single-table bucketing — a pinned compat theorem), candidates
+# share a bucket in ANY table (band machinery verbatim: band_idx =
+# table), exact cosine verifies; per-pair recall 1−(1−p^b)^L vs p^b
+# single-table. Registry instance runs UNCAPPED (bucket cap far above
+# any fixture bucket) so the oracle is the clean per-table signature
+# replay + OR-union distinct + cosine verify; cap semantics on this
+# machinery are q182/q187's already-gated surface.
+# ---------------------------------------------------------------------------
+
+_Q239_BITS, _Q239_TABLES = 4, 3
+
+
+def _q239_oracle_sql() -> str:
+    def table_bits(t: int) -> str:
+        planes = sim_ops.srp_planes(EMBEDDING_DIM, num_bits=_Q239_BITS,
+                                    seed=42 + t)
+
+        def dot_expr(i: int) -> str:
+            return " + ".join(
+                f"v[{j + 1}]*({float(planes[i][j])!r})"
+                for j in range(EMBEDDING_DIM)
+            )
+
+        return " + ".join(
+            f"(CASE WHEN ({dot_expr(i)}) > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(_Q239_BITS)
+        )
+
+    bucket_cols = ", ".join(
+        f"CAST({table_bits(t)} AS BIGINT) AS b{t}"
+        for t in range(_Q239_TABLES)
+    )
+    any_shared = " OR ".join(
+        f"x.b{t} = y.b{t}" for t in range(_Q239_TABLES)
+    )
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), b AS MATERIALIZED (
+      SELECT vec_id, v, {bucket_cols} FROM base
+    ), cand AS MATERIALIZED (
+      SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
+      FROM b x JOIN b y
+        ON x.vec_id < y.vec_id AND ({any_shared})
+    )
+    SELECT c.id1, c.id2,
+           ROUND(list_cosine_similarity(x.v, y.v), 6) AS cosine_sim
+    FROM cand c
+    JOIN b x ON c.id1 = x.vec_id
+    JOIN b y ON c.id2 = y.vec_id
+    WHERE ROUND(list_cosine_similarity(x.v, y.v), 6) >= {_Q181_TAU}
+    """
+
+
+@_register(
+    "q239_srp_multi_table_pairs",
+    oracle=_q239_oracle_sql(),
+    tags=("similarity", "dedup", "semdedup", "lsh", "banding",
+          "multi-table", "portable"),
+)
+def q239_srp_multi_table_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.srp_multi_table_pairs(
+        emb, "vec_id", "embedding", threshold=_Q181_TAU,
+        dim=EMBEDDING_DIM, num_bits=_Q239_BITS,
+        num_tables=_Q239_TABLES, seed=42, max_bucket_size=1_000_000,
+    )
