@@ -90,7 +90,7 @@ def _timed_noop(plan) -> float:
 
 def main() -> int:
     sections = set(sys.argv[1:]) or {"ladder", "speed", "q221"}
-    if not sections <= {"ladder", "speed", "q221", "scale10"}:
+    if not sections <= {"ladder", "speed", "q221", "scale10", "tables"}:
         raise SystemExit(f"unknown section in {sorted(sections)}")
     spark = get_spark("r14_cluster_probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -189,6 +189,36 @@ def main() -> int:
             "c64_10x", (8, 10, 12),
             cluster_bits=sim.recommended_num_bits(20000),
         )
+
+    if "tables" in sections:
+        # --- q239 substrate: PAIR recall of multi-table SRP vs the
+        # exact all-pairs truth on the clustered 1x fixture — the
+        # measured 1−(1−p^b)^L surface next to q236's (bits,
+        # multiprobe) ladder. Truth built once (2k rows, all-pairs
+        # fine at sample scale).
+        df = emb("c64")
+        truth = {
+            (r.id1, r.id2)
+            for r in sim.cosine_near_dup_pairs(
+                df, "vec_id", "embedding", 0.5
+            ).collect()
+        }
+        grid = {}
+        for bits in (6, 8, 10):
+            for tables in (1, 2, 3):
+                got = sim.srp_multi_table_pairs(
+                    df, "vec_id", "embedding", threshold=0.5, dim=64,
+                    num_bits=bits, num_tables=tables, seed=42,
+                )
+                hits = sum(
+                    (r.id1, r.id2) in truth for r in got.collect()
+                )
+                rec = round(hits / len(truth), 4) if truth else None
+                grid[f"bits{bits}_L{tables}"] = rec
+                print(f"[probe] tables c64 bits={bits} L={tables} "
+                      f"pair_recall={rec}", file=sys.stderr, flush=True)
+        emit("q239_pair_recall_grid", {"n_true_pairs": len(truth),
+                                       **grid})
 
     if "q221" in sections:
         # --- q221 substrate: neighbor recall, clustered vs standard ---
