@@ -3239,13 +3239,13 @@ def test_choose_srp_config_replays_selection_rule(spark):
     centers = rng.randn(5, 16)
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     rows = []
-    for i in range(60):
+    for i in range(40):
         g = rng.randn(16)
         v = centers[i % 5] + 0.6 * g / np.linalg.norm(g)
         rows.append((i, (v / np.linalg.norm(v)).tolist()))
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
-    configs = ((2, True), (3, True), (4, False))
+    configs = ((2, True), (4, False))
 
     def expected_choice(rows, target):
         # independent python replay of the rule over the returned
