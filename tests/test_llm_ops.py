@@ -3224,6 +3224,40 @@ def test_srp_multi_table_compat_and_recall_dominance(spark):
         sim.srp_multi_table_pairs(df, "vec_id", "embedding",
                                   num_tables=0, **kw)
 
+    # CROSS-corpus twin (q240): L=1 against the multi-table ref index
+    # reproduces the single-table cross path exactly; L=3 only adds;
+    # the index frames expose the bit/table counts the query side
+    # must sign with (the srp_ref_index_frames num_bits contract)
+    new_df = df.filter(F.col("vec_id") % 2 == 1)
+    ref_df = df.filter(F.col("vec_id") % 2 == 0)
+    s1 = {(r.id_new, r.id_ref, r.cosine_sim) for r in
+          sim.cross_srp_pairs_indexed(
+              new_df,
+              sim.srp_ref_index_frames(ref_df, "vec_id", "embedding",
+                                       dim=16, num_bits=4)["index"],
+              "vec_id", "embedding", 0.5, dim=16, num_bits=4,
+          ).collect()}
+    frames = {
+        L: sim.srp_multi_table_ref_index_frames(
+            ref_df, "vec_id", "embedding", dim=16, num_bits=4,
+            num_tables=L,
+        )
+        for L in (1, 3)
+    }
+    assert frames[3]["num_bits"] == 4 and frames[3]["num_tables"] == 3
+    cross = {
+        L: {(r.id_new, r.id_ref, r.cosine_sim) for r in
+            sim.cross_srp_multi_table_pairs_indexed(
+                new_df, frames[L]["index"], "vec_id", "embedding",
+                0.5, dim=16, num_bits=4, num_tables=L,
+            ).collect()}
+        for L in (1, 3)
+    }
+    assert cross[1] == s1  # L=1 compat with the single-table path
+    assert cross[1] <= cross[3]  # tables only add
+    # multi-collision pairs are emitted once
+    assert len(cross[3]) == len({(a, b) for a, b, _ in cross[3]})
+
 
 def test_choose_srp_config_replays_selection_rule(spark):
     """q238's operator: the ladder rows are hard_negative_recall's

@@ -333,3 +333,13 @@ __all__ += [
     "hard_negatives_indexed", "recommended_num_bits",
     "srp_multi_table_frames", "srp_multi_table_pairs",
 ]
+
+from us_immigration_data_lake_spark.operators.similarity import (
+    cross_srp_multi_table_pairs_indexed,
+    srp_multi_table_ref_index_frames,
+)
+
+__all__ += [
+    "cross_srp_multi_table_pairs_indexed",
+    "srp_multi_table_ref_index_frames",
+]

@@ -750,33 +750,18 @@ def srp_multi_table_frames(
     after materializing. A pair colliding in several tables is
     emitted once (candidate_pairs dedups inside the bucket expand).
     """
-    if num_tables < 1:
-        raise ValueError(f"num_tables must be >= 1, got {num_tables}")
     from us_immigration_data_lake_spark.operators.dedup import (
         _census_report,
         _counted_census_plan,
         candidate_pairs,
     )
 
-    sig = df.select(
-        F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v")
-    ).select(
-        "__id", "__v",
-        F.array(*[
-            srp_signature("__v", srp_planes(dim, num_bits, seed + t))
-            for t in range(num_tables)
-        ]).alias("__buckets"),
-    )
-    if dim:
-        sig = sig.withColumn(
-            "__n", F.expr(f"sqrt({_dot_fixed_sql('__v', '__v', dim)})")
-        )
-    else:
-        sig = sig.withColumn("__n", l2_norm(F.col("__v")))
     # one barrier for the L·bits·dim-term signature stage (the
     # srp_bucket_near_dup_pairs rationale: it feeds the band frame
     # AND the verify join's vector/norm lookups)
-    sig = sig.localCheckpoint(eager=True)
+    sig = _srp_multi_sig_base(
+        df, id_col, vec_col, dim, num_bits, num_tables, seed
+    ).localCheckpoint(eager=True)
 
     band_df = sig.select(
         "__id",
@@ -828,6 +813,136 @@ def srp_multi_table_pairs(
         df, id_col, vec_col, threshold, dim, num_bits, num_tables,
         seed=seed, max_bucket_size=max_bucket_size,
     )["pairs"]
+
+
+def _srp_multi_sig_base(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    num_bits: int,
+    num_tables: int,
+    seed: int,
+) -> DataFrame:
+    """Per-row multi-table SRP state BEFORE explosion (__id, __v,
+    __n, __buckets array<long>) — one projection computing all L
+    table signatures and the norm; pure per-row expressions, so a
+    streaming frame flows through unchanged. Callers posexplode
+    ``__buckets`` into (band_idx, bucket) where they need the band
+    frame, and take vectors/norms from HERE (one row per id, no
+    dedup shuffle)."""
+    if num_tables < 1:
+        raise ValueError(f"num_tables must be >= 1, got {num_tables}")
+    sig = df.select(
+        F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v")
+    ).select(
+        "__id", "__v",
+        F.array(*[
+            srp_signature("__v", srp_planes(dim, num_bits, seed + t))
+            for t in range(num_tables)
+        ]).alias("__buckets"),
+    )
+    if dim:
+        return sig.withColumn(
+            "__n", F.expr(f"sqrt({_dot_fixed_sql('__v', '__v', dim)})")
+        )
+    return sig.withColumn("__n", l2_norm(F.col("__v")))
+
+
+def srp_multi_table_ref_index_frames(
+    ref_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    num_bits: int,
+    num_tables: int,
+    seed: int = 42,
+    max_bucket_size: int = 1000,
+) -> dict[str, DataFrame | int]:
+    """MULTI-TABLE reference index for cross-corpus semantic dedup —
+    srp_ref_index_frames with q239's recall lever: the reference is
+    indexed under L independent plane tables, so an incoming batch or
+    stream recovers a near-dup if it collides in ANY table
+    (1 − (1−p^b)^L per-pair recall at L× index size and candidate
+    volume). ``{"index": (band_idx, bucket, id_ref, v2, n2),
+    "oversized": per capped (table, bucket), "num_bits": int,
+    "num_tables": int}`` — build ONCE per reference corpus, reused
+    every batch/micro-batch; the cap is per (table, bucket) via the
+    SAME capped_bucket_members machinery the banded text index uses
+    (key_cols), so truncation semantics are shared, observable, and
+    already oracle-gated on the text path."""
+    from us_immigration_data_lake_spark.operators.dedup import (
+        capped_bucket_members,
+    )
+
+    base = _srp_multi_sig_base(
+        ref_df, id_col, vec_col, dim, num_bits, num_tables, seed
+    ).localCheckpoint(eager=True)  # ref side is batch; computed once
+    band = base.select(
+        "__id", F.posexplode("__buckets").alias("band_idx", "bucket")
+    )
+    capped = capped_bucket_members(
+        band.select("band_idx", "bucket", "__id"), "__id",
+        max_bucket_size, key_cols=("band_idx", "bucket"),
+    ).select("band_idx", "bucket", F.col("__id").alias("id_ref"))
+    vectors = base.select(
+        F.col("__id").alias("id_ref"),
+        F.col("__v").alias("v2"),
+        F.col("__n").alias("n2"),
+    )
+    index = capped.join(vectors, "id_ref")
+    oversized = (
+        band.groupBy("band_idx", "bucket")
+        .agg(F.count(F.lit(1)).alias("bucket_n"),
+             F.min("__id").alias("anchor_id"))
+        .filter(F.col("bucket_n") > max_bucket_size)
+    )
+    return {"index": index, "oversized": oversized,
+            "num_bits": num_bits, "num_tables": num_tables}
+
+
+def cross_srp_multi_table_pairs_indexed(
+    new_df: DataFrame,
+    ref_index: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    dim: int,
+    num_bits: int,
+    num_tables: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Cross-corpus semantic near-dup pairs of a NEW batch against a
+    PREBUILT multi-table reference index
+    (srp_multi_table_ref_index_frames): per new row, all L bucket
+    signatures + the norm (pure per-row arithmetic), ONE equi-join on
+    (band_idx, bucket), cosine verify inline. Plane parameters must
+    match the index build — read them back from the index frames'
+    ``num_bits``/``num_tables``. A pair colliding in several tables
+    is emitted ONCE (dropDuplicates on the verified pair — the cosine
+    is a pure function of the pair, so the dedup is deterministic).
+    STREAMING caveat, unlike the single-table path: the per-pair
+    multiplicity means append-mode emission needs the duplicate drop;
+    on a stream that is watermark-bounded dedup state (the text
+    twin's q195 pattern), not free — single-table + multiprobe keeps
+    the zero-state property if that matters more than recall."""
+    sig = _srp_multi_sig_base(
+        new_df, id_col, vec_col, dim, num_bits, num_tables, seed
+    ).select(
+        F.col("__id").alias("id_new"), F.col("__v").alias("v1"),
+        F.col("__n").alias("n1"),
+        F.posexplode("__buckets").alias("band_idx", "bucket"),
+    )
+    return (
+        sig.join(ref_index, ["band_idx", "bucket"])
+        .select(
+            "id_new",
+            "id_ref",
+            F.round(_pair_cosine(dim), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .dropDuplicates(["id_new", "id_ref"])
+    )
 
 
 def srp_ref_index(

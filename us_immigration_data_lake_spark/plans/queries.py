@@ -15058,3 +15058,85 @@ def q239_srp_multi_table_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=EMBEDDING_DIM, num_bits=_Q239_BITS,
         num_tables=_Q239_TABLES, seed=42, max_bucket_size=1_000_000,
     )
+
+
+# ---------------------------------------------------------------------------
+# Q240 — CROSS-corpus multi-table semantic dedup (operators/
+# similarity.py:srp_multi_table_ref_index_frames +
+# cross_srp_multi_table_pairs_indexed, new r14): q192's incremental-
+# ingest shape with q239's recall lever — the reference corpus is
+# indexed under L independent plane tables, a new-batch row recovers
+# a near-dup on a collision in ANY table (1−(1−p^b)^L per pair), a
+# multi-collision pair is emitted once (deterministic dropDuplicates
+# on the verified pair). Registry instance runs UNCAPPED (the
+# per-(table,bucket) cap machinery is q190/q192's already-gated
+# surface) so the oracle is the clean OR-union replay: per-table
+# signature CASE sums, DISTINCT candidates across tables, cosine
+# verify. L=1 ≡ cross_srp_pairs_indexed is a pinned test theorem.
+# ---------------------------------------------------------------------------
+
+
+def _q240_oracle_sql() -> str:
+    def table_bits(t: int) -> str:
+        planes = sim_ops.srp_planes(EMBEDDING_DIM, num_bits=_Q239_BITS,
+                                    seed=42 + t)
+
+        def dot_expr(i: int) -> str:
+            return " + ".join(
+                f"v[{j + 1}]*({float(planes[i][j])!r})"
+                for j in range(EMBEDDING_DIM)
+            )
+
+        return " + ".join(
+            f"(CASE WHEN ({dot_expr(i)}) > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(_Q239_BITS)
+        )
+
+    bucket_cols = ", ".join(
+        f"CAST({table_bits(t)} AS BIGINT) AS b{t}"
+        for t in range(_Q239_TABLES)
+    )
+    any_shared = " OR ".join(
+        f"n.b{t} = r.b{t}" for t in range(_Q239_TABLES)
+    )
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), b AS MATERIALIZED (
+      SELECT vec_id, v, {bucket_cols} FROM base
+    ), cand AS MATERIALIZED (
+      SELECT DISTINCT n.vec_id AS id_new, r.vec_id AS id_ref
+      FROM b n JOIN b r ON ({any_shared})
+      WHERE n.vec_id % 2 = 1 AND r.vec_id % 2 = 0
+    )
+    SELECT c.id_new, c.id_ref,
+           ROUND(list_cosine_similarity(x.v, y.v), 6) AS cosine_sim
+    FROM cand c
+    JOIN b x ON c.id_new = x.vec_id
+    JOIN b y ON c.id_ref = y.vec_id
+    WHERE ROUND(list_cosine_similarity(x.v, y.v), 6) >= {_Q181_TAU}
+    """
+
+
+@_register(
+    "q240_cross_multi_table_dedup",
+    oracle=_q240_oracle_sql(),
+    tags=("similarity", "dedup", "semdedup", "cross-corpus", "lsh",
+          "banding", "multi-table", "portable"),
+)
+def q240_cross_multi_table_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    new_df = emb.filter(F.col("vec_id") % 2 == 1)
+    ref_df = emb.filter(F.col("vec_id") % 2 == 0)
+    frames = sim_ops.srp_multi_table_ref_index_frames(
+        ref_df, "vec_id", "embedding", dim=EMBEDDING_DIM,
+        num_bits=_Q239_BITS, num_tables=_Q239_TABLES, seed=42,
+        max_bucket_size=1_000_000,
+    )
+    return sim_ops.cross_srp_multi_table_pairs_indexed(
+        new_df, frames["index"], "vec_id", "embedding",
+        threshold=_Q181_TAU, dim=EMBEDDING_DIM,
+        num_bits=frames["num_bits"], num_tables=frames["num_tables"],
+        seed=42,
+    )
