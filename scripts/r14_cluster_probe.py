@@ -27,9 +27,10 @@ Measured per (num_bits, multiprobe) on the 2k-row clustered fixture:
   the same bits — the discrimination contrast in one number.
 
 Usage: python3 scripts/r14_cluster_probe.py [section ...] — sections
-from {ladder, speed, q221, scale10} (default: the first three; pass
-scale10 explicitly — its exact all-pairs ground truth at 20 k rows is
-the expensive part). Each section prints its own JSON line
+from {ladder, speed, q221, scale10, tables} (default: the first
+three; scale10 is opt-in — see below; tables measures the q239
+multi-table pair-recall grid vs the exact all-pairs truth at 1x).
+Each section prints its own JSON line
 (incremental — a killed run loses only the running section). Run
 SOLO (concurrent Spark work measured 11x inflation on an r6 probe).
 
