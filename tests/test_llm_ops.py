@@ -3258,6 +3258,25 @@ def test_srp_multi_table_compat_and_recall_dominance(spark):
     # multi-collision pairs are emitted once
     assert len(cross[3]) == len({(a, b) for a, b, _ in cross[3]})
 
+    # kNN twin: per-query recall is monotone in tables at equal bits
+    # (the multiprobe dominance theorem inherited — the re-rank is by
+    # TRUE cosine, so a superset candidate set can only displace an
+    # exact-top-k member with an exact-better one), and the approx
+    # list never exceeds k
+    qs = df.filter(F.col("vec_id") < 12)
+    rec = {
+        L: {r.query_id: (r.hits or 0, r.n_approx or 0)
+            for r in sim.ann_recall_at_k(
+                df, qs, "vec_id", "embedding", k=3, dim=16, num_bits=5,
+                num_tables=L,
+            ).collect()}
+        for L in (1, 3)
+    }
+    assert set(rec[1]) == set(rec[3])
+    assert all(rec[3][q][0] >= rec[1][q][0] for q in rec[1])
+    assert any(rec[3][q][0] > rec[1][q][0] for q in rec[1])
+    assert all(n <= 3 for _, n in rec[3].values())
+
 
 def test_choose_srp_config_replays_selection_rule(spark):
     """q238's operator: the ladder rows are hard_negative_recall's

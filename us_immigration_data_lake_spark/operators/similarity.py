@@ -469,6 +469,7 @@ def srp_lsh_knn(
     num_bits: int = 12,
     seed: int = 42,
     multiprobe: bool = False,
+    num_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates share the SRP bucket; exact cosine
     re-rank within bucket. At 100 TB the bucket join replaces the
@@ -481,18 +482,47 @@ def srp_lsh_knn(
     hits 1 + num_bits buckets, so candidate volume grows ~(1+b)× — the
     recall/compute knob that doesn't change the corpus-side layout
     (only the QUERY side replicates; the corpus still shuffles once on
-    its single bucket key). Candidate pairs stay unique: a corpus
-    vector lives in exactly one bucket and the probed buckets are
-    pairwise distinct."""
-    planes = srp_planes(dim, num_bits, seed)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(vec_col).alias("cv"),
-    ).withColumn("bucket", srp_signature("cv", planes))
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _as_double(vec_col).alias("qv"),
-    ).withColumn("bucket", srp_signature("qv", planes))
+    its single bucket key).
+
+    ``num_tables=L > 1`` is the OTHER recall lever (q239's, applied to
+    kNN): L independent plane tables (table t seeded ``seed + t``;
+    table 0 is the single-table bucketing), candidates share a bucket
+    in ANY table — per-neighbor candidate recall 1 − (1−p^b)^L.
+    Unlike multiprobe this DOES replicate the corpus side (L rows per
+    corpus vector, the multi-table index), and a pair colliding in
+    several tables is counted once before scoring. Because the
+    re-rank is by TRUE cosine, growing the candidate set can only
+    improve recall against the exact top-k (a displaced candidate is
+    displaced by an exact-better one) — the multiprobe dominance
+    theorem, inherited; and the two levers compose (multiprobe then
+    probes Hamming-1 within every table)."""
+    if num_tables < 1:
+        raise ValueError(f"num_tables must be >= 1, got {num_tables}")
+    if num_tables == 1:
+        planes = srp_planes(dim, num_bits, seed)
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(vec_col).alias("cv"),
+        ).withColumn("bucket", srp_signature("cv", planes))
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(vec_col).alias("qv"),
+        ).withColumn("bucket", srp_signature("qv", planes))
+        join_keys = ["bucket"]
+    else:
+        c = _srp_multi_sig_base(
+            corpus, id_col, vec_col, dim, num_bits, num_tables, seed
+        ).select(
+            F.col("__id").alias("neighbor_id"), F.col("__v").alias("cv"),
+            F.posexplode("__buckets").alias("band_idx", "bucket"),
+        )
+        q = _srp_multi_sig_base(
+            queries, id_col, vec_col, dim, num_bits, num_tables, seed
+        ).select(
+            F.col("__id").alias("query_id"), F.col("__v").alias("qv"),
+            F.posexplode("__buckets").alias("band_idx", "bucket"),
+        )
+        join_keys = ["band_idx", "bucket"]
     if multiprobe:
         probes = F.array(
             F.col("bucket"),
@@ -502,16 +532,20 @@ def srp_lsh_knn(
             ],
         )
         q = q.withColumn("bucket", F.explode(probes))
-    scored = (
-        c.join(q, on="bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                _cosine_maybe_fixed("qv", "cv", dim), 6
-            ).alias("cosine_sim"),
-        )
+    cand = c.join(q, on=join_keys).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    if num_tables > 1:
+        # one vote per pair regardless of how many tables it collided
+        # in (qv/cv ride along — identical on every duplicate, so the
+        # drop is deterministic)
+        cand = cand.dropDuplicates(["query_id", "neighbor_id"])
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _cosine_maybe_fixed("qv", "cv", dim), 6
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
@@ -1537,6 +1571,7 @@ def ann_recall_at_k(
     num_bits: int = 12,
     seed: int = 42,
     multiprobe: bool = False,
+    num_tables: int = 1,
 ) -> DataFrame:
     """Recall@k of the SRP-LSH approximate kNN against the exact
     brute-force ground truth — the QUALITY metric for the ANN family
@@ -1555,6 +1590,7 @@ def ann_recall_at_k(
     approx = srp_lsh_knn(
         corpus, queries, id_col, vec_col, k=k, dim=dim,
         num_bits=num_bits, seed=seed, multiprobe=multiprobe,
+        num_tables=num_tables,
     )
     e = exact.select("query_id", "neighbor_id")
     a = approx.select("query_id", "neighbor_id")
