@@ -226,19 +226,27 @@ def main() -> None:
     }
 
     total = round(sum(timings.values()), 3)
-    # The r11 bench artifact was LOST ("parsed": null) because all the
-    # diagnostics rode the single metric line and pushed it past the
-    # driver's tail-capture window (r11 verdict, What's wrong #2). Split
-    # the emission: a DIAGNOSTICS line first (host-drift-corrected
-    # per-query timings + the interleaved anchor samples — compare
-    # queries_norm across rounds, a gradient in anchor_samples means
-    # the host drifted mid-run, r10's failure mode), then the COMPACT
-    # machine-readable metric object as the FINAL line of stdout, in
-    # the exact shape the driver parsed successfully through r10 plus
-    # two scalars (total_norm, anchor_ratio). The diagnostics are also
-    # written to bench_diag.json so a truncated log never loses them.
+    # The r11 AND r14 bench artifacts were LOST ("parsed": null)
+    # because the single metric line outgrew the driver's ~2,000-char
+    # tail-capture window (r11: diagnostics on the line; r14: BOTH the
+    # raw `queries` dict and `queries_norm` rode it — ~2.6 KB, the
+    # driver captured it truncated mid-dict). r15 emission contract:
+    # - DIAGNOSTICS line first (raw per-query timings, full-precision
+    #   norms, the interleaved anchor samples — a gradient in
+    #   anchor_samples means the host drifted mid-run), mirrored to
+    #   bench_diag.json so a truncated log never loses it;
+    # - the FINAL line is the machine-readable metric object, kept
+    #   deliberately small: scalars + queries_norm ONLY (rounded to 2
+    #   decimals — norms are host-ratio-corrected, 10 ms precision is
+    #   below host noise), never the raw `queries` dict (that rides
+    #   the DIAGNOSTICS line). Cross-round comparisons use norms
+    #   anyway; raw timings are within-run diagnostics.
+    # _metric_line() HARD-FAILS if the line approaches the window, so
+    # this class of artifact loss cannot regress silently a third
+    # time (tests/test_bench_line.py pins it at 37+ long query names).
     diag = {
         "diag": "bench_diagnostics",
+        "queries": timings,
         "queries_norm": queries_norm,
         "anchor_sec": anchor,
         "anchor_pre_sec": anchor_pre,
@@ -253,24 +261,53 @@ def main() -> None:
     except OSError:
         pass  # read-only checkout: diagnostics still go to stdout
     print(json.dumps(diag))
-    print(json.dumps({
+    print(_metric_line(timings, queries_norm, sf, anchor, ANCHOR_REF_SEC))
+
+
+# Driver tail-capture window is 2,000 chars (measured: the r14 tail
+# began mid-line). Leave 100 chars of margin for whatever the driver
+# prepends/appends around the captured tail.
+METRIC_LINE_MAX = 1900
+
+
+def _metric_line(
+    timings: dict[str, float],
+    queries_norm: dict[str, float],
+    sf: float,
+    anchor: float,
+    anchor_ref_sec: float,
+) -> str:
+    """The driver-parsed FINAL stdout line. Compact by contract: the
+    raw per-query `queries` dict must NOT be added here (r14 artifact
+    loss — it lives on the DIAGNOSTICS line and in bench_diag.json);
+    norms are rounded to 2 decimals. Hard-fails when the rendered line
+    nears the driver's tail-capture window instead of silently
+    producing a record the driver will truncate into "parsed": null.
+    """
+    line = json.dumps({
         "metric": "headline_queries_total",
-        "value": total,
+        "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
         # bracketed per-query norms ON the official record (r13
-        # verdict ask #5): the driver-parsed line is self-contained —
-        # total_norm below is exactly sum(queries_norm.values()),
-        # no bench_diag.json needed to audit a per-query claim.
-        "queries_norm": queries_norm,
+        # verdict ask #5): total_norm is exactly
+        # sum(full-precision norms); the per-query entries here are
+        # 2-decimal renderings of bench_diag.json's full values.
+        "queries_norm": {n: round(v, 2) for n, v in queries_norm.items()},
         "sf": sf,
-        # drift-corrected suite total (sum of queries_norm); >1
-        # anchor_ratio ⇒ this host/run is slower than the r9 reference
-        # recording — divide headline deltas by it before attributing
-        # to code.
+        # drift-corrected suite total; anchor_ratio > 1 ⇒ this
+        # host/run is slower than the r9 reference recording — divide
+        # headline deltas by it before attributing to code.
         "total_norm": round(sum(queries_norm.values()), 3),
-        "anchor_ratio": round(anchor / ANCHOR_REF_SEC, 3),
-    }))
+        "anchor_ratio": round(anchor / anchor_ref_sec, 3),
+    })
+    if len(line) >= METRIC_LINE_MAX:
+        raise AssertionError(
+            f"bench metric line is {len(line)} chars >= {METRIC_LINE_MAX}: "
+            "it would be truncated by the driver's tail-capture window "
+            "(the r11/r14 'parsed: null' failure). Trim the payload — "
+            "diagnostics belong on the DIAGNOSTICS line / bench_diag.json."
+        )
+    return line
 
 
 if __name__ == "__main__":

@@ -3175,6 +3175,50 @@ def test_training_order_epochs_rejects_nonpositive_epochs(spark):
             )
 
 
+def test_srp_multi_sig_term_budget_dispatch(spark):
+    """The multi-table codegen term budget (r14 verdict What's wrong
+    #2): above SIG_UNROLL_MAX_TERMS the combined signature projection
+    renders its per-plane dots as HOF strings (CodegenFallback leaves
+    — the stage compiles; below, janino's 64 KB method limit fails
+    the whole stage into interpreted mode). Pins (a) the dispatch
+    boundary on the PLAN (at-budget plan carries no HOF dot, the
+    first over-budget config does), and (b) bucket VALUES bitwise
+    equal across the two forms — each over-budget table signature
+    matches the explicitly-unrolled single-table rendering of the
+    same planes (the UNROLL_MAX_DIM guarantee, now exercised at the
+    term-budget boundary too). The executed no-fallback side is
+    tests/test_codegen_gate.py's fresh-JVM sweep."""
+    import numpy as np
+
+    assert sim.SIG_UNROLL_MAX_TERMS == 512  # measured r15 ceiling
+
+    rng = np.random.RandomState(11)
+    rows = [(i, (v / np.linalg.norm(v)).tolist())
+            for i, v in enumerate(rng.randn(8, 64))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # dim 64: L=2·b=4 → 512 terms (at budget, unrolled);
+    #         L=3·b=4 → 768 terms (over, HOF dots)
+    at = sim._srp_multi_sig_base(df, "vec_id", "embedding", 64, 4, 2, 42)
+    over = sim._srp_multi_sig_base(df, "vec_id", "embedding", 64, 4, 3, 42)
+    at_plan = at._jdf.queryExecution().analyzed().toString()
+    over_plan = over._jdf.queryExecution().analyzed().toString()
+    assert "zip_with" not in at_plan
+    assert "zip_with" in over_plan
+
+    # value equality: table t of the HOF form == the unrolled
+    # single-table signature over the same planes (seed + t)
+    got = {r["__id"]: r["__buckets"] for r in
+           over.select("__id", "__buckets").collect()}
+    for t in range(3):
+        planes = sim.srp_planes(64, 4, 42 + t)
+        want = {r.vec_id: r.b for r in df.select(
+            "vec_id",
+            sim.srp_signature("embedding", planes, hof=False).alias("b"),
+        ).collect()}
+        assert {k: v[t] for k, v in got.items()} == want
+
+
 def test_srp_multi_table_compat_and_recall_dominance(spark):
     """q239's operator: (a) ONE table reproduces
     srp_bucket_near_dup_pairs exactly (table 0's planes are the
@@ -3219,6 +3263,20 @@ def test_srp_multi_table_compat_and_recall_dominance(spark):
     assert frames["pairs"].count() <= len(mt3)  # cap only removes
     for f in frames["cached"]:
         f.unpersist()
+    # r14 advisor: the eager signature checkpoint is part of the
+    # contract — releasing it must actually drop its storage blocks
+    from us_immigration_data_lake_spark.operators.storage import (
+        release_local_checkpoint,
+    )
+
+    assert frames["checkpointed"]
+    jsc = spark.sparkContext._jsc.sc()
+    ck_ids = {f._jdf.queryExecution().analyzed().rdd().id()
+              for f in frames["checkpointed"]}
+    assert ck_ids <= {i.id() for i in jsc.getRDDStorageInfo()}
+    for f in frames["checkpointed"]:
+        release_local_checkpoint(f)
+    assert not (ck_ids & {i.id() for i in jsc.getRDDStorageInfo()})
 
     with pytest.raises(ValueError, match="num_tables"):
         sim.srp_multi_table_pairs(df, "vec_id", "embedding",

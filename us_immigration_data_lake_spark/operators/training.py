@@ -50,25 +50,11 @@ from us_immigration_data_lake_spark.operators.dedup import spread_by_id
 _WS = r"[ \t\n\x0B\f\r]+"
 
 
-def _release_local_checkpoint(df: DataFrame) -> None:
-    """Free the MEMORY_AND_DISK blocks behind an eager
-    ``localCheckpoint`` once the trainer is done with the frame.
-
-    ContextCleaner only reaps checkpointed blocks when driver GC
-    happens to collect the RDD handle, so repeated trainer calls in
-    one long session would accumulate storage nondeterministically
-    (r13 advisor) — the deterministic release the old
-    cache()+unpersist() pair had, restored without giving up the
-    lineage truncation. The checkpointed Dataset's analyzed plan is
-    the LogicalRDD holding the persisted RDD; unpersisting a locally
-    checkpointed RDD deletes its block data, which is exactly right
-    for a frame nobody will read again. Best-effort: if the internal
-    plan shape ever changes, leaking (the old behavior) beats
-    crashing a finished training run."""
-    try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass
+# single-sourced with the similarity frames contracts (r15): see
+# operators/storage.py
+from us_immigration_data_lake_spark.operators.storage import (  # noqa: E402
+    release_local_checkpoint as _release_local_checkpoint,
+)
 
 
 def hashed_token_features(
