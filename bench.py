@@ -235,12 +235,12 @@ def main() -> None:
     #   norms, the interleaved anchor samples — a gradient in
     #   anchor_samples means the host drifted mid-run), mirrored to
     #   bench_diag.json so a truncated log never loses it;
-    # - the FINAL line is the machine-readable metric object, kept
-    #   deliberately small: scalars + queries_norm ONLY (rounded to 2
-    #   decimals — norms are host-ratio-corrected, 10 ms precision is
-    #   below host noise), never the raw `queries` dict (that rides
-    #   the DIAGNOSTICS line). Cross-round comparisons use norms
-    #   anyway; raw timings are within-run diagnostics.
+    # - the FINAL line is the machine-readable metric object in the
+    #   exact r01-r13 driver-contract shape: scalars + the raw
+    #   `queries` dict (REQUIRED by the driver; r13's 37-entry line
+    #   was 1,284 chars, well inside the window) + total_norm /
+    #   anchor_ratio. The queries_norm DICT never rides it — that
+    #   second dict is what overflowed the r14 line.
     # _metric_line() HARD-FAILS if the line approaches the window, so
     # this class of artifact loss cannot regress silently a third
     # time (tests/test_bench_line.py pins it at 37+ long query names).
@@ -277,22 +277,24 @@ def _metric_line(
     anchor: float,
     anchor_ref_sec: float,
 ) -> str:
-    """The driver-parsed FINAL stdout line. Compact by contract: the
-    raw per-query `queries` dict must NOT be added here (r14 artifact
-    loss — it lives on the DIAGNOSTICS line and in bench_diag.json);
-    norms are rounded to 2 decimals. Hard-fails when the rendered line
-    nears the driver's tail-capture window instead of silently
-    producing a record the driver will truncate into "parsed": null.
+    """The driver-parsed FINAL stdout line. Compact by contract: it
+    carries the driver-required raw `queries` dict plus scalars ONLY —
+    the `queries_norm` dict must NOT ride here too (carrying BOTH
+    dicts is what overflowed the r14 line into "parsed": null; norms
+    live on the DIAGNOSTICS line and in bench_diag.json). Hard-fails
+    when the rendered line nears the driver's tail-capture window
+    instead of silently producing a truncated record.
     """
     line = json.dumps({
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        # bracketed per-query norms ON the official record (r13
-        # verdict ask #5): total_norm is exactly
-        # sum(full-precision norms); the per-query entries here are
-        # 2-decimal renderings of bench_diag.json's full values.
-        "queries_norm": {n: round(v, 2) for n, v in queries_norm.items()},
+        # the DRIVER CONTRACT key: raw per-query seconds, exactly the
+        # r01-r13 shape (r13's 37-entry line was 1,284 chars — well
+        # inside the window; r14 broke by ALSO riding the norm dict
+        # here). queries_norm stays on the DIAGNOSTICS line /
+        # bench_diag.json; its sum is published as total_norm below.
+        "queries": timings,
         "sf": sf,
         # drift-corrected suite total; anchor_ratio > 1 ⇒ this
         # host/run is slower than the r9 reference recording — divide

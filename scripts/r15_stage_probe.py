@@ -1,0 +1,147 @@
+"""r15 optimization round: per-job/per-stage breakdown of one or more
+headline queries via the Spark event log (guide §1/§7 — find WHERE the
+wall-clock goes before touching anything).
+
+Usage: python scripts/r15_stage_probe.py <query> [query ...] [--sf DIR]
+
+For each query: a warm-up noop run, then a timed noop run with the
+event log enabled; the probe then parses the event log and prints, per
+job, the wall span and the stages (name, task count, executor-run ms,
+shuffle read/write bytes) sorted by cost. Driver gaps (time between
+jobs — planning, codegen, collects, checkpoint scheduling) are printed
+as the residual, since at bench scale they are often the real cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from us_immigration_data_lake_spark.plans.queries import QUERIES  # noqa: E402
+from us_immigration_data_lake_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = "/root/testdata/sf0.1"
+    for i, a in enumerate(sys.argv):
+        if a == "--sf":
+            sf_dir = sys.argv[i + 1]
+    evdir = "/tmp/r15_eventlogs"
+    os.makedirs(evdir, exist_ok=True)
+    spark = get_spark(
+        "r15-stage-probe",
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": f"file://{evdir}",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    app_id = spark.sparkContext.applicationId
+
+    marks: dict[str, tuple[float, float]] = {}
+    for name in args:
+        fn = QUERIES[name].fn
+        # warm-up (codegen + JIT), mirroring bench.py's protocol
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        spark.sparkContext.setJobDescription(f"TIMED:{name}")
+        t0 = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        t1 = time.time()
+        spark.sparkContext.setJobDescription(None)
+        marks[name] = (t0, t1)
+        spark.catalog.clearCache()
+        print(f"== {name}: wall {t1 - t0:.3f}s", flush=True)
+
+    spark.stop()
+    _report(os.path.join(evdir, app_id), marks)
+
+
+def _report(path: str, marks: dict[str, tuple[float, float]]) -> None:
+    jobs: dict[int, dict] = {}
+    stages: dict[int, dict] = {}
+    with open(path) as f:
+        for line in f:
+            ev = json.loads(line)
+            e = ev.get("Event")
+            if e == "SparkListenerJobStart":
+                jid = ev["Job ID"]
+                jobs[jid] = {
+                    "start": ev["Submission Time"] / 1e3,
+                    "desc": (ev.get("Properties") or {}).get(
+                        "spark.job.description", ""
+                    ),
+                    "stages": [s["Stage ID"] for s in ev["Stage Infos"]],
+                }
+            elif e == "SparkListenerJobEnd":
+                if ev["Job ID"] in jobs:
+                    jobs[ev["Job ID"]]["end"] = ev["Completion Time"] / 1e3
+            elif e == "SparkListenerStageCompleted":
+                si = ev["Stage Info"]
+                stages[si["Stage ID"]] = {
+                    "name": si["Stage Name"].split("\n")[0],
+                    "tasks": si["Number of Tasks"],
+                    "sub": si.get("Submission Time", 0) / 1e3,
+                    "done": si.get("Completion Time", 0) / 1e3,
+                }
+            elif e == "SparkListenerTaskEnd":
+                sid = ev["Stage ID"]
+                st = stages.setdefault(sid, {})
+                tm = ev.get("Task Metrics") or {}
+                st["run_ms"] = st.get("run_ms", 0) + tm.get(
+                    "Executor Run Time", 0
+                )
+                st["ser_ms"] = st.get("ser_ms", 0) + tm.get(
+                    "Executor Deserialize Time", 0
+                )
+                sr = tm.get("Shuffle Read Metrics") or {}
+                sw = tm.get("Shuffle Write Metrics") or {}
+                st["sh_r"] = st.get("sh_r", 0) + sr.get(
+                    "Remote Bytes Read", 0
+                ) + sr.get("Local Bytes Read", 0)
+                st["sh_w"] = st.get("sh_w", 0) + sw.get(
+                    "Shuffle Bytes Written", 0
+                )
+
+    for name, (t0, t1) in marks.items():
+        print(f"\n===== {name}  wall={t1 - t0:.3f}s =====")
+        span_jobs = [
+            (jid, j) for jid, j in sorted(jobs.items())
+            if j.get("start", 0) >= t0 - 0.05 and j.get("end", t1) <= t1 + 0.05
+        ]
+        job_time = 0.0
+        prev_end = t0
+        for jid, j in span_jobs:
+            dur = j.get("end", 0) - j["start"]
+            gap = j["start"] - prev_end
+            job_time += dur
+            prev_end = j.get("end", prev_end)
+            sdesc = []
+            for sid in sorted(j["stages"]):
+                s = stages.get(sid)
+                if not s or "done" not in s or s["done"] == 0:
+                    continue
+                sdesc.append(
+                    f"      stage {sid} [{s.get('name','?')}] tasks={s.get('tasks',0)} "
+                    f"span={(s['done'] - s['sub']) * 1e3:.0f}ms run={s.get('run_ms', 0)}ms "
+                    f"shR={s.get('sh_r', 0) // 1024}K shW={s.get('sh_w', 0) // 1024}K"
+                )
+            print(
+                f"  job {jid} dur={dur:.3f}s gap_before={gap:.3f}s "
+                f"desc={j['desc'][:60]!r}"
+            )
+            for line in sdesc:
+                print(line)
+        tail_gap = t1 - prev_end
+        print(
+            f"  -- jobs total {job_time:.3f}s; driver gaps "
+            f"{t1 - t0 - job_time:.3f}s (incl. tail {tail_gap:.3f}s)"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -33,12 +33,13 @@ def test_metric_line_fits_driver_window_at_worst_case_widths():
                               anchor_ref_sec=0.126)
     assert len(line) < bench.METRIC_LINE_MAX
     parsed = json.loads(line)
-    # the record the judge reads: norms + the two scalars, and NEVER
-    # the raw queries dict (that is what overflowed the r14 line)
+    # the record the driver parses: the contract-required raw queries
+    # dict + the two norm scalars, and NEVER the queries_norm dict too
+    # (riding both dicts is what overflowed the r14 line)
     assert parsed["metric"] == "headline_queries_total"
-    assert set(parsed["queries_norm"]) == set(names)
+    assert set(parsed["queries"]) == set(names)
     assert "total_norm" in parsed and "anchor_ratio" in parsed
-    assert "queries" not in parsed
+    assert "queries_norm" not in parsed
 
 
 def test_metric_line_hard_fails_instead_of_truncating():
