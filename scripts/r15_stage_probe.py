@@ -38,6 +38,8 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file://{evdir}",
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -62,6 +64,18 @@ def main() -> None:
 
 
 def _report(path: str, marks: dict[str, tuple[float, float]]) -> None:
+    import glob
+
+    # Spark 4 rolling layout: eventlog_v2_<appId>/events_1_<appId>
+    if not os.path.isfile(path):
+        cands = glob.glob(
+            os.path.join(os.path.dirname(path), f"*{os.path.basename(path)}*")
+        )
+        files: list[str] = []
+        for c in cands:
+            files.extend(sorted(glob.glob(os.path.join(c, "events_*"))) if
+                         os.path.isdir(c) else [c])
+        path = files[0] if files else path
     jobs: dict[int, dict] = {}
     stages: dict[int, dict] = {}
     with open(path) as f:
@@ -82,12 +96,13 @@ def _report(path: str, marks: dict[str, tuple[float, float]]) -> None:
                     jobs[ev["Job ID"]]["end"] = ev["Completion Time"] / 1e3
             elif e == "SparkListenerStageCompleted":
                 si = ev["Stage Info"]
-                stages[si["Stage ID"]] = {
+                st = stages.setdefault(si["Stage ID"], {})
+                st.update({
                     "name": si["Stage Name"].split("\n")[0],
                     "tasks": si["Number of Tasks"],
                     "sub": si.get("Submission Time", 0) / 1e3,
                     "done": si.get("Completion Time", 0) / 1e3,
-                }
+                })
             elif e == "SparkListenerTaskEnd":
                 sid = ev["Stage ID"]
                 st = stages.setdefault(sid, {})
@@ -113,34 +128,46 @@ def _report(path: str, marks: dict[str, tuple[float, float]]) -> None:
             (jid, j) for jid, j in sorted(jobs.items())
             if j.get("start", 0) >= t0 - 0.05 and j.get("end", t1) <= t1 + 0.05
         ]
-        job_time = 0.0
-        prev_end = t0
-        for jid, j in span_jobs:
-            dur = j.get("end", 0) - j["start"]
-            gap = j["start"] - prev_end
-            job_time += dur
-            prev_end = j.get("end", prev_end)
-            sdesc = []
-            for sid in sorted(j["stages"]):
-                s = stages.get(sid)
-                if not s or "done" not in s or s["done"] == 0:
-                    continue
-                sdesc.append(
-                    f"      stage {sid} [{s.get('name','?')}] tasks={s.get('tasks',0)} "
-                    f"span={(s['done'] - s['sub']) * 1e3:.0f}ms run={s.get('run_ms', 0)}ms "
-                    f"shR={s.get('sh_r', 0) // 1024}K shW={s.get('sh_w', 0) // 1024}K"
-                )
-            print(
-                f"  job {jid} dur={dur:.3f}s gap_before={gap:.3f}s "
-                f"desc={j['desc'][:60]!r}"
-            )
-            for line in sdesc:
-                print(line)
-        tail_gap = t1 - prev_end
-        print(
-            f"  -- jobs total {job_time:.3f}s; driver gaps "
-            f"{t1 - t0 - job_time:.3f}s (incl. tail {tail_gap:.3f}s)"
+        # union of job intervals: wall minus this = pure driver time
+        # (planning, analysis, codegen, collect post-processing)
+        ivals = sorted(
+            (j["start"], j.get("end", j["start"])) for _, j in span_jobs
         )
+        busy, cur_s, cur_e = 0.0, None, None
+        for s, e in ivals:
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    busy += cur_e - cur_s
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        if cur_e is not None:
+            busy += cur_e - cur_s
+        qstages = []
+        for _, j in span_jobs:
+            for sid in j["stages"]:
+                s = stages.get(sid)
+                if s and s.get("done"):
+                    qstages.append((sid, s))
+        qstages = {sid: s for sid, s in qstages}
+        tot_span = sum(s["done"] - s["sub"] for s in qstages.values())
+        tot_run = sum(s.get("run_ms", 0) for s in qstages.values())
+        print(
+            f"  jobs={len(span_jobs)} stages={len(qstages)} "
+            f"job-busy={busy:.3f}s driver-only={t1 - t0 - busy:.3f}s "
+            f"stage-span-sum={tot_span:.3f}s executor-run-sum={tot_run / 1e3:.3f}s"
+        )
+        top = sorted(
+            qstages.items(), key=lambda kv: kv[1]["done"] - kv[1]["sub"],
+            reverse=True,
+        )[:18]
+        for sid, s in top:
+            print(
+                f"    stage {sid:>5} span={(s['done'] - s['sub']) * 1e3:6.0f}ms "
+                f"run={s.get('run_ms', 0):6d}ms tasks={s.get('tasks', 0):3d} "
+                f"shR={s.get('sh_r', 0) // 1024:6d}K shW={s.get('sh_w', 0) // 1024:6d}K "
+                f"[{s.get('name', '?')[:70]}]"
+            )
 
 
 if __name__ == "__main__":

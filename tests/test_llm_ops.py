@@ -337,6 +337,41 @@ def test_connected_components_merges_chains(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_fused_round_matches_union_find(spark):
+    # r15: the pointer jump rides the neighbor-min join as label
+    # edges (one join per round instead of two). Pin the fixpoint
+    # against an independent union-find on a graph with the jump's
+    # worst case (a 60-chain) plus a dense random block, and that the
+    # default round budget still converges (strict would raise).
+    import random
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(60)]  # chain 0..60
+    edges += [
+        (100 + rng.randrange(40), 100 + rng.randrange(40))
+        for _ in range(50)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, ["id1", "id2"])
+    comps = {r.id: r.cluster for r in dd.connected_components(pairs).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # root stays the min id
+    want = {x: find(x) for x in parent}
+    assert comps == want
+
+
 def test_dedup_survivors_keep_flags(spark):
     docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)], ["doc_id"])
     pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["id1", "id2"])

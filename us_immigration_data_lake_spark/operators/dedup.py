@@ -1108,35 +1108,46 @@ def connected_components(
     pair graph. Returns (id, cluster) where cluster = smallest id
     reachable.
 
-    Each round combines neighbor-min propagation with ONE pointer
-    jump (label := label of my label), so convergence is
-    O(log diameter) — max_iter=16 covers diameters far beyond any
-    real near-dup chain. The loop is driver-coordinated but every
-    step is a DataFrame job; lineage is truncated per round with an
-    eager localCheckpoint (the classic iterative-algorithm trap). If
-    the loop still exhausts max_iter without converging, ``strict``
-    raises instead of silently returning split clusters (which would
-    leak duplicates into a corpus build).
+    Each round fuses neighbor-min propagation with ONE pointer jump
+    (label := label of my label) by unioning the label edges
+    (id → cluster) into the edge set before the per-node min — the
+    same O(log diameter)-class convergence as a separate jump join,
+    in ONE join + ONE aggregation per round. max_iter=16 covers
+    diameters far beyond any real near-dup chain. The loop is
+    driver-coordinated but every step is a DataFrame job; lineage is
+    truncated per round with an eager localCheckpoint (the classic
+    iterative-algorithm trap). If the loop still exhausts max_iter
+    without converging, ``strict`` raises instead of silently
+    returning split clusters (which would leak duplicates into a
+    corpus build).
 
-    Cost shape (r6, all measured on q181's sf0.1 SRP graph + a
-    3000-node chain):
+    Cost shape (r6 baseline, r15 fusion; measured on q181's sf0.1 SRP
+    graph + a 3000-node chain):
     - the changed-label count rides the checkpoint job as an
       ``observe()`` metric instead of a second join+count pass — one
       Spark job per round, not two;
     - labels seed with min(id, min(neighbor)): the first neighbor-min
       round folds into initialization, one round and one
       distinct-shuffle cheaper than identity seeding;
-    - exactly ONE jump per round: a second jump changed neither round
-      count nor labels on either graph — only per-round cost. Zero
-      jumps is 2× cheaper per round but forfeits the O(log)
-      guarantee (the 3000-chain then exhausts max_iter);
+    - the jump rides the neighbor-min join as |V| extra label-edge
+      rows instead of a THIRD join per round (r15, guide §2.4 "share
+      one exchange"): 2 joins → 1 join + 1 union per round, removing
+      the duplicated stepped subtree and its broadcast job. A/B on
+      q181's sf0.1 graph: identical labels, same 9 rounds, wall
+      4.19 s → 3.07 s for the loop. The fused jump reads the label of
+      the PRE-round cluster (the separate-join form read the
+      post-neighbor-min one), so worst-case chains pay ~2 extra
+      rounds (3000-chain: 11 → 13, still within max_iter=16) — at
+      2/3 the per-round cost;
+    - a SECOND jump per round changed neither round count nor labels
+      on either graph — only per-round cost (r6, re-confirmed r15 on
+      the clustered-geometry graph);
     - rounds are NOT batched into composed multi-iteration plans:
-      each iteration references its predecessor 3× (neighbor-min,
-      left side, jump parent), so an unbroken k-iteration plan
-      re-executes subplans ~3^k times (measured 9× slower at k=2) —
-      the per-round checkpoint is what caps that, the same
-      multi-reference blowup the MATERIALIZED hints fix in the
-      DuckDB oracles.
+      each iteration references its predecessor multiple times, so an
+      unbroken k-iteration plan re-executes subplans ~3^k times
+      (measured 9× slower at k=2) — the per-round checkpoint is what
+      caps that, the same multi-reference blowup the MATERIALIZED
+      hints fix in the DuckDB oracles.
     """
     a, b = id_cols
     edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
@@ -1153,42 +1164,33 @@ def connected_components(
 
     converged = False
     for _ in range(max_iter):
-        cur = labels.withColumn("__old", F.col("cluster"))
+        # graph edges + label edges (id → cluster): the per-node min
+        # over THIS edge set is min(neighbor labels, label-of-label)
+        # — neighbor-min and the pointer jump in one join+aggregation.
+        label_edges = labels.select(
+            F.col("id").alias("src"), F.col("cluster").alias("dst")
+        )
+        e2 = sym.unionByName(label_edges)
         neighbor_min = (
-            sym.join(
-                cur.select(
+            e2.join(
+                labels.select(
                     F.col("id").alias("n_id"), F.col("cluster").alias("n_cl")
                 ),
-                sym.dst == F.col("n_id"),
+                e2.dst == F.col("n_id"),
             )
             .groupBy(F.col("src").alias("id"))
             .agg(F.min("n_cl").alias("n_cluster"))
         )
-        stepped = cur.join(neighbor_min, on="id", how="left").select(
-            "id",
-            F.least(
-                F.col("cluster"), F.coalesce("n_cluster", F.col("cluster"))
-            ).alias("cluster"),
-            "__old",
-        )
-        parents = stepped.select(
-            F.col("id").alias("p_id"), F.col("cluster").alias("p_cluster")
-        )
-        jumped = stepped.join(
-            parents, stepped.cluster == parents.p_id, "left"
-        ).select(
-            "id",
-            F.least(
-                F.col("cluster"), F.coalesce("p_cluster", F.col("cluster"))
-            ).alias("cluster"),
-            "__old",
+        new_cl = F.least(
+            F.col("cluster"), F.coalesce("n_cluster", F.col("cluster"))
         )
         obs = Observation()
         labels = (
-            jumped.select(
+            labels.join(neighbor_min, on="id", how="left")
+            .select(
                 "id",
-                "cluster",
-                (F.col("cluster") != F.col("__old")).cast("long").alias("__chg"),
+                new_cl.alias("cluster"),
+                (new_cl != F.col("cluster")).cast("long").alias("__chg"),
             )
             .observe(obs, F.sum("__chg").alias("changed"))
             .drop("__chg")

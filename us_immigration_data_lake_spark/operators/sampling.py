@@ -187,11 +187,21 @@ def _hashed_gram_buckets(
     """(id, bucket, c_db): per-document counts of hashed n-gram feature
     buckets — unigrams plus (optionally) word bigrams, hashed into
     ``num_buckets`` buckets. Gram building is per-row array arithmetic
-    (zero shuffles, the dedup.shingles layout); the ONLY wide stage is
-    the (id, bucket) groupBy, which partial-aggregates map-side."""
+    (the dedup.shingles layout); the wide stages are one spread of the
+    input (below) and the (id, bucket) groupBy, which
+    partial-aggregates map-side.
+
+    The input is spread across the cluster first (r15, the
+    dedup.spread_by_id rationale): tokenize+hash is the CPU-heavy
+    step, and a single-row-group parquet source otherwise runs it as
+    ONE task (measured on q191: the raw-corpus gram stage was a
+    1.5-1.9 s single task at sf0.1; spread, it parallelizes across
+    defaultParallelism)."""
     from us_immigration_data_lake_spark.functions.hashing import md5_long
     from us_immigration_data_lake_spark.functions.text import tokens
+    from us_immigration_data_lake_spark.operators.dedup import spread_by_id
 
+    df = spread_by_id(df, id_col)
     tok = tokens(F.lower(F.col(text_col)))
     grams = tok
     if bigrams:
@@ -247,14 +257,31 @@ def dsir_logratio(
     wants them.
     """
     b = int(num_buckets)
-    doc_counts = _hashed_gram_buckets(df, id_col, text_col, b, bigrams, portable)
+    # doc_counts feeds THREE subtrees of one plan (the raw-census
+    # broadcast, the n_raw broadcast derived from it, and the join
+    # spine), and each broadcast subquery executes independently — so
+    # without a materialization point the raw corpus was tokenized
+    # and hashed three times per action (measured on q191: two extra
+    # 3.4 MB-exchange single-task stages, ~3.4 s of the 2.9 s query).
+    # cache(), not localCheckpoint: the lineage is shuffle-correct
+    # (no union-partitioning hazard — see hashed_token_features), so
+    # an eviction merely recomputes, and the builder returns a plain
+    # DataFrame with no frames contract to hand a checkpoint release
+    # through. The training feature-frame precedent (training.py)
+    # applies at 100 TB: one tokenize scan, then census + spine read
+    # the materialized rows. The tiny censuses get the same treatment
+    # (each feeds its broadcast AND its total-count broadcast).
+    doc_counts = _hashed_gram_buckets(
+        df, id_col, text_col, b, bigrams, portable
+    ).cache()
     raw_census = doc_counts.groupBy("bucket").agg(
         F.sum("c_db").cast("long").alias("cr")
-    )
+    ).cache()
     tgt_census = (
         _hashed_gram_buckets(target, id_col, text_col, b, bigrams, portable)
         .groupBy("bucket")
         .agg(F.sum("c_db").cast("long").alias("ct"))
+        .cache()
     )
     n_raw = raw_census.select(F.sum("cr").cast("long").alias("n_r"))
     n_tgt = tgt_census.select(F.sum("ct").cast("long").alias("n_t"))

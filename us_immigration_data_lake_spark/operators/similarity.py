@@ -1899,8 +1899,21 @@ def hard_negatives_indexed(
             F.col("cluster").alias("c_cluster"), "bucket",
         )
         pair_cos = _cosine_maybe_fixed("qv", "cv", dim)
+    # Pin the bucket-join exchanges at defaultParallelism (guide §2.5:
+    # CPU-bound stage vs size-based coalescing — the spread_by_id
+    # rationale applied to a JOIN): the join's OWN ENSURE_REQUIREMENTS
+    # exchanges are AQE-coalescible, and the pair stage's input BYTES
+    # are tiny while its per-pair cosine CPU is the whole cost, so AQE
+    # coalesced it to 4 tasks at sf0.1 (measured: 3.2 s stage span,
+    # 9.4 s executor CPU on 4 tasks; 32 explicit partitions run the
+    # same CPU in ~0.4 s span — q233 7.4 s → 5.4 s wall). An explicit
+    # numPartitions repartition is not AQE-coalescible and satisfies
+    # the join's distribution requirement, so no extra exchange is
+    # planned on either side.
+    par = df.sparkSession.sparkContext.defaultParallelism
     scored = (
-        c.join(q, on="bucket")
+        c.repartition(par, F.col("bucket"))
+        .join(q.repartition(par, F.col("bucket")), on="bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .filter(F.col("q_cluster") != F.col("c_cluster"))
         .select(

@@ -177,29 +177,46 @@ def train_logreg_hashed(
         w: dict[int, int] = {}
         for r in range(rounds):
             m = lr_den * 4 * n * ((r + 1) if decay else 1)
-            wdf = spark.createDataFrame(
-                list(w.items()) or [], "bucket long, __w long"
-            )
-            z = (
-                feats.join(F.broadcast(wdf), "bucket", "left")
-                .groupBy(id_col)
-                .agg(
-                    F.sum(F.coalesce(F.col("__w"), F.lit(0)) * F.col("cnt"))
-                    .alias("__z")
+            if not w:
+                # all weights are exactly 0 (round 0, always) ⇒ every
+                # logit is exactly 0 and p_qm = clamp(0 + 2e6) = 2e6 —
+                # the whole z pass (a feats scan + broadcast join +
+                # groupBy) computes a constant. Emit the identical
+                # error frame straight from labels instead (r15;
+                # guide §1.2 "don't compute things you throw away").
+                # Every labeled doc has the intercept feature row, so
+                # the skipped inner join dropped no rows.
+                err = labels.select(
+                    F.col(id_col),
+                    (
+                        F.lit(4_000_000) * F.col("__y") - F.lit(2_000_000)
+                    ).alias("__e"),
                 )
-            )
-            err = labels.join(z, id_col).select(
-                F.col(id_col),
-                (
-                    F.lit(4_000_000) * F.col("__y")
-                    - F.least(
-                        F.lit(4_000_000),
-                        F.greatest(
-                            F.lit(0), F.col("__z") + F.lit(2_000_000)
-                        ),
+            else:
+                wdf = spark.createDataFrame(
+                    list(w.items()), "bucket long, __w long"
+                )
+                z = (
+                    feats.join(F.broadcast(wdf), "bucket", "left")
+                    .groupBy(id_col)
+                    .agg(
+                        F.sum(
+                            F.coalesce(F.col("__w"), F.lit(0)) * F.col("cnt")
+                        ).alias("__z")
                     )
-                ).alias("__e"),
-            )
+                )
+                err = labels.join(z, id_col).select(
+                    F.col(id_col),
+                    (
+                        F.lit(4_000_000) * F.col("__y")
+                        - F.least(
+                            F.lit(4_000_000),
+                            F.greatest(
+                                F.lit(0), F.col("__z") + F.lit(2_000_000)
+                            ),
+                        )
+                    ).alias("__e"),
+                )
             grad = (
                 feats.join(err, id_col)
                 .groupBy("bucket")
@@ -287,33 +304,49 @@ def train_multinomial_logreg_hashed(
         w: dict[tuple[int, int], int] = {}
         for r in range(rounds):
             m = lr_den * 4 * n * ((r + 1) if decay else 1)
-            wdf = spark.createDataFrame(
-                [(k, b, v) for (k, b), v in w.items()] or [],
-                "__k long, bucket long, __w long",
-            )
-            z = (
-                feats.withColumn("__k", F.explode(classes))
-                .join(F.broadcast(wdf), ["__k", "bucket"], "left")
-                .groupBy(id_col, "__k")
-                .agg(
-                    F.sum(F.coalesce(F.col("__w"), F.lit(0)) * F.col("cnt"))
-                    .alias("__z")
+            if not w:
+                # round 0: all-zero weights ⇒ every per-class logit is
+                # exactly 0 ⇒ p_qm = 2e6 — skip the constant z pass
+                # (see train_logreg_hashed; same exact arithmetic, the
+                # K-way fan-out moves onto the labels frame)
+                err = labels.withColumn("__k", F.explode(classes)).select(
+                    F.col(id_col),
+                    F.col("__k"),
+                    (
+                        F.lit(4_000_000)
+                        * (F.col("__y") == F.col("__k")).cast("long")
+                        - F.lit(2_000_000)
+                    ).alias("__e"),
                 )
-            )
-            err = labels.join(z, id_col).select(
-                F.col(id_col),
-                F.col("__k"),
-                (
-                    F.lit(4_000_000)
-                    * (F.col("__y") == F.col("__k")).cast("long")
-                    - F.least(
-                        F.lit(4_000_000),
-                        F.greatest(
-                            F.lit(0), F.col("__z") + F.lit(2_000_000)
-                        ),
+            else:
+                wdf = spark.createDataFrame(
+                    [(k, b, v) for (k, b), v in w.items()],
+                    "__k long, bucket long, __w long",
+                )
+                z = (
+                    feats.withColumn("__k", F.explode(classes))
+                    .join(F.broadcast(wdf), ["__k", "bucket"], "left")
+                    .groupBy(id_col, "__k")
+                    .agg(
+                        F.sum(
+                            F.coalesce(F.col("__w"), F.lit(0)) * F.col("cnt")
+                        ).alias("__z")
                     )
-                ).alias("__e"),
-            )
+                )
+                err = labels.join(z, id_col).select(
+                    F.col(id_col),
+                    F.col("__k"),
+                    (
+                        F.lit(4_000_000)
+                        * (F.col("__y") == F.col("__k")).cast("long")
+                        - F.least(
+                            F.lit(4_000_000),
+                            F.greatest(
+                                F.lit(0), F.col("__z") + F.lit(2_000_000)
+                            ),
+                        )
+                    ).alias("__e"),
+                )
             grad = (
                 feats.join(err, id_col)
                 .groupBy("__k", "bucket")
