@@ -668,7 +668,16 @@ def _srp_sig_frame(
     """The shared SRP signature frame (__id, __v, __n, bucket),
     materialized once (eager localCheckpoint) — see
     srp_bucket_near_dup_pairs's docstring for why the barrier is
-    load-bearing (double execution + codegen 64 KB collapse)."""
+    load-bearing (double execution + codegen 64 KB collapse).
+
+    Deliberately NOT spread_by_id'd (r15, A/B-measured): unlike the
+    tokenize+md5 stages, the bits·dim signature CPU here is ~2 s at
+    sf0.1 — spreading it to defaultParallelism partitions made every
+    DOWNSTREAM consumer of the checkpoint (census, candidate join map
+    sides, verify) run 32 tiny tasks instead of 1-2, and the per-task
+    fixed cost exceeded the spread's win (bench: q187 2.28 → 3.13,
+    q181 4.21 → 4.79 norm; reverted). At cluster scale the source is
+    many files and the scan is already parallel."""
     planes = srp_planes(dim, num_bits, seed)
     sig = df.select(
         F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v")

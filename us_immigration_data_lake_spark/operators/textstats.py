@@ -773,6 +773,7 @@ def bpe_merges(
     df: DataFrame,
     text_col: str,
     n_merges: int,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Learn the first ``n_merges`` BPE merges from the corpus:
     word-frequency table → per-word character symbols → iterate
@@ -787,17 +788,26 @@ def bpe_merges(
 
     Scale (100 TB): the ONLY corpus-order stage is the initial word
     count (one tokenize + groupBy(word) — the same census shape as
-    unigram_cross_entropy). Every iteration runs on the WORD-FREQUENCY
-    table (|vocab| rows, corpus-independent): pair counting is per-row
-    array arithmetic + a groupBy on the pair vocabulary, the argmax is
-    a 1-row TakeOrderedAndProject, and the merge application is a pure
-    per-row fold. Driver involvement per round is ONE collected row
-    (scalar-sized, the sanctioned IVF-codebook pattern); lineage is
-    truncated per round with an eager localCheckpoint (the CC-loop
-    discipline — an unbroken k-round plan re-executes subplans
-    exponentially)."""
+    unigram_cross_entropy). Every iteration runs on the
+    WORD-FREQUENCY table (|vocab| rows, corpus-independent): pair
+    counting is per-row array arithmetic + a groupBy on the pair
+    vocabulary, the argmax is a 1-row TakeOrderedAndProject, and the
+    merge application is a pure per-row fold. Driver involvement per
+    round is ONE collected row (scalar-sized, the sanctioned
+    IVF-codebook pattern); merge application is LAZY — each round's
+    pair-count job re-runs the ≤ ``checkpoint_every - 1`` folds since
+    the last lineage truncation (vocab-sized map work) instead of
+    paying a materializing checkpoint action per round (r15: halves
+    the loop's action count; the fold chain references its
+    predecessor ONCE, so re-execution is linear, not the exponential
+    multi-reference blowup the CC loop must checkpoint against —
+    bounded by the periodic eager localCheckpoint either way)."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
     words = (
         df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
         .groupBy("w")
@@ -825,7 +835,9 @@ def bpe_merges(
         out.append((rank, l, r, l + r, c))
         state = state.select(
             _bpe_apply_merge(F.col("symbols"), l, r).alias("symbols"), "cnt"
-        ).localCheckpoint(eager=True)
+        )
+        if rank % checkpoint_every == 0 and rank < n_merges:
+            state = state.localCheckpoint(eager=True)
 
     return df.sparkSession.createDataFrame(
         out, "rank bigint, left string, right string, merged string, pair_count bigint"
