@@ -181,7 +181,12 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
                 rows, columns=["media_id", "content", "meta_width", "meta_height"]
             )
 
-    return media.mapInPandas(_batches, schema=RESIZED_SCHEMA)
+    # explicit projection: Spark cannot see which columns the Python
+    # function touches, so an unprojected input ships (and scans)
+    # every column across the Arrow boundary (guide-class insurance)
+    return media.select("media_id", "content").mapInPandas(
+        _batches, schema=RESIZED_SCHEMA
+    )
 
 
 AUDIO_FEATURE_SCHEMA = StructType([
@@ -217,7 +222,9 @@ def audio_feature_table(media: DataFrame) -> DataFrame:
                 columns=["media_id", "sample_rate", "n_frames", "features"],
             )
 
-    return media.mapInPandas(_batches, schema=AUDIO_FEATURE_SCHEMA)
+    return media.select("media_id", "content").mapInPandas(
+        _batches, schema=AUDIO_FEATURE_SCHEMA
+    )
 
 
 def sample_frames(media: DataFrame, frame_bytes: int = 64, every_nth: int = 4) -> DataFrame:
@@ -249,7 +256,9 @@ def sample_frames(media: DataFrame, frame_bytes: int = 64, every_nth: int = 4) -
                     )
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
 
-    return media.mapInPandas(_batches, schema=FRAME_SCHEMA)
+    return media.select("media_id", "content").mapInPandas(
+        _batches, schema=FRAME_SCHEMA
+    )
 
 
 def extract_features(media: DataFrame, num_features: int = 8) -> DataFrame:
@@ -274,7 +283,9 @@ def extract_features(media: DataFrame, num_features: int = 8) -> DataFrame:
                 rows.append((int(mid), n, feats))
             yield pd.DataFrame(rows, columns=["media_id", "byte_len", "features"])
 
-    return media.mapInPandas(_batches, schema=FEATURE_SCHEMA)
+    return media.select("media_id", "content").mapInPandas(
+        _batches, schema=FEATURE_SCHEMA
+    )
 
 
 PHASH_SCHEMA = StructType([

@@ -389,11 +389,18 @@ def temperature_mixture_weights(
     log-share and samples nothing under any α > 0)."""
     if alpha <= 0:
         raise ValueError("alpha must be > 0")
+    # per is K rows (the source axis) but its lineage is a full corpus
+    # aggregation, and FOUR subtrees of the final plan derive from it
+    # (total broadcast, weighted spine, wsum broadcast, out spine) —
+    # broadcast subqueries execute independently under AQE, so without
+    # a materialization point the corpus pass repeats (the dsir
+    # doc_counts finding, r15). K-row cache, corpus-pass once.
     per = (
         df.filter(F.col(size_col).isNotNull())
         .groupBy(F.col(group_col).alias("group"))
         .agg(F.sum(F.col(size_col).cast("long")).alias("n"))
         .filter(F.col("n") > 0)
+        .cache()
     )
     total = per.agg(F.sum("n").cast("long").alias("__N"))
     w = F.round(

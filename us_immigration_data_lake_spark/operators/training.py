@@ -404,10 +404,17 @@ def naive_bayes_model(
         F.col(text_col).isNotNull() & F.col(label_col).isNotNull()
     ).select(F.col(id_col), F.col(label_col).cast("long").alias("class"))
 
+    # kb is model-sized (≤ K·(B+1) rows) but its lineage is the full
+    # tokenize+md5 feature pass — and FOUR consumers derive from it
+    # (ktot, weights, classes via ktot, and the scorer's collected
+    # classes/deltas broadcasts), each executing independently without
+    # a materialization point. cache() cuts the corpus passes to one
+    # (r15; measured on q206: the tokenize+hash CPU ran ~5× per run).
     kb = (
         feats.join(labels, id_col)
         .groupBy("class", "bucket")
         .agg(F.sum("cnt").alias("c_kb"))
+        .cache()
     )
     ktot = kb.groupBy("class").agg(F.sum("c_kb").alias("tot_k"))
     nk = labels.groupBy("class").agg(F.count(F.lit(1)).alias("n_k"))
@@ -484,7 +491,10 @@ def naive_bayes_scores(
         return spark.createDataFrame(
             [], f"{id_col} long, class long, score_micro long"
         )
-    all_feats = hashed_token_features(df, id_col, text_col, num_buckets)
+    # the feature frame feeds TWO subtrees of one plan (the obs join
+    # and the per-doc total grid) — cache so the tokenize+md5 pass
+    # runs once (r15; the dsir doc_counts precedent)
+    all_feats = hashed_token_features(df, id_col, text_col, num_buckets).cache()
     # bias rows (bucket -1) don't score, but they keep TOKENLESS docs in
     # the grid: an empty text still gets a prediction (= argmax prior,
     # since T_d = 0 and nothing joins in s_obs)
