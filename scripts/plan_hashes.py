@@ -75,7 +75,20 @@ def normalize(plan: str) -> str:
     # changes keep changing the hash.
     plan = re.sub(r"DataFilters: \[[^\]\n]*\.\.\.", "DataFilters: [TRUNC",
                   plan)
-    plan = re.sub(r"\S*\.\.\.", "…", plan)
+    # Collapse "..."-truncated tokens ONLY on the known width-limited
+    # metadata lines (r15 advisor: a GLOBAL \S*\.\.\. also swallowed
+    # Spark's "... N more fields" renderings anywhere in the plan, so
+    # two plans differing only inside any truncated region — or in N —
+    # hashed identically, weakening drift detection beyond the
+    # InMemoryRelation case it targets).
+    _TRUNC_LINE = re.compile(
+        r"(DataFilters|PushedFilters|PartitionFilters|ReadSchema|"
+        r"Location|Output|Arguments|Input):"
+    )
+    plan = "\n".join(
+        re.sub(r"\S*\.\.\.", "…", ln) if _TRUNC_LINE.search(ln) else ln
+        for ln in plan.splitlines()
+    )
     return plan
 
 

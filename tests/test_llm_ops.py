@@ -372,6 +372,37 @@ def test_connected_components_fused_round_matches_union_find(spark):
     assert comps == want
 
 
+def test_connected_components_local_and_loop_paths_agree(spark, monkeypatch):
+    # r16: small integral-id graphs are labeled on the driver by one
+    # union-find pass (CC_LOCAL_EDGE_LIMIT ladder); big / non-integral
+    # graphs take the distributed loop. Pin that both paths produce
+    # the identical fixpoint on the same graph.
+    import random
+
+    rng = random.Random(11)
+    edges = [(i, i + 1) for i in range(40)]
+    edges += [
+        (200 + rng.randrange(30), 200 + rng.randrange(30))
+        for _ in range(40)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, ["id1", "id2"])
+
+    local = {r.id: r.cluster for r in dd.connected_components(pairs).collect()}
+    monkeypatch.setattr(dd, "CC_LOCAL_EDGE_LIMIT", 0)  # force the loop
+    loop = {r.id: r.cluster for r in dd.connected_components(pairs).collect()}
+    assert local == loop
+
+    # non-integral ids must take the loop (Python vs Spark string
+    # ordering is not gated, so the local path refuses them)
+    spairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], ["id1", "id2"]
+    )
+    monkeypatch.setattr(dd, "CC_LOCAL_EDGE_LIMIT", 100_000)
+    got = {r.id: r.cluster for r in dd.connected_components(spairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
 def test_dedup_survivors_keep_flags(spark):
     docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)], ["doc_id"])
     pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["id1", "id2"])
@@ -3665,3 +3696,72 @@ def test_line_repetition_stats_planted_and_shuffle_free(spark):
         df, "doc_id", "text"
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_cache_registry_release_returns_storage_to_baseline(spark):
+    # r16 (r15 advisor / verdict ask #3): dsir_logratio, the NB
+    # model/scorer and temperature_mixture_weights pin cached frames
+    # their returned DataFrames depend on; long-lived sessions pass
+    # cache_registry=[] and unpersist after materialization. Probe:
+    # three consecutive calls, storage returns to baseline each time.
+    from us_immigration_data_lake_spark.operators import sampling as sp
+    from us_immigration_data_lake_spark.operators import training as tr
+
+    sc = spark.sparkContext
+
+    def stored_ids() -> set:
+        return {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+
+    spark.catalog.clearCache()
+    base = stored_ids()
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} common text token{i % 11}", i % 3)
+         for i in range(60)],
+        ["doc_id", "text", "label"],
+    )
+    tgt = spark.createDataFrame(
+        [(1000 + i, "common text token3") for i in range(10)],
+        ["doc_id", "text"],
+    )
+
+    for _ in range(3):
+        reg: list = []
+        sp.dsir_logratio(
+            docs, tgt, "doc_id", "text", num_buckets=64,
+            cache_registry=reg,
+        ).write.format("noop").mode("overwrite").save()
+        model = tr.naive_bayes_model(
+            docs, "doc_id", "text", "label", num_buckets=64,
+            cache_registry=reg,
+        )
+        tr.naive_bayes_classify(
+            docs, model, "doc_id", "text", num_buckets=64,
+            cache_registry=reg,
+        ).write.format("noop").mode("overwrite").save()
+        sp.temperature_mixture_weights(
+            docs.select("label", F.length("text").alias("sz")),
+            "label", "sz", cache_registry=reg,
+        ).write.format("noop").mode("overwrite").save()
+        assert len(reg) == 6  # 3 dsir + kb + all_feats + per
+        for frame in reg:
+            frame.unpersist(blocking=True)
+        # no storage entry NEW since the baseline survives the release
+        # (id-set, not count: the ContextCleaner may asynchronously
+        # reap other tests' dead blocks mid-test in suite context)
+        assert stored_ids() - base == set()
+
+
+def test_maybe_spread_by_id_guard(spark):
+    # r16 spread-policy guard: a serial (1-partition) input spreads to
+    # defaultParallelism; an already-parallel input passes through
+    # with its partitioning untouched (the r15 revert rule).
+    par = spark.sparkContext.defaultParallelism
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+
+    serial = df.coalesce(1)
+    assert serial.rdd.getNumPartitions() == 1
+    spread = dd.maybe_spread_by_id(serial, "doc_id")
+    assert spread.rdd.getNumPartitions() == par
+
+    wide = df.repartition(4, "doc_id")
+    assert dd.maybe_spread_by_id(wide, "doc_id").rdd.getNumPartitions() == 4

@@ -40,7 +40,7 @@ def split_label(
 
 
 def cluster_split_label(
-    df, pairs, id_col: str, train_pct: int = 80, max_iter: int = 16
+    df, pairs, id_col: str, train_pct: int = 80, max_iter: int = 20
 ):
     """Leakage-safe train/test split: the split is assigned at
     NEAR-DUP CLUSTER granularity, not per document — two documents

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from us_immigration_data_lake_spark.functions.text import normalized_text, tokens
@@ -46,6 +47,33 @@ def spread_by_id(df: DataFrame, id_col: str) -> DataFrame:
     return df.repartition(
         df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
     )
+
+
+def maybe_spread_by_id(df: DataFrame, id_col: str) -> DataFrame:
+    """``spread_by_id`` behind the SPREAD-POLICY GUARD (r15 verdict
+    ask #7) — the rule three A/B'd spreads distilled to:
+
+        spread ONLY when the stage is otherwise SERIAL and its CPU
+        dominates the downstream task-count overhead the spread
+        induces.
+
+    r15 kept one spread (the dsir gram stage: single-row-group scan,
+    seconds of tokenize+md5 CPU) and REVERTED two (the SRP signature
+    frame and the BPE word census: small materialized frames whose
+    every downstream consumer then ran defaultParallelism tiny tasks —
+    q187 2.28→3.13, q181 4.21→4.79, q194 1.29→1.59 norm). This helper
+    spreads only an input that arrives as ONE partition, so an
+    already-parallel frame can never be blanket-exchanged again.
+
+    Cost note: ``df.rdd.getNumPartitions()`` plans the frame — cheap
+    on materialized inputs (checkpoint/cache/LocalRelation) and scans,
+    real work on deep lazy lineage. Use this at operator entry points
+    over sources or materialized frames; unconditional
+    ``spread_by_id`` remains correct where the input is a raw scan
+    whose CPU-heavy follow-up is the documented reason to spread."""
+    if df.rdd.getNumPartitions() > 1:
+        return df
+    return spread_by_id(df, id_col)
 
 
 def shingles(
@@ -348,16 +376,28 @@ def _counted_key_plan(
     into a literal local frame: the anti/semi joins then broadcast a
     LocalRelation instead of re-running the key aggregation subtree
     once per join (the count already executed it; exchange reuse
-    between a count and two later joins is not guaranteed)."""
+    between a count and two later joins is not guaranteed).
+
+    r16: the count and the collect are FUSED into one bounded
+    limit-collect — the r15 form paid TWO driver actions (count, then
+    collect) on every cap site whose key set was non-empty-but-tiny,
+    and at bench scale the action round-trip IS the cap site's cost.
+    ≤ COLLECT_KEY_LIMIT rows: len(rows) is the exact count and the
+    rows are already in hand. Above it (pathological high-duplication
+    corpus), fall back to the counted strategy pick — same ladder,
+    one extra action only on that rare branch."""
     over = oversized_bucket_keys(band_df, max_bucket_size, key_cols)
-    n_over = over.count()
+    head = over.limit(COLLECT_KEY_LIMIT + 1).collect()
+    n_over = len(head)
     if 0 < n_over <= COLLECT_KEY_LIMIT:
         spark = band_df.sparkSession
         over = F.broadcast(
-            spark.createDataFrame(over.collect(), schema=over.schema)
+            spark.createDataFrame(head, schema=over.schema)
         )
-    elif COLLECT_KEY_LIMIT < n_over <= BROADCAST_KEY_LIMIT:
-        over = F.broadcast(over)
+    elif n_over > COLLECT_KEY_LIMIT:
+        n_over = over.count()
+        if n_over <= BROADCAST_KEY_LIMIT:
+            over = F.broadcast(over)
     return n_over, over
 
 
@@ -400,7 +440,12 @@ def _counted_census_plan(
         .agg(F.count(F.lit(1)).alias("__n"), F.min(id_col).alias("__anchor"))
         .filter(F.col("__n") > max_bucket_size)
     )
-    n_over = census.count()
+    # ONE bounded limit-collect decides the ladder AND fetches the
+    # rows (r16, same fusion as _counted_key_plan above): the r15 form
+    # paid count + collect — two actions — on every cap site with a
+    # non-empty census, which q182/q186/q187/q188 all have at sf0.1.
+    head = census.limit(COLLECT_KEY_LIMIT + 1).collect()
+    n_over = len(head)
     spark = band_df.sparkSession
     if n_over == 0:
         census = F.broadcast(
@@ -408,10 +453,12 @@ def _counted_census_plan(
         )
     elif n_over <= COLLECT_KEY_LIMIT:
         census = F.broadcast(
-            spark.createDataFrame(census.collect(), schema=census.schema)
+            spark.createDataFrame(head, schema=census.schema)
         )
-    elif n_over <= BROADCAST_KEY_LIMIT:
-        census = F.broadcast(census)
+    else:
+        n_over = census.count()
+        if n_over <= BROADCAST_KEY_LIMIT:
+            census = F.broadcast(census)
     return n_over, census
 
 
@@ -588,6 +635,9 @@ def near_dup_frames(
     - ``pairs``: verified near-dup pairs (id1, id2, jaccard)
     - ``oversized``: the >max_bucket_size band buckets that all-pairs
       generation skipped (band_idx, band_hash, bucket_n, anchor_id)
+    - ``n_oversized``: that frame's row count as a plain int — the
+      census already counted it, so stats consumers (CorpusStats)
+      never pay a count() action on the report frame
     - ``cached``: the frames this plan caches (the hashed-shingle
       frame and the band frame) — the caller's to release once
       ``pairs``/``oversized`` are fully materialized, the same
@@ -652,6 +702,10 @@ def near_dup_frames(
     return {
         "pairs": verify_jaccard_hashed(cand, hs_arr, id_col, threshold),
         "oversized": _census_report(census),
+        # the census already counted the oversized buckets — callers
+        # that only need the NUMBER (CorpusStats) read this instead of
+        # paying a count() action on the report frame (r16)
+        "n_oversized": n_over,
         "cached": [hs_arr, band_df],
     }
 
@@ -1098,21 +1152,75 @@ def dedup_exact_by_content(
     return df.join(survivors, on=id_col, how="left_semi")
 
 
+# Symmetric edge sets up to this many rows are collected to the driver
+# and labeled with a single union-find pass instead of the distributed
+# label-propagation loop — the COLLECT_KEY_LIMIT rationale applied to
+# the CC graph (guide §1.2: the dominant cost of the loop at any graph
+# size below this is DRIVER round-trips, ~2 actions + rounds×(1 action
+# + broadcast jobs); r16 probes measured q181 at 72 jobs / 5.1 s
+# driver-only and q188 at 105 jobs / 8.9 s driver-only, about half of
+# each query's wall). 100k (src, dst) longs is ~3 MB on the driver —
+# two orders below spark.driver.maxResultSize — and near-dup graphs
+# are SPARSE by construction (pairs survive a similarity threshold),
+# so at 100 TB the loop path below remains the scale fallback.
+CC_LOCAL_EDGE_LIMIT = 100_000
+
+_CC_INTEGRAL_TYPES = ("long", "integer", "int", "short", "byte", "bigint")
+
+
+def _cc_local_labels(rows) -> list[tuple]:
+    """Union-find over collected symmetric edges; labels every node
+    with the smallest id reachable — bit-identical to the fixpoint the
+    distributed loop converges to (tests pin parity). Union-by-min
+    keeps each tree's root = the component's minimum, so the final
+    find IS the label."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in rows:
+        s, d = row[0], row[1]
+        if s not in parent:
+            parent[s] = s
+        if d not in parent:
+            parent[d] = d
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            if rd < rs:
+                rs, rd = rd, rs
+            parent[rd] = rs
+    return sorted((x, find(x)) for x in parent)
+
+
 def connected_components(
     pairs: DataFrame,
     id_cols: tuple[str, str] = ("id1", "id2"),
-    max_iter: int = 16,
+    max_iter: int = 20,
     strict: bool = True,
 ) -> DataFrame:
     """Duplicate clustering: connected components over the near-dup
     pair graph. Returns (id, cluster) where cluster = smallest id
     reachable.
 
-    Each round fuses neighbor-min propagation with ONE pointer jump
+    Scale ladder (r16): the symmetric edge set is materialized once
+    (eager localCheckpoint — pairs compute exactly once on every
+    path); if it holds ≤ CC_LOCAL_EDGE_LIMIT rows of integral ids, the
+    labels are computed on the DRIVER by one union-find pass — same
+    fixpoint, zero loop actions (a small graph's loop cost is ~all
+    driver round-trips: 2 + rounds actions plus per-round broadcast
+    jobs). Larger or non-integral graphs take the distributed loop:
+
+    each round fuses neighbor-min propagation with ONE pointer jump
     (label := label of my label) by unioning the label edges
     (id → cluster) into the edge set before the per-node min — the
     same O(log diameter)-class convergence as a separate jump join,
-    in ONE join + ONE aggregation per round. max_iter=16 covers
+    in ONE join + ONE aggregation per round. max_iter=20 covers
     diameters far beyond any real near-dup chain. The loop is
     driver-coordinated but every step is a DataFrame job; lineage is
     truncated per round with an eager localCheckpoint (the classic
@@ -1137,7 +1245,9 @@ def connected_components(
       4.19 s → 3.07 s for the loop. The fused jump reads the label of
       the PRE-round cluster (the separate-join form read the
       post-neighbor-min one), so worst-case chains pay ~2 extra
-      rounds (3000-chain: 11 → 13, still within max_iter=16) — at
+      rounds (3000-chain: 11 → 13, still within max_iter=20; the default
+      bump 16 → 20 restores the pre-fusion convergence headroom on
+      deep chains — r15 advisor) — at
       2/3 the per-round cost;
     - a SECOND jump per round changed neither round count nor labels
       on either graph — only per-round cost (r6, re-confirmed r15 on
@@ -1155,6 +1265,46 @@ def connected_components(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     sym = sym.localCheckpoint(eager=True)
+
+    # SCALE-ADAPTIVE ladder (r16; the _counted_key_plan pattern): the
+    # checkpoint above already materialized the edge set (pairs compute
+    # exactly once either way), so one bounded limit-collect decides —
+    # small graph ⇒ label on the driver in one pass (zero loop actions,
+    # zero per-round broadcast jobs); anything larger ⇒ the distributed
+    # loop below, untouched. Type-gated to integral ids so Python's
+    # min() ordering can never diverge from Spark's (non-integral ids
+    # always take the loop).
+    if (
+        sym.schema["src"].dataType.typeName() in _CC_INTEGRAL_TYPES
+        and sym.schema["dst"].dataType.typeName() in _CC_INTEGRAL_TYPES
+    ):
+        head = sym.limit(CC_LOCAL_EDGE_LIMIT + 1).collect()
+        if len(head) <= CC_LOCAL_EDGE_LIMIT:
+            from us_immigration_data_lake_spark.operators.storage import (
+                release_local_checkpoint,
+            )
+
+            spark = pairs.sparkSession
+            out_schema = T.StructType([
+                T.StructField("id", sym.schema["src"].dataType),
+                T.StructField("cluster", sym.schema["src"].dataType),
+            ])
+            # broadcast-hinted: the frame is DRIVER-sized by the limit
+            # above (≤ 2·CC_LOCAL_EDGE_LIMIT nodes), so every survivor
+            # join against the corpus becomes a broadcast hash join
+            # instead of shuffling the corpus side into a sort-merge
+            # (guide §3.1 — the labels ExistingRDD has no stats, so
+            # the planner would never pick the broadcast itself)
+            labeled = F.broadcast(
+                spark.createDataFrame(
+                    _cc_local_labels(head), schema=out_schema
+                )
+            )
+            # nobody reads the edge blocks again — release them now
+            # (the storage.py contract) instead of leaking per call
+            release_local_checkpoint(sym)
+            return labeled
+
     labels = (
         sym.groupBy(F.col("src").alias("id"))
         .agg(F.min("dst").alias("__m"))
@@ -1219,7 +1369,7 @@ def dedup_survivors(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str,
-    max_iter: int = 16,
+    max_iter: int = 20,
 ) -> DataFrame:
     """Keep-one-per-cluster dedup decision: every doc gets its cluster
     (docs in no pair form singleton clusters) and a keep flag — the
@@ -1241,7 +1391,7 @@ def dedup_survivors_by(
     pairs: DataFrame,
     id_col: str,
     score,
-    max_iter: int = 16,
+    max_iter: int = 20,
 ) -> DataFrame:
     """Keep-BEST-per-cluster dedup decision: like ``dedup_survivors``
     (smallest id wins) but the survivor is the cluster member with the
@@ -1614,20 +1764,42 @@ def joint_near_dup_survivors(
     all-pairs blowup. Returns (id, cluster, keep) for every input row
     (dedup_survivors convention: smallest id per cluster survives).
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from us_immigration_data_lake_spark.operators.similarity import (
         srp_near_dup_frames,
     )
 
-    text_pairs = near_dup_frames(
-        df, id_col, text_col, shingle_n=shingle_n, num_hashes=num_hashes,
-        bands=bands, threshold=jaccard_threshold,
-        max_bucket_size=max_bucket_size, recover_oversized=True,
-        portable=portable,
-    )["pairs"].select("id1", "id2")
-    sem_pairs = srp_near_dup_frames(
-        df, id_col, vec_col, cosine_threshold, dim, num_bits=num_bits,
-        seed=seed, max_bucket_size=max_bucket_size, recover_oversized=True,
-    )["pairs"].select("id1", "id2")
+    # The two candidate generators are INDEPENDENT until the edge
+    # union, and each runs eager driver actions while building (bucket
+    # census limit-collect; the SRP side also its signature
+    # checkpoint). Build them on two driver threads (guide §2.6 —
+    # actions are only sequential because the driver calls them
+    # sequentially): the text side's census jobs and the SRP side's
+    # signature/census jobs overlap instead of serializing, and so
+    # does their JVM-side planning. Both builders are pure plan
+    # constructors over the same input frame; the union below is the
+    # only synchronization point.
+    def _text_pairs() -> DataFrame:
+        return near_dup_frames(
+            df, id_col, text_col, shingle_n=shingle_n,
+            num_hashes=num_hashes, bands=bands,
+            threshold=jaccard_threshold,
+            max_bucket_size=max_bucket_size, recover_oversized=True,
+            portable=portable,
+        )["pairs"].select("id1", "id2")
+
+    def _sem_pairs() -> DataFrame:
+        return srp_near_dup_frames(
+            df, id_col, vec_col, cosine_threshold, dim,
+            num_bits=num_bits, seed=seed,
+            max_bucket_size=max_bucket_size, recover_oversized=True,
+        )["pairs"].select("id1", "id2")
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        t_fut = pool.submit(_text_pairs)
+        s_fut = pool.submit(_sem_pairs)
+        text_pairs, sem_pairs = t_fut.result(), s_fut.result()
     pairs = text_pairs.unionByName(sem_pairs).dropDuplicates()
     return dedup_survivors(df, pairs, id_col)
 

@@ -233,6 +233,7 @@ def dsir_logratio(
     num_buckets: int = 10_000,
     bigrams: bool = True,
     portable: bool = False,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Per-document DSIR importance log-weight of every ``df`` row
     against the ``target`` corpus: (id, n_feats, logratio_micro) with
@@ -255,6 +256,15 @@ def dsir_logratio(
     groupBy(id). Documents with zero features (empty text) carry no
     evidence and are omitted — select them explicitly if a pipeline
     wants them.
+
+    Cache lifecycle (r16, r15 advisor): the plan pins three cached
+    frames — ``doc_counts`` is CORPUS-sized (id × bucket rows), the
+    two censuses are ≤ num_buckets rows. Long-lived sessions calling
+    this repeatedly should pass ``cache_registry=[]``: the pinned
+    frames are appended for the caller to ``unpersist()`` once the
+    returned frame (or anything derived) has materialized — the
+    semantic_dedup / near_dup_frames contract. Without a registry the
+    pins fall back to LRU eviction (the pre-r16 behavior).
     """
     b = int(num_buckets)
     # doc_counts feeds THREE subtrees of one plan (the raw-census
@@ -283,6 +293,8 @@ def dsir_logratio(
         .agg(F.sum("c_db").cast("long").alias("ct"))
         .cache()
     )
+    if cache_registry is not None:
+        cache_registry.extend([doc_counts, raw_census, tgt_census])
     n_raw = raw_census.select(F.sum("cr").cast("long").alias("n_r"))
     n_tgt = tgt_census.select(F.sum("ct").cast("long").alias("n_t"))
 
@@ -323,6 +335,7 @@ def dsir_select(
     bigrams: bool = True,
     temperature_milli: int = 1000,
     portable: bool = False,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """DSIR selection: the ``k`` documents of ``df`` drawn WITHOUT
     replacement with probability ∝ w(d)^(1/T) — the Gumbel-top-k trick
@@ -342,7 +355,7 @@ def dsir_select(
         raise ValueError(f"temperature_milli must be > 0, got {t}")
     lw = dsir_logratio(
         df, target, id_col, text_col, num_buckets=num_buckets,
-        bigrams=bigrams, portable=portable,
+        bigrams=bigrams, portable=portable, cache_registry=cache_registry,
     )
     gumbel_micro = F.round(
         -F.log(-F.log(hash_uniform(F.col(id_col), digit_offset=21))) * 1e6
@@ -364,6 +377,7 @@ def temperature_mixture_weights(
     size_col: str,
     alpha: float = 0.3,
     budget: int | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Temperature-based mixture sampling weights over data sources —
     the multilingual/multi-source balancing rule (mT5 / XLM-R: sample
@@ -402,6 +416,11 @@ def temperature_mixture_weights(
         .filter(F.col("n") > 0)
         .cache()
     )
+    # K-row pin, but a long-lived caller still deserves a release path
+    # (the dsir_logratio contract, r16): registry when provided, LRU
+    # fallback otherwise
+    if cache_registry is not None:
+        cache_registry.append(per)
     total = per.agg(F.sum("n").cast("long").alias("__N"))
     w = F.round(
         F.lit(1_000_000.0)

@@ -637,7 +637,8 @@ def srp_bucket_near_dup_pairs(
     """
     if num_bits is None:
         num_bits = recommended_num_bits(df.count())
-    sig = _srp_sig_frame(df, id_col, vec_col, dim, num_bits, seed)
+    sig = _srp_sig_frame(df, id_col, vec_col, dim, num_bits, seed,
+                         spread=True)
     a = sig.select(
         F.col("__id").alias("id1"), F.col("__v").alias("v1"),
         F.col("__n").alias("n1"), "bucket",
@@ -664,22 +665,31 @@ def _srp_sig_frame(
     dim: int,
     num_bits: int,
     seed: int,
+    spread: bool = False,
 ) -> DataFrame:
     """The shared SRP signature frame (__id, __v, __n, bucket),
     materialized once (eager localCheckpoint) — see
     srp_bucket_near_dup_pairs's docstring for why the barrier is
     load-bearing (double execution + codegen 64 KB collapse).
 
-    Deliberately NOT spread_by_id'd (r15, A/B-measured): unlike the
-    tokenize+md5 stages, the bits·dim signature CPU here is ~2 s at
-    sf0.1 — spreading it to defaultParallelism partitions made every
-    DOWNSTREAM consumer of the checkpoint (census, candidate join map
-    sides, verify) run 32 tiny tasks instead of 1-2, and the per-task
-    fixed cost exceeded the spread's win (bench: q187 2.28 → 3.13,
-    q181 4.21 → 4.79 norm; reverted). At cluster scale the source is
-    many files and the scan is already parallel."""
+    ``spread`` (r16 re-adjudication of the r15 revert, per-call-site):
+    the UNCAPPED self-join path (srp_bucket_near_dup_pairs → q181)
+    passes True — its only checkpoint consumers are the two self-join
+    map sides, and the guarded spread of a serial scan won solo A/B
+    (q181 3.34 → 2.82 s median). The CAPPED path (srp_near_dup_frames
+    → q187/q188/q233) keeps False: its census/candidate/verify fan-out
+    re-measured a consistent LOSS with 32-partition signatures (q188
+    6.85 → 9.0-9.4 s solo medians — the r15 revert reconfirmed with
+    the r16 local-CC code). At cluster scale the source is many files,
+    the input arrives parallel, and the guard makes the spread a
+    no-op."""
+    from us_immigration_data_lake_spark.operators.dedup import (
+        maybe_spread_by_id,
+    )
+
     planes = srp_planes(dim, num_bits, seed)
-    sig = df.select(
+    base = maybe_spread_by_id(df, id_col) if spread else df
+    sig = base.select(
         F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v")
     ).withColumn("bucket", srp_signature("__v", planes))
     if dim:
@@ -778,6 +788,8 @@ def srp_near_dup_frames(
     return {
         "pairs": pairs,
         "oversized": _census_report(census),
+        # counted by the census already — the near_dup_frames contract
+        "n_oversized": n_over,
         "cached": [band_df],
     }
 
@@ -1292,7 +1304,7 @@ def semantic_dedup(
     dim: int,
     num_bits: int = 8,
     seed: int = 42,
-    max_iter: int = 16,
+    max_iter: int = 20,
     max_bucket_size: int | None = 1000,
     recover_oversized: bool = True,
     cache_registry: list | None = None,

@@ -773,7 +773,7 @@ def bpe_merges(
     df: DataFrame,
     text_col: str,
     n_merges: int,
-    checkpoint_every: int = 4,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Learn the first ``n_merges`` BPE merges from the corpus:
     word-frequency table → per-word character symbols → iterate
@@ -797,11 +797,19 @@ def bpe_merges(
     IVF-codebook pattern); merge application is LAZY — each round's
     pair-count job re-runs the ≤ ``checkpoint_every - 1`` folds since
     the last lineage truncation (vocab-sized map work) instead of
-    paying a materializing checkpoint action per round (r15: halves
-    the loop's action count; the fold chain references its
-    predecessor ONCE, so re-execution is linear, not the exponential
-    multi-reference blowup the CC loop must checkpoint against —
-    bounded by the periodic eager localCheckpoint either way)."""
+    paying a materializing checkpoint action per round (r15; the fold
+    chain references its predecessor ONCE, so re-execution is linear,
+    not the exponential multi-reference blowup the CC loop must
+    checkpoint against — bounded by the periodic eager
+    localCheckpoint either way).
+
+    ``checkpoint_every`` DEFAULT = 2: the r16 adjudication of the r15
+    driver-bench q209 regression ran the three-solo-run protocol on
+    all three settings (3 fresh sessions × 3 bracketed reps each,
+    SCALE.md r16 row). cp=2 read best-or-tied on both raw and
+    anchor-normalized medians (raw means: cp=2 3.02 s, cp=4 3.24 s,
+    cp=1 eager 3.25-4.02 s) — re-running at most ONE lazy fold per
+    pair-count balances action count against fold re-execution."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     if checkpoint_every < 1:

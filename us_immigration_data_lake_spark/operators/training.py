@@ -372,6 +372,7 @@ def naive_bayes_model(
     text_col: str,
     label_col: str,
     num_buckets: int = 512,
+    cache_registry: list | None = None,
 ) -> dict[str, DataFrame]:
     """CLOSED-FORM multinomial Naive Bayes over hashed token features —
     the counting complement of the GD trainers (one aggregation pass
@@ -416,6 +417,12 @@ def naive_bayes_model(
         .agg(F.sum("cnt").alias("c_kb"))
         .cache()
     )
+    # model-sized pin with corpus lineage; repeated trainings in one
+    # session should pass cache_registry=[] and unpersist after the
+    # model frames materialize (the dsir_logratio contract, r16) —
+    # without a registry the pin falls back to LRU eviction
+    if cache_registry is not None:
+        cache_registry.append(kb)
     ktot = kb.groupBy("class").agg(F.sum("c_kb").alias("tot_k"))
     nk = labels.groupBy("class").agg(F.count(F.lit(1)).alias("n_k"))
     n_total = labels.agg(F.count(F.lit(1)).alias("n_all"))
@@ -462,6 +469,7 @@ def naive_bayes_scores(
     id_col: str,
     text_col: str,
     num_buckets: int = 512,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Per-(doc, class) scores under a ``naive_bayes_model`` — the
     dense scoring frame ``(id, class, score_micro)`` that
@@ -495,6 +503,10 @@ def naive_bayes_scores(
     # and the per-doc total grid) — cache so the tokenize+md5 pass
     # runs once (r15; the dsir doc_counts precedent)
     all_feats = hashed_token_features(df, id_col, text_col, num_buckets).cache()
+    # corpus-sized pin — registry release when provided (r16; see
+    # naive_bayes_model), LRU fallback otherwise
+    if cache_registry is not None:
+        cache_registry.append(all_feats)
     # bias rows (bucket -1) don't score, but they keep TOKENLESS docs in
     # the grid: an empty text still gets a prediction (= argmax prior,
     # since T_d = 0 and nothing joins in s_obs)
@@ -557,12 +569,16 @@ def naive_bayes_classify(
     id_col: str,
     text_col: str,
     num_buckets: int = 512,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Classify documents with a ``naive_bayes_model``: argmax over
     ``naive_bayes_scores`` (ties to the smallest class index);
     returns (id, pred_class, score_micro). Plan notes in
     naive_bayes_scores."""
-    scored = naive_bayes_scores(df, model, id_col, text_col, num_buckets)
+    scored = naive_bayes_scores(
+        df, model, id_col, text_col, num_buckets,
+        cache_registry=cache_registry,
+    )
     # an empty model yields an empty scores frame; the argmax below
     # flows it through to an empty (id, pred_class, score_micro)
     best = scored.groupBy(id_col).agg(

@@ -78,8 +78,6 @@ def build_training_corpus(
     Output columns: doc_id, predicted_lang, quality_score, split,
     chunk_idx, chunk_start_token, chunk_text, n_tokens.
     """
-    n_in = docs.count()
-
     # cache() pins a PLAN: every cached frame is appended here and
     # released at the end — rebinding a name after cache() would
     # otherwise leak the pinned blocks in a long-lived session.
@@ -106,26 +104,21 @@ def build_training_corpus(
     # 4: benchmark decontamination — anti-join away documents sharing
     # any 5-gram with the (broadcast) benchmark set. Without a
     # benchmark the stage is the identity and n_quality == n_decontam
-    # (one count serves both — no extra pass).
+    # (one aggregate serves both — no extra pass).
     if benchmark is not None:
         gated.cache()
         cached.append(gated)
-        n_quality = gated.count()
         flagged = dd.contaminated_docs(gated, benchmark, id_col, text_col)
         scored = gated.join(flagged.select(id_col), id_col, "left_anti")
     else:
         scored = gated
     scored.cache()
     cached.append(scored)
-    n_decontam = scored.count()
-    if benchmark is None:
-        n_quality = n_decontam
 
     # 5: exact dedup — smallest doc id survives per normalized content
     exact = dd.dedup_exact_by_content(scored, id_col, text_col)
     exact.cache()
     cached.append(exact)
-    n_exact = exact.count()
 
     # 6: near-dup clustering — keep one survivor per cluster.
     # recover_oversized: mega-buckets (boilerplate clusters) contribute
@@ -141,12 +134,11 @@ def build_training_corpus(
     # frames) are ours to release with the stage caches below
     cached.extend(frames["cached"])
     pairs = frames["pairs"]
-    n_oversized = frames["oversized"].count()
+    n_oversized = frames["n_oversized"]  # counted by the bucket census
     survivors = dd.dedup_survivors(exact, pairs, id_col).filter(F.col("keep"))
     deduped = exact.join(survivors.select(id_col), id_col)
     deduped.cache()
     cached.append(deduped)
-    n_near = deduped.count()
 
     # 7: chunk
     chunks = ts.chunk_documents(deduped, id_col, text_col, chunk_tokens, overlap)
@@ -158,9 +150,54 @@ def build_training_corpus(
         split_label(F.col(id_col), train_pct).alias("split"),
     )
     corpus = chunks.join(meta, id_col)
-    corpus.cache()  # one execution serves both the count and the write
+    corpus.cache()  # one execution serves the stats pass AND the write
     cached.append(corpus)
-    n_chunks = corpus.count()
+
+    # EVERY stage count in ONE action (r16, guide §2.6/§5; the r15
+    # form paid one count() round-trip per stage — ~6 driver actions
+    # whose turnaround, not compute, was half the pipeline's wall at
+    # bench scale). None of these counts gates a plan decision (the
+    # near-dup census above does, and stays eager inside
+    # near_dup_frames), so they are pure observations: a union of
+    # single-row aggregates over the MATERIALIZED stage caches —
+    # multi-referenced InMemoryRelations, not observe() on lazy frames,
+    # which is exactly the double-count hazard the r15 analysis
+    # rejected. The collect is the action that materializes the
+    # deduped/corpus caches; scored/exact are already warm from the
+    # census + components passes.
+    stage_frames = [
+        docs.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("input").alias("k"), "n"
+        ),
+        scored.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("decontam").alias("k"), "n"
+        ),
+        exact.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("exact").alias("k"), "n"
+        ),
+        deduped.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("near").alias("k"), "n"
+        ),
+        corpus.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("chunks").alias("k"), "n"
+        ),
+    ]
+    if benchmark is not None:
+        stage_frames.append(
+            gated.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit("quality").alias("k"), "n"
+            )
+        )
+    stats_df = stage_frames[0]
+    for sf_ in stage_frames[1:]:
+        stats_df = stats_df.unionByName(sf_)
+    counts = {r["k"]: r["n"] for r in stats_df.collect()}
+    n_in = counts["input"]
+    n_decontam = counts["decontam"]
+    n_quality = counts["quality"] if benchmark is not None else n_decontam
+    n_exact = counts["exact"]
+    n_near = counts["near"]
+    n_chunks = counts["chunks"]
 
     # 9: partitioned write
     if out_dir is not None:
@@ -218,8 +255,6 @@ def update_corpus_increment(
     """
     cached: list[DataFrame] = []
     try:
-        n_new = new_docs.count()
-
         gated = new_docs.join(
             ts.quality_score(ts.text_features(new_docs, id_col, text_col))
             .select(id_col, "quality_score"),
@@ -227,7 +262,6 @@ def update_corpus_increment(
         ).filter(F.col("quality_score") >= min_quality).drop("quality_score")
         gated.cache()
         cached.append(gated)
-        n_quality = gated.count()
 
         cross = dd.cross_near_dup_frames(
             gated, ref_docs, id_col, text_col, shingle_n=shingle_n,
@@ -245,7 +279,6 @@ def update_corpus_increment(
         )
         surv_cross.cache()
         cached.append(surv_cross)
-        n_cross = surv_cross.count()
 
         within_frames = dd.near_dup_frames(
             surv_cross, id_col, text_col, shingle_n=shingle_n,
@@ -265,13 +298,33 @@ def update_corpus_increment(
         final = surv_cross.join(keep, on=id_col, how="left_semi")
         final.cache()
         cached.append(final)
-        n_within = final.count()
+
+        # every stage count in ONE action over the materialized stage
+        # caches (r16 — the build_training_corpus consolidation; the
+        # counts are pure observations, nothing gates on them)
+        stats_df = (
+            new_docs.agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit("new").alias("k"), "n")
+            .unionByName(
+                gated.agg(F.count(F.lit(1)).alias("n"))
+                .select(F.lit("quality").alias("k"), "n")
+            )
+            .unionByName(
+                surv_cross.agg(F.count(F.lit(1)).alias("n"))
+                .select(F.lit("cross").alias("k"), "n")
+            )
+            .unionByName(
+                final.agg(F.count(F.lit(1)).alias("n"))
+                .select(F.lit("within").alias("k"), "n")
+            )
+        )
+        counts = {r["k"]: r["n"] for r in stats_df.collect()}
 
         return final, IncrementStats(
-            new_docs=n_new,
-            after_quality=n_quality,
-            after_cross_dedup=n_cross,
-            after_within_dedup=n_within,
+            new_docs=counts["new"],
+            after_quality=counts["quality"],
+            after_cross_dedup=counts["cross"],
+            after_within_dedup=counts["within"],
         )
     finally:
         for frame in cached:
@@ -319,12 +372,9 @@ def update_embedding_increment(
 
     cached: list[DataFrame] = []
     try:
-        n_new = new_emb.count()
-
         gated = new_emb.filter(F.size(F.col(vec_col)) == dim)
         gated.cache()
         cached.append(gated)
-        n_gate = gated.count()
 
         cross_pairs = sim.cross_srp_near_dup_frames(
             gated, ref_emb, id_col, vec_col, threshold=threshold, dim=dim,
@@ -337,7 +387,6 @@ def update_embedding_increment(
         )
         surv_cross.cache()
         cached.append(surv_cross)
-        n_cross = surv_cross.count()
 
         keep = (
             sim.semantic_dedup(
@@ -351,13 +400,32 @@ def update_embedding_increment(
         final = surv_cross.join(keep, on=id_col, how="left_semi")
         final.cache()
         cached.append(final)
-        n_within = final.count()
+
+        # every stage count in ONE action over the materialized stage
+        # caches (r16 — the build_training_corpus consolidation)
+        stats_df = (
+            new_emb.agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit("new").alias("k"), "n")
+            .unionByName(
+                gated.agg(F.count(F.lit(1)).alias("n"))
+                .select(F.lit("gate").alias("k"), "n")
+            )
+            .unionByName(
+                surv_cross.agg(F.count(F.lit(1)).alias("n"))
+                .select(F.lit("cross").alias("k"), "n")
+            )
+            .unionByName(
+                final.agg(F.count(F.lit(1)).alias("n"))
+                .select(F.lit("within").alias("k"), "n")
+            )
+        )
+        counts = {r["k"]: r["n"] for r in stats_df.collect()}
 
         return final, EmbeddingIncrementStats(
-            new_vectors=n_new,
-            after_dim_gate=n_gate,
-            after_cross_dedup=n_cross,
-            after_within_dedup=n_within,
+            new_vectors=counts["new"],
+            after_dim_gate=counts["gate"],
+            after_cross_dedup=counts["cross"],
+            after_within_dedup=counts["within"],
         )
     finally:
         for frame in cached:
