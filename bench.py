@@ -189,7 +189,22 @@ def main() -> None:
     anchor_samples: list[tuple[int, float]] = []  # (run position, sec)
     anchor_samples.append((0, _anchor_median()))
 
+    # N=3 MEDIAN MODE for the >= 1 s headliners (r15 verdict ask #5):
+    # the suite-context noise band on the md5-heavy composites swings
+    # +/-30-40% run-to-run, which hid or manufactured most of r15's
+    # nominal sub-second regressions. Queries whose FIRST timed pass
+    # reads >= MEDIAN_REP_FLOOR_SEC get two more identical-state
+    # re-executions (same warm internal caches as the first timed
+    # pass; no clear between reps, so each rep measures the same
+    # steady state). DIAGNOSTICS ONLY: the metric line's `queries`
+    # value stays the single first-pass number (the r01-r15 contract;
+    # cross-round comparability), the per-query rep lists and medians
+    # ride the diagnostics line / bench_diag.json.
+    MEDIAN_REP_FLOOR_SEC = 1.0
+    MEDIAN_REPS = 3
+
     timings: dict[str, float] = {}
+    reps_by_query: dict[str, list[float]] = {}
     positions: dict[str, int] = {}
     for i, name in enumerate(names):
         QUERIES[name].fn(spark, sf_dir).write.mode("overwrite").format(
@@ -199,6 +214,15 @@ def main() -> None:
         df = QUERIES[name].fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        reps = [timings[name]]
+        if timings[name] >= MEDIAN_REP_FLOOR_SEC:
+            for _ in range(MEDIAN_REPS - 1):
+                t0 = time.perf_counter()
+                QUERIES[name].fn(spark, sf_dir).write.mode(
+                    "overwrite"
+                ).format("noop").save()
+                reps.append(round(time.perf_counter() - t0, 3))
+        reps_by_query[name] = reps
         positions[name] = i + 1
         spark.catalog.clearCache()
         gc.collect()
@@ -248,6 +272,16 @@ def main() -> None:
         "diag": "bench_diagnostics",
         "queries": timings,
         "queries_norm": queries_norm,
+        # N=3 identical-state reps for the >= 1 s headliners (median
+        # mode, diagnostics only — the metric line stays single-run)
+        "queries_reps": {
+            n: r for n, r in reps_by_query.items() if len(r) > 1
+        },
+        "queries_median": {
+            n: round(statistics.median(r), 3)
+            for n, r in reps_by_query.items() if len(r) > 1
+        },
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
         "anchor_sec": anchor,
         "anchor_pre_sec": anchor_pre,
         "anchor_post_sec": anchor_post,

@@ -26,11 +26,18 @@ from us_immigration_data_lake_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = "/root/testdata/sf0.1"
-    for i, a in enumerate(sys.argv):
+    args: list[str] = []
+    skip_next = False
+    for i, a in enumerate(sys.argv[1:], start=1):
+        if skip_next:
+            skip_next = False
+            continue
         if a == "--sf":
             sf_dir = sys.argv[i + 1]
+            skip_next = True  # the flag's VALUE is not a query name
+        elif not a.startswith("--"):
+            args.append(a)
     evdir = "/tmp/r15_eventlogs"
     os.makedirs(evdir, exist_ok=True)
     spark = get_spark(
