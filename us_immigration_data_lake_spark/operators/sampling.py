@@ -833,16 +833,31 @@ def _training_order_stages(
     n_bins: int,
     lo: float,
     hi: float,
+    materialize: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """The EPOCH-INVARIANT prefix of the training-order pipeline
     (cap → policy-on-capped → quality bins), shared by the one-epoch
     and multi-epoch forms so E epochs never recompute it. Returns
-    (weights, binned)."""
+    (weights, binned).
+
+    ``materialize``: the MULTI-EPOCH caller passes True — capped
+    feeds BOTH the policy subtree (via the K-row `per` census) and
+    the binned spine, and across the epochs path's MULTIPLE actions
+    (the eager binned checkpoint, then the first epoch's broadcast)
+    the caller's upstream feature pass would otherwise run twice
+    (r16 stage probe: two 8-11 s-CPU tokenize stages per q237 run;
+    solo A/B with the cache: 4.66 → 3.33 s median). The ONE-ACTION
+    pipeline form keeps False: inside a single job the two subtrees
+    overlap for free, and the cache write + block-lock serialization
+    measured a LOSS there (q234 1.94 → 2.41 s; reverted to
+    per-call-site, the sig-spread lesson). LRU-released."""
     capped = per_group_cap(
         df.select(F.col(id_col), F.col(group_col), F.col(score_col),
                   F.col(size_col)),
         group_col, id_col, cap=cap,
     )
+    if materialize:
+        capped = capped.cache()
     weights = temperature_mixture_weights(
         capped.select(F.col(group_col), F.col(size_col)),
         group_col, size_col, alpha=alpha, budget=1_000_000,
@@ -902,6 +917,7 @@ def training_order_epochs(
     weights, binned = _training_order_stages(
         df, id_col, group_col, score_col, size_col,
         cap=cap, alpha=alpha, n_bins=n_bins, lo=lo, hi=hi,
+        materialize=True,  # multi-action path: see the stages helper
     )
     binned = binned.localCheckpoint(eager=True)
     out = None
